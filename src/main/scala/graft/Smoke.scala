@@ -1,0 +1,21 @@
+package graft
+
+/** Replicates the driver's t1 smoke: run SparkEntry.entry on a session the
+  * driver would build (no engine-specific confs) and require rows > 0. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    println(s"[smoke] entry rows=${rows.length}")
+    rows.take(5).foreach(r => println(s"[smoke] $r"))
+    require(rows.nonEmpty, "entry returned no rows")
+    spark.stop()
+  }
+}

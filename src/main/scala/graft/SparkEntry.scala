@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * All operator implementations live in the `QueryPack` objects; this is
+  * only the registry the driver harness reads.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** All query packs, each covering one region of SURVEY.md §2. */
+  def packs: Seq[QueryPack] = Seq(
+    graft.operators.AggregateQueries,
+    graft.operators.JoinQueries,
+    graft.operators.ScalarQueries,
+    graft.operators.WindowQueries,
+    graft.operators.SetOpQueries,
+  )
+
+  def all: Seq[GraftQuery] = packs.flatMap(_.queries)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship dashboard query (vehicle counts per camera ×
+    * type — vehicle_counting_app.py:38-47) recast over `events`: parse the
+    * JSON props envelope, bucket by day, count + sum per type.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = graft.core.Tables(spark, "/root/testdata/sf0.001")
+    t.events
+      .select(col("event_type"), col("value"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"),
+              date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"),
+           round(avg(col("k")), 2).as("avg_k"))
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
