@@ -166,5 +166,21 @@ object TextQueries extends QueryPack {
              |FROM inter i
              |JOIN cnt ca ON ca.doc_id = i.doc_a
              |JOIN cnt cb ON cb.doc_id = i.doc_a + 1""".stripMargin),
-      "North star: token-set Jaccard similarity (adjacent-pair differential)"))
+      "North star: token-set Jaccard similarity (adjacent-pair differential)"),
+
+    GraftQuery(
+      "t06_rolling_fingerprint",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Winnowing-style fingerprint via the native RollingHashMin
+        // codegen expression (not SQL-expressible → rows-only check; the
+        // algorithm itself is pinned by RollingHashSpec).
+        t.documents
+          .select(col("doc_id"),
+            graft.functions.RollingHashMin.rollingHashMin(col("text"), 32).as("rh_min"),
+            graft.functions.RollingHashMin.rollingHashMin(lower(trim(col("text"))), 16)
+              .as("rh_min16"))
+      },
+      None,
+      "North star: rolling-hash (Karp–Rabin winnowing) fingerprint, codegen expression"))
 }

@@ -40,6 +40,10 @@ object AbsaPipeline {
       n
     }
     def score(text: String): Array[Double] = {
+      // null-safe like the reference's UDF guards
+      // (consumer_postgres_streaming.py:300-305)
+      if (text == null) return (aspects.map(_ => 0.1) ++
+        aspects.flatMap(_ => Seq(0.1, 0.8, 0.1))).toArray
       val padded = " " + text + " "
       val nPos = occ(padded, " fast ") + occ(padded, " big ")
       val nNeg = occ(padded, " slow ") + occ(padded, " small ")

@@ -159,12 +159,17 @@ object AggregateQueries extends QueryPack {
         val t = Tables(spark, dir)
         // Exact percentiles for oracle parity; percentile_approx is the
         // 100 TB path (single-pass sketch) and is benchmarked separately.
-        t.lineitem.agg(
-          floor(expr("percentile(l_extendedprice * 100, 0.25)") + 0.5).cast(LongType).as("p25_cents"),
-          floor(expr("percentile(l_extendedprice * 100, 0.5)") + 0.5).cast(LongType).as("p50_cents"),
-          floor(expr("percentile(l_extendedprice * 100, 0.75)") + 0.5).cast(LongType).as("p75_cents"),
-          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
-          round(var_samp(col("l_extendedprice")), 2).as("variance"))
+        // one percentile aggregate evaluating all three points in a single
+        // pass (three separate calls would sort/buffer the column thrice)
+        t.lineitem
+          .agg(expr("percentile(l_extendedprice * 100, array(0.25, 0.5, 0.75))").as("pcts"),
+               round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+               round(var_samp(col("l_extendedprice")), 2).as("variance"))
+          .select(
+            floor(element_at(col("pcts"), 1) + 0.5).cast(LongType).as("p25_cents"),
+            floor(element_at(col("pcts"), 2) + 0.5).cast(LongType).as("p50_cents"),
+            floor(element_at(col("pcts"), 3) + 0.5).cast(LongType).as("p75_cents"),
+            col("sd"), col("variance"))
       },
       Some("""SELECT CAST(floor(quantile_cont(l_extendedprice * 100, 0.25) + 0.5) AS BIGINT) AS p25_cents,
              |  CAST(floor(quantile_cont(l_extendedprice * 100, 0.5) + 0.5) AS BIGINT) AS p50_cents,

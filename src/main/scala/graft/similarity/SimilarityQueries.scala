@@ -2,6 +2,7 @@ package graft.similarity
 
 import graft.{GraftQuery, QueryPack}
 import graft.core.Tables
+import graft.functions.CosineSim.cosineFast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -62,7 +63,7 @@ object SimilarityQueries extends QueryPack {
         val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
         emb.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
-          .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("sim"))
+          .select(col("vec_id"), col("label"), cosineFast(col("v"), col("qv")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(10)
           .select(col("vec_id"), col("label"),
@@ -96,7 +97,7 @@ object SimilarityQueries extends QueryPack {
         emb.filter(col("vec_id") =!= 0)
           .join(broadcast(q), col("bucket") === col("qbucket"))
           .select(col("vec_id"), col("label"), col("bucket"),
-                  cosine(col("v"), col("qv")).as("sim"))
+                  cosineFast(col("v"), col("qv")).as("sim"))
           .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(5)
           .select(col("vec_id"), col("label"), col("bucket"),
@@ -119,7 +120,7 @@ object SimilarityQueries extends QueryPack {
         val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
         a.join(b, Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), cosine(col("va"), col("vb")).as("sim"))
+          .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("sim"))
           .filter(col("sim") >= 0.3)
           .select(col("vec_a"), col("vec_b"),
                   floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))

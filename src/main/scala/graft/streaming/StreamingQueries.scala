@@ -140,6 +140,7 @@ object StreamingQueries extends QueryPack {
         // and is never emitted. Range-ordered staging guarantees no
         // cross-batch late drops. Result ≡ full batch aggregate.
         val staged = Streams.stageEventsFresh(spark, dir)
+        Streams.withStreamShufflePartitions(spark) {
         val agg = Streams.streamFromStaged(spark, staged)
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -168,6 +169,7 @@ object StreamingQueries extends QueryPack {
           .filter(col("event_type") =!= "__flush__")
           .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
                   col("event_type"), col("n_events"))
+        }
       },
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
              |  count(*) AS n_events

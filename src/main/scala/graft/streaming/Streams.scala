@@ -18,6 +18,18 @@ import java.nio.file.Files
   */
 object Streams {
 
+  /** Run `body` with a reduced shuffle-partition count. Streaming state
+    * stores create one state dir per shuffle partition per micro-batch;
+    * 32 partitions × N batches of checkpoint files dominates bounded-run
+    * wall clock. 8 partitions is plenty for the drained volumes, and a
+    * real deployment sizes this to key cardinality anyway. */
+  def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Stage the `events` table as a multi-file parquet dir so the file
     * source produces several micro-batches (one per trigger with
     * maxFilesPerTrigger=1). Files are RANGE-partitioned on `ts` (file i =
@@ -73,7 +85,13 @@ object Streams {
     * final contents. `processAllAvailable` gives the synchronous bounded
     * semantics the differential tests need (SURVEY §5.2-1). */
   def drainToMemory(df: DataFrame, name: String,
-                    outputMode: String = "append"): DataFrame = {
+                    outputMode: String = "append"): DataFrame =
+    withStreamShufflePartitions(df.sparkSession) {
+      drainToMemoryNow(df, name, outputMode)
+    }
+
+  private def drainToMemoryNow(df: DataFrame, name: String,
+                               outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val cp = Files.createTempDirectory(s"graft_cp_$name").toString
     val q = df.writeStream
@@ -93,7 +111,12 @@ object Streams {
     * anti-patterns fixed: one `persist` per batch instead of triple
     * re-execution, `isEmpty` probe, batch_id recorded for idempotent
     * replay auditing. Returns the sink table re-read. */
-  def drainThroughForeachBatch(df: DataFrame): (DataFrame, Long) = {
+  def drainThroughForeachBatch(df: DataFrame): (DataFrame, Long) =
+    withStreamShufflePartitions(df.sparkSession) {
+      drainThroughForeachBatchNow(df)
+    }
+
+  private def drainThroughForeachBatchNow(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     val cp = Files.createTempDirectory("graft_cp_feb").toString
     val out = Files.createTempDirectory("graft_sink_feb").toString

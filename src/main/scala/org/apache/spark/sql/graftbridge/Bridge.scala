@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made these converters
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils), so
+  * custom Catalyst expressions expose themselves as Columns through this
+  * in-namespace shim — the standard pattern for third-party Spark
+  * extensions. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ml.AbsaPipeline
+import org.apache.spark.sql.functions._
+
+/** Unit + pipeline tests for the ABSA scoring path (U1/U2/U7 patterns):
+  * deterministic stub scorer, argmax decode, regexp label extraction,
+  * null/empty guards (mirroring consumer_postgres_streaming.py:300-305). */
+class AbsaPipelineSpec extends SparkTestBase {
+
+  private val scorer = new AbsaPipeline.KeywordScorer
+
+  test("scorer: positive keywords dominate") {
+    val p = scorer.score("the fast big table")
+    // sentiment triplet for every aspect = POS-heavy
+    assert(p(AbsaPipeline.aspects.length) == 0.8)
+  }
+
+  test("scorer: negative keywords dominate") {
+    val p = scorer.score("slow small stream")
+    assert(p(AbsaPipeline.aspects.length + 2) == 0.8)
+  }
+
+  test("scorer: balanced → neutral") {
+    val p = scorer.score("fast slow data")
+    assert(p(AbsaPipeline.aspects.length + 1) == 0.8)
+  }
+
+  test("scorer: aspect presence flags") {
+    val p = scorer.score("the value of the table")
+    assert(p(0) == 0.9) // value present
+    assert(p(1) == 0.9) // table present
+    assert(p(2) == 0.1) // stream absent
+  }
+
+  test("scorer: null and empty text are safe") {
+    assert(scorer.score(null).length == 12)
+    assert(scorer.score("").length == 12)
+  }
+
+  test("pipeline: decode round-trips labels through summary + regexp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "fast value stuff"),
+      (2L, "slow table grind"),
+      (3L, "plain data row")
+    ).toDF("doc_id", "text")
+    val out = AbsaPipeline.decoded(AbsaPipeline.withProbs(docs))
+      .select("doc_id", "value_label", "table_label", "stream_label")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == (("POS", "ABSENT", "ABSENT")))
+    assert(out(2L) == (("ABSENT", "NEG", "ABSENT")))
+    assert(out(3L) == (("ABSENT", "ABSENT", "ABSENT")))
+  }
+
+  test("pipeline: probs layout matches the declared 3+9 contract") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val probs = AbsaPipeline.withProbs(docs).select("probs").head().getSeq[Double](0)
+    assert(probs.length == AbsaPipeline.aspects.length * 4)
+  }
+}

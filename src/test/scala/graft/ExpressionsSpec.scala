@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{CosineSim, RollingHashMin}
+import graft.similarity.SimilarityQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+class ExpressionsSpec extends SparkTestBase {
+
+  test("CosineSim matches the HOF formulation bitwise") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -0.5, 0.25), Array(-1.0, 2.0, 0.0)),
+      (Array(1e-8, 2e-8, -3e-8), Array(7.0, -2.0, 0.1))
+    ).toDF("a", "b")
+    val rows = df.select(
+      CosineSim.cosineFast(col("a"), col("b")).as("fast"),
+      SimilarityQueries.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("CosineSim known value") {
+    import spark.implicits._
+    val r = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(CosineSim.cosineFast(col("a"), col("b"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+  }
+
+  test("CosineSim survives whole-stage codegen over parquet floats") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.select(CosineSim.cosineFast(col("embedding"), col("embedding")).as("c"))
+      .filter(col("c") > 0.999999).count()
+    assert(n == emb.count()) // self-similarity = 1 for every non-zero vector
+  }
+
+  private def naiveMinRolling(s: String, w: Int): Long = {
+    val bytes = s.getBytes("UTF-8")
+    if (bytes.isEmpty) return 0L
+    val ww = math.min(w, bytes.length)
+    (0 to bytes.length - ww).map { i =>
+      bytes.slice(i, i + ww).foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
+    }.min
+  }
+
+  test("RollingHashMin equals naive window minimum (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val str = rnd.alphanumeric.take(rnd.nextInt(60)).mkString
+      val w = 1 + rnd.nextInt(12)
+      assert(RollingHashMin.compute(UTF8String.fromString(str), w) == naiveMinRolling(str, w),
+        s"mismatch for str='$str' w=$w")
+    }
+  }
+
+  test("RollingHashMin: equal fingerprint for content sharing the minimizing window") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    // rolling min over byte windows is invariant under edits that don't
+    // remove the minimizing window and don't introduce a smaller one —
+    // check containment-monotonicity: min over superstring <= min over substring
+    val base = RollingHashMin.compute(UTF8String.fromString(a), 8)
+    val sup = RollingHashMin.compute(UTF8String.fromString(a + " postfix data"), 8)
+    assert(sup <= base)
+  }
+
+  test("RollingHashMin edge cases: empty, shorter-than-window") {
+    assert(RollingHashMin.compute(UTF8String.fromString(""), 8) == 0L)
+    assert(RollingHashMin.compute(UTF8String.fromString("ab"), 8) == naiveMinRolling("ab", 8))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-operator algebraic invariants (SURVEY §5.2-3 property tests) —
+  * checks that don't need the DuckDB oracle. */
+class OperatorInvariantsSpec extends SparkTestBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("explode ↔ groupBy conservation (A8 ≡ U3+P6+A1)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exploded = run("q27_explode")
+    val total = exploded.agg(sum("n_elems")).head().getLong(0)
+    assert(total == emb.count() * 64)
+  }
+
+  test("window-sum ≡ filter-sum (A4/T6 equivalence)") {
+    val events = graft.core.Tables(spark, sfDir).events
+    val bucketed = run("q03_time_bucket")
+      .agg(sum("n_events")).head().getLong(0)
+    assert(bucketed == events.count())
+  }
+
+  test("intersect/except partition the key space (q51)") {
+    val r = run("q51_intersect_except").head()
+    val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").distinct().count()
+    assert(r.getAs[Long]("n_both") + r.getAs[Long]("n_no_orders") == nCustomers)
+  }
+
+  test("jaccard values stay within [0, 10000] e4-bounds (t05)") {
+    val j = run("t05_jaccard_adjacent")
+    assert(j.filter(col("jaccard_e4") < 0 || col("jaccard_e4") > 10000).count() == 0)
+    assert(j.count() > 0)
+  }
+
+  test("exact dedup conserves the corpus (d01)") {
+    val r = run("d01_dedup_exact").head()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(r.getAs[Long]("n_total_docs") == nDocs)
+    assert(r.getAs[Long]("n_distinct_docs") <= nDocs)
+  }
+
+  test("minhash signature overlap is symmetric-bounded (d03)") {
+    val pairs = run("d03_minhash_lsh_pairs")
+    assert(pairs.filter(col("n_equal_sigs") < 1 || col("n_equal_sigs") > 8).count() == 0)
+    // every banded candidate shares at least one full band = 2 sigs
+    assert(pairs.filter(col("n_equal_sigs") < 2).count() == 0)
+  }
+
+  test("simhash signatures are 16-bit strings (d04)") {
+    val s = run("d04_simhash")
+    assert(s.filter(length(col("simhash16")) =!= 16).count() == 0)
+    assert(s.filter(!col("simhash16").rlike("^[01]{16}$")).count() == 0)
+  }
+
+  test("ANN brute force: top-10 sims are sorted and in [-1, 1] (s01)") {
+    val top = run("s01_ann_bruteforce").collect()
+    assert(top.length == 10)
+    val sims = top.map(_.getAs[Long]("sim_e6"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1000000 && s <= 1000000))
+  }
+
+  test("LSH near-dup pairs all meet the threshold (s03)") {
+    val p = run("s03_embedding_neardup")
+    assert(p.filter(col("sim_e6") < 300000).count() == 0)
+    assert(p.count() > 0)
+  }
+
+  test("rollup total row equals table count (q06)") {
+    val all = run("q06_rollup").filter(col("segment") === "ALL").head()
+    val n = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(all.getAs[Long]("n_customers") == n)
+  }
+
+  test("top-k ordering deterministic under re-run (q44)") {
+    val a = run("q44_topk").collect().map(_.toString)
+    val b = run("q44_topk").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+/** Physical-plan guardrails — the 100 TB design assertions. A query can
+  * be value-correct and still be wrong at scale; these pin the plan
+  * shapes that make the queries survive a 1000-executor cluster:
+  * pushdown reaching parquet, dims broadcast (never shuffling the fact),
+  * top-K without a global sort, no accidental cartesian products, and
+  * map-side partial aggregation. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // execute THIS df's own queryExecution (a write/count would build a
+    // separate one) so AQE finalizes stages — codegen spans and runtime
+    // join selections only appear in the final adaptive plan
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q20: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan("q20_filter_project")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    // pruned read schema: none of the untouched wide columns
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q11: dimension tables broadcast — fact side never shuffles") {
+    val p = plan("q11_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to sort-merge:\n$p")
+  }
+
+  test("q44: top-K plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("q44_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("s03: LSH blocking avoids cartesian/BNL join") {
+    val p = plan("s03_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), s"near-dup pair mining went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"near-dup pair mining went BNL:\n$p")
+  }
+
+  test("q01: hash aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_agg_sum")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("q01: whole-stage codegen covers the scan→partial-agg hot path") {
+    val p = plan("q01_agg_sum")
+    // the simple plan string marks WholeStageCodegen stages with "*(n)"
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), s"no codegen span:\n$p")
+  }
+
+  test("q15: literal tier table broadcasts (BNL only on the 3-row side)") {
+    val p = plan("q15_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"range join must broadcast the tiny side:\n$p")
+  }
+
+  test("s01: brute-force ANN keeps the query side broadcast") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query vector should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid global sort:\n$p")
+  }
+}
