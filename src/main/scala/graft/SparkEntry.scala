@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.ScalarQueries,
     graft.operators.WindowQueries,
     graft.operators.SetOpQueries,
+    graft.operators.AdvancedQueries,
     graft.analysis.TextQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,

@@ -1,0 +1,55 @@
+package graft.core
+
+import graft.functions.{CosineSim, RollingHashMin}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions so the spark.sql text tier (the
+  * dashboards' surface, SURVEY §3.3) can call them:
+  *
+  *   SELECT cosine_sim(embedding, embedding) FROM embeddings
+  *   SELECT rolling_hash_min(text, 32) FROM documents
+  *
+  * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or config `spark.sql.extensions=graft.core.GraftExtensions`, or call
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def toDoubleArray(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
+
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        CosineSim(toDoubleArray(children(0)), toDoubleArray(children(1))))
+
+  val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("rolling_hash_min"),
+      new ExpressionInfo(classOf[RollingHashMin].getName, "rolling_hash_min"),
+      (children: Seq[Expression]) =>
+        RollingHashMin(Cast(children(0), StringType),
+          if (children.length > 1) Cast(children(1), IntegerType) else Literal(32)))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      cosineSimDescriptor._3, "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash_min",
+      rollingHashDescriptor._3, "built-in")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** Second-wave operator coverage: the spark.sql text tier (S4 — the
+  * dashboards' SQL surface), explicit-schema from_json (P2), vector
+  * centroids, array<struct> round-trips (U3 contract), approximate
+  * sketches (the 100 TB path for A7/A11), and map scalars (P17).
+  */
+object AdvancedQueries extends QueryPack {
+
+  /** Dashboard-style SQL in the common ANSI dialect — the SAME string
+    * runs on Spark (over registered temp views) and on the DuckDB oracle.
+    * Re-expresses the per-camera stats panel (fire_detection_app.py:64-74). */
+  private val dashboardSql =
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS n_alerts,
+      |  CAST(floor(avg(CAST(floor(value * 100 + 0.5) AS BIGINT)) + 0.5) AS BIGINT) AS avg_value_cents,
+      |  CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS max_value_cents
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q53_sql_text",
+      (spark, dir) => {
+        Tables(spark, dir).registerAll()
+        spark.sql(dashboardSql)
+      },
+      Some(dashboardSql),
+      "S4/§3.3: spark.sql text tier — one ANSI statement runs on both engines"),
+
+    GraftQuery(
+      "q33_from_json",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P2 proper: explicit StructType schema parse of the props
+        // envelope (consumer_postgres_streaming.py:396-400); malformed
+        // input degrades to nulls per from_json contract.
+        val schema = new StructType().add("k", IntegerType)
+        t.events
+          .select(from_json(col("props"), schema).as("data"))
+          .select(col("data.k").as("k"))
+          .groupBy((col("k") % 7).as("k_mod7"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod7,
+             |  count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+             |FROM events GROUP BY 1""".stripMargin),
+      "P2: from_json with explicit StructType + struct field projection"),
+
+    GraftQuery(
+      "q31_vector_centroid",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Per-label centroid: posexplode → (label, dim) mean. The shuffle
+        // carries (label, pos, x) triples — linear in data, no vector
+        // materialization on the driver.
+        t.embeddings
+          .select(col("label"), posexplode(col("embedding")))
+          .toDF("label", "pos", "x")
+          .groupBy("label", "pos")
+          .agg(floor(avg(col("x").cast("double")) * 10000 + 0.5).cast(LongType)
+            .as("centroid_e4"))
+      },
+      Some("""SELECT label, i - 1 AS pos,
+             |  CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS centroid_e4
+             |FROM embeddings, range(1, 65) t(i)
+             |GROUP BY 1, 2""".stripMargin),
+      "North star: per-label embedding centroids (distributed element-wise mean)"),
+
+    GraftQuery(
+      "q34_array_structs",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // U3's array<struct> contract round-trip: pack lineitems into a
+        // detections-style array per order, explode back, re-aggregate —
+        // conservation against the flat table is the oracle.
+        val packed = t.lineitem
+          .groupBy("l_orderkey")
+          .agg(collect_list(struct(col("l_partkey"), col("l_quantity"))).as("detections"))
+        packed
+          .select(col("l_orderkey"), explode(col("detections")).as("d"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+               count(lit(1)).as("n_detections"),
+               round(sum(col("d.l_quantity")), 2).as("sum_qty"))
+      },
+      Some("""SELECT count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_detections,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem""".stripMargin),
+      "U3/P6: collect_list(struct) → explode round-trip conservation"),
+
+    GraftQuery(
+      "q17_approx_sketches",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The 100 TB forms of A7/A11: HLL++ distinct counts and a
+        // single-pass quantile sketch. Approximate → rows-only check
+        // (values are deterministic for Spark's impl but engine-specific).
+        t.lineitem.agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_pcts"))
+          .select(col("approx_parts"), col("approx_orders"),
+            element_at(col("approx_pcts"), 1).as("approx_p50"),
+            element_at(col("approx_pcts"), 2).as("approx_p95"))
+      },
+      None,
+      "A7/A11 scale path: approx_count_distinct (HLL++) + approx_percentile sketch"),
+
+    GraftQuery(
+      "q32_map_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P17 map scalars: build a properties map per row, then read it
+        // back via map_keys/element_at (deterministic; no oracle — map
+        // constructors differ across SQL dialects).
+        t.events
+          .select(col("event_id"),
+            map(lit("type"), col("event_type"),
+                lit("bucket"), when(col("value") >= 100, "big").otherwise("small"))
+              .as("m"))
+          .select(col("event_id"),
+            size(map_keys(col("m"))).as("n_keys"),
+            element_at(col("m"), "type").as("type_val"),
+            element_at(col("m"), "bucket").as("bucket_val"))
+          .groupBy("type_val", "bucket_val")
+          .agg(count(lit(1)).as("n"), max(col("n_keys")).as("n_keys"))
+      },
+      None,
+      "P17: map construction + map_keys/element_at scalars"))
+}

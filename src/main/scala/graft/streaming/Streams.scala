@@ -116,6 +116,21 @@ object Streams {
       drainThroughForeachBatchNow(df)
     }
 
+  /** Idempotent variant of the foreachBatch sink (SURVEY §7 hard part 2):
+    * each micro-batch overwrites its OWN `batch_id=` partition (dynamic
+    * partition overwrite), so a replayed batch after crash-recovery
+    * rewrites identical data instead of appending duplicates —
+    * exactly-once table contents over an at-least-once channel. The
+    * reference's JDBC append (consumer_postgres_streaming.py:427-440) is
+    * at-least-once; this is the upgrade path documented there. */
+  def idempotentBatchWriter(out: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+      ()
+    }
+
   private def drainThroughForeachBatchNow(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     val cp = Files.createTempDirectory("graft_cp_feb").toString

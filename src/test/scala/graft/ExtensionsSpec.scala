@@ -1,0 +1,39 @@
+package graft
+
+import graft.core.GraftExtensions
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL-function registration + idempotent sink semantics. */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("cosine_sim and rolling_hash_min callable from SQL text") {
+    GraftExtensions.register(spark)
+    graft.core.Tables(spark, sfDir).registerAll()
+    val r = spark.sql(
+      """SELECT cosine_sim(embedding, embedding) AS self_sim,
+        |       rolling_hash_min(CAST(vec_id AS STRING), 2) AS rh
+        |FROM embeddings LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+      assert(row.getLong(1) >= 0L)
+    }
+  }
+
+  test("idempotent foreachBatch writer: replaying a batch leaves the sink unchanged") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_idem").toString
+    val writer = Streams.idempotentBatchWriter(out)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    writer(batch, 7L)
+    val first = spark.read.parquet(out).collect().map(_.toString).sorted
+    writer(batch, 7L) // crash-recovery replay of the same batch
+    val second = spark.read.parquet(out).collect().map(_.toString).sorted
+    assert(first.sameElements(second), "replay duplicated rows")
+    // a new batch id adds its own partition without touching batch 7
+    writer(Seq((3L, "c")).toDF("id", "v"), 8L)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+}
