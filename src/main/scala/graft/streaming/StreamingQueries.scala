@@ -174,5 +174,65 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
              |  count(*) AS n_events
              |FROM events GROUP BY 1, 2""".stripMargin),
-      "T5: watermark + append mode — late-window cutoff matches the oracle"))
+      "T5: watermark + append mode — late-window cutoff matches the oracle"),
+
+    GraftQuery(
+      "st06_stream_stream_join",
+      (spark, dir) => {
+        // J6: stream-stream interval join — every purchase joined to the
+        // same user's clicks in the preceding hour. Both sides carry
+        // watermarks; the range condition bounds the join state Spark
+        // must keep (unbounded stream-stream joins are rejected). Same
+        // sentinel-flush protocol as st05 to seal final results.
+        val staged = Streams.stageEventsFresh(spark, dir)
+        Streams.withStreamShufflePartitions(spark) {
+          val purchases = Streams.streamFromStaged(spark, staged)
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                    col("ts").as("p_ts"))
+            .withWatermark("p_ts", "1 hour")
+          val clicks = Streams.streamFromStaged(spark, staged)
+            .filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+            .withWatermark("c_ts", "1 hour")
+          val joined = purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"))
+          val cp = java.nio.file.Files.createTempDirectory("graft_cp_st06").toString
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("st06_sink")
+            .option("checkpointLocation", cp)
+            .start()
+          q.processAllAvailable()
+          Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00").foreach { futureTs =>
+            Tables(spark, dir).events.limit(1)
+              .withColumn("ts", lit(futureTs).cast("timestamp"))
+              .withColumn("event_type", lit("__flush__"))
+              .write.mode("append").parquet(staged)
+            q.processAllAvailable()
+          }
+          q.stop()
+          spark.table("st06_sink")
+            .groupBy("p_user")
+            .agg(countDistinct(col("p_id")).as("n_purchases_with_click"),
+                 count(lit(1)).as("n_pairs"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |         date_trunc('microseconds', ts) AS ts
+             |  FROM events)
+             |SELECT p.user_id AS p_user,
+             |  count(DISTINCT p.event_id) AS n_purchases_with_click,
+             |  count(*) AS n_pairs
+             |FROM e p JOIN e c
+             |  ON c.user_id = p.user_id
+             | AND p.event_type = 'purchase' AND c.event_type = 'click'
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR
+             | AND c.ts <= p.ts
+             |GROUP BY p.user_id""".stripMargin),
+      "J6/T5: watermarked stream-stream interval join ≡ batch range join"))
 }
