@@ -53,6 +53,15 @@ object SimilarityQueries extends QueryPack {
     t.embeddings.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
 
+  /** Oracle-side twin of `lshBucket`: the seeded hyperplanes are embedded
+    * as double literals (Double.toString round-trips exactly), so the SQL
+    * engine computes the identical bucket strings. */
+  private def bucketSql(planes: Seq[Array[Double]], v: String): String =
+    planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * $lit[i])) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -88,8 +97,6 @@ object SimilarityQueries extends QueryPack {
         val t = Tables(spark, dir)
         // ANN scale path: prefilter to the query's 4-bit hyperplane bucket
         // (1/16 of the corpus in expectation), exact-rerank only within it.
-        // No oracle (seeded-PRNG hyperplanes aren't SQL-expressible) →
-        // driver records rows-only.
         val planes = hyperplanes(4, 64)
         val emb = doubled(t).withColumn("bucket", lshBucket(col("v"), planes))
         val q = emb.filter(col("vec_id") === 0)
@@ -103,7 +110,17 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id"), col("label"), col("bucket"),
                   floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
       },
-      None,
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |b AS (SELECT vec_id, label, v, ${bucketSql(hyperplanes(4, 64), "v")} AS bucket FROM v),
+              |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+              |s AS (SELECT b.vec_id, b.label, b.bucket,
+              |        list_sum(list_transform(range(1, 65), i -> b.v[i] * q.qv[i])) /
+              |        sqrt(list_sum(list_transform(b.v, x -> x * x)) *
+              |             list_sum(list_transform(q.qv, x -> x * x))) AS sim
+              |      FROM b, q WHERE b.bucket = q.qb AND b.vec_id <> 0)
+              |SELECT vec_id, label, bucket,
+              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+              |FROM s ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
       "J7/north star: LSH-bucketed ANN — rerank only the query's bucket"),
 
     GraftQuery(
@@ -125,6 +142,14 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_a"), col("vec_b"),
                   floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
       },
-      None,
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |b AS (SELECT vec_id, v, ${bucketSql(hyperplanes(2, 64), "v")} AS bucket FROM v),
+              |p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+              |        list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i])) /
+              |        sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+              |             list_sum(list_transform(b2.v, x -> x * x))) AS sim
+              |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+              |SELECT vec_a, vec_b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+              |FROM p WHERE sim >= 0.3""".stripMargin),
       "North star: embedding near-dup pairs via hyperplane blocking + exact cosine"))
 }
