@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.WindowQueries,
     graft.operators.SetOpQueries,
     graft.operators.AdvancedQueries,
+    graft.operators.DepthQueries,
     graft.analysis.TextQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,
