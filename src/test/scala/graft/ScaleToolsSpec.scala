@@ -34,6 +34,27 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(saltedRows == plainRows)
   }
 
+  test("partitioned layout prunes untouched partitions at the scan") {
+    val out = Files.createTempDirectory("graft_part").toString
+    graft.core.Tables(spark, sfDir).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val one = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    one.collect()
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+           plan.contains("event_type"),
+      s"partition filter did not reach the scan:\n$plan")
+    // pruned scan must read strictly fewer files than the full table
+    // (inputFiles ignores filters — read the scan node's runtime metric)
+    val scanned = one.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scanned > 0 && scanned < allFiles,
+      s"pruning scanned $scanned of $allFiles files")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf — SparkTestBase points it at a temp
     // dir when the shared session is built
