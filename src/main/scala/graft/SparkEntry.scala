@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.SetOpQueries,
     graft.operators.AdvancedQueries,
     graft.operators.DepthQueries,
+    graft.operators.AsofQueries,
     graft.analysis.TextQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.SelfCosineFold)
   }
 }
 

@@ -183,8 +183,10 @@ object StreamingQueries extends QueryPack {
         // same user's clicks in the preceding hour. Both sides carry
         // watermarks; the range condition bounds the join state Spark
         // must keep (unbounded stream-stream joins are rejected). Same
-        // sentinel-flush protocol as st05 to seal final results.
-        val staged = Streams.stageEventsFresh(spark, dir)
+        // sentinel-flush protocol as st05 to seal final results. Two
+        // staged slices (not four): each extra micro-batch replays the
+        // join-state maintenance cost twice, once per side.
+        val staged = Streams.stageEventsFresh(spark, dir, nFiles = 2)
         Streams.withStreamShufflePartitions(spark) {
           val purchases = Streams.streamFromStaged(spark, staged)
             .filter(col("event_type") === "purchase")

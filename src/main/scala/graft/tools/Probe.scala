@@ -18,11 +18,16 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // comma-separated names run in sequence within one JVM (for
+    // cross-query interference hunting)
+    val names = name.split(",")
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[probe] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[probe] run $i $n: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     if (sys.env.get("PROBE_EXPLAIN").contains("1"))
       graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -22,6 +22,17 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("SelfCosineFold rule folds cosine_sim(x, x) to a literal") {
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(graft.functions.CosineSim
+        .cosineFast(col("embedding"), col("embedding")).as("c"))
+    val folded = graft.plans.SelfCosineFold(df.queryExecution.analyzed)
+    assert(folded.expressions.exists(_.exists {
+      case org.apache.spark.sql.catalyst.expressions.Literal(1.0, _) => true
+      case _ => false
+    }), s"rule did not fold:\n$folded")
+  }
+
   test("idempotent foreachBatch writer: replaying a batch leaves the sink unchanged") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_idem").toString
