@@ -236,5 +236,41 @@ object StreamingQueries extends QueryPack {
              | AND c.ts >= p.ts - INTERVAL 1 HOUR
              | AND c.ts <= p.ts
              |GROUP BY p.user_id""".stripMargin),
-      "J6/T5: watermarked stream-stream interval join ≡ batch range join"))
+      "J6/T5: watermarked stream-stream interval join ≡ batch range join"),
+
+    GraftQuery(
+      "st07_absa_streaming",
+      (spark, dir) => {
+        // The reference's flagship architecture end to end: a document
+        // stream scored per micro-batch by the ABSA pipeline (per-
+        // executor lazy model inside mapPartitions), decoded with native
+        // expressions, appended through the foreachBatch sink — then the
+        // sink table is aggregated. Result ≡ the batch absa01 pipeline.
+        val staged = java.nio.file.Files.createTempDirectory("graft_docs_stage_").toString
+        Tables(spark, dir).documents.repartition(2)
+          .write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val docStream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+          val out = java.nio.file.Files.createTempDirectory("graft_absa_sink").toString
+          val cp = java.nio.file.Files.createTempDirectory("graft_cp_st07").toString
+          val q = docStream.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val scored = graft.ml.AbsaPipeline.decoded(
+                graft.ml.AbsaPipeline.withProbs(batch))
+              scored.select("doc_id", "value_label", "table_label", "stream_label")
+                .write.mode("append").parquet(out)
+              ()
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
+          spark.read.parquet(out)
+            .groupBy("value_label", "table_label", "stream_label")
+            .agg(count(lit(1)).as("n_docs"))
+        }
+      },
+      graft.ml.MlQueries.queries.find(_.name == "absa01_pipeline").flatMap(_.oracle),
+      "Flagship parity: streaming ABSA inference via foreachBatch ≡ batch pipeline"))
 }

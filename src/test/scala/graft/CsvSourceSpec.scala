@@ -21,6 +21,14 @@ class CsvSourceSpec extends SparkTestBase {
     assert(df.filter(col("Review").contains("support was slow")).count() == 1)
   }
 
+  test("S3: binaryFile source ingests opaque payloads with metadata") {
+    val df = spark.read.format("binaryFile").load(path)
+    val row = df.select("length", "content").head()
+    assert(row.getLong(0) > 0)
+    val content = new String(row.getAs[Array[Byte]]("content"), "UTF-8")
+    assert(content.startsWith("Review,Price,Quality,Service"))
+  }
+
   test("M1 label-decode shape applies to the CSV codes") {
     val df = spark.read.option("header", "true").option("multiLine", "true").csv(path)
       .withColumn("price_code", expr("try_cast(Price AS INT)"))
