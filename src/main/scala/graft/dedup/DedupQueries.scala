@@ -122,6 +122,10 @@ object DedupQueries extends QueryPack {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         // Re-rank candidates by estimated Jaccard = fraction of equal sigs.
+        // sig feeds three subplans (bands + both re-rank sides): persist
+        // it — Catalyst does not share common subplans, and at scale the
+        // signature table is the thing you materialize once anyway.
+        sig.persist()
         val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
         val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
         cand
@@ -193,5 +197,66 @@ object DedupQueries extends QueryPack {
         (0 until 16).map(j => s"  (CASE WHEN v$j > 0 THEN '1' ELSE '0' END)")
           .mkString(" ||\n") +
         " AS simhash16\nFROM v"),
-      "North star: 16-bit SimHash signatures from token-hash parity votes"))
+      "North star: 16-bit SimHash signatures from token-hash parity votes"),
+
+    GraftQuery(
+      "d05_ngram_jaccard_pairs",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Full near-dup pipeline: LSH banding proposes candidates, exact
+        // 3-shingle Jaccard verifies them (the expensive set comparison
+        // runs only on candidate pairs — never n²). Emits pairs with
+        // exact Jaccard ≥ 0.2.
+        val sig = signatures(t.documents).persist()
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(
+            concat_ws("|", col("sig0"), col("sig1")),
+            concat_ws("|", col("sig2"), col("sig3")),
+            concat_ws("|", col("sig4"), col("sig5")),
+            concat_ws("|", col("sig6"), col("sig7")))))
+          .toDF("doc_id", "band_id", "band_hash")
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+                col("a.band_id") === col("b.band_id") &&
+                col("a.band_hash") === col("b.band_hash") &&
+                col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sh = t.documents.select(col("doc_id"), shingles(col("text")).as("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
+            size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+          .withColumn("jaccard_e4",
+            floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(org.apache.spark.sql.types.LongType))
+          .filter(col("jaccard_e4") >= 2000)
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard_e4"))
+      },
+      Some(sigCte +
+        """, band AS (
+          |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
+          |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
+          |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
+          |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM band a JOIN band b
+          |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          |scnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.doc_a
+          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          |  GROUP BY c.doc_a, c.doc_b)
+          |SELECT i.doc_a, i.doc_b, i.n_inter,
+          |  (ca.n + cb.n - i.n_inter) AS n_union,
+          |  CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) AS jaccard_e4
+          |FROM inter i
+          |JOIN scnt ca ON ca.doc_id = i.doc_a
+          |JOIN scnt cb ON cb.doc_id = i.doc_b
+          |WHERE CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000""".stripMargin),
+      "North star: LSH candidates verified by exact shingle Jaccard (full near-dup pipeline)"))
 }
