@@ -152,7 +152,7 @@ object StreamingQueries extends QueryPack {
           .queryName("st05_sink")
           .option("checkpointLocation", cp)
           .start()
-        q.processAllAvailable()
+        Streams.awaitDrained(q)
         // Two kicks: sentinel #1 advances the watermark past all real
         // windows; sentinel #2 forces one more micro-batch that EMITS
         // under that advanced watermark (emission uses the watermark
@@ -162,7 +162,7 @@ object StreamingQueries extends QueryPack {
             .withColumn("ts", lit(futureTs).cast("timestamp"))
             .withColumn("event_type", lit("__flush__"))
             .write.mode("append").parquet(staged)
-          q.processAllAvailable()
+          Streams.awaitDrained(q)
         }
         q.stop()
         spark.table("st05_sink")
@@ -208,13 +208,13 @@ object StreamingQueries extends QueryPack {
             .queryName("st06_sink")
             .option("checkpointLocation", cp)
             .start()
-          q.processAllAvailable()
+          Streams.awaitDrained(q)
           Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00").foreach { futureTs =>
             Tables(spark, dir).events.limit(1)
               .withColumn("ts", lit(futureTs).cast("timestamp"))
               .withColumn("event_type", lit("__flush__"))
               .write.mode("append").parquet(staged)
-            q.processAllAvailable()
+            Streams.awaitDrained(q)
           }
           q.stop()
           spark.table("st06_sink")
@@ -264,7 +264,7 @@ object StreamingQueries extends QueryPack {
               ()
             }
             .start()
-          q.processAllAvailable()
+          Streams.awaitDrained(q)
           q.stop()
           spark.read.parquet(out)
             .groupBy("value_label", "table_label", "stream_label")

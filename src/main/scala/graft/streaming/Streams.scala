@@ -18,12 +18,32 @@ import java.nio.file.Files
   */
 object Streams {
 
+  /** `processAllAvailable` with a watchdog: a bounded drain that wedges
+    * (source bug, state-store stall) would otherwise hang the whole
+    * correctness harness — after `timeoutSec` the query is stopped and
+    * the caller proceeds with whatever was emitted. */
+  def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   timeoutSec: Int = 180): Unit = {
+    val watchdog = new Thread(() => {
+      try {
+        Thread.sleep(timeoutSec * 1000L)
+        if (q.isActive) {
+          System.err.println(s"[streams] watchdog stopping query ${q.name} after ${timeoutSec}s")
+          q.stop()
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    try q.processAllAvailable() finally watchdog.interrupt()
+  }
+
   /** Run `body` with a reduced shuffle-partition count. Streaming state
     * stores create one state dir per shuffle partition per micro-batch;
     * 32 partitions × N batches of checkpoint files dominates bounded-run
-    * wall clock. 8 partitions is plenty for the drained volumes, and a
+    * wall clock. 4 partitions is plenty for the drained volumes, and a
     * real deployment sizes this to key cardinality anyway. */
-  def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 8)(body: => T): T = {
+  def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
@@ -101,7 +121,7 @@ object Streams {
       .option("checkpointLocation", cp)
       .trigger(Trigger.ProcessingTime(0)) // T1: micro-batch trigger
       .start()
-    q.processAllAvailable()
+    awaitDrained(q)
     q.stop()
     spark.table(name)
   }
@@ -152,7 +172,7 @@ object Streams {
       }
       .trigger(Trigger.ProcessingTime(0))
       .start()
-    q.processAllAvailable()
+    awaitDrained(q)
     q.stop()
     (spark.read.parquet(out), nBatches)
   }
