@@ -21,21 +21,34 @@ object Streams {
   /** `processAllAvailable` with a watchdog: a bounded drain that wedges
     * (source bug, state-store stall) would otherwise hang the whole
     * correctness harness — after `timeoutSec` the query is stopped and
-    * the caller proceeds with whatever was emitted. */
+    * the caller proceeds with whatever was emitted.
+    *
+    * Returns true if the drain completed, false if the watchdog fired —
+    * callers can distinguish a timeout from a genuine data mismatch. A
+    * `done` flag set before the watchdog is interrupted prevents the
+    * boundary race where a drain finishing at ~timeoutSec gets its
+    * (healthy, idle) query stopped anyway. */
   def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
-                   timeoutSec: Int = 180): Unit = {
+                   timeoutSec: Int = 300): Boolean = {
+    @volatile var done = false
+    @volatile var timedOut = false
     val watchdog = new Thread(() => {
       try {
-        Thread.sleep(timeoutSec * 1000L)
-        if (q.isActive) {
-          System.err.println(s"[streams] watchdog stopping query ${q.name} after ${timeoutSec}s")
+        val deadline = System.nanoTime() + timeoutSec * 1000000000L
+        while (!done && System.nanoTime() < deadline) Thread.sleep(200)
+        if (!done && q.isActive) {
+          timedOut = true
+          val label = Option(q.name).getOrElse(q.id.toString)
+          System.err.println(s"[streams] watchdog stopping query $label after ${timeoutSec}s")
           q.stop()
         }
       } catch { case _: InterruptedException => () }
     })
     watchdog.setDaemon(true)
     watchdog.start()
-    try q.processAllAvailable() finally watchdog.interrupt()
+    try q.processAllAvailable()
+    finally { done = true; watchdog.interrupt() }
+    !timedOut
   }
 
   /** Run `body` with a reduced shuffle-partition count. Streaming state
