@@ -151,5 +151,52 @@ object SimilarityQueries extends QueryPack {
               |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
               |SELECT vec_a, vec_b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
               |FROM p WHERE sim >= 0.3""".stripMargin),
-      "North star: embedding near-dup pairs via hyperplane blocking + exact cosine"))
+      "North star: embedding near-dup pairs via hyperplane blocking + exact cosine"),
+
+    GraftQuery(
+      "s04_ivf_assign",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // IVF coarse quantizer: centroids = per-label mean vectors
+        // (deterministic init), every vector assigned to its nearest
+        // centroid by cosine — the inverted-list build step of IVF-ANN.
+        // Centroids are tiny → broadcast; assignment is one narrow pass.
+        val emb = doubled(t)
+        val cent = emb
+          .select(col("label").as("cid"), posexplode(col("v")))
+          .toDF("cid", "pos", "x")
+          .groupBy("cid", "pos")
+          .agg(avg(col("x")).as("c"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                         s => s.getField("c")).as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("cid").asc)
+        emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("cv")).as("sim"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("list_size"),
+               floor(avg(col("sim")) * 10000 + 0.5).cast(LongType).as("avg_sim_e4"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e, cent c),
+             |best AS (
+             |  SELECT vec_id, cid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM sims)
+             |SELECT cid, count(*) AS list_size,
+             |  CAST(floor(avg(sim) * 10000 + 0.5) AS BIGINT) AS avg_sim_e4
+             |FROM best WHERE rn = 1 GROUP BY cid""".stripMargin),
+      "J7/north star: IVF coarse quantizer — centroid lists + nearest-centroid assignment"))
 }
