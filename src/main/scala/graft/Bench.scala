@@ -34,6 +34,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.catalog.clearCache() // release per-query persists (d03/d05 sig tables)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -45,11 +46,14 @@ object Bench {
     names.foreach(once)
 
     val results = names.map(n => n -> once(n))
+    // Locale.ROOT formatting: f"%.3f" under a comma-decimal default
+    // locale would emit invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,12 +45,16 @@ object GraftExtensions {
         RollingHashMin(Cast(children(0), StringType),
           if (children.length > 1) Cast(children(1), IntegerType) else Literal(32)))
 
-  /** Register on an already-built session (temp functions). */
+  /** Register on an already-built session (temp functions), including the
+    * typed vector_avg aggregate. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       cosineSimDescriptor._3, "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_min",
       rollingHashDescriptor._3, "built-in")
+    spark.udf.register("vector_avg",
+      org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
   }
 }

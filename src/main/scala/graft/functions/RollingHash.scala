@@ -44,7 +44,7 @@ object RollingHashMin {
   def compute(s: UTF8String, window: Int): Long = {
     val bytes = s.getBytes
     val n = bytes.length
-    if (n == 0) return 0L
+    if (n == 0 || window <= 0) return 0L
     val w = math.min(window, n)
     // precompute Base^(w-1) mod Mod
     var pow = 1L

@@ -12,17 +12,21 @@ import org.apache.spark.sql.expressions.Aggregator
   * 64-double buffer per group per partition instead of 64 exploded rows
   * per input vector — at 100 TB this is the difference between a
   * (label, pos, x) shuffle 64× the input and a compact per-group sketch.
-  * Registered for SQL via `functions.udaf` in `GraftExtensions.register`.
+  * Registered for SQL as `vector_avg` by `GraftExtensions.register`.
   */
 object VectorAvgAggregator
     extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  /** Ragged inputs are tolerated by growing the buffer to the longest
+    * vector seen (shorter vectors contribute zero to the tail dims). */
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    val sums =
+      if (b._1.length >= v.length) b._1
+      else java.util.Arrays.copyOf(b._1, v.length)
     var i = 0
-    while (i < v.length && i < sums.length) { sums(i) += v(i); i += 1 }
+    while (i < v.length) { sums(i) += v(i); i += 1 }
     (sums, b._2 + 1)
   }
 
@@ -30,9 +34,10 @@ object VectorAvgAggregator
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      val (long, short) = if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < short.length) { long(i) += short(i); i += 1 }
+      (long, a._2 + b._2)
     }
   }
 

@@ -15,7 +15,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression is one fused primitive loop, called from generated code as
   * a static method — whole-stage codegen stays intact. Accumulation is
   * sequential left-to-right, bitwise-matching the HOF form and other
-  * engines' list_sum, so oracle results are unchanged.
+  * engines' list_sum for equal-length inputs, so oracle results are
+  * unchanged. Length mismatch: computes over the common prefix (the HOF
+  * zip_with form would return NULL instead) — all engine vectors are
+  * fixed-dim by the embeddings contract.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.CosineSim
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
@@ -23,6 +23,8 @@ object SelfCosineFold extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSim(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Literal(1.0, DoubleType)
+        // null-preserving: cosine_sim(NULL, NULL) is NULL, not 1.0
+        if (a.nullable) If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        else Literal(1.0, DoubleType)
     }
 }

@@ -158,9 +158,16 @@ object Streams {
     * at-least-once; this is the upgrade path documented there. */
   def idempotentBatchWriter(out: String): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      val conf = batch.sparkSession.conf
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = conf.getOption(key)
+      conf.set(key, "dynamic")
+      try batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+      finally prev match {
+        case Some(v) => conf.set(key, v)
+        case None    => conf.unset(key)
+      }
       ()
     }
 
@@ -187,6 +194,15 @@ object Streams {
       .start()
     awaitDrained(q)
     q.stop()
-    (spark.read.parquet(out), nBatches)
+    // all-empty streams write nothing: parquet read on an empty dir would
+    // throw UNABLE_TO_INFER_SCHEMA — return an empty frame with the
+    // sink's schema instead
+    val wroteAnything = new java.io.File(out).listFiles() != null &&
+      new java.io.File(out).listFiles().exists(_.getName.startsWith("part-"))
+    val sink =
+      if (wroteAnything) spark.read.parquet(out)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        df.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+    (sink, nBatches)
   }
 }

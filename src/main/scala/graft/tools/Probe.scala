@@ -30,7 +30,10 @@ object Probe {
       }
     }
     if (sys.env.get("PROBE_EXPLAIN").contains("1"))
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      names.foreach { n =>
+        println(s"=== $n ===")
+        graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     spark.stop()
   }
 }

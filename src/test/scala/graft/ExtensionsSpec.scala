@@ -8,7 +8,7 @@ import java.nio.file.Files
 /** SQL-function registration + idempotent sink semantics. */
 class ExtensionsSpec extends SparkTestBase {
 
-  test("cosine_sim and rolling_hash_min callable from SQL text") {
+  test("cosine_sim, rolling_hash_min, vector_avg callable from SQL text") {
     GraftExtensions.register(spark)
     graft.core.Tables(spark, sfDir).registerAll()
     val r = spark.sql(
@@ -20,6 +20,30 @@ class ExtensionsSpec extends SparkTestBase {
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
       assert(row.getLong(1) >= 0L)
     }
+    val va = spark.sql(
+      "SELECT label, vector_avg(embedding) AS c FROM embeddings GROUP BY label").collect()
+    assert(va.length == 10)
+    va.foreach(row => assert(row.getSeq[Double](1).length == 64))
+  }
+
+  test("rolling_hash_min tolerates non-positive windows from SQL") {
+    GraftExtensions.register(spark)
+    graft.core.Tables(spark, sfDir).registerAll()
+    val r = spark.sql(
+      "SELECT rolling_hash_min(text, -3) AS rh FROM documents LIMIT 3").collect()
+    r.foreach(row => assert(row.getLong(0) == 0L))
+  }
+
+  test("SelfCosineFold preserves NULL for nullable self-similarity") {
+    import spark.implicits._
+    val df = Seq(Some(Array(1.0, 2.0)), None).toDF("v")
+      .select(graft.functions.CosineSim.cosineFast(col("v"), col("v")).as("c"))
+    val folded = graft.plans.SelfCosineFold(df.queryExecution.analyzed)
+    // the fold must be null-guarded (If(IsNull…)) — not a bare literal
+    assert(folded.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.If => true
+      case _ => false
+    }), s"nullable fold lost the null guard:\n$folded")
   }
 
   test("SelfCosineFold rule folds cosine_sim(x, x) to a literal") {
