@@ -146,5 +146,48 @@ object DepthQueries extends QueryPack {
              |  CAST(floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS centroid_e4
              |FROM embeddings, range(1, 65) t(i)
              |GROUP BY 1, 2""".stripMargin),
-      "U5: typed Aggregator[Seq[Float], (sums, n), Seq[Double]] centroid via udaf()"))
+      "U5: typed Aggregator[Seq[Float], (sums, n), Seq[Double]] centroid via udaf()"),
+
+    GraftQuery(
+      "q26b_array_lambdas",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P17 closure: lambda HOFs exists/forall/filter over embeddings.
+        // Pure comparisons (no float arithmetic) → engine-identical.
+        t.embeddings
+          .select(col("label"),
+            size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+            exists(col("embedding"), x => x > lit(2.0f)).as("has_big"),
+            forall(col("embedding"), x => abs(x) < lit(10.0f)).as("all_small"))
+          .groupBy("label")
+          .agg(sum(col("n_pos")).as("total_pos"),
+               sum(when(col("has_big"), 1).otherwise(0)).as("n_has_big"),
+               sum(when(col("all_small"), 1).otherwise(0)).as("n_all_small"),
+               count(lit(1)).as("n"))
+      },
+      Some("""SELECT label,
+             |  CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos,
+             |  sum(CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0 THEN 1 ELSE 0 END) AS n_has_big,
+             |  sum(CASE WHEN len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 THEN 1 ELSE 0 END) AS n_all_small,
+             |  count(*) AS n
+             |FROM embeddings GROUP BY label""".stripMargin),
+      "P17: lambda higher-order functions — filter/exists/forall over arrays"),
+
+    GraftQuery(
+      "q08b_group_median",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // A11 per-group: exact median within each group (cent-scaled for
+        // engine-identical interpolation).
+        t.lineitem
+          .groupBy("l_returnflag")
+          .agg(floor(expr("percentile(l_extendedprice * 100, 0.5)") + 0.5)
+                 .cast(LongType).as("median_cents"),
+               count(lit(1)).as("n"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(floor(quantile_cont(l_extendedprice * 100, 0.5) + 0.5) AS BIGINT) AS median_cents,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "A11: exact per-group median"))
 }
