@@ -75,6 +75,23 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(all.getAs[Long]("n_customers") == n)
   }
 
+  test("streaming ABSA pipeline ≡ batch pipeline (st07 vs absa01)") {
+    val streamed = run("st07_absa_streaming").collect()
+      .map(_.toString).sorted
+    val batch = run("absa01_pipeline").collect()
+      .map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
+  test("exact-Jaccard near-dups are a subset of LSH candidates (d05 ⊆ d03)") {
+    val candidates = run("d03_minhash_lsh_pairs")
+      .select("doc_a", "doc_b").collect().map(_.toString).toSet
+    val verified = run("d05_ngram_jaccard_pairs")
+      .select("doc_a", "doc_b").collect().map(_.toString).toSet
+    assert(verified.subsetOf(candidates),
+      s"${verified.size} verified pairs not within ${candidates.size} candidates")
+  }
+
   test("top-k ordering deterministic under re-run (q44)") {
     val a = run("q44_topk").collect().map(_.toString)
     val b = run("q44_topk").collect().map(_.toString)
