@@ -173,14 +173,61 @@ object TextQueries extends QueryPack {
       (spark, dir) => {
         val t = Tables(spark, dir)
         // Winnowing-style fingerprint via the native RollingHashMin
-        // codegen expression (not SQL-expressible → rows-only check; the
-        // algorithm itself is pinned by RollingHashSpec).
+        // codegen expression. The oracle re-derives the identical
+        // Karp–Rabin min (Base 257, mod 1e9+7) in pure SQL: a recursive
+        // CTE of power-of-base terms and an O(n·w) window self-join —
+        // the engine's O(n) rolling recurrence and the oracle's direct
+        // polynomial sum agree exactly in modular arithmetic. Document
+        // text is ASCII, so DuckDB code points == the UTF-8 bytes the
+        // expression hashes. Also pinned algorithmically by RollingHashSpec.
         t.documents
           .select(col("doc_id"),
             graft.functions.RollingHashMin.rollingHashMin(col("text"), 32).as("rh_min"),
             graft.functions.RollingHashMin.rollingHashMin(lower(trim(col("text"))), 16)
               .as("rh_min16"))
       },
-      None,
+      Some("""WITH RECURSIVE pw(k, p) AS (
+             |  SELECT 0, CAST(1 AS BIGINT)
+             |  UNION ALL
+             |  SELECT k + 1, (p * 257) % 1000000007 FROM pw WHERE k < 31
+             |),
+             |d32 AS (SELECT doc_id, text AS s FROM documents),
+             |b32 AS (
+             |  SELECT doc_id, s, length(s) AS n, least(32, length(s)) AS w,
+             |         unnest(range(1, length(s) + 1)) AS i
+             |  FROM d32
+             |),
+             |v32 AS (SELECT doc_id, n, w, i, ord(s[i]) AS byte FROM b32),
+             |h32 AS (
+             |  SELECT a.doc_id, a.i AS start, (sum(b.byte * pw.p) % 1000000007) AS h
+             |  FROM v32 a
+             |  JOIN v32 b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + a.w
+             |  JOIN pw ON pw.k = a.w - 1 - (b.i - a.i)
+             |  WHERE a.i <= a.n - a.w + 1
+             |  GROUP BY a.doc_id, a.i
+             |),
+             |m32 AS (SELECT doc_id, min(h) AS rh_min FROM h32 GROUP BY doc_id),
+             |d16 AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+             |b16 AS (
+             |  SELECT doc_id, s, length(s) AS n, least(16, length(s)) AS w,
+             |         unnest(range(1, length(s) + 1)) AS i
+             |  FROM d16
+             |),
+             |v16 AS (SELECT doc_id, n, w, i, ord(s[i]) AS byte FROM b16),
+             |h16 AS (
+             |  SELECT a.doc_id, a.i AS start, (sum(b.byte * pw.p) % 1000000007) AS h
+             |  FROM v16 a
+             |  JOIN v16 b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + a.w
+             |  JOIN pw ON pw.k = a.w - 1 - (b.i - a.i)
+             |  WHERE a.i <= a.n - a.w + 1
+             |  GROUP BY a.doc_id, a.i
+             |),
+             |m16 AS (SELECT doc_id, min(h) AS rh_min16 FROM h16 GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       coalesce(m32.rh_min, 0) AS rh_min,
+             |       coalesce(m16.rh_min16, 0) AS rh_min16
+             |FROM documents d
+             |LEFT JOIN m32 ON m32.doc_id = d.doc_id
+             |LEFT JOIN m16 ON m16.doc_id = d.doc_id""".stripMargin),
       "North star: rolling-hash (Karp–Rabin winnowing) fingerprint, codegen expression"))
 }

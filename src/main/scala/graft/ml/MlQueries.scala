@@ -30,7 +30,7 @@ object MlQueries extends QueryPack {
                sum(when(col("aspect_present"), 1).otherwise(0)).as("n_present"))
       },
       Some("""SELECT sentiment, count(*) AS n,
-             |  sum(CASE WHEN code >= 0 THEN 1 ELSE 0 END) AS n_present
+             |  CAST(sum(CASE WHEN code >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_present
              |FROM (SELECT (n_chars % 4) - 1 AS code,
              |        CASE (n_chars % 4) - 1 WHEN 0 THEN 'NEU' WHEN 1 THEN 'POS'
              |          WHEN 2 THEN 'NEG' ELSE 'NONE' END AS sentiment

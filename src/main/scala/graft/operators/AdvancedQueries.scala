@@ -18,7 +18,7 @@ object AdvancedQueries extends QueryPack {
   private val dashboardSql =
     """SELECT event_type,
       |  count(*) AS n_events,
-      |  sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS n_alerts,
+      |  CAST(sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
       |  CAST(floor(avg(CAST(floor(value * 100 + 0.5) AS BIGINT)) + 0.5) AS BIGINT) AS avg_value_cents,
       |  CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS max_value_cents
       |FROM events
@@ -51,7 +51,7 @@ object AdvancedQueries extends QueryPack {
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod7,
              |  count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1""".stripMargin),
       "P2: from_json with explicit StructType + struct field projection"),
 
@@ -119,8 +119,9 @@ object AdvancedQueries extends QueryPack {
       (spark, dir) => {
         val t = Tables(spark, dir)
         // P17 map scalars: build a properties map per row, then read it
-        // back via map_keys/element_at (deterministic; no oracle — map
-        // constructors differ across SQL dialects).
+        // back via map_keys/element_at. The final output is map-free, so
+        // the oracle computes the same result with plain CASE — the map
+        // constructor is an engine-side detail, not part of the contract.
         t.events
           .select(col("event_id"),
             map(lit("type"), col("event_type"),
@@ -133,6 +134,9 @@ object AdvancedQueries extends QueryPack {
           .groupBy("type_val", "bucket_val")
           .agg(count(lit(1)).as("n"), max(col("n_keys")).as("n_keys"))
       },
-      None,
+      Some("""SELECT event_type AS type_val,
+             |  CASE WHEN value >= 100 THEN 'big' ELSE 'small' END AS bucket_val,
+             |  count(*) AS n, 2 AS n_keys
+             |FROM events GROUP BY 1, 2""".stripMargin),
       "P17: map construction + map_keys/element_at scalars"))
 }

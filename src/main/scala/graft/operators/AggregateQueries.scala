@@ -57,15 +57,15 @@ object AggregateQueries extends QueryPack {
             count(lit(1)).as("n_orders"),
             sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
             Canon.avgCents(col("o_totalprice")).as("avg_price_cents"),
-            round(max(col("o_totalprice")), 2).as("max_price"),
-            round(min(col("o_totalprice")), 2).as("min_price"))
+            max(Canon.cents(col("o_totalprice"))).as("max_price_cents"),
+            min(Canon.cents(col("o_totalprice"))).as("min_price_cents"))
       },
       Some("""SELECT o_orderpriority,
              |  count(*) AS n_orders,
-             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
              |  CAST(floor(avg(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) + 0.5) AS BIGINT) AS avg_price_cents,
-             |  round(max(o_totalprice), 2) AS max_price,
-             |  round(min(o_totalprice), 2) AS min_price
+             |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_price_cents,
+             |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_price_cents
              |FROM orders
              |GROUP BY o_orderpriority""".stripMargin),
       "A2: COUNT/SUM-CASE/AVG/MAX/MIN multi-agg (fire_detection_app.py:64-74)"),
@@ -97,7 +97,7 @@ object AggregateQueries extends QueryPack {
           .groupBy("lang")
           .agg(sum(col("count")).as("n_docs"), count(lit(1)).as("n_sources"))
       },
-      Some("""SELECT lang, sum(c) AS n_docs, count(*) AS n_sources
+      Some("""SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_sources
              |FROM (SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2)
              |GROUP BY lang""".stripMargin),
       "A5+A6: value_counts then groupby-sum re-agg (streamlit_app.py:76-99)"),
@@ -189,11 +189,11 @@ object AggregateQueries extends QueryPack {
         langs.foldLeft(p)((df, l) => df.withColumn(l, coalesce(col(l), lit(0L))))
       },
       Some("""SELECT source,
-             |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS de,
-             |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
-             |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS es,
-             |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS fr,
-             |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS zh
+             |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
              |FROM documents GROUP BY source""".stripMargin),
       "A5 wide form: pivot to per-lang counts (streamlit value_counts reindex)"))
 }

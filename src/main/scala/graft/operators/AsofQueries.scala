@@ -74,8 +74,8 @@ object AsofQueries extends QueryPack {
       },
       Some("""WITH wide AS (
              |  SELECT c_nationkey,
-             |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS building,
-             |    sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS machinery
+             |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS building,
+             |    CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS machinery
              |  FROM customer GROUP BY c_nationkey)
              |SELECT c_nationkey, segment, n FROM (
              |  SELECT c_nationkey, 'building' AS segment, building AS n FROM wide

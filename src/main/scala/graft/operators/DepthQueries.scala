@@ -167,8 +167,8 @@ object DepthQueries extends QueryPack {
       },
       Some("""SELECT label,
              |  CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS total_pos,
-             |  sum(CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0 THEN 1 ELSE 0 END) AS n_has_big,
-             |  sum(CASE WHEN len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 THEN 1 ELSE 0 END) AS n_all_small,
+             |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> x > 2.0)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_has_big,
+             |  CAST(sum(CASE WHEN len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_small,
              |  count(*) AS n
              |FROM embeddings GROUP BY label""".stripMargin),
       "P17: lambda higher-order functions — filter/exists/forall over arrays"),

@@ -56,8 +56,8 @@ object ScalarQueries extends QueryPack {
                  .otherwise(lit(0.0)))).as("large_value_cents"))
       },
       Some("""SELECT event_type,
-             |  sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS n_large,
-             |  sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS n_small,
+             |  CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+             |  CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
              |  CAST(sum(CAST(floor((CASE WHEN value >= 100 THEN value ELSE 0.0 END) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS large_value_cents
              |FROM events GROUP BY event_type""".stripMargin),
       "P11: CASE WHEN conditional aggregation (fire_detection_app.py:67)"),
@@ -148,7 +148,7 @@ object ScalarQueries extends QueryPack {
           .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
-             |  count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+             |  count(*) AS n, CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1""".stripMargin),
       "P2: get_json_object over props envelope (from_json decode shape)"),
 
