@@ -224,8 +224,8 @@ object TextQueries extends QueryPack {
              |),
              |m16 AS (SELECT doc_id, min(h) AS rh_min16 FROM h16 GROUP BY doc_id)
              |SELECT d.doc_id,
-             |       coalesce(m32.rh_min, 0) AS rh_min,
-             |       coalesce(m16.rh_min16, 0) AS rh_min16
+             |       CAST(coalesce(m32.rh_min, 0) AS BIGINT) AS rh_min,
+             |       CAST(coalesce(m16.rh_min16, 0) AS BIGINT) AS rh_min16
              |FROM documents d
              |LEFT JOIN m32 ON m32.doc_id = d.doc_id
              |LEFT JOIN m16 ON m16.doc_id = d.doc_id""".stripMargin),

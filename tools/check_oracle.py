@@ -51,6 +51,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
         else:
+            # Dtype-kind strictness mirrors the driver's hash compare: an
+            # int64 engine column vs a float64 oracle column (DuckDB HUGEINT
+            # sums) hashes differently even when values are equal.
+            kind_mismatch = [
+                c for c in got.columns
+                if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+                or {got[c].dtype.kind, want[c].dtype.kind} == {"u", "f"}
+            ]
+            if kind_mismatch:
+                print(f"FAIL {name}: dtype kind mismatch (int vs float) in {kind_mismatch}: "
+                      f"{[(c, str(got[c].dtype), str(want[c].dtype)) for c in kind_mismatch]}")
+                n_fail += 1
+                continue
             try:
                 pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                               check_exact=False, rtol=1e-6, atol=1e-6)
