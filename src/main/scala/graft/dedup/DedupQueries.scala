@@ -222,15 +222,27 @@ object DedupQueries extends QueryPack {
                 col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-        val sh = t.documents.select(col("doc_id"), shingles(col("text")).as("sh"))
-        cand
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-            size(array_union(col("sh_a"), col("sh_b"))).as("n_union"))
+        // Verify via exploded shingles, never whole arrays: |A∩B| is a
+        // count over an equi-join on (doc, shingle), |A∪B| = |A|+|B|−|A∩B|
+        // from per-doc counts. Shuffle carries one (pair, shingle) row per
+        // candidate-shingle — linear, joinable, skew-splittable by AQE; a
+        // shingle-ARRAY table would be broadcast/shuffled whole (the
+        // observed sf0.1 plan did exactly that and dominated the bench).
+        val sh = t.documents
+          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+        val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.toDF("doc_a", "sh"), "doc_a")
+          .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(scnt.toDF("doc_a", "n_a"), "doc_a")
+          .join(scnt.toDF("doc_b", "n_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
           .withColumn("jaccard_e4",
-            floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(org.apache.spark.sql.types.LongType))
+            floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(LongType))
           .filter(col("jaccard_e4") >= 2000)
           .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard_e4"))
       },
