@@ -64,18 +64,22 @@ object AbsaPipeline {
     * keeps one model lookup per partition (reference batches per
     * pandas_udf call); rows stream through without buffering. */
   def withProbs(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val schema = docs.schema
+    // Score in-place: every input row maps to itself + probs, so the
+    // inference pass is join-free (no shuffle of the corpus to re-attach
+    // scores — the earlier (doc_id, probs) + join form shuffled the full
+    // corpus twice at scale).
+    val outSchema = docs.schema.add("probs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false))
+    val ti = docs.schema.fieldIndex(textCol)
     val m = () => model // capture the accessor, not an instance
-    val withIdx = docs.select(col("doc_id"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val scorer = m() // lazy init once per executor
-        it.map { case (id, text) => (id, scorer.score(text)) }
+    docs.mapPartitions { it =>
+      val scorer = m() // lazy init once per executor
+      it.map { r =>
+        val text = if (r.isNullAt(ti)) null else r.getString(ti)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ scorer.score(text).toSeq)
       }
-      .toDF("doc_id", "probs")
-    docs.join(withIdx, "doc_id")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Native-expression argmax decode for aspect `i`:

@@ -61,6 +61,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"range join must broadcast the tiny side:\n$p")
   }
 
+  test("absa01: inference pass is join-free (scores attach in-place)") {
+    val p = plan("absa01_pipeline")
+    assert(!p.contains("Join"), s"ABSA scoring re-joined the corpus:\n$p")
+  }
+
+  test("d05: Jaccard verify never moves whole shingle arrays") {
+    val p = plan("d05_ngram_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), s"verify went cartesian:\n$p")
+    assert(!p.contains("array_intersect") && !p.contains("array_union"),
+      s"verify still computes set ops on whole arrays:\n$p")
+  }
+
   test("s01: brute-force ANN keeps the query side broadcast") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
