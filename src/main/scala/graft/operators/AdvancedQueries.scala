@@ -103,9 +103,12 @@ object AdvancedQueries extends QueryPack {
         // The 100 TB forms of A7/A11: HLL++ distinct counts and a
         // single-pass quantile sketch. Approximate → rows-only check
         // (values are deterministic for Spark's impl but engine-specific).
+        // rsd=0.01 → ~1% standard error from ~11k int registers per
+        // sketch — still constant memory however many rows feed it, and
+        // tight enough that the invariant spec can pin a 5% bound.
         t.lineitem.agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_pcts"))
           .select(col("approx_parts"), col("approx_orders"),
             element_at(col("approx_pcts"), 1).as("approx_p50"),

@@ -35,6 +35,27 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(j.count() > 0)
   }
 
+  test("q17 sketches stay within error bounds of exact answers") {
+    // HLL++ at default rsd guarantees ~2.3% standard error; pin 5%.
+    // approx_percentile(accuracy=1000) bounds rank error at 0.1% —
+    // pin the values between the exact neighboring percentiles.
+    val r = run("q17_approx_sketches").head()
+    val li = graft.core.Tables(spark, sfDir).lineitem
+    val exactParts = li.select("l_partkey").distinct().count()
+    val exactOrders = li.select("l_orderkey").distinct().count()
+    def relErr(approx: Long, exact: Long) = math.abs(approx - exact).toDouble / exact
+    assert(relErr(r.getAs[Long]("approx_parts"), exactParts) <= 0.05,
+      s"HLL parts ${r.getAs[Long]("approx_parts")} vs exact $exactParts")
+    assert(relErr(r.getAs[Long]("approx_orders"), exactOrders) <= 0.05,
+      s"HLL orders ${r.getAs[Long]("approx_orders")} vs exact $exactOrders")
+    val Array(p45, p55, p90, p99) = li.stat
+      .approxQuantile("l_extendedprice", Array(0.45, 0.55, 0.90, 0.99), 0.0)
+    val p50 = r.getAs[Double]("approx_p50")
+    val p95 = r.getAs[Double]("approx_p95")
+    assert(p50 >= p45 && p50 <= p55, s"approx p50 $p50 outside exact [$p45, $p55]")
+    assert(p95 >= p90 && p95 <= p99, s"approx p95 $p95 outside exact [$p90, $p99]")
+  }
+
   test("exact dedup conserves the corpus (d01)") {
     val r = run("d01_dedup_exact").head()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
