@@ -272,5 +272,41 @@ object StreamingQueries extends QueryPack {
         }
       },
       graft.ml.MlQueries.queries.find(_.name == "absa01_pipeline").flatMap(_.oracle),
-      "Flagship parity: streaming ABSA inference via foreachBatch ≡ batch pipeline"))
+      "Flagship parity: streaming ABSA inference via foreachBatch ≡ batch pipeline"),
+
+    GraftQuery(
+      "st08_kafka_producer_roundtrip",
+      (spark, dir) => {
+        // K4 producer semantics end to end (producer.py:38-53): the
+        // events stream is JSON-serialized into (key, value) records and
+        // published through the topic sink; a second streaming query
+        // subscribes to that topic, parses `value` back to typed columns
+        // (the consumer's from_json step,
+        // consumer_postgres_streaming.py:233-247), aggregates, and must
+        // equal the batch oracle over the original table — proving the
+        // produce/consume hop is lossless.
+        Streams.withStreamShufflePartitions(spark) {
+          val topicDir = java.nio.file.Files.createTempDirectory("graft_topic_").toString
+          val cpProd = java.nio.file.Files.createTempDirectory("graft_cp_st08p").toString
+          val producer = FileTopicSink(topicDir, cpProd).start(
+            StreamSink.toRecords(
+              Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2), "user_id"))
+          Streams.awaitDrained(producer)
+          producer.stop()
+          val eventSchema = org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+              "value DOUBLE, props STRING")
+          val consumed = Streams.streamFromStaged(spark, topicDir, maxFilesPerTrigger = 4)
+            .select(from_json(col("value"), eventSchema).as("e"))
+            .select(col("e.*"))
+          val agg = consumed.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+                 Canon.sumCents(col("value")).as("sum_value_cents"))
+          Streams.drainToMemory(agg, "st08_sink", outputMode = "complete")
+        }
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      "K4: emulated Kafka producer sink — produce→topic→consume ≡ batch oracle"))
 }
