@@ -57,8 +57,24 @@ object AbsaPipeline {
   }
 
   /** Per-executor singleton (the `_model is None` pattern): materialized
-    * once per JVM on first task that needs it. */
-  @transient private lazy val model: Scorer = new KeywordScorer
+    * once per JVM on first task that needs it.
+    *
+    * The implementation is pluggable by class name — the in-JVM
+    * inference seam (SURVEY U1): a deployment sets
+    * `graft.absa.scorer.class` (system property or GRAFT_ABSA_SCORER
+    * env) to a Scorer backed by a real runtime (e.g. ONNX session
+    * loaded in the constructor — the JVM twin of the reference's lazy
+    * torch load, consumer_postgres_streaming.py:263-270). Default is
+    * the deterministic keyword scorer so results stay oracle-checkable
+    * in this environment. */
+  private[graft] def resolveScorer(): Scorer =
+    sys.props.get("graft.absa.scorer.class")
+      .orElse(sys.env.get("GRAFT_ABSA_SCORER"))
+      .map(cn => Class.forName(cn).getDeclaredConstructor()
+        .newInstance().asInstanceOf[Scorer])
+      .getOrElse(new KeywordScorer)
+
+  @transient private lazy val model: Scorer = resolveScorer()
 
   /** Batched inference: text column → probs array column. mapPartitions
     * keeps one model lookup per partition (reference batches per

@@ -44,13 +44,15 @@ object SetOpQueries extends QueryPack {
       "q51_intersect_except",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        import spark.implicits._
+        // One distributed plan, one action: each set-op branch reduces to
+        // a 1-row count and the three 1-row frames cross-join — no
+        // driver-side .count() assembly (the three branches still plan as
+        // real INTERSECT/EXCEPT/UNION-distinct physical operators).
         val custKeys = t.customer.select(col("c_custkey").as("k"))
         val orderCust = t.orders.select(col("o_custkey").as("k"))
-        val nBoth = custKeys.intersect(orderCust).count()
-        val nNoOrders = custKeys.except(orderCust).count()
-        val nAllKeys = custKeys.union(orderCust).distinct().count()
-        Seq((nBoth, nNoOrders, nAllKeys)).toDF("n_both", "n_no_orders", "n_all_keys")
+        custKeys.intersect(orderCust).agg(count(lit(1)).as("n_both"))
+          .crossJoin(custKeys.except(orderCust).agg(count(lit(1)).as("n_no_orders")))
+          .crossJoin(custKeys.union(orderCust).distinct().agg(count(lit(1)).as("n_all_keys")))
       },
       Some("""SELECT
              |  (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_both,

@@ -59,4 +59,18 @@ class AbsaPipelineSpec extends SparkTestBase {
     val probs = AbsaPipeline.withProbs(docs).select("probs").head().getSeq[Double](0)
     assert(probs.length == AbsaPipeline.aspects.length * 4)
   }
+
+  test("model seam: scorer implementation is pluggable by class name") {
+    val key = "graft.absa.scorer.class"
+    assert(AbsaPipeline.resolveScorer().isInstanceOf[AbsaPipeline.KeywordScorer])
+    sys.props(key) = classOf[ConstantScorer].getName
+    try assert(AbsaPipeline.resolveScorer().isInstanceOf[ConstantScorer])
+    finally sys.props -= key
+  }
+}
+
+/** Stand-in for a real-runtime Scorer (e.g. an ONNX session loaded in
+  * the constructor) — proves the U1 seam binds by class name. */
+class ConstantScorer extends AbsaPipeline.Scorer {
+  def score(text: String): Array[Double] = Array.fill(12)(0.5)
 }
