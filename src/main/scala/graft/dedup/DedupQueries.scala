@@ -32,18 +32,29 @@ object DedupQueries extends QueryPack {
       .otherwise(array())
   }
 
-  /** Engine-portable hash of a shingle under permutation `j`. */
+  /** Engine-portable hash of a shingle under permutation `j` — every
+    * engine computes the same md5, so the whole pipeline diffs against
+    * the DuckDB oracle. */
   def hashFn(j: Int, sh: Column): Column = md5(concat(lit(s"$j:"), sh))
+
+  /** Scale-path family: xxhash64 stays inside whole-stage codegen and is
+    * ~4× cheaper per shingle than md5, but the values are Spark-private
+    * (no cross-engine oracle). Production runs at 100 TB swap this in;
+    * the MinHash math is family-agnostic (any hash that's uniform per
+    * permutation works), which `DedupSeamSpec` pins. */
+  def fastHashFn(j: Int, sh: Column): Column = xxhash64(lit(j), sh)
 
   val numHashes = 8
 
-  /** doc_id + sig0..sig7 minhash signature columns. */
-  def signatures(docs: DataFrame): DataFrame = {
+  /** doc_id + sig0..sig7 minhash signature columns under the given hash
+    * family (default: the oracle-checkable md5 family). */
+  def signatures(docs: DataFrame,
+                 family: (Int, Column) => Column = hashFn): DataFrame = {
     val exploded = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
     exploded.groupBy("doc_id")
-      .agg(min(hashFn(0, col("sh"))).as("sig0"),
-           (1 until numHashes).map(j => min(hashFn(j, col("sh"))).as(s"sig$j")): _*)
+      .agg(min(family(0, col("sh"))).as("sig0"),
+           (1 until numHashes).map(j => min(family(j, col("sh"))).as(s"sig$j")): _*)
   }
 
   /** Shared oracle CTE prefix: shingles + signatures in DuckDB SQL. */
