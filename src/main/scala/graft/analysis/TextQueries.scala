@@ -229,5 +229,44 @@ object TextQueries extends QueryPack {
              |FROM documents d
              |LEFT JOIN m32 ON m32.doc_id = d.doc_id
              |LEFT JOIN m16 ON m16.doc_id = d.doc_id""".stripMargin),
-      "North star: rolling-hash (Karp–Rabin winnowing) fingerprint, codegen expression"))
+      "North star: rolling-hash (Karp–Rabin winnowing) fingerprint, codegen expression"),
+
+    GraftQuery(
+      "t07_top_terms",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Per-doc top-3 distinctive terms by (tf DESC, df ASC, token ASC)
+        // — the TF-IDF ordering without the transcendental: ln() differs
+        // across engines in the last ulp, which a fixed-point hash gate
+        // can't tolerate, and for a TOP-K the rank order (high tf, rare
+        // term) is the information. Token uniqueness per doc makes the
+        // sort total, so row_number is deterministic. Scale shape: two
+        // linear shuffles (by (doc, token) then token) + a per-doc window
+        // whose partitions are token-count-bounded.
+        val tok = t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+        tf.join(df, "token")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1)
+             |SELECT doc_id, token, tf, df, rnk FROM (
+             |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             |    row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+             |  FROM tf JOIN df USING (token))
+             |WHERE rnk <= 3""".stripMargin),
+      "North star: per-doc top-k distinctive terms (tf/df rank, float-free TF-IDF)"))
 }

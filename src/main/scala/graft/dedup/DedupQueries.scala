@@ -57,6 +57,52 @@ object DedupQueries extends QueryPack {
            (1 until numHashes).map(j => min(family(j, col("sh"))).as(s"sig$j")): _*)
   }
 
+  /** LSH band rows (doc_id, band_id, band_hash) from a signature table:
+    * 4 bands × 2 sigs. */
+  def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      posexplode(array(
+        concat_ws("|", col("sig0"), col("sig1")),
+        concat_ws("|", col("sig2"), col("sig3")),
+        concat_ws("|", col("sig4"), col("sig5")),
+        concat_ws("|", col("sig6"), col("sig7")))))
+      .toDF("doc_id", "band_id", "band_hash")
+
+  /** Banded candidate pairs (doc_a < doc_b) from band rows. */
+  def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** The full near-dup pipeline: LSH candidates verified by exact
+    * shingle Jaccard (fixed-point e4), pairs with jaccard ≥ minJaccardE4.
+    * Verification works on exploded (doc, shingle) rows — never whole
+    * arrays (see d05's scaladoc). Persists the signature table; callers
+    * run under Verify/Bench which clear cache per query. */
+  def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000): DataFrame = {
+    val sig = signatures(docs).persist()
+    val cand = candidatePairs(bandRows(sig))
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(scnt.toDF("doc_a", "n_a"), "doc_a")
+      .join(scnt.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard_e4",
+        floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(LongType))
+      .filter(col("jaccard_e4") >= minJaccardE4)
+  }
+
   /** Shared oracle CTE prefix: shingles + signatures in DuckDB SQL. */
   private val sigCte =
     """WITH toks AS (
@@ -73,6 +119,38 @@ object DedupQueries extends QueryPack {
       |    min(md5('4:' || sh)) AS sig4, min(md5('5:' || sh)) AS sig5,
       |    min(md5('6:' || sh)) AS sig6, min(md5('7:' || sh)) AS sig7
       |  FROM sh GROUP BY doc_id)
+      |""".stripMargin
+
+  /** band + cand CTEs (banding and candidate mining) over `sig`/`sh`. */
+  private val bandCandCte =
+    """, band AS (
+      |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
+      |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
+      |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
+      |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      |""".stripMargin
+
+  /** ver CTE: candidates verified by exact shingle Jaccard ≥ 0.2. */
+  private val verifiedPairsCte = sigCte + bandCandCte +
+    """, scnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh sa ON sa.doc_id = c.doc_a
+      |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      |  GROUP BY c.doc_a, c.doc_b),
+      |ver AS (
+      |  SELECT i.doc_a, i.doc_b, i.n_inter,
+      |    (ca.n + cb.n - i.n_inter) AS n_union,
+      |    CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) AS jaccard_e4
+      |  FROM inter i
+      |  JOIN scnt ca ON ca.doc_id = i.doc_a
+      |  JOIN scnt cb ON cb.doc_id = i.doc_b
+      |  WHERE CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000)
       |""".stripMargin
 
   val queries: Seq[GraftQuery] = Seq(
@@ -118,20 +196,7 @@ object DedupQueries extends QueryPack {
         // band_hash) rows, self-join per bucket — shuffle is O(docs×bands),
         // never O(docs²).
         val sig = signatures(t.documents)
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(
-            concat_ws("|", col("sig0"), col("sig1")),
-            concat_ws("|", col("sig2"), col("sig3")),
-            concat_ws("|", col("sig4"), col("sig5")),
-            concat_ws("|", col("sig6"), col("sig7")))))
-          .toDF("doc_id", "band_id", "band_hash")
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-                col("a.band_id") === col("b.band_id") &&
-                col("a.band_hash") === col("b.band_hash") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        val cand = candidatePairs(bandRows(sig))
         // Re-rank candidates by estimated Jaccard = fraction of equal sigs.
         // sig feeds three subplans (bands + both re-rank sides): persist
         // it — Catalyst does not share common subplans, and at scale the
@@ -147,17 +212,8 @@ object DedupQueries extends QueryPack {
               .map(j => when(col(s"a_sig$j") === col(s"b_sig$j"), 1).otherwise(0))
               .reduce(_ + _).as("n_equal_sigs"))
       },
-      Some(sigCte +
-        """, band AS (
-          |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
-          |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
-          |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
-          |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM band a JOIN band b
-          |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)
-          |SELECT c.doc_a, c.doc_b,
+      Some(sigCte + bandCandCte +
+        """SELECT c.doc_a, c.doc_b,
           |  (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END +
           |   CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END +
           |   CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END +
@@ -216,70 +272,36 @@ object DedupQueries extends QueryPack {
         val t = Tables(spark, dir)
         // Full near-dup pipeline: LSH banding proposes candidates, exact
         // 3-shingle Jaccard verifies them (the expensive set comparison
-        // runs only on candidate pairs — never n²). Emits pairs with
-        // exact Jaccard ≥ 0.2.
-        val sig = signatures(t.documents).persist()
-        val bands = sig.select(col("doc_id"),
-          posexplode(array(
-            concat_ws("|", col("sig0"), col("sig1")),
-            concat_ws("|", col("sig2"), col("sig3")),
-            concat_ws("|", col("sig4"), col("sig5")),
-            concat_ws("|", col("sig6"), col("sig7")))))
-          .toDF("doc_id", "band_id", "band_hash")
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-                col("a.band_id") === col("b.band_id") &&
-                col("a.band_hash") === col("b.band_hash") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        // Verify via exploded shingles, never whole arrays: |A∩B| is a
-        // count over an equi-join on (doc, shingle), |A∪B| = |A|+|B|−|A∩B|
-        // from per-doc counts. Shuffle carries one (pair, shingle) row per
-        // candidate-shingle — linear, joinable, skew-splittable by AQE; a
-        // shingle-ARRAY table would be broadcast/shuffled whole (the
-        // observed sf0.1 plan did exactly that and dominated the bench).
-        val sh = t.documents
-          .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-        val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(sh.toDF("doc_a", "sh"), "doc_a")
-          .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("n_inter"))
-        inter
-          .join(scnt.toDF("doc_a", "n_a"), "doc_a")
-          .join(scnt.toDF("doc_b", "n_b"), "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("n_inter"),
-            (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
-          .withColumn("jaccard_e4",
-            floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(LongType))
-          .filter(col("jaccard_e4") >= 2000)
+        // runs only on candidate pairs — never n²). See verifiedPairs
+        // for the exploded-shingle verification shape.
+        verifiedPairs(t.documents)
           .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"), col("jaccard_e4"))
       },
-      Some(sigCte +
-        """, band AS (
-          |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
-          |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
-          |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
-          |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          |  FROM band a JOIN band b
-          |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
-          |scnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-          |  FROM cand c
-          |  JOIN sh sa ON sa.doc_id = c.doc_a
-          |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-          |  GROUP BY c.doc_a, c.doc_b)
-          |SELECT i.doc_a, i.doc_b, i.n_inter,
-          |  (ca.n + cb.n - i.n_inter) AS n_union,
-          |  CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) AS jaccard_e4
-          |FROM inter i
-          |JOIN scnt ca ON ca.doc_id = i.doc_a
-          |JOIN scnt cb ON cb.doc_id = i.doc_b
-          |WHERE CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000""".stripMargin),
-      "North star: LSH candidates verified by exact shingle Jaccard (full near-dup pipeline)"))
+      Some(verifiedPairsCte +
+        "SELECT doc_a, doc_b, n_inter, n_union, jaccard_e4 FROM ver"),
+      "North star: LSH candidates verified by exact shingle Jaccard (full near-dup pipeline)"),
+
+    GraftQuery(
+      "d06_neardup_keepfirst",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The dedup DECISION layer: verified near-dup pairs → keep-first
+        // removal verdicts per document. A doc is dropped when it is the
+        // doc_b (higher id) of any verified pair — the one-pass
+        // approximation of transitive clustering that corpus dedup ships
+        // at scale (a drop-list anti-join over 100 TB, not union-find).
+        // The drop list is tiny relative to the corpus → broadcast.
+        val dropped = verifiedPairs(t.documents)
+          .select(col("doc_b").as("doc_id")).distinct()
+        t.documents
+          .join(dropped.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+      },
+      Some(verifiedPairsCte +
+        """, drop AS (SELECT DISTINCT doc_b AS doc_id FROM ver)
+          |SELECT d.doc_id, (dr.doc_id IS NOT NULL) AS dropped
+          |FROM documents d
+          |LEFT JOIN drop dr ON dr.doc_id = d.doc_id""".stripMargin),
+      "North star: keep-first removal verdicts from verified near-dup pairs"))
 }
