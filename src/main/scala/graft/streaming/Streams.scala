@@ -58,9 +58,21 @@ object Streams {
     * real deployment sizes this to key cardinality anyway. */
   def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // Retaining the default 100 checkpoint generations is pure I/O for
+    // bounded drains (and a real deployment tunes this to its recovery
+    // SLO); 2 keeps crash-recovery semantics with minimal churn.
+    val retainKey = "spark.sql.streaming.minBatchesToRetain"
     val prev = spark.conf.get(key)
+    val prevRetain = spark.conf.getOption(retainKey)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    spark.conf.set(retainKey, "2")
+    try body finally {
+      spark.conf.set(key, prev)
+      prevRetain match {
+        case Some(v) => spark.conf.set(retainKey, v)
+        case None    => spark.conf.unset(retainKey)
+      }
+    }
   }
 
   /** Stage the `events` table as a multi-file parquet dir so the file

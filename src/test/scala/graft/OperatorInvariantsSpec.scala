@@ -63,6 +63,21 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_distinct_docs") <= nDocs)
   }
 
+  test("every exact duplicate is a near-dup drop (d01 ⊆ d06)") {
+    // identical text ⇒ identical signatures ⇒ all bands collide ⇒
+    // jaccard_e4 = 10000 ≥ threshold ⇒ the higher doc_id must be dropped
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val dupLosers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep"))
+      .filter(col("n") > 1)
+      .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "h")
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val verdicts = run("d06_neardup_keepfirst")
+    val missed = dupLosers.join(verdicts.filter(!col("dropped")), "doc_id").count()
+    assert(missed == 0, s"$missed exact-duplicate docs not dropped by d06")
+  }
+
   test("minhash signature overlap is symmetric-bounded (d03)") {
     val pairs = run("d03_minhash_lsh_pairs")
     assert(pairs.filter(col("n_equal_sigs") < 1 || col("n_equal_sigs") > 8).count() == 0)
