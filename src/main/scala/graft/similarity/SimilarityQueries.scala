@@ -62,6 +62,31 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $v[i] * $lit[i])) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Embedding near-dup pairs (the s03 pipeline): 2-bit hyperplane
+    * blocking, exact cosine inside blocks, pairs with sim ≥ minSim.
+    * Linear shuffle by bucket; AQE splits skewed buckets. */
+  def embeddingNeardupPairs(t: Tables, minSim: Double = 0.3): DataFrame = {
+    val planes = hyperplanes(2, 64)
+    val emb = doubled(t).withColumn("bucket", lshBucket(col("v"), planes))
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Shared oracle CTEs for the near-dup pair mining (`p` = pairs). */
+  private def neardupPairsCte: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${bucketSql(hyperplanes(2, 64), "v")} AS bucket FROM v),
+       |p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |        list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i])) /
+       |        sqrt(list_sum(list_transform(a.v, x -> x * x)) *
+       |             list_sum(list_transform(b2.v, x -> x * x))) AS sim
+       |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+       |""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -129,29 +154,36 @@ object SimilarityQueries extends QueryPack {
         val t = Tables(spark, dir)
         // Embedding-cosine near-dup pairs: block on a 2-bit hyperplane
         // bucket (collision-probable for similar vectors), exact cosine
-        // inside blocks, keep pairs ≥ 0.3. The bucket equi-join keeps the
-        // shuffle linear; AQE splits skewed buckets.
-        val planes = hyperplanes(2, 64)
-        val emb = doubled(t).withColumn("bucket", lshBucket(col("v"), planes))
-        val a = emb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-        val b = emb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-        a.join(b, Seq("bucket"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select(col("vec_a"), col("vec_b"), cosineFast(col("va"), col("vb")).as("sim"))
-          .filter(col("sim") >= 0.3)
+        // inside blocks, keep pairs ≥ 0.3 (embeddingNeardupPairs).
+        embeddingNeardupPairs(t)
           .select(col("vec_a"), col("vec_b"),
                   floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
       },
-      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |b AS (SELECT vec_id, v, ${bucketSql(hyperplanes(2, 64), "v")} AS bucket FROM v),
-              |p AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-              |        list_sum(list_transform(range(1, 65), i -> a.v[i] * b2.v[i])) /
-              |        sqrt(list_sum(list_transform(a.v, x -> x * x)) *
-              |             list_sum(list_transform(b2.v, x -> x * x))) AS sim
-              |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-              |SELECT vec_a, vec_b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
-              |FROM p WHERE sim >= 0.3""".stripMargin),
+      Some(neardupPairsCte +
+        """SELECT vec_a, vec_b, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+          |FROM p WHERE sim >= 0.3""".stripMargin),
       "North star: embedding near-dup pairs via hyperplane blocking + exact cosine"),
+
+    GraftQuery(
+      "s05_semantic_keepfirst",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The semantic twin of d06: embedding near-dup pairs → keep-first
+        // removal verdicts per vector. Same 100 TB shape — the drop list
+        // is small relative to the corpus and joins broadcast.
+        val dropped = embeddingNeardupPairs(t)
+          .select(col("vec_b").as("vec_id")).distinct()
+        t.embeddings.select(col("vec_id"))
+          .join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+      },
+      Some(neardupPairsCte +
+        """, drop AS (SELECT DISTINCT vec_b AS vec_id FROM p WHERE sim >= 0.3)
+          |SELECT e.vec_id, (dr.vec_id IS NOT NULL) AS dropped
+          |FROM embeddings e
+          |LEFT JOIN drop dr ON dr.vec_id = e.vec_id""".stripMargin),
+      "North star: semantic dedup keep-first verdicts from embedding near-dup pairs"),
 
     GraftQuery(
       "s04_ivf_assign",
