@@ -45,7 +45,11 @@ object Bench {
     val names = SparkEntry.all.map(_.name)
     names.foreach(once)
 
-    val results = names.map(n => n -> once(n))
+    // Quiesce the heap before each timed query: without it, collection
+    // debt from the previous query's shuffle buffers lands inside the
+    // next query's wall time (the mechanism behind the observed 10×
+    // same-code swings on the suite's heaviest entries).
+    val results = names.map { n => System.gc(); n -> once(n) }
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal default
     // locale would emit invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
