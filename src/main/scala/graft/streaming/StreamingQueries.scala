@@ -308,5 +308,64 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT event_type, count(*) AS n_events,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
              |FROM events GROUP BY 1""".stripMargin),
-      "K4: emulated Kafka producer sink — produce→topic→consume ≡ batch oracle"))
+      "K4: emulated Kafka producer sink — produce→topic→consume ≡ batch oracle"),
+
+    GraftQuery(
+      "st09_available_now",
+      (spark, dir) => {
+        // T1/K2 modern form: Trigger.AvailableNow — the production
+        // bounded-backfill trigger (process everything available in
+        // rate-limited micro-batches, then terminate the query itself,
+        // instead of the test-harness processAllAvailable drain). Same
+        // windowed aggregation and oracle as st01.
+        val agg = Streams.eventsStream(spark, dir)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+               Canon.sumCents(col("value")).as("sum_value_cents"))
+        Streams.drainToMemory(agg, "st09_sink", outputMode = "complete",
+            availableNow = true)
+          .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+                  col("event_type"), col("n_events"), col("sum_value_cents"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "T1/K2: Trigger.AvailableNow self-terminating backfill ≡ batch oracle"),
+
+    GraftQuery(
+      "st10_rocksdb_state",
+      (spark, dir) => {
+        // T7 at 100 TB state: the same per-key running counters as st04,
+        // but on the RocksDB state store — per-key state lives off-heap
+        // and spills to local disk, so state size is bounded by disk, not
+        // executor heap. Proves the SCALE.md "switch to flip" actually
+        // flips in this engine.
+        val spark2 = spark
+        import spark2.implicits._
+        Streams.withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+            .select(col("user_id"), Canon.cents(col("value")).as("cents"))
+            .as[(Long, Long)]
+          val updated = stream.groupByKey(_._1)
+            .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+              (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) => {
+                val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+                var n = n0; var c = c0
+                rows.foreach { case (_, cents) => n += 1; c += cents }
+                state.update((n, c))
+                Iterator.single((user, n, c))
+              })
+            .toDF("user_id", "n_events", "sum_value_cents")
+          Streams.drainToMemory(updated, "st10_sink", outputMode = "update")
+            .groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+                 max(col("sum_value_cents")).as("sum_value_cents"))
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY user_id""".stripMargin),
+      "T7 scale path: flatMapGroupsWithState on the RocksDB state store"))
 }

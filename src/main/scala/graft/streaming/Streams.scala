@@ -128,15 +128,21 @@ object Streams {
 
   /** Drain a bounded stream into an in-memory sink table and return its
     * final contents. `processAllAvailable` gives the synchronous bounded
-    * semantics the differential tests need (SURVEY §5.2-1). */
+    * semantics the differential tests need (SURVEY §5.2-1). With
+    * `availableNow` the query instead runs under `Trigger.AvailableNow`
+    * — the production bounded-backfill trigger: process everything
+    * available (still rate-limited into micro-batches), then terminate
+    * itself. */
   def drainToMemory(df: DataFrame, name: String,
-                    outputMode: String = "append"): DataFrame =
+                    outputMode: String = "append",
+                    availableNow: Boolean = false): DataFrame =
     withStreamShufflePartitions(df.sparkSession) {
-      drainToMemoryNow(df, name, outputMode)
+      drainToMemoryNow(df, name, outputMode, availableNow)
     }
 
   private def drainToMemoryNow(df: DataFrame, name: String,
-                               outputMode: String): DataFrame = {
+                               outputMode: String,
+                               availableNow: Boolean): DataFrame = {
     val spark = df.sparkSession
     val cp = Files.createTempDirectory(s"graft_cp_$name").toString
     val q = df.writeStream
@@ -144,11 +150,30 @@ object Streams {
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", cp)
-      .trigger(Trigger.ProcessingTime(0)) // T1: micro-batch trigger
+      .trigger(if (availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(0)) // T1: micro-batch trigger
       .start()
-    awaitDrained(q)
-    q.stop()
+    if (availableNow) {
+      // self-terminating: await end-of-available, watchdog via timeout
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    } else {
+      awaitDrained(q)
+      q.stop()
+    }
     spark.table(name)
+  }
+
+  /** Run `body` with the given state-store provider (e.g. RocksDB — the
+    * off-heap path for when per-key state outgrows executor heap). */
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, providerClass)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Drain a stream through a foreachBatch parquet-append sink — the K1
