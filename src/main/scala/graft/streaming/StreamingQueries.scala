@@ -367,5 +367,61 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
              |FROM events GROUP BY user_id""".stripMargin),
-      "T7 scale path: flatMapGroupsWithState on the RocksDB state store"))
+      "T7 scale path: flatMapGroupsWithState on the RocksDB state store"),
+
+    GraftQuery(
+      "st11_transform_with_state",
+      (spark, dir) => {
+        // T7, next-gen API: transformWithState (Spark 4 StatefulProcessor
+        // + typed ValueState handles, TTL-capable, RocksDB-backed) —
+        // the successor to flatMapGroupsWithState that a new deployment
+        // should target. Same counters and oracle as st04/st10.
+        val spark2 = spark
+        import spark2.implicits._
+        Streams.withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+            .select(col("user_id"), Canon.cents(col("value")).as("cents"))
+            .as[(Long, Long)]
+          val updated = stream.groupByKey(_._1)
+            .transformWithState(new RunningTotalsProcessor(),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update(),
+              org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+            .toDF("user_id", "n_events", "sum_value_cents")
+          Streams.drainToMemory(updated, "st11_sink", outputMode = "update")
+            .groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+                 max(col("sum_value_cents")).as("sum_value_cents"))
+        }
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY user_id""".stripMargin),
+      "T7 next-gen: transformWithState StatefulProcessor running counters"))
+}
+
+/** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
+  * typed ValueState handle initialized in init(), updated per batch of
+  * input rows — the transformWithState twin of st04's
+  * flatMapGroupsWithState closure. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    val (n0, c0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0; var c = c0
+    rows.foreach { case (_, cents) => n += 1; c += cents }
+    totals.update((n, c))
+    Iterator.single((key, n, c))
+  }
 }
