@@ -73,6 +73,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"verify still computes set ops on whole arrays:\n$p")
   }
 
+  test("d06: drop-list attaches by broadcast join, corpus never shuffles") {
+    val p = plan("d06_neardup_keepfirst")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast drop-list join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"verdict join went cartesian:\n$p")
+  }
+
+  test("t07: top-terms plan is two-phase aggs + ranked window, no cartesian") {
+    val p = plan("t07_top_terms")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"tf×df join went cartesian:\n$p")
+  }
+
   test("s01: brute-force ANN keeps the query side broadcast") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
