@@ -34,6 +34,49 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(saltedRows == plainRows)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // 95% of fact rows share one join key; with the skew thresholds
+    // lowered to test scale, AQE must mark the sort-merge join skew-split
+    // — the runtime half of the salting story (SCALE.md: "salting for
+    // planned skew, AQE for discovered skew").
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE splits a skewed reduce partition along MAP-output boundaries
+      // — a single-file scan yields one mapper and nothing to split, so
+      // spread the input over several map tasks first (at real scale the
+      // thousands of input splits give this for free)
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
+      val skewed = li.select(
+        when(col("l_orderkey") % 20 === 0, col("l_orderkey") % 5 + 1)
+          .otherwise(lit(0)).as("k"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+      // dim must reach the join as a bare shuffle stage: AQE splits a
+      // skewed partition by replicating the OTHER side's matching
+      // partition, which it can only do when that side is a plain
+      // ShuffleQueryStage (not e.g. an aggregation output).
+      val dim = spark.range(0, 6).select(col("id").as("k"), lit(1L).as("w"))
+      // drive THIS df's own queryExecution (a write would build a fresh
+      // one) so AQE finalizes and the skew decision shows in the plan;
+      // no operator above the join may demand its hash distribution, or
+      // the split (which breaks that distribution) gets skipped
+      val joined = skewed.join(dim, "k")
+      assert(joined.collect().length == li.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin"),
+        s"AQE did not skew-split the dominant key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned layout prunes untouched partitions at the scan") {
     val out = Files.createTempDirectory("graft_part").toString
     graft.core.Tables(spark, sfDir).events
