@@ -15,6 +15,7 @@ run / fork := true
 // sbt's trailing "[success] Total time: …" otherwise becomes the last
 // line and defeats parsing. Forward forked stdout raw, too.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
