@@ -268,5 +268,47 @@ object TextQueries extends QueryPack {
              |      ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
              |  FROM tf JOIN df USING (token))
              |WHERE rnk <= 3""".stripMargin),
-      "North star: per-doc top-k distinctive terms (tf/df rank, float-free TF-IDF)"))
+      "North star: per-doc top-k distinctive terms (tf/df rank, float-free TF-IDF)"),
+
+    GraftQuery(
+      "t08_sequence_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Training-sequence packing: greedily bin documents into
+        // fixed-token-budget sequences. Packing is SHARD-LOCAL (shard =
+        // doc_id % 8): a global greedy pack would need a single-partition
+        // running sum — the scale-correct distributed form packs within
+        // shards (each shard's window is independent), which is how a
+        // 100 TB corpus packs on 1000 executors. Emits per-bin stats.
+        val budget = 512L
+        val toks = t.documents.select(col("doc_id"),
+          (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val binned = toks.withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+            .cast(LongType))
+        binned.groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens"),
+               min(col("doc_id")).as("first_doc"),
+               max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |binned AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      / 512) AS BIGINT) AS bin
+             |  FROM toks)
+             |SELECT shard, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM binned GROUP BY 1, 2""".stripMargin),
+      "North star: shard-local training-sequence packing into fixed token budgets"))
 }
