@@ -398,7 +398,31 @@ object StreamingQueries extends QueryPack {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
              |FROM events GROUP BY user_id""".stripMargin),
-      "T7 next-gen: transformWithState StatefulProcessor running counters"))
+      "T7 next-gen: transformWithState StatefulProcessor running counters"),
+
+    GraftQuery(
+      "st12_stream_static_join",
+      (spark, dir) => {
+        // Stream-static dimension enrichment: each micro-batch joins the
+        // event stream to a static customer dim (re-planned per batch;
+        // the dim broadcasts, so the stream side never shuffles for the
+        // join) — the consumers' per-batch enrichment pattern
+        // (consumer_postgres_streaming.py joins model output to metadata
+        // before the sink). Aggregated per market segment ≡ batch oracle.
+        val dim = Tables(spark, dir).customer
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_events"),
+               Canon.sumCents(col("value")).as("sum_value_cents"))
+        Streams.drainToMemory(enriched, "st12_sink", outputMode = "complete")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1""".stripMargin),
+      "T6/J2 streaming: stream-static broadcast dim enrichment ≡ batch join"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
