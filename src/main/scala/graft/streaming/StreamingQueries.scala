@@ -145,7 +145,7 @@ object StreamingQueries extends QueryPack {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))
-        val cp = java.nio.file.Files.createTempDirectory("graft_cp_st05").toString
+        val cp = Streams.scratchDir("graft_cp_st05")
         val q = agg.writeStream
           .outputMode("append")
           .format("memory")
@@ -201,7 +201,7 @@ object StreamingQueries extends QueryPack {
             col("p_user") === col("c_user") &&
               col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
               col("c_ts") <= col("p_ts"))
-          val cp = java.nio.file.Files.createTempDirectory("graft_cp_st06").toString
+          val cp = Streams.scratchDir("graft_cp_st06")
           val q = joined.writeStream
             .outputMode("append")
             .format("memory")
@@ -246,13 +246,13 @@ object StreamingQueries extends QueryPack {
         // executor lazy model inside mapPartitions), decoded with native
         // expressions, appended through the foreachBatch sink — then the
         // sink table is aggregated. Result ≡ the batch absa01 pipeline.
-        val staged = java.nio.file.Files.createTempDirectory("graft_docs_stage_").toString
+        val staged = Streams.scratchDir("graft_docs_stage_")
         Tables(spark, dir).documents.repartition(2)
           .write.mode("overwrite").parquet(staged)
         Streams.withStreamShufflePartitions(spark) {
           val docStream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-          val out = java.nio.file.Files.createTempDirectory("graft_absa_sink").toString
-          val cp = java.nio.file.Files.createTempDirectory("graft_cp_st07").toString
+          val out = Streams.scratchDir("graft_absa_sink")
+          val cp = Streams.scratchDir("graft_cp_st07")
           val q = docStream.writeStream
             .outputMode("append")
             .option("checkpointLocation", cp)
@@ -286,8 +286,8 @@ object StreamingQueries extends QueryPack {
         // equal the batch oracle over the original table — proving the
         // produce/consume hop is lossless.
         Streams.withStreamShufflePartitions(spark) {
-          val topicDir = java.nio.file.Files.createTempDirectory("graft_topic_").toString
-          val cpProd = java.nio.file.Files.createTempDirectory("graft_cp_st08p").toString
+          val topicDir = Streams.scratchDir("graft_topic_")
+          val cpProd = Streams.scratchDir("graft_cp_st08p")
           val producer = FileTopicSink(topicDir, cpProd).start(
             StreamSink.toRecords(
               Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2), "user_id"))

@@ -18,6 +18,34 @@ import java.nio.file.Files
   */
 object Streams {
 
+  /** Scratch dir for bounded-drain checkpoints/staging/sinks: RAM-backed
+    * (/dev/shm) when the host offers it — these drains are the test
+    * harness; a production stream points checkpointLocation at durable
+    * storage, so only harness I/O moves off disk. */
+  private val scratchRoot: Option[java.nio.file.Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      Some(shm)
+    else None
+  }
+
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  sys.addShutdownHook {
+    scratchDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  def scratchDir(prefix: String): String = {
+    val d = scratchRoot.map(r => Files.createTempDirectory(r, prefix))
+      .getOrElse(Files.createTempDirectory(prefix))
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** `processAllAvailable` with a watchdog: a bounded drain that wedges
     * (source bug, state-store stall) would otherwise hang the whole
     * correctness harness — after `timeoutSec` the query is stopped and
@@ -94,7 +122,7 @@ object Streams {
   /** Fresh (uncached) staging — for queries that append sentinel files
     * to their own source dir and must not pollute the shared staging. */
   def stageEventsFresh(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
-    val out = Files.createTempDirectory("graft_events_stage_").toString
+    val out = scratchDir("graft_events_stage_")
     Tables(spark, dir).events
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
       .sortWithinPartitions("ts")
@@ -144,7 +172,7 @@ object Streams {
                                outputMode: String,
                                availableNow: Boolean): DataFrame = {
     val spark = df.sparkSession
-    val cp = Files.createTempDirectory(s"graft_cp_$name").toString
+    val cp = scratchDir(s"graft_cp_$name")
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -210,8 +238,8 @@ object Streams {
 
   private def drainThroughForeachBatchNow(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val cp = Files.createTempDirectory("graft_cp_feb").toString
-    val out = Files.createTempDirectory("graft_sink_feb").toString
+    val cp = scratchDir("graft_cp_feb")
+    val out = scratchDir("graft_sink_feb")
     var nBatches = 0L
     val q = df.writeStream
       .outputMode("append")
