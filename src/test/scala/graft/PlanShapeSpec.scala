@@ -86,6 +86,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"tf×df join went cartesian:\n$p")
   }
 
+  test("t08: shard-local packing never collapses to one partition") {
+    // the failure mode this query's design avoids: a GLOBAL running-sum
+    // window plans Exchange SinglePartition — all 100 TB through one task
+    val p = plan("t08_sequence_pack")
+    assert(!p.contains("SinglePartition"), s"packing went single-partition:\n$p")
+    assert(p.contains("Window"), s"expected running-sum window:\n$p")
+  }
+
   test("s01: brute-force ANN keeps the query side broadcast") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
