@@ -43,8 +43,8 @@ object SparkEntry {
               date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"),
-           round(avg(col("k")), 2).as("avg_k"))
+           (graft.functions.Canon.sumCents(col("value")) / 100.0).as("sum_value"),
+           (floor(avg(col("k")) * 100 + 0.5) / 100.0).as("avg_k"))
       .orderBy(col("day").asc, col("event_type").asc)
   }
 
