@@ -98,6 +98,35 @@ class ScaleToolsSpec extends SparkTestBase {
       s"pruning scanned $scanned of $allFiles files")
   }
 
+  test("dynamic partition pruning fires on a dim-filtered fact join") {
+    // DPP: the partitioned fact's scan is pruned at RUNTIME by the
+    // filtered dim's broadcast values — at 100 TB this is the difference
+    // between scanning one event_type's partitions and all of them when
+    // the filter arrives via a join instead of a literal
+    val out = Files.createTempDirectory("graft_dpp").toString
+    graft.core.Tables(spark, sfDir).events
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val spark2 = spark
+    import spark2.implicits._
+    val fact = spark.read.parquet(out)
+    // Three heuristics must line up for the rule to fire: the dim filter
+    // must be LIKELY-SELECTIVE (literal comparison — a bare boolean attr
+    // is rejected), on a column OTHER than the join key (else constant
+    // propagation turns it into static pruning and DPP is moot), and not
+    // boolean (BooleanSimplification strips `= true` before the rule)
+    val dimPath = Files.createTempDirectory("graft_dpp_dim").toString
+    fact.select(col("event_type").as("t")).distinct()
+      .withColumn("grp", when(col("t") === "purchase", "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("grp") === "keep")
+    val joined = fact.join(dim, fact("event_type") === dim("t"))
+    assert(joined.collect().nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan; optimized:\n" +
+        joined.queryExecution.optimizedPlan.toString + s"\nphysical:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf — SparkTestBase points it at a temp
     // dir when the shared session is built
