@@ -30,14 +30,14 @@ class RegistrySpec extends AnyFunSuite {
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = "(?i)(?:FROM|JOIN)\\s+(\\w+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val unknown = refs -- tables -- ctes -- Set("read_parquet")
+      val unknown = refs -- tables -- ctes -- Set("read_parquet", "read_csv")
       assert(unknown.isEmpty,
         s"$name references unknown relations: ${unknown.mkString(", ")}")
     }
   }
 
   test("non-streaming query names map 1:1 onto a SURVEY coverage row prefix") {
-    val prefixes = Set("q", "d", "s", "t", "mm", "ml", "st", "absa")
+    val prefixes = Set("q", "d", "s", "t", "mm", "ml", "st", "absa", "csv")
     val bad = SparkEntry.all.map(_.name)
       .filterNot(n => prefixes.exists(p => n.startsWith(p)))
     assert(bad.isEmpty, s"unclassifiable query names: ${bad.mkString(", ")}")
