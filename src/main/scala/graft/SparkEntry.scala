@@ -20,7 +20,7 @@ object SparkEntry {
     graft.operators.AdvancedQueries,
     graft.operators.DepthQueries,
     graft.operators.AsofQueries,
-    graft.sources.CsvQueries,
+    graft.sources.SourceQueries,
     graft.analysis.TextQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,

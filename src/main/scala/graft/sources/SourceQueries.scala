@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.{GraftQuery, QueryPack}
+import org.apache.spark.sql.functions._
+
+/** Source-format tier (SURVEY §2 S2 + format breadth): labeled-review ingestion with the
+  * reference's exact data shape — header row, quoted fields with
+  * embedded newlines, and label codes that include U+2212 minus signs
+  * as exported by some tools (producer.py:44, train_absa_model.py:97,
+  * data/test_data.csv). The decode must null-guard those codes
+  * (try_cast), like the reference's pandas path.
+  */
+object SourceQueries extends QueryPack {
+
+  /** The fixture ships on the main classpath so both the engine and the
+    * DuckDB oracle read THE SAME file (classes dir, not a jar). */
+  lazy val fixturePath: String =
+    getClass.getResource("/reviews_fixture.csv").getPath
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "csv01_labeled_reviews",
+      (spark, _) => {
+        // S2 + M1: header/multiLine CSV → try_cast label codes → decoded
+        // label distribution. Independent of sfDir by design: the CSV
+        // tier reads the training-data fixture, not the parquet tables.
+        spark.read
+          .option("header", "true")
+          .option("multiLine", "true")
+          .csv(fixturePath)
+          .select(expr("try_cast(Price AS INT)").as("price_code"),
+                  length(col("Review")).as("review_len"))
+          .select(
+            when(col("price_code").isNull, "NONE")
+              .when(col("price_code") === 0, "NEU")
+              .when(col("price_code") === 1, "POS")
+              .otherwise("NEG").as("price_label"),
+            col("review_len"))
+          .groupBy("price_label")
+          .agg(count(lit(1)).as("n_reviews"),
+               sum(col("review_len")).as("sum_review_len"))
+      },
+      Some(s"""SELECT
+              |  CASE WHEN TRY_CAST(Price AS INT) IS NULL THEN 'NONE'
+              |       WHEN TRY_CAST(Price AS INT) = 0 THEN 'NEU'
+              |       WHEN TRY_CAST(Price AS INT) = 1 THEN 'POS'
+              |       ELSE 'NEG' END AS price_label,
+              |  count(*) AS n_reviews,
+              |  CAST(sum(length(Review)) AS BIGINT) AS sum_review_len
+              |FROM read_csv('$fixturePath', header = true,
+              |              all_varchar = true)
+              |GROUP BY 1""".stripMargin),
+      "S2/M1: header+multiline CSV ingest, null-guarded label decode"),
+
+    GraftQuery(
+      "src01_orc_roundtrip",
+      (spark, dir) => {
+        // Format breadth: the events table written as ORC and read back
+        // must aggregate identically to the parquet original — proves
+        // the columnar write→read round-trip (type mapping, nulls,
+        // timestamps) for the second columnar format Spark ships.
+        val out = graft.streaming.Streams.scratchDir("graft_orc_")
+        val events = graft.core.Tables(spark, dir).events
+        events.write.mode("overwrite").orc(out)
+        spark.read.orc(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      "S-format: ORC write→read round-trip ≡ parquet aggregate"),
+
+    GraftQuery(
+      "src02_jsonl_roundtrip",
+      (spark, dir) => {
+        // JSON-lines round-trip with an explicit read schema (schema
+        // inference over 100 TB of JSON is a full extra scan — always
+        // declare the schema at scale). Timestamps survive via ISO
+        // serialization under the UTC session zone.
+        val out = graft.streaming.Streams.scratchDir("graft_jsonl_")
+        val events = graft.core.Tables(spark, dir).events
+        events.write.mode("overwrite").json(out)
+        spark.read.schema(events.schema).json(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      "S-format: JSON-lines write→read round-trip with declared schema"))
+}
