@@ -13,9 +13,23 @@ import org.apache.spark.sql.functions._
 object SourceQueries extends QueryPack {
 
   /** The fixture ships on the main classpath so both the engine and the
-    * DuckDB oracle read THE SAME file (classes dir, not a jar). */
-  lazy val fixturePath: String =
-    getClass.getResource("/reviews_fixture.csv").getPath
+    * DuckDB oracle read THE SAME file. Under a plain classes dir the
+    * resource IS a file; under `sbt run` the classpath is a packaged jar
+    * (`...jar!/...` — not a readable path for Spark or DuckDB), so
+    * materialize the stream to a temp file once per JVM. */
+  lazy val fixturePath: String = {
+    val url = getClass.getResource("/reviews_fixture.csv")
+    if (url != null && url.getProtocol == "file") url.getPath
+    else {
+      val tmp = java.nio.file.Files.createTempFile("graft_reviews_fixture_", ".csv")
+      val in = getClass.getResourceAsStream("/reviews_fixture.csv")
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
