@@ -42,7 +42,11 @@ object Bench {
     // loading otherwise bill tens of seconds to whichever query touches a
     // codepath first (observed: 13.7 s cold vs 0.55 s warm for a string
     // pack over 20k rows). The timed pass then measures steady state.
-    val names = SparkEntry.all.map(_.name)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite (iteration aid).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None       => SparkEntry.all.map(_.name)
+    }
     names.foreach(once)
 
     // Quiesce the heap before each timed query: without it, collection
@@ -52,16 +56,27 @@ object Bench {
     val results = names.map { n => System.gc(); n -> once(n) }
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal default
     // locale would emit invalid JSON
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+    def num(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    def qmap(short: Boolean): String = results
+      .map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + num(v, if (short) 2 else 3)
+      }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Persist a copy the driver/judge can read without stdout scraping.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // Full-name per-query detail, written where the judge can read it.
+    val fullLine = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(short = false)},"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The stdout line the driver tail-scrapes keeps only the LAST 2000
+    // chars of stdout; the full-name 97-query map is ~2.4k chars and was
+    // truncated every round ("parsed": null in BENCH_r01–r04). Emit a
+    // compact line (unique short keys = prefix before the first '_',
+    // 2-decimal secs, ~1.3k chars) so the driver's JSON parse succeeds;
+    // full names live in BENCH_FULL.json (tracked in git).
+    val line = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(short = true)},"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     // Stop Spark BEFORE printing so the JSON is the final stdout line
     // (shutdown logging goes to stderr, but don't race it).
     spark.stop()

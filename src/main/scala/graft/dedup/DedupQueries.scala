@@ -85,22 +85,32 @@ object DedupQueries extends QueryPack {
     * run under Verify/Bench which clear cache per query. */
   def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000): DataFrame = {
     val sig = signatures(docs).persist()
-    val cand = candidatePairs(bandRows(sig))
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.toDF("doc_a", "sh"), "doc_a")
-      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(scnt.toDF("doc_a", "n_a"), "doc_a")
-      .join(scnt.toDF("doc_b", "n_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_inter"),
-        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
-      .withColumn("jaccard_e4",
-        floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(LongType))
-      .filter(col("jaccard_e4") >= minJaccardE4)
+    try {
+      val cand = candidatePairs(bandRows(sig))
+      val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.toDF("doc_a", "sh"), "doc_a")
+        .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(scnt.toDF("doc_a", "n_a"), "doc_a")
+        .join(scnt.toDF("doc_b", "n_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
+        .withColumn("jaccard_e4",
+          floor(col("n_inter") * 10000.0 / col("n_union") + 0.5).cast(LongType))
+        .filter(col("jaccard_e4") >= minJaccardE4)
+        // Eagerly materialize the pair list (tiny relative to the corpus
+        // by construction) and truncate lineage: the persisted signature
+        // table can then be released HERE instead of leaking until the
+        // harness clears the cache, and downstream consumers (d06's
+        // keep-first anti-join build side) see a small materialized
+        // table rather than a deep multi-stage plan re-planned under
+        // their join.
+        .localCheckpoint()
+    } finally sig.unpersist(blocking = false)
   }
 
   /** Shared oracle CTE prefix: shingles + signatures in DuckDB SQL. */
@@ -202,15 +212,20 @@ object DedupQueries extends QueryPack {
         // it — Catalyst does not share common subplans, and at scale the
         // signature table is the thing you materialize once anyway.
         sig.persist()
-        val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-        val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-        cand
-          .join(a, col("doc_a") === col("a_doc_id"))
-          .join(b, col("doc_b") === col("b_doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (0 until numHashes)
-              .map(j => when(col(s"a_sig$j") === col(s"b_sig$j"), 1).otherwise(0))
-              .reduce(_ + _).as("n_equal_sigs"))
+        try {
+          val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+          val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+          cand
+            .join(a, col("doc_a") === col("a_doc_id"))
+            .join(b, col("doc_b") === col("b_doc_id"))
+            .select(col("doc_a"), col("doc_b"),
+              (0 until numHashes)
+                .map(j => when(col(s"a_sig$j") === col(s"b_sig$j"), 1).otherwise(0))
+                .reduce(_ + _).as("n_equal_sigs"))
+            // materialize the (small) re-ranked pair list so the persist
+            // can be released here, not by the harness's cache clear
+            .localCheckpoint()
+        } finally sig.unpersist(blocking = false)
       },
       Some(sigCte + bandCandCte +
         """SELECT c.doc_a, c.doc_b,

@@ -67,9 +67,28 @@ object AbsaPipeline {
     * torch load, consumer_postgres_streaming.py:263-270). Default is
     * the deterministic keyword scorer so results stay oracle-checkable
     * in this environment. */
-  private[graft] def resolveScorer(): Scorer =
+  private def configuredScorerClass: Option[String] =
     sys.props.get("graft.absa.scorer.class")
       .orElse(sys.env.get("GRAFT_ABSA_SCORER"))
+
+  /** Driver-side fail-fast for the scorer seam: a typo'd class name or a
+    * non-Scorer class otherwise surfaces as an opaque
+    * ClassNotFoundException/ClassCastException inside the first executor
+    * task. Called before the job is submitted ([[withProbs]]). */
+  private[graft] def validateScorerConfig(): Unit =
+    configuredScorerClass.foreach { cn =>
+      val cls =
+        try Class.forName(cn)
+        catch { case e: ClassNotFoundException =>
+          throw new IllegalArgumentException(
+            s"graft.absa.scorer.class / GRAFT_ABSA_SCORER names unknown class '$cn'", e)
+        }
+      require(classOf[Scorer].isAssignableFrom(cls),
+        s"configured ABSA scorer '$cn' does not implement graft.ml.Scorer")
+    }
+
+  private[graft] def resolveScorer(): Scorer =
+    configuredScorerClass
       .map(cn => Class.forName(cn).getDeclaredConstructor()
         .newInstance().asInstanceOf[Scorer])
       .getOrElse(new KeywordScorer)
@@ -80,6 +99,7 @@ object AbsaPipeline {
     * keeps one model lookup per partition (reference batches per
     * pandas_udf call); rows stream through without buffering. */
   def withProbs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    validateScorerConfig() // fail on the driver, not in the first task
     // Score in-place: every input row maps to itself + probs, so the
     // inference pass is join-free (no shuffle of the corpus to re-attach
     // scores — the earlier (doc_id, probs) + join form shuffled the full

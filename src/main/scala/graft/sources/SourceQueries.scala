@@ -16,17 +16,22 @@ object SourceQueries extends QueryPack {
     * DuckDB oracle read THE SAME file. Under a plain classes dir the
     * resource IS a file; under `sbt run` the classpath is a packaged jar
     * (`...jar!/...` — not a readable path for Spark or DuckDB), so
-    * materialize the stream to a temp file once per JVM. */
+    * materialize the stream to a STABLE path once per JVM. The path must
+    * outlive this JVM (no deleteOnExit, no random suffix): the oracle SQL
+    * embeds it, and the DuckDB checker runs in a separate process after
+    * Spark exits. */
   lazy val fixturePath: String = {
     val url = getClass.getResource("/reviews_fixture.csv")
     if (url != null && url.getProtocol == "file") url.getPath
     else {
-      val tmp = java.nio.file.Files.createTempFile("graft_reviews_fixture_", ".csv")
+      val dir = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_fixtures")
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve("reviews_fixture.csv")
       val in = getClass.getResourceAsStream("/reviews_fixture.csv")
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      tmp.toFile.deleteOnExit()
       tmp.toString
     }
   }
@@ -74,7 +79,7 @@ object SourceQueries extends QueryPack {
         // must aggregate identically to the parquet original — proves
         // the columnar write→read round-trip (type mapping, nulls,
         // timestamps) for the second columnar format Spark ships.
-        val out = graft.streaming.Streams.scratchDir("graft_orc_")
+        val out = graft.streaming.Streams.dataDir("graft_orc_")
         val events = graft.core.Tables(spark, dir).events
         events.write.mode("overwrite").orc(out)
         spark.read.orc(out)
@@ -94,7 +99,7 @@ object SourceQueries extends QueryPack {
         // inference over 100 TB of JSON is a full extra scan — always
         // declare the schema at scale). Timestamps survive via ISO
         // serialization under the UTC session zone.
-        val out = graft.streaming.Streams.scratchDir("graft_jsonl_")
+        val out = graft.streaming.Streams.dataDir("graft_jsonl_")
         val events = graft.core.Tables(spark, dir).events
         events.write.mode("overwrite").json(out)
         spark.read.schema(events.schema).json(out)

@@ -246,12 +246,12 @@ object StreamingQueries extends QueryPack {
         // executor lazy model inside mapPartitions), decoded with native
         // expressions, appended through the foreachBatch sink — then the
         // sink table is aggregated. Result ≡ the batch absa01 pipeline.
-        val staged = Streams.scratchDir("graft_docs_stage_")
+        val staged = Streams.dataDir("graft_docs_stage_")
         Tables(spark, dir).documents.repartition(2)
           .write.mode("overwrite").parquet(staged)
         Streams.withStreamShufflePartitions(spark) {
           val docStream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-          val out = Streams.scratchDir("graft_absa_sink")
+          val out = Streams.dataDir("graft_absa_sink")
           val cp = Streams.scratchDir("graft_cp_st07")
           val q = docStream.writeStream
             .outputMode("append")
@@ -286,7 +286,7 @@ object StreamingQueries extends QueryPack {
         // equal the batch oracle over the original table — proving the
         // produce/consume hop is lossless.
         Streams.withStreamShufflePartitions(spark) {
-          val topicDir = Streams.scratchDir("graft_topic_")
+          val topicDir = Streams.dataDir("graft_topic_")
           val cpProd = Streams.scratchDir("graft_cp_st08p")
           val producer = FileTopicSink(topicDir, cpProd).start(
             StreamSink.toRecords(

@@ -46,6 +46,17 @@ object Streams {
     d.toString
   }
 
+  /** Scratch dir for DATA-sized stagings (parquet/ORC/JSON stages, sink
+    * outputs, file-topic dirs): always disk-backed. tmpfs is sized for
+    * checkpoint metadata, not data — at larger scale factors a /dev/shm
+    * staging can ENOSPC mid-run or pressure host memory, and a crash
+    * leaves RAM-resident litter. Checkpoints keep using [[scratchDir]]. */
+  def dataDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.toString
+  }
+
   /** `processAllAvailable` with a watchdog: a bounded drain that wedges
     * (source bug, state-store stall) would otherwise hang the whole
     * correctness harness — after `timeoutSec` the query is stopped and
@@ -122,7 +133,7 @@ object Streams {
   /** Fresh (uncached) staging — for queries that append sentinel files
     * to their own source dir and must not pollute the shared staging. */
   def stageEventsFresh(spark: SparkSession, dir: String, nFiles: Int = 4): String = {
-    val out = scratchDir("graft_events_stage_")
+    val out = dataDir("graft_events_stage_")
     Tables(spark, dir).events
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
       .sortWithinPartitions("ts")
@@ -182,9 +193,16 @@ object Streams {
                else Trigger.ProcessingTime(0)) // T1: micro-batch trigger
       .start()
     if (availableNow) {
-      // self-terminating: await end-of-available, watchdog via timeout
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      // self-terminating: await end-of-available. Fail LOUDLY on timeout
+      // (like awaitDrained's watchdog) — returning the partial memory
+      // sink would surface a wedged backfill as a confusing oracle
+      // mismatch instead of a timeout error.
+      val finished = q.awaitTermination(300000)
+      if (!finished) {
+        if (q.isActive) q.stop()
+        throw new IllegalStateException(
+          s"[streams] availableNow drain '$name' did not terminate within 300s")
+      }
     } else {
       awaitDrained(q)
       q.stop()
@@ -239,7 +257,7 @@ object Streams {
   private def drainThroughForeachBatchNow(df: DataFrame): (DataFrame, Long) = {
     val spark = df.sparkSession
     val cp = scratchDir("graft_cp_feb")
-    val out = scratchDir("graft_sink_feb")
+    val out = dataDir("graft_sink_feb")
     var nBatches = 0L
     val q = df.writeStream
       .outputMode("append")
