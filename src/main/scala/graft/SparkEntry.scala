@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.AsofQueries,
     graft.sources.SourceQueries,
     graft.analysis.TextQueries,
+    graft.operators.PipelineQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,
     graft.multimodal.MultimodalQueries,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import graft.functions.Canon
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's own surface:
+  * CDC-style snapshot upsert and batch sessionization — the two batch
+  * shapes every large corpus refresh pipeline runs between ingests
+  * (the reference's closest analogue is the retrain DAG's full
+  * re-export, run_training_pipeline.sh:20-41, which a merge makes
+  * incremental).
+  */
+object PipelineQueries extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q59_upsert_merge",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Snapshot upsert (MERGE semantics without a table format):
+        // delta rows override base rows by key; unmatched base rows
+        // survive. anti-join + unionByName keeps it one shuffle on the
+        // key; at 100 TB both sides are bucketed by o_orderkey so the
+        // anti-join is exchange-free, and the delta (a day's changes vs
+        // years of snapshot) broadcasts when small enough.
+        val base = t.orders
+        val delta = base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        base.join(delta.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(delta)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+               Canon.sumCents(col("o_totalprice")).as("sum_price_cents"))
+      },
+      Some("""WITH delta AS (
+             |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 10 = 0),
+             |merged AS (
+             |  SELECT * FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)
+             |  UNION ALL SELECT * FROM delta)
+             |SELECT o_orderstatus, count(*) AS n_orders,
+             |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+             |FROM merged GROUP BY 1""".stripMargin),
+      "Pipeline: CDC snapshot upsert — delta overrides base by key, audited by status rollup"),
+
+    GraftQuery(
+      "q60_sessionize",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Batch sessionization: a >30-min gap starts a new session.
+        // Classic lag → flag → running-sum shape: both Window operators
+        // and both downstream groupBys share the user_id clustering, so
+        // the whole query runs off ONE shuffle + ONE sort (pinned in
+        // PlanShapeSpec) — the partition key any clickstream store would
+        // already be bucketed by.
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flagged = t.events
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull ||
+                 col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+              .otherwise(0))
+          .withColumn("session_seq", sum(col("is_new")).over(running))
+        flagged
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("sess_events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+               sum(col("sess_events")).as("n_events"),
+               max(col("sess_events")).as("max_session_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |           OR date_diff('second', prev_ts, ts) > 1800
+             |         THEN 1 ELSE 0 END AS is_new
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id,
+             |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+             |  FROM f),
+             |s AS (SELECT user_id, session_seq, count(*) AS sess_events
+             |      FROM g GROUP BY 1, 2)
+             |SELECT user_id, count(*) AS n_sessions,
+             |  CAST(sum(sess_events) AS BIGINT) AS n_events,
+             |  CAST(max(sess_events) AS BIGINT) AS max_session_events
+             |FROM s GROUP BY 1""".stripMargin),
+      "Pipeline: gap-based sessionization — lag flag + running sum in one Window pass"))
+}

@@ -87,7 +87,7 @@ object SimilarityQueries extends QueryPack {
        |      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
        |""".stripMargin
 
-  val queries: Seq[GraftQuery] = Seq(
+  private val exactAndLsh: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "s01_ann_bruteforce",
@@ -183,32 +183,42 @@ object SimilarityQueries extends QueryPack {
           |SELECT e.vec_id, (dr.vec_id IS NOT NULL) AS dropped
           |FROM embeddings e
           |LEFT JOIN drop dr ON dr.vec_id = e.vec_id""".stripMargin),
-      "North star: semantic dedup keep-first verdicts from embedding near-dup pairs"),
+      "North star: semantic dedup keep-first verdicts from embedding near-dup pairs"))
+
+  /** IVF coarse quantizer: centroids = per-label mean vectors
+    * (deterministic init) as (cid, cv). Tiny by construction →
+    * broadcast at every use. */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.select(col("label").as("cid"), posexplode(col("v")))
+      .toDF("cid", "pos", "x")
+      .groupBy("cid", "pos")
+      .agg(avg(col("x")).as("c"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                     s => s.getField("c")).as("cv"))
+
+  /** Nearest-centroid assignment (vec_id, cid, sim): one narrow pass
+    * over the vectors against broadcast centroids — the inverted-list
+    * build step of IVF-ANN. */
+  def nearestCentroid(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cid").asc)
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val ivf: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "s04_ivf_assign",
       (spark, dir) => {
         val t = Tables(spark, dir)
-        // IVF coarse quantizer: centroids = per-label mean vectors
-        // (deterministic init), every vector assigned to its nearest
-        // centroid by cosine — the inverted-list build step of IVF-ANN.
-        // Centroids are tiny → broadcast; assignment is one narrow pass.
         val emb = doubled(t)
-        val cent = emb
-          .select(col("label").as("cid"), posexplode(col("v")))
-          .toDF("cid", "pos", "x")
-          .groupBy("cid", "pos")
-          .agg(avg(col("x")).as("c"))
-          .groupBy("cid")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-                         s => s.getField("c")).as("cv"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(col("sim").desc, col("cid").asc)
-        emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("cv")).as("sim"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        nearestCentroid(emb, centroids(emb))
           .groupBy("cid")
           .agg(count(lit(1)).as("list_size"),
                floor(avg(col("sim")) * 10000 + 0.5).cast(LongType).as("avg_sim_e4"))
@@ -230,5 +240,74 @@ object SimilarityQueries extends QueryPack {
              |SELECT cid, count(*) AS list_size,
              |  CAST(floor(avg(sim) * 10000 + 0.5) AS BIGINT) AS avg_sim_e4
              |FROM best WHERE rn = 1 GROUP BY cid""".stripMargin),
-      "J7/north star: IVF coarse quantizer — centroid lists + nearest-centroid assignment"))
+      "J7/north star: IVF coarse quantizer — centroid lists + nearest-centroid assignment"),
+
+    GraftQuery(
+      "s06_ivf_search",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The IVF QUERY path completing s04's build step: probe only the
+        // nprobe=2 centroid lists nearest the query vector, exact-rerank
+        // inside them. At 100 TB the corpus is stored bucketed by cid, so
+        // the probe prunes partitions and the scan touches nprobe/k of
+        // the data; centroids and the probe set stay broadcast-sized.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .select(col("cid"))
+        val assigned = nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+          .select(col("vec_id"), col("cid"))
+        assigned
+          .join(broadcast(probe), Seq("cid"))
+          .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid,
+             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS csim
+             |    FROM cent c, q)
+             |  ORDER BY csim DESC, cid LIMIT 2),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM sims),
+             |cand AS (
+             |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
+             |  WHERE b.rn = 1),
+             |scored AS (
+             |  SELECT ca.vec_id, ca.cid,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
+             |SELECT vec_id, cid,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "J7/north star: IVF probe search — nprobe=2 lists, exact rerank inside"))
+
+  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }

@@ -422,7 +422,33 @@ object StreamingQueries extends QueryPack {
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
              |FROM events e JOIN customer c ON c.c_custkey = e.user_id
              |GROUP BY 1""".stripMargin),
-      "T6/J2 streaming: stream-static broadcast dim enrichment ≡ batch join"))
+      "T6/J2 streaming: stream-static broadcast dim enrichment ≡ batch join"),
+
+    GraftQuery(
+      "st13_stream_dedup",
+      (spark, dir) => {
+        // Streaming exact dedup: dropDuplicates keyed on
+        // (user_id, event_type) over the rate-limited event stream,
+        // append output — first arrival wins, later micro-batches'
+        // duplicates are suppressed by the state store. Audited as
+        // per-type distinct-user counts ≡ batch COUNT(DISTINCT).
+        // Production note: with a late-data bound, use
+        // dropDuplicatesWithinWatermark so per-key state expires instead
+        // of growing with corpus cardinality; here the key space is
+        // bounded and the oracle needs every duplicate suppressed
+        // regardless of event-time distance.
+        Streams.withStreamShufflePartitions(spark) {
+          val deduped = Streams.eventsStream(spark, dir)
+            .select(col("user_id"), col("event_type"))
+            .dropDuplicates("user_id", "event_type")
+          Streams.drainToMemory(deduped, "st13_sink", outputMode = "append")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_users"))
+        }
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1""".stripMargin),
+      "T7 streaming: stateful dropDuplicates ≡ batch COUNT(DISTINCT)"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

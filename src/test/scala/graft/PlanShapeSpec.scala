@@ -100,4 +100,28 @@ class PlanShapeSpec extends SparkTestBase {
       s"query vector should broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid global sort:\n$p")
   }
+
+  test("q60: sessionization runs off one shuffle — windows and aggs share the user_id clustering") {
+    val p = plan("q60_sessionize")
+    // lag + running-sum Windows, then (user,session) agg, then user agg:
+    // all satisfied by hashpartitioning(user_id) → exactly one hash
+    // exchange. Count only the AQE final-plan section — toString repeats
+    // the tree under "== Initial Plan ==".
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val hashExchanges = "hashpartitioning".r.findAllIn(finalSection).length
+    assert(hashExchanges <= 1, s"expected one user_id shuffle, plan:\n$p")
+    assert(!p.contains("SinglePartition"), s"sessionization went single-partition:\n$p")
+  }
+
+  test("q59: upsert anti-join broadcasts the delta keys, snapshot never shuffles pre-agg") {
+    val p = plan("q59_upsert_merge")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti-join for the delta keys:\n$p")
+  }
+
+  test("s06: IVF search broadcasts centroids+probe, rerank avoids cartesian on the corpus") {
+    val p = plan("s06_ivf_search")
+    assert(p.contains("BroadcastExchange"), s"probe/centroids should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid global sort:\n$p")
+  }
 }
