@@ -448,7 +448,84 @@ object StreamingQueries extends QueryPack {
       },
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1""".stripMargin),
-      "T7 streaming: stateful dropDuplicates ≡ batch COUNT(DISTINCT)"))
+      "T7 streaming: stateful dropDuplicates ≡ batch COUNT(DISTINCT)"),
+
+    GraftQuery(
+      "st14_stream_stream_left_outer",
+      (spark, dir) => {
+        // J6/T5: stream-stream LEFT OUTER interval join — st06's inner
+        // join emits matches as they arrive, but the outer (clickless)
+        // rows only emit once the watermark proves no match can still
+        // come. Sentinel design is load-bearing here, and a filtered
+        // `__flush__` type does NOT work: Catalyst pushes deterministic
+        // predicates BELOW EventTimeWatermark (writing .withWatermark
+        // before .filter doesn't change the physical order), so a
+        // sentinel that any side filters out never advances that side's
+        // watermark — and the global watermark is the MIN across sides.
+        // Instead the flush rows are real punctuation records that PASS
+        // both side filters (one far-future purchase + click, tagged
+        // user_id = -1) and are excluded after the join — the same
+        // pattern a production pipeline uses for heartbeat/punctuation
+        // events.
+        val staged = Streams.stageEventsFresh(spark, dir, nFiles = 2)
+        Streams.withStreamShufflePartitions(spark) {
+          def side(): org.apache.spark.sql.DataFrame =
+            Streams.streamFromStaged(spark, staged)
+              .withWatermark("ts", "1 hour")
+          val purchases = side()
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+                    col("ts").as("p_ts"))
+          val clicks = side()
+            .filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          val joined = purchases.join(clicks,
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") <= col("p_ts"),
+            "leftOuter")
+          val cp = Streams.scratchDir("graft_cp_st14")
+          val q = joined.writeStream
+            .outputMode("append")
+            .format("memory")
+            .queryName("st14_sink")
+            .option("checkpointLocation", cp)
+            .start()
+          Streams.awaitDrained(q)
+          Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00").foreach { futureTs =>
+            val base = Tables(spark, dir).events.limit(1)
+              .withColumn("ts", lit(futureTs).cast("timestamp"))
+              .withColumn("user_id", lit(-1L))
+            Seq("purchase", "click")
+              .map(et => base.withColumn("event_type", lit(et)))
+              .reduce(_ unionByName _)
+              .write.mode("append").parquet(staged)
+            Streams.awaitDrained(q)
+          }
+          q.stop()
+          spark.table("st14_sink")
+            .filter(col("p_user") >= 0) // drop punctuation records
+            .groupBy("p_user")
+            .agg(countDistinct(col("p_id")).as("n_purchases"),
+                 count(lit(1)).as("n_rows"),
+                 sum(when(col("c_user").isNull, 1).otherwise(0)).as("n_unmatched"))
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type,
+             |         date_trunc('microseconds', ts) AS ts
+             |  FROM events)
+             |SELECT p.user_id AS p_user,
+             |  count(DISTINCT p.event_id) AS n_purchases,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+             |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts - INTERVAL 1 HOUR
+             | AND c.ts <= p.ts
+             |GROUP BY p.user_id""".stripMargin),
+      "J6/T5: watermarked stream-stream LEFT OUTER join — outer rows sealed by watermark"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
