@@ -23,6 +23,7 @@ object SparkEntry {
     graft.sources.SourceQueries,
     graft.analysis.TextQueries,
     graft.operators.PipelineQueries,
+    graft.operators.BreadthQueries,
     graft.dedup.DedupQueries,
     graft.similarity.SimilarityQueries,
     graft.multimodal.MultimodalQueries,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Function-surface breadth (SURVEY §2.3 P4/P6/P17 closures): the map
+  * higher-order functions, the full regex family, and outer-generator
+  * null semantics — each with a cross-engine value oracle (q32 pinned
+  * the map CONSTRUCTORS; q61 pins the map LAMBDAS by canonicalizing the
+  * final map to a sorted entries string, since no two engines share a
+  * map wire format).
+  */
+object BreadthQueries extends QueryPack {
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q61_map_lambdas",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P17 map HOFs: transform_values → map_filter → transform_keys,
+        // then canonicalize to "k=v;k=v" (entries sorted by key) so the
+        // oracle can compare values without sharing a map type. All
+        // codegen'd expressions — per-row map churn at 100 TB never
+        // leaves the projection.
+        t.events
+          .select(col("event_id"),
+            map(lit("vmod"), pmod(col("event_id"), lit(100)),
+                lit("vc"), floor(col("value") * 100 + 0.5).cast(LongType)).as("m"))
+          .select(col("event_id"),
+            transform_keys(
+              map_filter(
+                transform_values(col("m"), (_, v) => v * 2),
+                (_, v) => v % 4 === 0),
+              (k, _) => concat(k, lit("_x"))).as("m2"))
+          .select(col("event_id"),
+            array_join(
+              transform(sort_array(map_entries(col("m2"))),
+                e => concat(e.getField("key"), lit("="),
+                            e.getField("value").cast("string"))),
+              ";").as("canon"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_id,
+             |    (event_id % 100) * 2 AS vmod2,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) * 2 AS vc2
+             |  FROM events)
+             |SELECT event_id,
+             |  concat_ws(';',
+             |    CASE WHEN vc2 % 4 = 0 THEN 'vc_x=' || vc2 END,
+             |    CASE WHEN vmod2 % 4 = 0 THEN 'vmod_x=' || vmod2 END) AS canon
+             |FROM v""".stripMargin),
+      "P17: map transform_values/map_filter/transform_keys, canonicalized entries oracle"),
+
+    GraftQuery(
+      "q62_regex_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P4 beyond extract: extract_all (count), global replace, regex
+        // split. Patterns stay in the portable char-class subset (Java
+        // regex on the engine, RE2-family on typical oracles).
+        t.documents
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_words"),
+            length(regexp_replace(col("text"), "[aeiou]", "*")).as("replaced_len"),
+            size(split(col("text"), " +")).as("n_split"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+             |  length(regexp_replace(text, '[aeiou]', '*', 'g')) AS replaced_len,
+             |  CAST(len(string_split_regex(text, ' +')) AS INT) AS n_split
+             |FROM documents""".stripMargin),
+      "P4: regexp_extract_all / global replace / regex split"),
+
+    GraftQuery(
+      "q63_explode_outer",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // P6 outer generator: explode_outer keeps the parent row when
+        // the array is null (one row, null element) — the LEFT JOIN
+        // LATERAL of generators. Null arrays are synthesized on a
+        // deterministic key predicate so both engines see identical
+        // inputs.
+        t.documents
+          .select(col("doc_id"),
+            when(col("n_chars") % 7 === 0, lit(null))
+              .otherwise(split(col("text"), " ")).as("arr"))
+          .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_rows"), count(col("tok")).as("n_toks"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n_chars % 7 = 0 THEN NULL
+             |         ELSE string_split(text, ' ') END AS arr
+             |  FROM documents),
+             |x AS (
+             |  SELECT doc_id,
+             |    unnest(CASE WHEN arr IS NULL OR len(arr) = 0
+             |                THEN [NULL] ELSE arr END) AS tok
+             |  FROM d)
+             |SELECT doc_id, count(*) AS n_rows, count(tok) AS n_toks
+             |FROM x GROUP BY 1""".stripMargin),
+      "P6: explode_outer null-array semantics ≡ guarded unnest"))
+}
