@@ -8,6 +8,32 @@ class OperatorInvariantsSpec extends SparkTestBase {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("upsert conserves the key space — no inserts, no losses (q59)") {
+    val nOrders = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    val merged = run("q59_upsert_merge").agg(sum("n_orders")).head().getLong(0)
+    assert(merged == nOrders, s"merge changed cardinality: $merged != $nOrders")
+  }
+
+  test("sessionization conserves events and bounds sessions (q60)") {
+    val events = graft.core.Tables(spark, sfDir).events
+    val s = run("q60_sessionize")
+    val totEvents = s.agg(sum("n_events")).head().getLong(0)
+    assert(totEvents == events.count(), "sessions lost or duplicated events")
+    assert(s.filter(col("n_sessions") < 1 ||
+      col("n_sessions") > col("n_events")).count() == 0)
+    assert(s.filter(col("max_session_events") > col("n_events")).count() == 0)
+  }
+
+  test("IVF probe search returns sorted sims from probed lists only (s06)") {
+    val r = run("s06_ivf_search").collect()
+    assert(r.nonEmpty && r.length <= 5)
+    val sims = r.map(_.getAs[Long]("sim_e6"))
+    assert(sims.sameElements(sims.sorted.reverse), "not sorted desc")
+    assert(sims.forall(s => s >= -1000000L && s <= 1000000L))
+    // nprobe=2: results come from at most 2 inverted lists
+    assert(r.map(_.getAs[Int]("cid")).distinct.length <= 2)
+  }
+
   test("explode ↔ groupBy conservation (A8 ≡ U3+P6+A1)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exploded = run("q27_explode")
