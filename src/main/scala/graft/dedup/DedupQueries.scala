@@ -318,5 +318,67 @@ object DedupQueries extends QueryPack {
           |SELECT d.doc_id, (dr.doc_id IS NOT NULL) AS dropped
           |FROM documents d
           |LEFT JOIN drop dr ON dr.doc_id = d.doc_id""".stripMargin),
-      "North star: keep-first removal verdicts from verified near-dup pairs"))
+      "North star: keep-first removal verdicts from verified near-dup pairs"),
+
+    GraftQuery(
+      "d07_neardup_clusters",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The EXACT dedup decision layer: connected components over the
+        // verified-pair graph (d06 ships the one-pass keep-first
+        // approximation; this is the transitive-closure truth it
+        // approximates). Iterative min-label propagation — each round a
+        // (edges ⋈ labels) + min-agg, labels localCheckpoint'ed so the
+        // plan stays O(1) deep; converges in O(diameter) ≤ O(log n)
+        // rounds for near-dup graphs, whose components are tiny and
+        // star-like. This is the GraphX-free CC shape that runs on any
+        // DataFrame cluster; the label table is (id, id) longs — orders
+        // of magnitude smaller than the corpus.
+        clusterLabels(verifiedPairs(t.documents).select(col("doc_a"), col("doc_b")))
+          .withColumnRenamed("label", "cluster_id")
+      },
+      Some(verifiedPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM ver
+          |  UNION SELECT doc_b, doc_a FROM ver),
+          |reach(doc_id, r) AS (
+          |  SELECT s, s FROM edges
+          |  UNION
+          |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.doc_id = e.d)
+          |SELECT doc_id, min(r) AS cluster_id
+          |FROM reach GROUP BY doc_id""".stripMargin),
+      "North star: transitive near-dup clusters (connected components over verified pairs)"))
+
+  /** Connected-component labels for an undirected pair graph:
+    * (doc_id, label = min doc_id reachable). Driver-side fixpoint loop;
+    * each iteration is one distributed join + min-aggregate with the
+    * lineage truncated, so round k's plan does not replay rounds 1..k-1.
+    */
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.toDF("s", "d")
+      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("s", "d"))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIters) {
+      val nbrLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "d_id"), col("d") === col("d_id"))
+        .select(col("s").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label"))
+        .union(nbrLabels)
+        .groupBy("doc_id")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev"))
+        .limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

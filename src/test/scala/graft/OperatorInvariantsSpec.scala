@@ -34,6 +34,24 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(r.map(_.getAs[Int]("cid")).distinct.length <= 2)
   }
 
+  test("cluster labels are transitive-closed over verified pairs (d07)") {
+    import graft.dedup.DedupQueries
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val pairs = DedupQueries.verifiedPairs(docs).select("doc_a", "doc_b")
+    val labels = DedupQueries.clusterLabels(pairs)
+    // every pair's endpoints carry the SAME label (the defining CC property)
+    val la = labels.toDF("doc_a", "la")
+    val lb = labels.toDF("doc_b", "lb")
+    val split = pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("la") =!= col("lb")).count()
+    assert(split == 0, s"$split pairs straddle clusters")
+    // labels are canonical minima: label <= doc_id, and every label is a member
+    assert(labels.filter(col("label") > col("doc_id")).count() == 0)
+    val roots = labels.select(col("label")).distinct().toDF("doc_id")
+    assert(roots.join(labels, "doc_id").count() == roots.count(),
+      "some cluster label is not itself a member")
+  }
+
   test("explode ↔ groupBy conservation (A8 ≡ U3+P6+A1)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exploded = run("q27_explode")
