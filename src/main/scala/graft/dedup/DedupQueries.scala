@@ -355,8 +355,8 @@ object DedupQueries extends QueryPack {
     * lineage truncated, so round k's plan does not replay rounds 1..k-1.
     */
   def clusterLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.toDF("s", "d")
-      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("s", "d"))
+    val p = pairs.toDF("s", "d") // positional: (a, b) of any column names
+    val edges = p.union(p.select(col("d"), col("s")))
       .localCheckpoint()
     var labels = edges.select(col("s").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))

@@ -103,5 +103,29 @@ object BreadthQueries extends QueryPack {
              |  FROM d)
              |SELECT doc_id, count(*) AS n_rows, count(tok) AS n_toks
              |FROM x GROUP BY 1""".stripMargin),
-      "P6: explode_outer null-array semantics ≡ guarded unnest"))
+      "P6: explode_outer null-array semantics ≡ guarded unnest"),
+
+    GraftQuery(
+      "q64_histogram",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // A11 adjunct: fixed-width histogram — the O(n) numeric profile
+        // every data-quality pass runs before training. One narrow
+        // projection + two-phase agg on the bin key; bin count is
+        // data-range-bound, not row-bound, so the shuffle is tiny at
+        // any corpus size.
+        t.events
+          .select(floor(col("value") / 50).cast(LongType).as("bin"),
+                  floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+               min(col("cents")).as("min_cents"),
+               max(col("cents")).as("max_cents"))
+      },
+      Some("""SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+             |  count(*) AS n,
+             |  CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+             |  CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      "A11: fixed-width histogram binning with per-bin extrema"))
 }

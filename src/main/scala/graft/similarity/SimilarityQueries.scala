@@ -307,7 +307,33 @@ object SimilarityQueries extends QueryPack {
              |SELECT vec_id, cid,
              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
              |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
-      "J7/north star: IVF probe search — nprobe=2 lists, exact rerank inside"))
+      "J7/north star: IVF probe search — nprobe=2 lists, exact rerank inside"),
+
+    GraftQuery(
+      "s07_semantic_clusters",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The semantic twin of d07: exact connected components over the
+        // embedding near-dup pair graph (s05 ships the one-pass
+        // keep-first approximation). Same iterative min-label
+        // propagation, same scale shape: the pair graph is (id, id)
+        // longs, orders of magnitude smaller than the vector corpus.
+        graft.dedup.DedupQueries.clusterLabels(
+            embeddingNeardupPairs(t).select(col("vec_a"), col("vec_b")))
+          .toDF("vec_id", "cluster_id")
+      },
+      Some(neardupPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, pe AS (SELECT vec_a, vec_b FROM p WHERE sim >= 0.3),
+          |edges AS (
+          |  SELECT vec_a AS s, vec_b AS d FROM pe
+          |  UNION SELECT vec_b, vec_a FROM pe),
+          |reach(vec_id, r) AS (
+          |  SELECT s, s FROM edges
+          |  UNION
+          |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.vec_id = e.d)
+          |SELECT vec_id, min(r) AS cluster_id
+          |FROM reach GROUP BY vec_id""".stripMargin),
+      "North star: semantic clusters — connected components over embedding near-dup pairs"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }
