@@ -160,4 +160,35 @@ class ScaleToolsSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The third join-pruning lever after broadcast and DPP: when a
+    // selective dim side must shuffle-join (too big to broadcast), the
+    // optimizer injects a bloom filter built from the dim keys and
+    // applies it on the fact scan — at 100 TB this drops most fact rows
+    // BEFORE the shuffle. Thresholds lowered so sf-scale inputs qualify.
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle join
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT") // selective build side
+        .select("o_orderkey")
+      val joined = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain")
+        || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
