@@ -127,5 +127,34 @@ object BreadthQueries extends QueryPack {
              |  CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
              |  CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents
              |FROM events GROUP BY 1""".stripMargin),
-      "A11: fixed-width histogram binning with per-bin extrema"))
+      "A11: fixed-width histogram binning with per-bin extrema"),
+
+    GraftQuery(
+      "q65_stratified_sample",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // O2 extension: deterministic stratified (class-balanced)
+        // sampling — per-class keep-rates by key-modulo, the q45 policy
+        // generalized per stratum. Reproducible at any cluster size,
+        // no rand(), and the modulo predicate stays in the scan filter.
+        // This is the class-rebalancing pass a training-data pipeline
+        // runs over a skewed event log.
+        val rate = map(lit("purchase"), lit(1),
+                       lit("click"), lit(4),
+                       lit("view"), lit(10))
+        t.events
+          .withColumn("r", coalesce(element_at(rate, col("event_type")), lit(20)))
+          .filter(pmod(col("event_id"), col("r")) === 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""SELECT event_type, count(*) AS n_kept
+             |FROM events
+             |WHERE event_id % (CASE event_type
+             |  WHEN 'purchase' THEN 1
+             |  WHEN 'click' THEN 4
+             |  WHEN 'view' THEN 10
+             |  ELSE 20 END) = 0
+             |GROUP BY 1""".stripMargin),
+      "O2: deterministic class-balanced sampling via per-stratum key-modulo"))
 }
