@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based checks (seeded ScalaCheck generators, batched into
+  * single Spark jobs): the codegen'd expression kernels against naive
+  * reference implementations, and the Canon exactness property that
+  * motivates integer-cents aggregation. */
+class PropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(rng.Seed(seed))(_.next)
+      .map(s => g.pureApply(params, s))
+      .take(n).toSeq
+  }
+
+  test("RollingHashMin.compute matches the brute-force window minimum") {
+    val Base = 257L
+    val Mod = 1000000007L
+    def brute(s: String, window: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val n = bytes.length
+      if (n == 0 || window <= 0) return 0L
+      val w = math.min(window, n)
+      (0 to n - w).map { i =>
+        var h = 0L
+        var j = 0
+        while (j < w) { h = (h * Base + (bytes(i + j) & 0xff)) % Mod; j += 1 }
+        h
+      }.min
+    }
+    val genCase = for {
+      s <- Gen.oneOf(
+        Gen.alphaNumStr,
+        Gen.listOf(Gen.choose(Char.MinValue, '퟿')).map(_.mkString), // incl. multi-byte UTF-8
+        Gen.const(""))
+      w <- Gen.choose(1, 12)
+    } yield (s, w)
+    sample(genCase, 300, seed = 7L).foreach { case (s, w) =>
+      val got = graft.functions.RollingHashMin.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), w)
+      assert(got == brute(s, w), s"string=${s.take(40)} window=$w")
+    }
+  }
+
+  test("RollingHashMin expression path (eval/codegen) equals the driver kernel") {
+    import spark.implicits._
+    val strings = sample(Gen.alphaNumStr, 100, seed = 11L).distinct
+    val df = strings.toDF("s")
+      .select(col("s"), graft.functions.RollingHashMin.rollingHashMin(col("s"), 8).as("h"))
+    df.collect().foreach { r =>
+      val expect = graft.functions.RollingHashMin.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), 8)
+      assert(r.getLong(1) == expect, s"expression diverged on '${r.getString(0)}'")
+    }
+  }
+
+  test("CosineSim is bounded, symmetric, and 1.0 on itself") {
+    import spark.implicits._
+    import graft.functions.CosineSim.cosineFast
+    val genVec = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+      .suchThat(_.exists(_ != 0.0)).map(_.toArray)
+    val vecs = sample(genVec, 120, seed = 23L)
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+      .select(cosineFast(col("a"), col("b")).as("ab"),
+              cosineFast(col("b"), col("a")).as("ba"),
+              cosineFast(col("a"), col("a")).as("aa"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9, "out of [-1,1]")
+      assert(r.getDouble(0) == r.getDouble(1), "not symmetric") // same fused loop order
+      assert(math.abs(r.getDouble(2) - 1.0) <= 1e-12, "cos(v,v) != 1")
+    }
+  }
+
+  test("Canon.sumCents is exact where a double sum drifts") {
+    import spark.implicits._
+    // money values: k cents rendered as doubles (the parquet reality)
+    val centsVals = sample(Gen.choose(-999999L, 999999L), 5000, seed = 31L)
+    val exact = centsVals.sum
+    val df = centsVals.map(_ / 100.0).toDF("v")
+    val got = df.agg(graft.functions.Canon.sumCents(col("v"))).head().getLong(0)
+    assert(got == exact, s"sumCents $got != exact $exact")
+  }
+}
