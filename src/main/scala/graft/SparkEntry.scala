@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.AsofQueries,
     graft.sources.SourceQueries,
     graft.analysis.TextQueries,
+    graft.analysis.QualityQueries,
     graft.operators.PipelineQueries,
     graft.operators.BreadthQueries,
     graft.dedup.DedupQueries,

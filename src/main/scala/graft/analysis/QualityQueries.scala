@@ -1,0 +1,206 @@
+package graft.analysis
+
+import graft.{GraftQuery, QueryPack}
+import graft.core.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Document-quality filtering pack for LLM training-data pipelines
+  * (north star, beyond the reference): the published heuristic-filter
+  * families — Gopher-style rule gates, PII masking, within-document
+  * repetition, and corpus-frequency (CCNet-style) rarity scoring.
+  *
+  * Scale shape: t09/t10/t11 are pure per-row column expressions (one
+  * narrow projection, whole-stage codegen, zero shuffles — they stream
+  * over 100 TB); t12 is two linear shuffles plus a broadcast of a
+  * vocabulary-sized side table.
+  *
+  * Thresholds are integer-form (`a*k < b*m`, never `a/b < 0.x`) so the
+  * keep/drop gates are bitwise-identical across engines; ratio OUTPUTS
+  * use the `*_e4` fixed-point convention (graft.functions.Canon).
+  */
+object QualityQueries extends QueryPack {
+
+  /** Non-overlapping occurrence count via the replace-length trick —
+    * identical semantics in Spark and DuckDB (see TextQueries). */
+  private def occurrences(c: Column, w: String): Column =
+    ((length(c) - length(replace(c, lit(w), lit("")))) / w.length).cast(LongType)
+
+  private def e4(c: Column): Column = floor(c * 10000 + 0.5).cast(LongType)
+
+  val queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "t09_gopher_rules",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Gopher-style quality rules (Rae et al. 2021 §A1.1 recast as
+        // column expressions): word-count bounds, mean-word-length
+        // bounds, type/token ratio floor, minimum stop-word evidence.
+        // All gates in integer arithmetic so the boolean is portable.
+        val toks = split(col("text"), " ")
+        val txt = concat(lit(" "), col("text"), lit(" "))
+        val nWords = size(toks).cast(LongType)
+        val charsNs = length(translate(col("text"), " ", "")).cast(LongType)
+        val nUniq = size(array_distinct(toks)).cast(LongType)
+        val nStop = occurrences(txt, " the ") + occurrences(txt, " a ") +
+          occurrences(txt, " of ")
+        t.documents.select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          e4(charsNs.cast("double") / nWords).as("mean_word_len_e4"),
+          e4(nUniq.cast("double") / nWords).as("type_token_ratio_e4"),
+          nStop.as("n_stopwords"),
+          (nWords >= 50 && nWords <= 100000 &&
+            charsNs >= nWords * 3 && charsNs <= nWords * 10 &&
+            nUniq * 5 >= nWords &&
+            nStop >= 2).as("keep"))
+      },
+      Some("""SELECT doc_id, n_words,
+             |  CAST(floor(chars_ns * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
+             |  CAST(floor(n_uniq * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS type_token_ratio_e4,
+             |  n_stop AS n_stopwords,
+             |  (n_words >= 50 AND n_words <= 100000
+             |   AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
+             |   AND n_uniq * 5 >= n_words
+             |   AND n_stop >= 2) AS keep
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))""".stripMargin),
+      "North star: Gopher-style quality rule gate (integer-form thresholds)"),
+
+    GraftQuery(
+      "t10_pii_scrub",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // PII masking: redact emails and phone-shaped tokens, count what
+        // was removed, fingerprint the scrubbed text. The corpus is
+        // digit-free by construction, so the PII-bearing input is built
+        // deterministically from doc_id (same construction in the
+        // oracle) — the operator under test is the scrub pipeline:
+        // regexp counts → ordered regexp_replace chain → content hash.
+        val raw = concat(
+          col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" cc audit@example.org"))
+            .otherwise(lit("")), lit(" asap"))
+        val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phonePat = "555-[0-9]{4}"
+        val scrubbed = regexp_replace(
+          regexp_replace(raw, emailPat, "<EMAIL>"), phonePat, "<PHONE>")
+        t.documents.select(
+          col("doc_id"),
+          size(regexp_extract_all(raw, lit(emailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(raw, lit(phonePat), lit(0))).as("n_phones"),
+          length(raw).as("len_raw"),
+          length(scrubbed).as("len_scrubbed"),
+          md5(scrubbed).as("scrub_fp"))
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+             |  len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+             |  length(raw) AS len_raw,
+             |  length(scrubbed) AS len_scrubbed,
+             |  md5(scrubbed) AS scrub_fp
+             |FROM (
+             |  SELECT doc_id, raw,
+             |    regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+',
+             |      '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+             |  FROM (
+             |    SELECT doc_id,
+             |      text || ' contact u' || CAST(doc_id AS VARCHAR)
+             |        || '@example.com or call 555-'
+             |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |        || CASE WHEN doc_id % 3 = 0 THEN ' cc audit@example.org' ELSE '' END
+             |        || ' asap' AS raw
+             |    FROM documents))""".stripMargin),
+      "North star: PII masking — email/phone redaction counts + scrub fingerprint"),
+
+    GraftQuery(
+      "t11_bigram_repetition",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Within-document repetition (the Gopher duplicate-2-gram
+        // signal): fraction of bigram occurrences that are repeats of an
+        // earlier bigram in the same doc. Pure array lambdas — the
+        // bigram list never leaves the row, so the operator is a
+        // zero-shuffle projection (vs the corpus-level dedup in d0x).
+        val bigrams = expr(
+          "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', toks[i + 1]))")
+        t.documents
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 2)
+          .withColumn("bigrams", bigrams)
+          .select(
+            col("doc_id"),
+            size(col("bigrams")).as("n_bigrams"),
+            size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"),
+            e4((size(col("bigrams")) - size(array_distinct(col("bigrams"))))
+              .cast("double") / size(col("bigrams"))).as("dup_bigram_frac_e4"),
+            ((size(col("bigrams")) - size(array_distinct(col("bigrams")))) * 5
+              <= size(col("bigrams"))).as("keep"))
+      },
+      Some("""WITH l AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |b AS (
+             |  SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+             |  FROM l WHERE len(toks) >= 2),
+             |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM b),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_bigrams,
+             |         count(DISTINCT bigram) AS n_distinct
+             |  FROM bg GROUP BY 1)
+             |SELECT doc_id, n_bigrams, n_distinct AS n_distinct_bigrams,
+             |  CAST(floor((n_bigrams - n_distinct) * 1.0 / n_bigrams * 10000 + 0.5)
+             |    AS BIGINT) AS dup_bigram_frac_e4,
+             |  ((n_bigrams - n_distinct) * 5 <= n_bigrams) AS keep
+             |FROM agg""".stripMargin),
+      "North star: duplicate-bigram repetition gate (zero-shuffle array lambdas)"),
+
+    GraftQuery(
+      "t12_rare_token_frac",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Corpus-frequency scoring (CCNet-style): fraction of each doc's
+        // token stream drawn from the rare end of the corpus vocabulary.
+        // "Rare" is relative (df·4 < n_docs·3) so the gate is scale-free
+        // and integer-exact. Scale shape: one explode shuffle to build
+        // df, then the vocabulary-sized (df) table broadcasts back onto
+        // the token stream — the corpus itself is never re-shuffled.
+        val tok = t.documents
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        val dfTab = tok.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+        val rarity = dfTab.crossJoin(broadcast(nDocs))
+          .select(col("token"), (col("df") * 4 < col("n_docs") * 3).as("is_rare"))
+        tok.join(broadcast(rarity), "token")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               sum(when(col("is_rare"), 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+                  e4(col("n_rare").cast("double") / col("n_tokens")).as("rare_frac_e4"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+             |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |r AS (SELECT token, (df * 4 < n_docs * 3) AS is_rare FROM df, n)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             |  CAST(floor(sum(CASE WHEN is_rare THEN 1 ELSE 0 END) * 1.0 / count(*)
+             |    * 10000 + 0.5) AS BIGINT) AS rare_frac_e4
+             |FROM tok2 JOIN r USING (token)
+             |GROUP BY 1""".stripMargin),
+      "North star: corpus-frequency rarity scoring (broadcast df, CCNet-style)"))
+}
