@@ -22,13 +22,13 @@ import org.apache.spark.sql.types.LongType
   */
 object DedupQueries extends QueryPack {
 
-  /** Distinct 3-word shingles of `text` (empty when the doc has <3 words —
+  /** Distinct `w`-word shingles of `text` (empty when the doc has <w words —
     * Spark's `sequence(0, n)` would go *descending* for n<0). */
-  def shingles(text: Column): Column = {
+  def shingles(text: Column, w: Int = 3): Column = {
     val toks = split(text, " ")
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w))))))
       .otherwise(array())
   }
 
@@ -347,7 +347,52 @@ object DedupQueries extends QueryPack {
           |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.doc_id = e.d)
           |SELECT doc_id, min(r) AS cluster_id
           |FROM reach GROUP BY doc_id""".stripMargin),
-      "North star: transitive near-dup clusters (connected components over verified pairs)"))
+      "North star: transitive near-dup clusters (connected components over verified pairs)"),
+
+    GraftQuery(
+      "d08_decontaminate",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Benchmark decontamination (the published train/eval n-gram
+        // overlap check, e.g. GPT-3 appx C's 13-gram rule; width 4 here —
+        // the synthetic corpus's tiny vocab kills longer overlaps):
+        // eval membership = doc_id % 50 == 0 (stand-in benchmark slice);
+        // a train doc is contaminated where it shares a 4-token shingle
+        // with any eval doc. Scale shape: eval benchmarks are thousands
+        // of docs vs a 100 TB train corpus — the distinct eval-shingle
+        // set BROADCASTS, and the train side streams through one explode
+        // + hash-agg; the train corpus is never shuffled pairwise.
+        val docs = t.documents
+        val evalSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+        val trainSh = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+        val nSh = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        trainSh.join(broadcast(evalSh), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+          .join(nSh, "doc_id")
+          .select(col("doc_id"), col("n_contaminated"), col("n_shingles"),
+            floor(col("n_contaminated") * 10000.0 / col("n_shingles") + 0.5)
+              .cast(LongType).as("contam_frac_e4"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh4 AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(tk) - 3),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+             |  FROM toks WHERE len(tk) >= 4),
+             |ev AS (SELECT DISTINCT sh FROM sh4 WHERE doc_id % 50 = 0),
+             |tr AS (SELECT doc_id, sh FROM sh4 WHERE doc_id % 50 <> 0),
+             |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+             |hit AS (
+             |  SELECT t.doc_id, count(*) AS n_contaminated
+             |  FROM tr t JOIN ev USING (sh) GROUP BY 1)
+             |SELECT h.doc_id, CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+             |  CAST(c.n_shingles AS BIGINT) AS n_shingles,
+             |  CAST(floor(h.n_contaminated * 10000.0 / c.n_shingles + 0.5) AS BIGINT) AS contam_frac_e4
+             |FROM hit h JOIN cnt c USING (doc_id)""".stripMargin),
+      "North star: benchmark decontamination — train/eval 4-gram overlap, broadcast eval set"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable). Driver-side fixpoint loop;
