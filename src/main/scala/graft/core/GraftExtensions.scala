@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{CosineSim, RollingHashMin}
+import graft.functions.{CosineSim, HammingDistance, RollingHashMin}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    ext.injectFunction(GraftExtensions.hammingDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SelfCosineFold)
   }
 }
@@ -45,6 +46,12 @@ object GraftExtensions {
         RollingHashMin(Cast(children(0), StringType),
           if (children.length > 1) Cast(children(1), IntegerType) else Literal(32)))
 
+  val hammingDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
+      (children: Seq[Expression]) =>
+        HammingDistance(Cast(children(0), StringType), Cast(children(1), StringType)))
+
   /** Register on an already-built session (temp functions), including the
     * typed vector_avg aggregate. */
   def register(spark: SparkSession): Unit = {
@@ -53,6 +60,8 @@ object GraftExtensions {
       cosineSimDescriptor._3, "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_min",
       rollingHashDescriptor._3, "built-in")
+    reg.createOrReplaceTempFunction("hamming_dist",
+      hammingDescriptor._3, "built-in")
     spark.udf.register("vector_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))

@@ -430,10 +430,10 @@ object DedupQueries extends QueryPack {
                      col(s"nd$k").as("id_b"), col(s"ns$k").as("sh_b"))
             .filter(col(s"id_b").isNotNull)
         }.reduce(_ union _)
-        val hamming = (0 until 16).map { j =>
-          when(substring(col("sh_a"), j + 1, 1) =!= substring(col("sh_b"), j + 1, 1), 1)
-            .otherwise(0)
-        }.reduce(_ + _)
+        // Native codegen byte-loop Hamming (one fused kernel) instead of
+        // 16 substring-compare terms; ≡-pinned by ExpressionsSpec.
+        val hamming =
+          graft.functions.HammingDistance.hammingDist(col("sh_a"), col("sh_b"))
         pairs
           .select(least(col("id_a"), col("id_b")).as("doc_a"),
                   greatest(col("id_a"), col("id_b")).as("doc_b"),

@@ -66,4 +66,34 @@ class ExpressionsSpec extends SparkTestBase {
     assert(RollingHashMin.compute(UTF8String.fromString(""), 8) == 0L)
     assert(RollingHashMin.compute(UTF8String.fromString("ab"), 8) == naiveMinRolling("ab", 8))
   }
+
+  test("HammingDistance matches the substring-compare formulation; null on length mismatch") {
+    import graft.functions.HammingDistance
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 100).map { _ =>
+      val n = 16
+      val a = Seq.fill(n)(if (rnd.nextBoolean()) '1' else '0').mkString
+      val b = Seq.fill(n)(if (rnd.nextBoolean()) '1' else '0').mkString
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val folded = (0 until 16).map { j =>
+      when(substring(col("a"), j + 1, 1) =!= substring(col("b"), j + 1, 1), 1).otherwise(0)
+    }.reduce(_ + _)
+    val out = df.select(
+      HammingDistance.hammingDist(col("a"), col("b")).as("fast"),
+      folded.as("folded")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // length mismatch → NULL (not a wrong count)
+    val m = Seq(("0101", "01011")).toDF("a", "b")
+      .select(HammingDistance.hammingDist(col("a"), col("b"))).head()
+    assert(m.isNullAt(0))
+  }
+
+  test("hamming_dist is callable from SQL via GraftExtensions") {
+    graft.core.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT hamming_dist('1010', '1001') AS h").head()
+    assert(r.getInt(0) == 2)
+  }
 }
