@@ -202,5 +202,75 @@ object QualityQueries extends QueryPack {
              |    * 10000 + 0.5) AS BIGINT) AS rare_frac_e4
              |FROM tok2 JOIN r USING (token)
              |GROUP BY 1""".stripMargin),
-      "North star: corpus-frequency rarity scoring (broadcast df, CCNet-style)"))
+      "North star: corpus-frequency rarity scoring (broadcast df, CCNet-style)"),
+
+    GraftQuery(
+      "t13_corpus_pipeline",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // End-to-end training-corpus build: quality gate (t09's rules) →
+        // exact dedup keep-first (d01's shape) → shard-local sequence
+        // packing (t08's shape), composed as ONE declarative plan so
+        // Catalyst fuses the gate into the scan and the whole pipeline
+        // runs in three shuffles: (hash→min), the keep semi-join, and
+        // the per-shard pack window. This is the composition story — a
+        // user chains the engine's stages without materializing
+        // intermediates.
+        val toks = split(col("text"), " ")
+        val txt = concat(lit(" "), col("text"), lit(" "))
+        val nWords = size(toks).cast(LongType)
+        val charsNs = length(translate(col("text"), " ", "")).cast(LongType)
+        val nUniq = size(array_distinct(toks)).cast(LongType)
+        val nStop = occurrences(txt, " the ") + occurrences(txt, " a ") +
+          occurrences(txt, " of ")
+        val kept = t.documents
+          .withColumn("n_tokens", nWords)
+          .filter(nWords >= 50 && nWords <= 100000 &&
+            charsNs >= nWords * 3 && charsNs <= nWords * 10 &&
+            nUniq * 5 >= nWords && nStop >= 2)
+        val firsts = kept
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = kept.join(firsts.select("doc_id"), Seq("doc_id"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        deduped
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_tokens"))
+          .withColumn("bin",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 512)
+              .cast(LongType))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens"),
+               min(col("doc_id")).as("first_doc"),
+               max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents)),
+             |kept AS (
+             |  SELECT doc_id, text, n_tokens FROM base
+             |  WHERE n_tokens >= 50 AND n_tokens <= 100000
+             |    AND chars_ns >= n_tokens * 3 AND chars_ns <= n_tokens * 10
+             |    AND n_uniq * 5 >= n_tokens AND n_stop >= 2),
+             |firsts AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+             |ded AS (SELECT k.doc_id, k.n_tokens FROM kept k JOIN firsts USING (doc_id)),
+             |binned AS (
+             |  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      / 512) AS BIGINT) AS bin
+             |  FROM ded)
+             |SELECT shard, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM binned GROUP BY 1, 2""".stripMargin),
+      "North star: end-to-end corpus build — quality gate → dedup → packing, one plan"))
 }
