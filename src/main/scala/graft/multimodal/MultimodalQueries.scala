@@ -91,7 +91,40 @@ object MultimodalQueries extends QueryPack {
              |  3 AS channels,
              |  CAST(floor(ascii(substring(text, 1, 1)) / 64) * 64 AS INTEGER) AS luma_stub
              |FROM documents""".stripMargin),
-      "North star: stubbed decode/feature-extract via typed mapPartitions batch"))
+      "North star: stubbed decode/feature-extract via typed mapPartitions batch"),
+
+    GraftQuery(
+      "mm04_resize_batch",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Batched resize plumbing: payloads flow through mapPartitions in
+        // groups of 64 — the Scala shape of a vectorized (pandas-style)
+        // UDF, where a real implementation hands each batch to a native
+        // resize library in one call. The geometry math (fit-to-224,
+        // aspect preserved, integer-exact) is real; only the pixel work
+        // is the deterministic stub. Zero shuffles — pure projection.
+        val bin = t.documents
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        bin.mapPartitions(_.grouped(64).flatMap { batch =>
+          // batch boundary = where the vectorized library call happens
+          batch.map { case (id, payload) => FrameFeatures.resizeStub(id, payload) }
+        }).toDF()
+      },
+      Some("""SELECT doc_id, in_w, in_h,
+             |  CAST(CASE WHEN in_w >= in_h THEN 224
+             |       ELSE floor(in_w * 224.0 / greatest(in_h, 1)) END AS INTEGER) AS out_w,
+             |  CAST(CASE WHEN in_w >= in_h THEN floor(in_h * 224.0 / greatest(in_w, 1))
+             |       ELSE 224 END AS INTEGER) AS out_h,
+             |  CAST(floor(2240000.0 / greatest(in_w, in_h, 1)) AS BIGINT) AS scale_e4
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(octet_length(text::BLOB) % 640 AS INTEGER) AS in_w,
+             |    CAST(octet_length(text::BLOB) % 480 AS INTEGER) AS in_h
+             |  FROM documents)""".stripMargin),
+      "North star: batched resize plumbing (fit-to-224, vectorized-UDF batch shape)"))
 }
 
 /** Decoded frame features — the typed output contract of the decode stub. */
@@ -107,4 +140,22 @@ object FrameFeatures {
     val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
     DecodedFrame(id, n, (n % 640).toInt, (n % 480).toInt, 3, (b0 >> 6) << 6)
   }
+
+  /** Deterministic stand-in for image resize: fit the stub geometry into
+    * a 224×224 box preserving aspect ratio (integer-exact math; the
+    * pixel resample itself is where a real library call goes). */
+  def resizeStub(id: Long, payload: Array[Byte]): ResizedFrame = {
+    val n = payload.length
+    val w = n % 640
+    val h = n % 480
+    val (ow, oh) =
+      if (w >= h) (224, h * 224 / math.max(w, 1))
+      else (w * 224 / math.max(h, 1), 224)
+    val scaleE4 = 2240000L / math.max(math.max(w, h), 1)
+    ResizedFrame(id, w, h, ow, oh, scaleE4)
+  }
 }
+
+/** Resized frame geometry — output contract of the resize stub. */
+final case class ResizedFrame(doc_id: Long, in_w: Int, in_h: Int,
+                              out_w: Int, out_h: Int, scale_e4: Long)
