@@ -124,4 +124,27 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("BroadcastExchange"), s"probe/centroids should broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid global sort:\n$p")
   }
+
+  test("t12: rarity table broadcasts back onto the token stream — corpus never sort-merges") {
+    val p = plan("t12_rare_token_frac")
+    assert(p.contains("BroadcastHashJoin"), s"df table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream re-shuffled for the df join:\n$p")
+  }
+
+  test("d08: decontamination broadcasts the eval-shingle set over the train stream") {
+    val p = plan("d08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval shingles should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"contamination check went cartesian:\n$p")
+  }
+
+  test("t09/t11: quality gates are zero-shuffle single-pass projections") {
+    Seq("t09_gopher_rules", "t11_bigram_repetition").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val finalSection = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!finalSection.contains("Exchange"),
+        s"$name shuffles a pure per-row gate:\n$finalSection")
+    }
+  }
 }
