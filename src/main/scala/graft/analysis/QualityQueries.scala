@@ -29,6 +29,42 @@ object QualityQueries extends QueryPack {
 
   private def e4(c: Column): Column = floor(c * 10000 + 0.5).cast(LongType)
 
+  /** The t09 keep gate as a reusable column over `text` — also applied
+    * on ingest by the streaming tier (st15). */
+  def gopherKeep: Column = {
+    val toks = split(col("text"), " ")
+    val txt = concat(lit(" "), col("text"), lit(" "))
+    val nWords = size(toks).cast(LongType)
+    val charsNs = length(translate(col("text"), " ", "")).cast(LongType)
+    val nUniq = size(array_distinct(toks)).cast(LongType)
+    val nStop = occurrences(txt, " the ") + occurrences(txt, " a ") +
+      occurrences(txt, " of ")
+    nWords >= 50 && nWords <= 100000 &&
+      charsNs >= nWords * 3 && charsNs <= nWords * 10 &&
+      nUniq * 5 >= nWords &&
+      nStop >= 2
+  }
+
+  /** t09's oracle SQL (also the inner query of st15's streaming twin). */
+  val gopherSql: String =
+    """SELECT doc_id, n_words,
+      |  CAST(floor(chars_ns * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
+      |  CAST(floor(n_uniq * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS type_token_ratio_e4,
+      |  n_stop AS n_stopwords,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
+      |   AND n_uniq * 5 >= n_words
+      |   AND n_stop >= 2) AS keep
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+      |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+      |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+      |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -52,28 +88,9 @@ object QualityQueries extends QueryPack {
           e4(charsNs.cast("double") / nWords).as("mean_word_len_e4"),
           e4(nUniq.cast("double") / nWords).as("type_token_ratio_e4"),
           nStop.as("n_stopwords"),
-          (nWords >= 50 && nWords <= 100000 &&
-            charsNs >= nWords * 3 && charsNs <= nWords * 10 &&
-            nUniq * 5 >= nWords &&
-            nStop >= 2).as("keep"))
+          gopherKeep.as("keep"))
       },
-      Some("""SELECT doc_id, n_words,
-             |  CAST(floor(chars_ns * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS mean_word_len_e4,
-             |  CAST(floor(n_uniq * 1.0 / n_words * 10000 + 0.5) AS BIGINT) AS type_token_ratio_e4,
-             |  n_stop AS n_stopwords,
-             |  (n_words >= 50 AND n_words <= 100000
-             |   AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
-             |   AND n_uniq * 5 >= n_words
-             |   AND n_stop >= 2) AS keep
-             |FROM (
-             |  SELECT doc_id,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
-             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
-             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
-             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
-             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))""".stripMargin),
+      Some(gopherSql),
       "North star: Gopher-style quality rule gate (integer-form thresholds)"),
 
     GraftQuery(

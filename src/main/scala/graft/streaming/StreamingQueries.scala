@@ -525,7 +525,32 @@ object StreamingQueries extends QueryPack {
              | AND c.ts >= p.ts - INTERVAL 1 HOUR
              | AND c.ts <= p.ts
              |GROUP BY p.user_id""".stripMargin),
-      "J6/T5: watermarked stream-stream LEFT OUTER join — outer rows sealed by watermark"))
+      "J6/T5: watermarked stream-stream LEFT OUTER join — outer rows sealed by watermark"),
+
+    GraftQuery(
+      "st15_stream_quality_gate",
+      (spark, dir) => {
+        // Quality filtering ON INGEST: the t09 Gopher gate applied inside
+        // a document stream (the LLM-pipeline deployment shape — filter
+        // before anything lands), keep/drop counts in complete mode ≡
+        // the batch gate. The gate column is the SAME expression object
+        // as t09's (QualityQueries.gopherKeep), so batch and streaming
+        // tiers can never drift.
+        val staged = Streams.dataDir("graft_docs_qg_")
+        Tables(spark, dir).documents.repartition(2)
+          .write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val docStream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+          val agg = docStream
+            .select(graft.analysis.QualityQueries.gopherKeep.as("keep"))
+            .groupBy("keep")
+            .agg(count(lit(1)).as("n_docs"))
+          Streams.drainToMemory(agg, "st15_sink", outputMode = "complete")
+        }
+      },
+      Some("SELECT keep, count(*) AS n_docs FROM (\n" +
+        graft.analysis.QualityQueries.gopherSql + "\n) GROUP BY 1"),
+      "North star/T: quality gate on ingest — streaming keep/drop counts ≡ batch gate"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
