@@ -289,5 +289,100 @@ object QualityQueries extends QueryPack {
              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM binned GROUP BY 1, 2""".stripMargin),
-      "North star: end-to-end corpus build — quality gate → dedup → packing, one plan"))
+      "North star: end-to-end corpus build — quality gate → dedup → packing, one plan"),
+
+    GraftQuery(
+      "t14_vocab_coverage",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Tokenizer-prep vocabulary analysis: corpus term frequencies
+        // ranked with cumulative token-mass coverage — the curve that
+        // sizes a BPE/unigram vocabulary. The unpartitioned window runs
+        // over the VOCABULARY (≈10⁶ rows at web scale, after the corpus
+        // collapses in one hash-agg shuffle), never the corpus, so the
+        // single-partition sort is bounded. Total order (cnt DESC,
+        // token ASC) makes rank and running mass deterministic.
+        val tok = t.documents
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+        val cnt = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)
+        val wcum = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wall = org.apache.spark.sql.expressions.Window
+          .partitionBy()
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                       org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        cnt
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum", sum(col("cnt")).over(wcum))
+          .withColumn("total", sum(col("cnt")).over(wall))
+          .filter(col("rank") <= 20)
+          .select(col("token"), col("cnt"), col("rank"),
+                  e4(col("cum").cast("double") / col("total")).as("cum_frac_e4"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |tok2 AS (SELECT token FROM tok WHERE length(token) > 0),
+             |cnt AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+             |r AS (
+             |  SELECT token, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+             |    sum(cnt) OVER (ORDER BY cnt DESC, token
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS total
+             |  FROM cnt)
+             |SELECT token, CAST(cnt AS BIGINT) AS cnt, rank,
+             |  CAST(floor(cum * 1.0 / total * 10000 + 0.5) AS BIGINT) AS cum_frac_e4
+             |FROM r WHERE rank <= 20""".stripMargin),
+      "North star: vocabulary frequency ranking + cumulative coverage (BPE sizing)"),
+
+    GraftQuery(
+      "t15_corpus_report",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Per-source corpus report card — the acceptance dashboard a data
+        // pipeline publishes per crawl/source: volume, quality keep-rate
+        // (the SAME gopherKeep expression as t09/st15), average length,
+        // language spread, exact-dup rate. One hash-agg shuffle on
+        // `source`; all inputs are per-row expressions.
+        t.documents
+          .withColumn("keep", gopherKeep)
+          .select(col("source"), col("lang"), col("keep"),
+                  md5(col("text")).as("h"),
+                  size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+               sum(col("n_tokens")).as("sum_tokens"),
+               countDistinct(col("lang")).as("n_langs"),
+               (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"))
+          .select(col("source"), col("n_docs"), col("n_keep"),
+                  e4(col("n_keep").cast("double") / col("n_docs")).as("keep_frac_e4"),
+                  e4(col("sum_tokens").cast("double") / col("n_docs")).as("avg_tokens_e4"),
+                  col("n_langs"), col("n_dup_docs"))
+      },
+      Some("""WITH base AS (
+             |  SELECT source, lang, md5(text) AS h,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents)),
+             |k AS (
+             |  SELECT *, (n_tokens >= 50 AND n_tokens <= 100000
+             |    AND chars_ns >= n_tokens * 3 AND chars_ns <= n_tokens * 10
+             |    AND n_uniq * 5 >= n_tokens AND n_stop >= 2) AS keep
+             |  FROM base)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |  CAST(floor(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS keep_frac_e4,
+             |  CAST(floor(sum(n_tokens) * 1.0 / count(*) * 10000 + 0.5) AS BIGINT) AS avg_tokens_e4,
+             |  count(DISTINCT lang) AS n_langs,
+             |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs
+             |FROM k GROUP BY 1""".stripMargin),
+      "North star: per-source corpus report card (volume/quality/length/lang/dup-rate)"))
 }
