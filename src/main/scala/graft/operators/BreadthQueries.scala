@@ -156,5 +156,81 @@ object BreadthQueries extends QueryPack {
              |  WHEN 'view' THEN 10
              |  ELSE 20 END) = 0
              |GROUP BY 1""".stripMargin),
-      "O2: deterministic class-balanced sampling via per-stratum key-modulo"))
+      "O2: deterministic class-balanced sampling via per-stratum key-modulo"),
+
+    GraftQuery(
+      "q66_salted_agg",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The skew weapon, explicit: two-phase salted aggregation. Phase
+        // 1 spreads each hot group key over 8 salt shards (no shard ever
+        // holds a whole hot key); phase 2 merges the 8 partials per key.
+        // Partials are integer cents (graft.functions.Canon), so the
+        // regrouped addition order cannot change the result — the
+        // property that makes salting SAFE to apply to money columns.
+        // Equivalence with the unsalted form is also spec-proven
+        // (ScaleToolsSpec); this entry proves it against the oracle.
+        t.lineitem
+          .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(graft.functions.Canon.sumCents(col("l_extendedprice")).as("partial_cents"),
+               count(lit(1)).as("partial_n"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("partial_cents")).as("sum_price_cents"),
+               sum(col("partial_n")).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 1""".stripMargin),
+      "A1 at scale: two-phase salted aggregation ≡ plain groupBy oracle"),
+
+    GraftQuery(
+      "q67_funnel",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Ordered-event funnel (view → click → purchase): per user, the
+        // first view, the first click AFTER that view, the first
+        // purchase AFTER that click; then stage conversion counts.
+        // Three stacked whole-partition windows + the per-user agg all
+        // share the user_id clustering, so the funnel is ONE shuffle of
+        // the event table — no join-backs (q60's sessionization
+        // pattern; each stage's threshold is a partition constant the
+        // next window's conditional can reference).
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        val staged = t.events
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+              col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+              col("ts"))).over(w))
+        val perUser = staged.groupBy("user_id")
+          .agg(first(col("t_view")).as("t_view"),
+               first(col("t_click")).as("t_click"),
+               first(col("t_purchase")).as("t_purchase"))
+        perUser.agg(
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_clicked_after"),
+          sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+             |  FROM events GROUP BY 1),
+             |c AS (
+             |  SELECT e.user_id, v.t_view,
+             |    min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) AS t_click
+             |  FROM events e JOIN v USING (user_id) GROUP BY 1, 2),
+             |p AS (
+             |  SELECT e.user_id, c.t_view, c.t_click,
+             |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+             |  FROM events e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+             |SELECT
+             |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+             |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+             |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+             |FROM p""".stripMargin),
+      "Analytics: ordered view→click→purchase funnel, conditional-agg form"))
 }

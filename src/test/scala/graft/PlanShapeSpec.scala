@@ -125,6 +125,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid global sort:\n$p")
   }
 
+  test("q67: funnel stages share one user_id shuffle — no event-table join-backs") {
+    val df = SparkEntry.queries("q67_funnel")(spark, sfDir)
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashExchanges = "hashpartitioning".r.findAllIn(finalSection).length
+    assert(hashExchanges <= 1, s"expected one user_id shuffle:\n$finalSection")
+    assert(!finalSection.contains("Join"), s"funnel re-joined the event table:\n$finalSection")
+  }
+
   test("t12: rarity table broadcasts back onto the token stream — corpus never sort-merges") {
     val p = plan("t12_rare_token_frac")
     assert(p.contains("BroadcastHashJoin"), s"df table should broadcast:\n$p")
