@@ -177,4 +177,43 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val b = run("q44_topk").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("decontamination flags only train docs, never the eval slice (d08)") {
+    val r = run("d08_decontaminate").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("doc_id") % 50 != 0), "eval doc flagged as train")
+    assert(r.forall { row =>
+      row.getAs[Long]("n_contaminated") <= row.getAs[Long]("n_shingles")
+    }, "contaminated shingles exceed the doc's shingle count")
+  }
+
+  test("SimHash near-dup pairs are ordered and within the Hamming bound (d09)") {
+    val r = run("d09_simhash_neardup").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getAs[Long]("doc_a") < row.getAs[Long]("doc_b")))
+    assert(r.forall { row =>
+      val h = row.getAs[Int]("hamming"); h >= 0 && h <= 2
+    })
+  }
+
+  test("corpus pipeline conserves gate-passing deduped docs across bins (t13)") {
+    import graft.analysis.QualityQueries
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val kept = docs.filter(QualityQueries.gopherKeep)
+    val expected = kept
+      .groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
+      .count()
+    val binned = run("t13_corpus_pipeline").agg(sum("n_docs")).head().getLong(0)
+    assert(binned == expected, s"pipeline bins hold $binned docs, expected $expected")
+  }
+
+  test("vocabulary coverage is monotone in rank and bounded (t14)") {
+    val r = run("t14_vocab_coverage").orderBy("rank").collect()
+    assert(r.nonEmpty)
+    val fracs = r.map(_.getAs[Long]("cum_frac_e4"))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a <= b }, "coverage not monotone")
+    assert(fracs.forall(f => f > 0 && f <= 10000))
+    val cnts = r.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts not ranked desc")
+  }
 }
