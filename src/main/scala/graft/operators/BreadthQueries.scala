@@ -232,5 +232,80 @@ object BreadthQueries extends QueryPack {
              |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
              |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
              |FROM p""".stripMargin),
-      "Analytics: ordered view→click→purchase funnel, conditional-agg form"))
+      "Analytics: ordered view→click→purchase funnel, conditional-agg form"),
+
+    GraftQuery(
+      "q68_time_weighted",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Time-weighted average value per event type: each reading is
+        // weighted by how long it was "current" (micros until the next
+        // same-type event; the final open-ended reading is excluded).
+        // All arithmetic is integer (cents × micros, then integer
+        // division) — no float accumulation, so the result is exact and
+        // engine-portable even though the weighted sum exceeds 2^53.
+        // One shuffle: the lead window and the agg share the
+        // event_type clustering.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts").asc, col("event_id").asc)
+        t.events
+          .withColumn("w_micros",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .filter(col("w_micros").isNotNull)
+          .withColumn("cents", graft.functions.Canon.cents(col("value")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+               sum(col("w_micros")).as("sum_w_micros"),
+               sum(col("cents") * col("w_micros")).as("sum_cw"))
+          .select(col("event_type"), col("n_intervals"), col("sum_w_micros"),
+                  expr("sum_cw div sum_w_micros").as("twa_cents"))
+      },
+      Some("""WITH led AS (
+             |  SELECT event_type, value,
+             |    date_diff('microseconds', ts,
+             |      lead(ts, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)) AS w_micros
+             |  FROM events),
+             |iv AS (
+             |  SELECT event_type, w_micros,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM led WHERE w_micros IS NOT NULL)
+             |SELECT event_type, count(*) AS n_intervals,
+             |  CAST(sum(w_micros) AS BIGINT) AS sum_w_micros,
+             |  CAST(sum(cents * w_micros) // sum(w_micros) AS BIGINT) AS twa_cents
+             |FROM iv GROUP BY 1""".stripMargin),
+      "Analytics: time-weighted average per type — integer-exact, one shuffle"),
+
+    GraftQuery(
+      "q69_retention_cohorts",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Cohort retention: users grouped by first-activity day, counted
+        // on each subsequent day-offset (classic product-analytics
+        // triangle, offsets 0–7). Scale shape: the (user, day) activity
+        // set collapses first (one shuffle), the per-user cohort table
+        // joins back on user_id, and the final matrix is tiny.
+        val cohorts = t.events.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).as("cohort_ts"))
+        val activity = t.events
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+          .distinct()
+        activity.join(cohorts, "user_id")
+          .withColumn("offset", datediff(col("day_ts"), col("cohort_ts")))
+          .filter(col("offset") <= 7)
+          .groupBy(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+                   col("offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH cohorts AS (
+             |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_ts
+             |  FROM events GROUP BY 1),
+             |activity AS (
+             |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day_ts FROM events)
+             |SELECT strftime(c.cohort_ts, '%Y-%m-%d') AS cohort_day,
+             |  CAST(date_diff('day', c.cohort_ts, a.day_ts) AS INTEGER) AS "offset",
+             |  count(*) AS n_users
+             |FROM activity a JOIN cohorts c USING (user_id)
+             |WHERE date_diff('day', c.cohort_ts, a.day_ts) <= 7
+             |GROUP BY 1, 2""".stripMargin),
+      "Analytics: first-day cohort retention triangle (offsets 0-7)"))
 }
