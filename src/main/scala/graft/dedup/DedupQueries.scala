@@ -467,7 +467,42 @@ object DedupQueries extends QueryPack {
         """ AS hamming
           |  FROM pr)
           |SELECT DISTINCT doc_a, doc_b, hamming FROM ham WHERE hamming <= 2""".stripMargin),
-      "North star: SimHash sorted-neighborhood near-dup pairs, exact Hamming verify"))
+      "North star: SimHash sorted-neighborhood near-dup pairs, exact Hamming verify"),
+
+    GraftQuery(
+      "d10_repeated_ngrams",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Exact-substring repetition mining (the Lee et al. 2022
+        // "Deduplicating Training Data" signal at fixed width): which
+        // 6-token spans recur across documents, how widely, and where
+        // first. One explode + hash-agg (linear shuffle of (shingle,
+        // doc_id)), then a top-K under a TOTAL order (n_docs DESC,
+        // shingle ASC) via TakeOrderedAndProject — no global sort. The
+        // top spans are the boilerplate a substring-dedup pass would
+        // cut from the corpus.
+        t.documents
+          .select(col("doc_id"), explode(shingles(col("text"), 6)).as("sh"))
+          .groupBy("sh")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("sh").asc)
+          .limit(50)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh6 AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(tk) - 5),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]
+             |        || ' ' || tk[i+5] || ' ' || tk[i+6])) AS sh
+             |  FROM toks WHERE len(tk) >= 6),
+             |rep AS (
+             |  SELECT sh, count(*) AS n_docs, min(doc_id) AS first_doc
+             |  FROM sh6 GROUP BY 1 HAVING count(*) >= 2)
+             |SELECT sh, CAST(n_docs AS BIGINT) AS n_docs, first_doc
+             |FROM rep ORDER BY n_docs DESC, sh ASC LIMIT 50""".stripMargin),
+      "North star: repeated exact 6-gram spans across the corpus (substring-dedup signal)"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable). Driver-side fixpoint loop;

@@ -110,5 +110,32 @@ object SourceQueries extends QueryPack {
       Some("""SELECT event_type, count(*) AS n_events,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
              |FROM events GROUP BY 1""".stripMargin),
-      "S-format: JSON-lines write→read round-trip with declared schema"))
+      "S-format: JSON-lines write→read round-trip with declared schema"),
+
+    GraftQuery(
+      "src03_partitioned_write",
+      (spark, dir) => {
+        // Hive-style partitioned layout round-trip: write events
+        // partitioned by day, read ONE day back through the partition
+        // filter. At 100 TB this is the difference between scanning a
+        // table and scanning 1/30th of it — the day predicate prunes at
+        // the directory listing, before any parquet footer is opened
+        // (ScaleToolsSpec pins the scanned-file metrics; this entry pins
+        // the values against the oracle).
+        val out = graft.streaming.Streams.dataDir("graft_part_")
+        val events = graft.core.Tables(spark, dir).events
+          .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        events.write.mode("overwrite").partitionBy("day").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("day") === "2024-01-05")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events
+             |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
+             |GROUP BY 1""".stripMargin),
+      "S-layout: day-partitioned write → partition-pruned single-day read ≡ oracle"))
 }
