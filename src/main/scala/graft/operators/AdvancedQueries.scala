@@ -141,5 +141,74 @@ object AdvancedQueries extends QueryPack {
              |  CASE WHEN value >= 100 THEN 'big' ELSE 'small' END AS bucket_val,
              |  count(*) AS n, 2 AS n_keys
              |FROM events GROUP BY 1, 2""".stripMargin),
-      "P17: map construction + map_keys/element_at scalars"))
+      "P17: map construction + map_keys/element_at scalars"),
+
+    GraftQuery(
+      "q70_variant_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Spark 4 VARIANT: the open-ended semi-structured type replacing
+        // schema-on-read from_json for heterogeneous payloads (binary
+        // encoding, typed shredding, no full-schema declaration). The
+        // props envelope parses to VARIANT once; fields extract with
+        // typed variant_get paths. Output is plain ints/strings so the
+        // oracle is engine-neutral JSON extraction.
+        t.events
+          .select(col("event_id"), col("event_type"),
+                  parse_json(col("props")).as("v"))
+          .select(col("event_type"),
+                  variant_get(col("v"), "$.k", "int").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum(col("k")).as("sum_k"),
+               min(col("k")).as("min_k"),
+               max(col("k")).as("max_k"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+             |  CAST(min(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS min_k,
+             |  CAST(max(CAST(props->>'$.k' AS INTEGER)) AS INTEGER) AS max_k
+             |FROM events GROUP BY 1""".stripMargin),
+      "S4/P2 modern form: VARIANT parse + typed variant_get extraction"),
+
+    GraftQuery(
+      "q71_sql_pipe",
+      (spark, dir) => {
+        Tables(spark, dir).registerAll()
+        // Spark 4 SQL pipe syntax — the dashboards' SQL tier in the
+        // composable FROM ... |> form (each stage reads top-down, the
+        // way the DataFrame API composes). Same relational content as a
+        // classic GROUP BY, proven by the classic-SQL oracle.
+        spark.sql(
+          """FROM events
+            ||> WHERE value >= 10
+            ||> AGGREGATE count(*) AS n_events,
+            |     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            |   GROUP BY event_type
+            ||> ORDER BY event_type
+            |""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events WHERE value >= 10 GROUP BY 1""".stripMargin),
+      "S4 modern form: SQL pipe-operator syntax ≡ classic GROUP BY"),
+
+    GraftQuery(
+      "q72_sql_params",
+      (spark, dir) => {
+        Tables(spark, dir).registerAll()
+        // Parameterized SQL (named parameter markers) — the injection-
+        // safe dashboard pattern: the SQL text is constant, values bind
+        // at execution (reference dashboards interpolate strings:
+        // streamlit_app.py builds WHERE clauses by hand).
+        spark.sql(
+          "SELECT event_type, count(*) AS n_events FROM events " +
+            "WHERE event_type IN (:a, :b) AND value >= :minv GROUP BY 1",
+          Map("a" -> "purchase", "b" -> "click", "minv" -> 5))
+      },
+      Some("""SELECT event_type, count(*) AS n_events
+             |FROM events
+             |WHERE event_type IN ('purchase', 'click') AND value >= 5
+             |GROUP BY 1""".stripMargin),
+      "S4 modern form: named-parameter SQL binding (injection-safe dashboards)"))
 }
