@@ -384,5 +384,55 @@ object QualityQueries extends QueryPack {
              |  count(DISTINCT lang) AS n_langs,
              |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs
              |FROM k GROUP BY 1""".stripMargin),
-      "North star: per-source corpus report card (volume/quality/length/lang/dup-rate)"))
+      "North star: per-source corpus report card (volume/quality/length/lang/dup-rate)"),
+
+    GraftQuery(
+      "t16_domain_mixture",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Domain-mixture rebalancing: downsample every source toward the
+        // smallest source's volume (uniform target mixture) with a
+        // DETERMINISTIC per-source stride — keep every r-th doc in
+        // doc_id order, r = floor(count_s / min_count). No rand(): the
+        // same corpus always yields the same mixture, at any
+        // parallelism (the q65 policy lifted from strata to training
+        // domains). Scale shape: per-source counts are a tiny agg
+        // broadcast back; the stride filter is a windowed row_number
+        // per source — one shuffle of (source, doc_id).
+        val counts = t.documents.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+        val minCount = counts.agg(min(col("n_docs")).as("min_docs"))
+        val rates = counts.crossJoin(broadcast(minCount))
+          .select(col("source"), col("n_docs"),
+                  (col("n_docs") / col("min_docs")).cast(LongType).as("stride"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+        t.documents
+          .join(broadcast(rates), "source")
+          .withColumn("rn", row_number().over(w))
+          .filter((col("rn") - 1) % col("stride") === 0)
+          .groupBy("source")
+          .agg(first(col("n_docs")).as("n_docs"),
+               first(col("stride")).as("stride"),
+               count(lit(1)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("stride"), col("n_kept"),
+                  e4(col("n_kept").cast("double") / col("n_docs")).as("kept_frac_e4"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+             |rates AS (
+             |  SELECT source, n_docs,
+             |    CAST(n_docs // (SELECT min(n_docs) FROM counts) AS BIGINT) AS stride
+             |  FROM counts),
+             |ranked AS (
+             |  SELECT d.source, r.n_docs, r.stride,
+             |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rn
+             |  FROM documents d JOIN rates r USING (source)),
+             |kept AS (
+             |  SELECT source, n_docs, stride, count(*) AS n_kept
+             |  FROM ranked WHERE (rn - 1) % stride = 0 GROUP BY 1, 2, 3)
+             |SELECT source, n_docs, stride, n_kept,
+             |  CAST(floor(n_kept * 1.0 / n_docs * 10000 + 0.5) AS BIGINT) AS kept_frac_e4
+             |FROM kept""".stripMargin),
+      "North star: deterministic domain-mixture rebalancing toward uniform"))
 }
