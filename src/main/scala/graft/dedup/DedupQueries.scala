@@ -252,8 +252,8 @@ object DedupQueries extends QueryPack {
         // signature table is the thing you materialize once anyway.
         sig.persist()
         try {
-          val a = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-          val b = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+          val a = sig.toDF(sig.columns.toIndexedSeq.map(c => s"a_$c"): _*)
+          val b = sig.toDF(sig.columns.toIndexedSeq.map(c => s"b_$c"): _*)
           cand
             .join(a, col("doc_a") === col("a_doc_id"))
             .join(b, col("doc_b") === col("b_doc_id"))

@@ -45,7 +45,7 @@ object SimilarityQueries extends QueryPack {
   /** Sign-bit bucket string of `v` under the given hyperplanes. */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     concat(planes.map { p =>
-      val lp = array(p.map(lit(_)): _*)
+      val lp = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(v, lp) >= 0, "1").otherwise("0")
     }: _*)
 

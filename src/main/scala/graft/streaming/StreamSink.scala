@@ -31,7 +31,7 @@ object StreamSink {
   def toRecords(df: DataFrame, keyCol: String): DataFrame =
     df.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }
 
 /** Kafka producer sink — compiled in, exercised only where the
