@@ -161,6 +161,28 @@ class ScaleToolsSpec extends SparkTestBase {
     }
   }
 
+  test("observe() collects data-quality metrics without a second scan") {
+    // At 100 TB a separate "count the nulls" pass is a full extra read;
+    // Dataset.observe piggybacks named aggregates on the main job — the
+    // metrics materialize as a side effect of the query's own single
+    // scan. Verify against independently computed values.
+    val ev = graft.core.Tables(spark, sfDir).events
+    val observed = ev.observe("dq",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      max(col("value")).as("max_value"))
+    val agg = observed.groupBy("event_type").agg(count(lit(1)).as("n"))
+    agg.collect() // one job: the agg AND the metrics
+    // metrics attach to the EXECUTED query (agg's plan contains the
+    // CollectMetrics node), not the intermediate Dataset handle
+    val metrics = agg.queryExecution.observedMetrics("dq")
+    assert(metrics.getAs[Long]("n_rows") == ev.count())
+    assert(metrics.getAs[Long]("n_null_value") ==
+      ev.filter(col("value").isNull).count())
+    assert(metrics.getAs[Double]("max_value") ==
+      ev.agg(max(col("value"))).head().getDouble(0))
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The third join-pruning lever after broadcast and DPP: when a
     // selective dim side must shuffle-join (too big to broadcast), the
