@@ -210,5 +210,33 @@ object AdvancedQueries extends QueryPack {
              |FROM events
              |WHERE event_type IN ('purchase', 'click') AND value >= 5
              |GROUP BY 1""".stripMargin),
-      "S4 modern form: named-parameter SQL binding (injection-safe dashboards)"))
+      "S4 modern form: named-parameter SQL binding (injection-safe dashboards)"),
+
+    GraftQuery(
+      "q73_lateral_topn",
+      (spark, dir) => {
+        Tables(spark, dir).registerAll()
+        // Correlated LATERAL derived table — top-2 lineitems per top-10
+        // order. ONE SQL string runs verbatim on both engines (the
+        // portable form of the per-group top-N that q40/q44 express in
+        // DataFrame algebra). Catalyst decorrelates the lateral subquery
+        // to a ranked window join — no per-row re-execution.
+        spark.sql(lateralSql)
+      },
+      Some(lateralSql),
+      "S4/J: correlated LATERAL top-N per group, one portable SQL string"))
+
+  /** One SQL text for q73 on BOTH engines (Spark + DuckDB). (A `def`:
+    * `queries` above captures it during object init, before a late `val`
+    * field would be assigned.) */
+  private def lateralSql =
+    """SELECT o.o_orderkey, t.l_linenumber, t.price_cents
+      |FROM (SELECT o_orderkey, o_totalprice FROM orders
+      |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o,
+      |LATERAL (
+      |  SELECT l_linenumber,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+      |ORDER BY o.o_orderkey, t.price_cents DESC""".stripMargin
 }
