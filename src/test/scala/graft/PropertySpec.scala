@@ -74,6 +74,42 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("gopherKeep column matches a plain-Scala reference model on random text") {
+    import spark.implicits._
+    // Reference model: literal re-implementation of the t09 gate over a
+    // whitespace-split token stream (including the empty tokens that
+    // doubled spaces produce — split(' ') semantics, not \s+).
+    def refKeep(text: String): Boolean = {
+      val toks = text.split(" ", -1).toSeq
+      val nWords = toks.length.toLong
+      val charsNs = text.count(_ != ' ').toLong
+      val nUniq = toks.distinct.length.toLong
+      val padded = " " + text + " "
+      def occ(w: String): Long = {
+        var i = 0; var n = 0L
+        while ({ i = padded.indexOf(w, i); i >= 0 }) { n += 1; i += w.length }
+        n
+      }
+      val nStop = occ(" the ") + occ(" a ") + occ(" of ")
+      nWords >= 50 && nWords <= 100000 &&
+        charsNs >= nWords * 3 && charsNs <= nWords * 10 &&
+        nUniq * 5 >= nWords && nStop >= 2
+    }
+    val words = Gen.oneOf("the", "a", "of", "data", "q", "verylongtoken",
+      "spark", "row", "", "x7")
+    val textGen = for {
+      n <- Gen.choose(1, 120)
+      ws <- Gen.listOfN(n, words)
+    } yield ws.mkString(" ")
+    val texts = sample(textGen, 200, seed = 11L)
+    val got = texts.toDF("text")
+      .select(graft.analysis.QualityQueries.gopherKeep.as("keep"))
+      .collect().map(_.getBoolean(0))
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == refKeep(t), s"gate mismatch on '${t.take(60)}...'")
+    }
+  }
+
   test("Canon.sumCents is exact where a double sum drifts") {
     import spark.implicits._
     // money values: k cents rendered as doubles (the parquet reality)
