@@ -32,10 +32,18 @@ object DedupQueries extends QueryPack {
       .otherwise(array())
   }
 
-  /** Engine-portable hash of a shingle under permutation `j` — every
-    * engine computes the same md5, so the whole pipeline diffs against
-    * the DuckDB oracle. */
-  def hashFn(j: Int, sh: Column): Column = md5(concat(lit(s"$j:"), sh))
+  /** Engine-portable hash of a shingle under permutation `j`: an
+    * 8-hex-char (32-bit) slice of one of TWO md5 digests — 2 md5 calls
+    * per shingle yield all 8 permutation hashes (4× less md5 work than
+    * digest-per-permutation; md5 is the dominant kernel of the whole
+    * dedup pack, and subexpression elimination computes each digest once
+    * per row across the 8 min-aggregates). Disjoint slices of a digest
+    * are independent uniform 32-bit values — all MinHash needs — and
+    * equal-length lower-hex strings compare lexicographically ==
+    * numerically. Every engine computes the same md5, so the whole
+    * pipeline diffs against the DuckDB oracle. */
+  def hashFn(j: Int, sh: Column): Column =
+    substring(md5(concat(lit(s"${j / 4}:"), sh)), (j % 4) * 8 + 1, 8)
 
   /** Scale-path family: xxhash64 stays inside whole-stage codegen and is
     * ~4× cheaper per shingle than md5, but the values are Spark-private
@@ -163,10 +171,14 @@ object DedupQueries extends QueryPack {
       |  FROM toks WHERE len(tk) >= 3),
       |sig AS (
       |  SELECT doc_id,
-      |    min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
-      |    min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3,
-      |    min(md5('4:' || sh)) AS sig4, min(md5('5:' || sh)) AS sig5,
-      |    min(md5('6:' || sh)) AS sig6, min(md5('7:' || sh)) AS sig7
+      |    min(substring(md5('0:' || sh), 1, 8))  AS sig0,
+      |    min(substring(md5('0:' || sh), 9, 8))  AS sig1,
+      |    min(substring(md5('0:' || sh), 17, 8)) AS sig2,
+      |    min(substring(md5('0:' || sh), 25, 8)) AS sig3,
+      |    min(substring(md5('1:' || sh), 1, 8))  AS sig4,
+      |    min(substring(md5('1:' || sh), 9, 8))  AS sig5,
+      |    min(substring(md5('1:' || sh), 17, 8)) AS sig6,
+      |    min(substring(md5('1:' || sh), 25, 8)) AS sig7
       |  FROM sh GROUP BY doc_id)
       |""".stripMargin
 
