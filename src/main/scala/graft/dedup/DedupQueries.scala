@@ -214,6 +214,20 @@ object DedupQueries extends QueryPack {
       |  WHERE CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000)
       |""".stripMargin
 
+  /** Shared decontamination CTE prefix (d08 + streaming st16): 4-gram
+    * shingles split into eval (`ev`) and train (`tr`) slices. */
+  val decontamCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |sh4 AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(len(tk) - 3),
+      |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+      |  FROM toks WHERE len(tk) >= 4),
+      |ev AS (SELECT DISTINCT sh FROM sh4 WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id, sh FROM sh4 WHERE doc_id % 50 <> 0),
+      |""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -393,16 +407,8 @@ object DedupQueries extends QueryPack {
             floor(col("n_contaminated") * 10000.0 / col("n_shingles") + 0.5)
               .cast(LongType).as("contam_frac_e4"))
       },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |sh4 AS (
-             |  SELECT DISTINCT doc_id,
-             |    unnest(list_transform(range(len(tk) - 3),
-             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
-             |  FROM toks WHERE len(tk) >= 4),
-             |ev AS (SELECT DISTINCT sh FROM sh4 WHERE doc_id % 50 = 0),
-             |tr AS (SELECT doc_id, sh FROM sh4 WHERE doc_id % 50 <> 0),
-             |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+      Some(decontamCte +
+        """cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
              |hit AS (
              |  SELECT t.doc_id, count(*) AS n_contaminated
              |  FROM tr t JOIN ev USING (sh) GROUP BY 1)

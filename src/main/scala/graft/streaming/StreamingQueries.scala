@@ -550,7 +550,38 @@ object StreamingQueries extends QueryPack {
       },
       Some("SELECT keep, count(*) AS n_docs FROM (\n" +
         graft.analysis.QualityQueries.gopherSql + "\n) GROUP BY 1"),
-      "North star/T: quality gate on ingest — streaming keep/drop counts ≡ batch gate"))
+      "North star/T: quality gate on ingest — streaming keep/drop counts ≡ batch gate"),
+
+    GraftQuery(
+      "st16_stream_decontaminate",
+      (spark, dir) => {
+        // Decontamination ON INGEST: the d08 train/eval 4-gram check as
+        // a stream-static SEMI join — each micro-batch of incoming train
+        // docs explodes to shingles and filters against the broadcast
+        // static eval-shingle set; stateful dropDuplicates collapses a
+        // doc's multiple shingle hits to one verdict row. This is how a
+        // 100 TB pipeline quarantines contaminated docs before they
+        // land, instead of re-scanning the corpus afterwards.
+        import graft.dedup.DedupQueries.shingles
+        val docs = Tables(spark, dir).documents
+        val staged = Streams.dataDir("graft_docs_decon_")
+        docs.repartition(2).write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val evalSh = docs.filter(col("doc_id") % 50 === 0)
+            .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+          val flagged = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .filter(col("doc_id") % 50 =!= 0)
+            .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+            .join(broadcast(evalSh), Seq("sh"), "left_semi")
+            .select("doc_id")
+            .dropDuplicates("doc_id")
+          Streams.drainToMemory(flagged, "st16_sink", outputMode = "append")
+        }
+      },
+      Some(graft.dedup.DedupQueries.decontamCte +
+        "hit AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (sh))\n" +
+        "SELECT doc_id FROM hit"),
+      "North star/T: decontamination on ingest — stream-static semi join ≡ batch d08 set"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
