@@ -523,11 +523,46 @@ object DedupQueries extends QueryPack {
       "North star: repeated exact 6-gram spans across the corpus (substring-dedup signal)"))
 
   /** Connected-component labels for an undirected pair graph:
-    * (doc_id, label = min doc_id reachable). Driver-side fixpoint loop;
-    * each iteration is one distributed join + min-aggregate with the
-    * lineage truncated, so round k's plan does not replay rounds 1..k-1.
-    */
-  def clusterLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * (doc_id, label = min doc_id reachable).
+    *
+    * Hybrid by size — the shape production CC ships: near-dup pair
+    * lists are orders of magnitude smaller than the corpus (1M pairs ≈
+    * 16 MB), so below `driverMaxPairs` the graph collects to the driver
+    * and resolves by union-find in ONE job (the iterative loop's ~10
+    * small jobs were the suite's dominant wall-clock variance under
+    * load: 6→34 s on unchanged code). Above the threshold it falls back
+    * to the distributed min-label propagation loop, whose per-round
+    * lineage is truncated so round k never replays rounds 1..k-1. Both
+    * paths produce identical labels (spec-pinned). */
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 25,
+                    driverMaxPairs: Long = 1000000L): DataFrame = {
+    val p0 = pairs.toDF("s", "d")
+    val collected = p0.limit((driverMaxPairs + 1).toInt).collect()
+    if (collected.length <= driverMaxPairs) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      collected.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = collected.iterator
+        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+      val labels = nodes.toSeq.sorted.map(x => (x, find(x)))
+      import spark.implicits._
+      labels.toDF("doc_id", "label")
+    } else propagateLabels(p0, maxIters)
+  }
+
+  /** The distributed fixpoint path of [[clusterLabels]]. */
+  private[graft] def propagateLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val p = pairs.toDF("s", "d") // positional: (a, b) of any column names
     val edges = p.union(p.select(col("d"), col("s")))
       .localCheckpoint()

@@ -178,6 +178,17 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("driver union-find and distributed label propagation produce identical clusters") {
+    import graft.dedup.DedupQueries
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val pairs = DedupQueries.verifiedPairs(docs).select("doc_a", "doc_b")
+    val fast = DedupQueries.clusterLabels(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loop = DedupQueries.propagateLabels(pairs.toDF("s", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == loop, "hybrid CC paths disagree")
+  }
+
   test("decontamination flags only train docs, never the eval slice (d08)") {
     val r = run("d08_decontaminate").collect()
     assert(r.nonEmpty)
