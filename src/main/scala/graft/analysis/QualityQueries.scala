@@ -229,10 +229,12 @@ object QualityQueries extends QueryPack {
         // exact dedup keep-first (d01's shape) → shard-local sequence
         // packing (t08's shape), composed as ONE declarative plan so
         // Catalyst fuses the gate into the scan and the whole pipeline
-        // runs in three shuffles: (hash→min), the keep semi-join, and
-        // the per-shard pack window. This is the composition story — a
-        // user chains the engine's stages without materializing
-        // intermediates.
+        // runs in TWO shuffles plus a broadcast (plan-pinned): the
+        // (hash→min) agg, the kept-id list broadcast back as the
+        // semi-join build side, and the per-shard pack window (whose
+        // shard clustering also satisfies the final agg). This is the
+        // composition story — a user chains the engine's stages without
+        // materializing intermediates.
         val toks = split(col("text"), " ")
         val txt = concat(lit(" "), col("text"), lit(" "))
         val nWords = size(toks).cast(LongType)

@@ -147,6 +147,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"contamination check went cartesian:\n$p")
   }
 
+  test("t13: corpus pipeline runs in two shuffles + keep-list broadcast") {
+    val df = SparkEntry.queries("t13_corpus_pipeline")(spark, sfDir)
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalSection).length
+    assert(hashExchanges <= 2, s"pipeline grew extra shuffles:\n$finalSection")
+    assert(finalSection.contains("BroadcastExchange"),
+      s"kept-id list should broadcast into the semi join:\n$finalSection")
+  }
+
   test("t09/t11: quality gates are zero-shuffle single-pass projections") {
     Seq("t09_gopher_rules", "t11_bigram_repetition").foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
