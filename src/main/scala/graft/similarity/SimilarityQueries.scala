@@ -333,7 +333,54 @@ object SimilarityQueries extends QueryPack {
           |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.vec_id = e.d)
           |SELECT vec_id, min(r) AS cluster_id
           |FROM reach GROUP BY vec_id""".stripMargin),
-      "North star: semantic clusters — connected components over embedding near-dup pairs"))
+      "North star: semantic clusters — connected components over embedding near-dup pairs"),
+
+    GraftQuery(
+      "s08_int8_quantize",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Vector compression for ANN at scale: symmetric int8
+        // quantization (per-vector scale = max|x|/127) — the 4×
+        // footprint cut that makes a 100 TB vector corpus fit its
+        // serving tier. All math promotes float32 → double FIRST (an
+        // exact conversion), so both engines run identical IEEE ops;
+        // outputs are integers + a fixed-point scale. Zero shuffles —
+        // pure higher-order array expressions inside codegen.
+        val xd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        t.embeddings
+          .withColumn("xd", xd)
+          .withColumn("maxabs", expr(
+            "aggregate(xd, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(x)))"))
+          .withColumn("q", expr(
+            "transform(xd, x -> CAST(floor(x * 127.0 / greatest(maxabs, 1e-30) + 0.5) AS BIGINT))"))
+          .select(col("vec_id"),
+            size(col("q")).as("n_dims"),
+            floor(col("maxabs") / 127.0 * 1000000 + 0.5).cast(LongType).as("scale_e6"),
+            expr("aggregate(q, CAST(0 AS BIGINT), (s, x) -> s + x)").as("sum_q"),
+            expr("array_min(q)").as("min_q"),
+            expr("array_max(q)").as("max_q"))
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+             |  FROM embeddings),
+             |m AS (
+             |  SELECT vec_id, xd,
+             |    list_aggregate(list_transform(xd, x -> abs(x)), 'max') AS maxabs
+             |  FROM v),
+             |q AS (
+             |  SELECT vec_id, maxabs,
+             |    list_transform(xd,
+             |      x -> CAST(floor(x * 127.0 / greatest(maxabs, 1e-30) + 0.5) AS BIGINT)) AS qv
+             |  FROM m)
+             |SELECT vec_id,
+             |  len(qv) AS n_dims,
+             |  CAST(floor(maxabs / 127.0 * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+             |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+             |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS min_q,
+             |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS max_q
+             |FROM q""".stripMargin),
+      "North star: symmetric int8 vector quantization (per-vector scale, zero shuffles)"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }
