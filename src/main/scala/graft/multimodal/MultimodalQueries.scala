@@ -3,18 +3,21 @@ package graft.multimodal
 import graft.{GraftQuery, QueryPack}
 import graft.core.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Multimodal-column pack (north star): treat image/audio/video payloads
-  * as opaque `binary` columns with typed metadata.
+  * as opaque `binary` columns with typed metadata, and run REAL image
+  * codecs (JDK `javax.imageio` — pure-JVM, no external jar) inside the
+  * distributed kernels.
   *
   * The reference moves base64-JPEG frames through string columns end to
   * end (video_producer.py:93-94 encode → vehicle_consumer.py:94-96 decode
   * → fire_consumer_streaming.py:205-206 re-encode). The engine's model is
-  * stronger: BinaryType columns + deterministic metadata extraction. The
-  * decode step itself is STUBBED (no image libs in this container) behind
-  * `FrameFeatures.decodeStub` — the Spark-side plumbing (schema, typed
-  * Dataset batch shape, partitioning) is real and oracle-tested.
+  * stronger: BinaryType columns + typed `Dataset` kernels that genuinely
+  * encode and decode PNG/JPEG bytes. Verification story: each doc_id maps
+  * to a deterministic gradient image (see [[ImageCodec]]); PNG is lossless,
+  * so the per-channel pixel sums recovered by the REAL decoder must equal
+  * the closed-form polynomial the DuckDB oracle computes from doc_id alone.
+  * A stubbed or broken decoder cannot reproduce those sums.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -73,25 +76,38 @@ object MultimodalQueries extends QueryPack {
         val spark2 = spark
         import spark2.implicits._
         val t = Tables(spark, dir)
-        // Typed-Dataset decode pipeline: binary payload → case-class
-        // features via mapPartitions (the U3/U4 struct-returning contract;
-        // Scala equivalent of the reference's batched pandas_udf). The
-        // "decode" is FrameFeatures.decodeStub — deterministic fake.
-        val bin = t.documents
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
-          .as[(Long, Array[Byte])]
-        bin.mapPartitions(_.map { case (id, payload) =>
-          FrameFeatures.decodeStub(id, payload)
+        // REAL decode pipeline: each doc_id is rendered to actual PNG and
+        // JPEG bytes (ImageIO.write) in stage 1, carried as a BinaryType
+        // column, then decoded back (ImageIO.read) in stage 2 — the same
+        // encode→transport→decode path as the reference's camera frames
+        // (vehicle_consumer.py:94-96), with real codecs on both ends.
+        // PNG sums are oracle-exact (lossless); JPEG is verified on
+        // geometry (exact) and mean-luma drift (|Δ| ≤ 8 of 255, lossy).
+        val payloads = t.documents
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            (id, ImageCodec.encodePng(id), ImageCodec.encodeJpeg(id))
+          })
+          .toDF("doc_id", "png", "jpeg")
+          .as[(Long, Array[Byte], Array[Byte])]
+        payloads.mapPartitions(_.map { case (id, png, jpeg) =>
+          ImageCodec.decodeFeatures(id, png, jpeg)
         }).toDF()
       },
       Some("""SELECT doc_id,
-             |  octet_length(text::BLOB) AS n_bytes,
-             |  CAST(octet_length(text::BLOB) % 640 AS INTEGER) AS width,
-             |  CAST(octet_length(text::BLOB) % 480 AS INTEGER) AS height,
+             |  CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height,
              |  3 AS channels,
-             |  CAST(floor(ascii(substring(text, 1, 1)) / 64) * 64 AS INTEGER) AS luma_stub
-             |FROM documents""".stripMargin),
-      "North star: stubbed decode/feature-extract via typed mapPartitions batch"),
+             |  CAST(h * (w*c + (w*(w-1))//2) AS BIGINT) AS sum_r,
+             |  CAST(w * (h*c + (h*(h-1))//2) AS BIGINT) AS sum_g,
+             |  CAST(w*h*c + h*((w*(w-1))//2) + w*((h*(h-1))//2) AS BIGINT) AS sum_b,
+             |  CAST(w AS INTEGER) AS jpeg_w,
+             |  CAST(h AS INTEGER) AS jpeg_h,
+             |  TRUE AS luma_ok
+             |FROM (SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h,
+             |             doc_id % 97 AS c
+             |      FROM documents)""".stripMargin),
+      "North star: REAL PNG/JPEG decode via javax.imageio; lossless sums oracle-exact"),
 
     GraftQuery(
       "mm04_resize_batch",
@@ -99,63 +115,207 @@ object MultimodalQueries extends QueryPack {
         val spark2 = spark
         import spark2.implicits._
         val t = Tables(spark, dir)
-        // Batched resize plumbing: payloads flow through mapPartitions in
+        // REAL batched resize: payloads flow through mapPartitions in
         // groups of 64 — the Scala shape of a vectorized (pandas-style)
-        // UDF, where a real implementation hands each batch to a native
-        // resize library in one call. The geometry math (fit-to-224,
-        // aspect preserved, integer-exact) is real; only the pixel work
-        // is the deterministic stub. Zero shuffles — pure projection.
+        // UDF batch. Each image is decoded (ImageIO.read), resampled
+        // bilinearly into a fit-to-224 box (Graphics2D), re-encoded to
+        // PNG and decoded AGAIN — out_w/out_h come from the second real
+        // decode, not from arithmetic. Zero shuffles — pure projection.
         val bin = t.documents
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, ImageCodec.encodePng(id)))
+          .toDF("doc_id", "payload")
           .as[(Long, Array[Byte])]
         bin.mapPartitions(_.grouped(64).flatMap { batch =>
-          // batch boundary = where the vectorized library call happens
-          batch.map { case (id, payload) => FrameFeatures.resizeStub(id, payload) }
+          // batch boundary = where a vectorized native call would happen
+          batch.map { case (id, payload) => ImageCodec.resize224(id, payload) }
         }).toDF()
       },
-      Some("""SELECT doc_id, in_w, in_h,
-             |  CAST(CASE WHEN in_w >= in_h THEN 224
-             |       ELSE floor(in_w * 224.0 / greatest(in_h, 1)) END AS INTEGER) AS out_w,
-             |  CAST(CASE WHEN in_w >= in_h THEN floor(in_h * 224.0 / greatest(in_w, 1))
-             |       ELSE 224 END AS INTEGER) AS out_h,
-             |  CAST(floor(2240000.0 / greatest(in_w, in_h, 1)) AS BIGINT) AS scale_e4
-             |FROM (
-             |  SELECT doc_id,
-             |    CAST(octet_length(text::BLOB) % 640 AS INTEGER) AS in_w,
-             |    CAST(octet_length(text::BLOB) % 480 AS INTEGER) AS in_h
-             |  FROM documents)""".stripMargin),
-      "North star: batched resize plumbing (fit-to-224, vectorized-UDF batch shape)"))
+      Some("""SELECT doc_id,
+             |  CAST(w AS INTEGER) AS in_w,
+             |  CAST(h AS INTEGER) AS in_h,
+             |  CAST(CASE WHEN w >= h THEN 224 ELSE (w*224)//h END AS INTEGER) AS out_w,
+             |  CAST(CASE WHEN w >= h THEN (h*224)//w ELSE 224 END AS INTEGER) AS out_h,
+             |  CAST(2240000 // greatest(w, h) AS BIGINT) AS scale_e4,
+             |  TRUE AS resample_ok
+             |FROM (SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h
+             |      FROM documents)""".stripMargin),
+      "North star: REAL bilinear resize (Java2D) in vectorized-UDF batch shape"),
+
+    GraftQuery(
+      "mm05_image_files",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // File-based image ingest: real PNG fixture FILES on disk, read
+        // through Spark's `binaryFile` source (path/length/content), doc_id
+        // parsed from the filename, content decoded by the REAL codec.
+        // This is the S3 ingest seam: swap the fixture dir for an object
+        // store of camera frames and nothing else changes.
+        val fixDir = ImageCodec.ensureFixtureDir()
+        val files = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load(fixDir)
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("content"))
+        val decoded = files.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => ImageCodec.decodePng(id, bytes) })
+          .toDF()
+        // Inner-join with the table so small SFs (fewer than 64 docs)
+        // stay consistent with the oracle's `doc_id < 64` predicate.
+        decoded.join(t.documents.select("doc_id"), Seq("doc_id"))
+          .orderBy(col("doc_id").asc)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height,
+             |  CAST(h * (w*c + (w*(w-1))//2) AS BIGINT) AS sum_r
+             |FROM (SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h,
+             |             doc_id % 97 AS c
+             |      FROM documents)
+             |WHERE doc_id < 64
+             |ORDER BY doc_id""".stripMargin),
+      "North star: binaryFile ingest of real PNG fixtures + real decode"))
 }
 
-/** Decoded frame features — the typed output contract of the decode stub. */
-final case class DecodedFrame(doc_id: Long, n_bytes: Long, width: Int,
-                              height: Int, channels: Int, luma_stub: Int)
+/** Features recovered by the REAL decoder — output contract of mm03. */
+final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                              channels: Int, sum_r: Long, sum_g: Long,
+                              sum_b: Long, jpeg_w: Int, jpeg_h: Int,
+                              luma_ok: Boolean)
 
-object FrameFeatures {
-  /** Deterministic stand-in for image decode (no codec libs in this
-    * container). Real deployment swaps this body for an actual decoder;
-    * the Dataset plumbing around it is unchanged. */
-  def decodeStub(id: Long, payload: Array[Byte]): DecodedFrame = {
-    val n = payload.length.toLong
-    val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-    DecodedFrame(id, n, (n % 640).toInt, (n % 480).toInt, 3, (b0 >> 6) << 6)
+/** Real-resize geometry, recovered by decoding the resized PNG (mm04). */
+final case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
+                              out_w: Int, out_h: Int, scale_e4: Long,
+                              resample_ok: Boolean)
+
+/** PNG-file decode record (mm05). */
+final case class FileImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
+
+/** Deterministic image fixtures + REAL JDK codecs (`javax.imageio`).
+  *
+  * Fixture spec — every quantity a pure function of doc_id, all pixel
+  * channel values < 256 by construction so no modular wrap:
+  *   w = 16 + id%48 (16..63), h = 16 + id%32 (16..47), c = id%97 (0..96)
+  *   pixel(x,y) = (r,g,b) = (c+x, c+y, c+x+y)   // max 96+62+46 = 204
+  * Closed-form channel sums (what the DuckDB oracle computes):
+  *   sum_r = h·(w·c + w(w−1)/2)
+  *   sum_g = w·(h·c + h(h−1)/2)
+  *   sum_b = w·h·c + h·w(w−1)/2 + w·h(h−1)/2
+  * PNG is lossless, so a REAL decode must reproduce these sums exactly;
+  * JPEG (lossy) is held to exact geometry + mean-luma drift ≤ 8/255.
+  */
+object ImageCodec {
+  System.setProperty("java.awt.headless", "true")
+  javax.imageio.ImageIO.setUseCache(false) // in-memory streams only
+
+  import java.awt.image.BufferedImage
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream, File}
+  import javax.imageio.ImageIO
+
+  def specW(id: Long): Int = 16 + (id % 48).toInt
+  def specH(id: Long): Int = 16 + (id % 32).toInt
+  def specC(id: Long): Int = (id % 97).toInt
+
+  /** Render the deterministic gradient image for a doc_id. */
+  def render(id: Long): BufferedImage = {
+    val (w, h, c) = (specW(id), specH(id), specC(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((c + x) << 16) | ((c + y) << 8) | (c + x + y))
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** Deterministic stand-in for image resize: fit the stub geometry into
-    * a 224×224 box preserving aspect ratio (integer-exact math; the
-    * pixel resample itself is where a real library call goes). */
-  def resizeStub(id: Long, payload: Array[Byte]): ResizedFrame = {
-    val n = payload.length
-    val w = n % 640
-    val h = n % 480
-    val (ow, oh) =
-      if (w >= h) (224, h * 224 / math.max(w, 1))
-      else (w * 224 / math.max(h, 1), 224)
-    val scaleE4 = 2240000L / math.max(math.max(w, h), 1)
-    ResizedFrame(id, w, h, ow, oh, scaleE4)
+  private def write(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  def encodePng(id: Long): Array[Byte] = write(render(id), "png")
+  def encodeJpeg(id: Long): Array[Byte] = write(render(id), "jpg")
+
+  private def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(bytes))
+
+  /** Per-channel pixel sums + mean luma of a decoded image. */
+  private def channelSums(img: BufferedImage): (Long, Long, Long, Double) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    (sr, sg, sb, (sr + sg + sb) / (3.0 * n))
+  }
+
+  /** mm03 kernel: REAL decode of the PNG and JPEG payloads. */
+  def decodeFeatures(id: Long, png: Array[Byte], jpeg: Array[Byte]): DecodedImage = {
+    val p = decode(png)
+    val j = decode(jpeg)
+    val (sr, sg, sb, pngLuma) = channelSums(p)
+    val (_, _, _, jpegLuma) = channelSums(j)
+    DecodedImage(id, p.getWidth, p.getHeight, p.getRaster.getNumBands,
+      sr, sg, sb, j.getWidth, j.getHeight,
+      math.abs(jpegLuma - pngLuma) <= 8.0)
+  }
+
+  /** mm04 kernel: REAL decode → bilinear fit-to-224 → re-encode → decode. */
+  def resize224(id: Long, png: Array[Byte]): ResizedImage = {
+    val src = decode(png)
+    val (iw, ih) = (src.getWidth, src.getHeight)
+    val (tw, th) =
+      if (iw >= ih) (224, ih * 224 / math.max(iw, 1))
+      else (iw * 224 / math.max(ih, 1), 224)
+    val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, tw, th, null)
+    g.dispose()
+    val back = decode(write(dst, "png"))
+    val (sr, sg2, sb, _) = channelSums(back)
+    ResizedImage(id, iw, ih, back.getWidth, back.getHeight,
+      2240000L / math.max(math.max(iw, ih), 1), sr + sg2 + sb > 0)
+  }
+
+  /** mm05 kernel: REAL decode of a PNG file's bytes. */
+  def decodePng(id: Long, bytes: Array[Byte]): FileImage = {
+    val img = decode(bytes)
+    val (sr, _, _, _) = channelSums(img)
+    FileImage(id, img.getWidth, img.getHeight, sr)
+  }
+
+  /** Idempotently materialize PNG fixture FILES img_0.png..img_63.png in a
+    * deterministic temp dir (the mm05 `binaryFile` ingest root). Content
+    * depends only on doc_id, so the dir is shared across scale factors;
+    * a marker file makes regeneration a no-op. */
+  def ensureFixtureDir(): String = synchronized {
+    val dir = new File(System.getProperty("java.io.tmpdir"), "graft_imgfix_v1")
+    val marker = new File(dir, "_DONE")
+    if (!marker.exists()) {
+      dir.mkdirs()
+      (0L until 64L).foreach { id =>
+        ImageIO.write(render(id), "png", new File(dir, s"img_$id.png"))
+      }
+      marker.createNewFile()
+    }
+    dir.getAbsolutePath
   }
 }
-
-/** Resized frame geometry — output contract of the resize stub. */
-final case class ResizedFrame(doc_id: Long, in_w: Int, in_h: Int,
-                              out_w: Int, out_h: Int, scale_e4: Long)
