@@ -41,7 +41,17 @@ object DedupQueries extends QueryPack {
     * are independent uniform 32-bit values — all MinHash needs — and
     * equal-length lower-hex strings compare lexicographically ==
     * numerically. Every engine computes the same md5, so the whole
-    * pipeline diffs against the DuckDB oracle. */
+    * pipeline diffs against the DuckDB oracle.
+    *
+    * Estimator-quality tradeoff vs the previous digest-per-permutation
+    * family: slices of ONE digest are only pairwise-independent in the
+    * random-oracle sense (not provably independent permutations), and a
+    * 32-bit value space collides more often than 128 bits — both bias
+    * the d05 Jaccard ESTIMATE marginally (≈2⁻³² collision mass; the
+    * sketch literature accepts 32-bit minwise hashes at corpus scale).
+    * Verification Jaccard is computed EXACTLY from shingle sets, so
+    * only candidate recall, not emitted values, is affected; oracle
+    * parity is untouched because both engines compute the same family. */
   def hashFn(j: Int, sh: Column): Column =
     substring(md5(concat(lit(s"${j / 4}:"), sh)), (j % 4) * 8 + 1, 8)
 
@@ -54,16 +64,23 @@ object DedupQueries extends QueryPack {
 
   val numHashes = 8
 
+  /** The exploded (doc_id, sh) shingle relation — THE single corpus-text
+    * pass every MinHash consumer derives from. */
+  def shingleRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+
+  /** Signatures from an already-exploded shingle relation (no text pass). */
+  def signaturesFromShingles(sh: DataFrame,
+                             family: (Int, Column) => Column = hashFn): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(min(family(0, col("sh"))).as("sig0"),
+           (1 until numHashes).map(j => min(family(j, col("sh"))).as(s"sig$j")): _*)
+
   /** doc_id + sig0..sig7 minhash signature columns under the given hash
     * family (default: the oracle-checkable md5 family). */
   def signatures(docs: DataFrame,
-                 family: (Int, Column) => Column = hashFn): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-    exploded.groupBy("doc_id")
-      .agg(min(family(0, col("sh"))).as("sig0"),
-           (1 until numHashes).map(j => min(family(j, col("sh"))).as(s"sig$j")): _*)
-  }
+                 family: (Int, Column) => Column = hashFn): DataFrame =
+    signaturesFromShingles(shingleRelation(docs), family)
 
   /** LSH band rows (doc_id, band_id, band_hash) from a signature table:
     * 4 bands × 2 sigs. */
@@ -92,10 +109,16 @@ object DedupQueries extends QueryPack {
     * arrays (see d05's scaladoc). Persists the signature table; callers
     * run under Verify/Bench which clear cache per query. */
   def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000): DataFrame = {
-    val sig = signatures(docs).persist()
+    // ONE pass over the corpus text: the exploded shingle relation is
+    // persisted, and signatures, band rows, intersection counts AND
+    // per-doc shingle counts all derive from that cache — at 100 TB the
+    // tokenize+explode of the raw text runs once, not twice. The (small)
+    // signature table is persisted too because candidatePairs self-joins
+    // its band rows (Catalyst does not share common subplans).
+    val sh = shingleRelation(docs).persist()
+    val sig = signaturesFromShingles(sh).persist()
     try {
       val cand = candidatePairs(bandRows(sig))
-      val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -118,7 +141,10 @@ object DedupQueries extends QueryPack {
         // table rather than a deep multi-stage plan re-planned under
         // their join.
         .localCheckpoint()
-    } finally sig.unpersist(blocking = false)
+    } finally {
+      sig.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+    }
   }
 
   /** 16-bit SimHash signatures (doc_id, simhash16 bit-string): per
@@ -536,8 +562,17 @@ object DedupQueries extends QueryPack {
     * paths produce identical labels (spec-pinned). */
   def clusterLabels(pairs: DataFrame, maxIters: Int = 25,
                     driverMaxPairs: Long = 1000000L): DataFrame = {
-    val p0 = pairs.toDF("s", "d")
-    val collected = p0.limit((driverMaxPairs + 1).toInt).collect()
+    // Materialize the pair list ONCE before branching: the size probe and
+    // (on the distributed path) propagateLabels then both read the same
+    // materialized table instead of re-evaluating the upstream plan —
+    // without this, an over-threshold graph would pay for the expensive
+    // verified-pairs pipeline twice. Numeric ids are read through
+    // java.lang.Number so int/short pair columns work, not just longs.
+    val p0 = pairs.toDF("s", "d").localCheckpoint()
+    val probeLimit =
+      if (driverMaxPairs >= Int.MaxValue - 1L) Int.MaxValue
+      else (driverMaxPairs + 1).toInt
+    val collected = p0.limit(probeLimit).collect()
     if (collected.length <= driverMaxPairs) {
       val spark = pairs.sparkSession
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -548,13 +583,15 @@ object DedupQueries extends QueryPack {
         while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
+      def id(row: org.apache.spark.sql.Row, i: Int): Long =
+        row.getAs[Number](i).longValue()
       collected.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (a, b) = (id(row, 0), id(row, 1))
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val nodes = collected.iterator
-        .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
+        .flatMap(r => Iterator(id(r, 0), id(r, 1))).toSet
       val labels = nodes.toSeq.sorted.map(x => (x, find(x)))
       import spark.implicits._
       labels.toDF("doc_id", "label")
