@@ -491,7 +491,15 @@ object StreamingQueries extends QueryPack {
             .queryName("st14_sink")
             .option("checkpointLocation", cp)
             .start()
-          Streams.awaitDrained(q)
+          // Two punctuation rounds are still required by watermark
+          // mechanics (round 1 advances the watermark at end-of-batch;
+          // only a SUBSEQUENT batch evicts state and emits the sealed
+          // outer rows) — but they do NOT need separate drain cycles.
+          // The file source consumes unseen files in (mtime, path) order
+          // at maxFilesPerTrigger=1, so appending each round as its own
+          // single file up front yields the same ordered micro-batch
+          // sequence (real slices → 2030 round → 2031 round) under ONE
+          // processAllAvailable, instead of three sequential drains.
           Seq("2030-01-01 00:00:00", "2031-01-01 00:00:00").foreach { futureTs =>
             val base = Tables(spark, dir).events.limit(1)
               .withColumn("ts", lit(futureTs).cast("timestamp"))
@@ -499,9 +507,10 @@ object StreamingQueries extends QueryPack {
             Seq("purchase", "click")
               .map(et => base.withColumn("event_type", lit(et)))
               .reduce(_ unionByName _)
+              .coalesce(1) // one file per round = one micro-batch per round
               .write.mode("append").parquet(staged)
-            Streams.awaitDrained(q)
           }
+          Streams.awaitDrained(q)
           q.stop()
           spark.table("st14_sink")
             .filter(col("p_user") >= 0) // drop punctuation records
