@@ -445,6 +445,57 @@ object DedupQueries extends QueryPack {
       "North star: benchmark decontamination — train/eval 4-gram overlap, broadcast eval set"),
 
     GraftQuery(
+      "d08b_decontaminate_bloom",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The 100 TB upgrade path of d08: the exact distinct eval-shingle
+        // set can outgrow the broadcast limit, but a Bloom filter of it
+        // is a FIXED-SIZE bit array (size = f(n_items, fpp), not of
+        // string payload) — built by one distributed aggregate, shipped
+        // to every executor, membership-tested per train shingle with
+        // ZERO join and zero shuffle of the train side. Bloom filters
+        // never produce false negatives, so contamination RECALL is
+        // exact; false positives only over-flag (safe direction for
+        // decontamination) at the configured fpp. This query is the
+        // AUDIT form: it runs the bloom pass AND the exact join side by
+        // side and emits fn_count (must be 0) + superset check per doc —
+        // production runs the bloom pass alone. fpp/size dial: SCALE.md.
+        val docs = t.documents
+        val evalSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+        val nEval = evalSh.count()
+        val bloom = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), 0.001)
+        val bloomBc = spark.sparkContext.broadcast(bloom)
+        val bloomHit = udf((s: String) => bloomBc.value.mightContainString(s))
+        val trainSh = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+        trainSh
+          .withColumn("bloom_hit", bloomHit(col("sh")))
+          .join(broadcast(evalSh.withColumn("exact_hit", lit(true))), Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(
+            sum(when(col("exact_hit").isNotNull, 1).otherwise(0)).as("n_contaminated"),
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("exact_hit").isNotNull && !col("bloom_hit"), 1)
+              .otherwise(0)).as("fn_count"),
+            (sum(when(col("bloom_hit"), 1).otherwise(0)) >=
+              sum(when(col("exact_hit").isNotNull, 1).otherwise(0)))
+              .as("bloom_superset_ok"))
+          .filter(col("n_contaminated") > 0)
+      },
+      Some(decontamCte +
+        """cnt AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+          |hit AS (
+          |  SELECT t.doc_id, count(*) AS n_contaminated
+          |  FROM tr t JOIN ev USING (sh) GROUP BY 1)
+          |SELECT h.doc_id, CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+          |  CAST(c.n_shingles AS BIGINT) AS n_shingles,
+          |  CAST(0 AS BIGINT) AS fn_count,
+          |  TRUE AS bloom_superset_ok
+          |FROM hit h JOIN cnt c USING (doc_id)""".stripMargin),
+      "North star: Bloom-filter decontamination — fixed-size bit-array membership, zero false negatives audited"),
+
+    GraftQuery(
       "d09_simhash_neardup",
       (spark, dir) => {
         val t = Tables(spark, dir)
