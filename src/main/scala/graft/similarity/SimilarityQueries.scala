@@ -380,7 +380,139 @@ object SimilarityQueries extends QueryPack {
              |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS min_q,
              |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS max_q
              |FROM q""".stripMargin),
-      "North star: symmetric int8 vector quantization (per-vector scale, zero shuffles)"))
+      "North star: symmetric int8 vector quantization (per-vector scale, zero shuffles)"),
+
+    GraftQuery(
+      "s09_ann_recall",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // The quality metric every ANN deployment publishes: recall@k of
+        // the approximate paths (s02 LSH bucket, s06 IVF probe) against
+        // the exact brute-force top-k (s01). All three rankings are
+        // deterministic total orders (sim DESC, vec_id ASC), so recall
+        // itself is oracle-exact. Scale shape: every candidate set is
+        // reduced by TakeOrderedAndProject to ≤5 rows BEFORE any window
+        // ranking — the global row_number runs on 5 rows, never the
+        // corpus.
+        val emb = doubled(t)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val cos = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), cosineFast(col("v"), col("qv")).as("sim"))
+        val w5 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        def top5(cand: DataFrame): DataFrame =
+          cand.orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+            .withColumn("rn", row_number().over(w5))
+            .select(col("vec_id"), col("rn"))
+        val exact = top5(cos).toDF("vec_id", "rn_e")
+        // LSH path (s02's candidate set)
+        val planes = hyperplanes(4, 64)
+        val embB = emb.withColumn("bucket", lshBucket(col("v"), planes))
+        val qb = embB.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("bucket").as("qbucket"))
+        val lshTop = top5(embB.filter(col("vec_id") =!= 0)
+          .join(broadcast(qb), col("bucket") === col("qbucket"))
+          .select(col("vec_id"), cosineFast(col("v"), col("qv")).as("sim")))
+        // IVF path (s06's candidate set)
+        val cent = centroids(emb)
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .select(col("cid"))
+        val ivfTop = top5(
+          nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+            .select(col("vec_id"), col("cid"))
+            .join(broadcast(probe), Seq("cid"))
+            .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+            .crossJoin(broadcast(qv))
+            .select(col("vec_id"), cosineFast(col("v"), col("qv")).as("sim")))
+        val meth = lshTop.withColumn("method", lit("lsh"))
+          .union(ivfTop.withColumn("method", lit("ivf")))
+          .withColumnRenamed("rn", "rn_a")
+          .join(exact, Seq("vec_id"))
+        val ks = Seq(1, 3, 5).toDF("k")
+        val mk = Seq("lsh", "ivf").toDF("method").crossJoin(ks)
+        val hits = meth.crossJoin(ks)
+          .filter(col("rn_a") <= col("k") && col("rn_e") <= col("k"))
+          .groupBy("method", "k")
+          .agg(count(lit(1)).as("n"))
+        mk.join(hits, Seq("method", "k"), "left")
+          .select(col("method"), col("k"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            floor(coalesce(col("n"), lit(0L)) * 10000.0 / col("k") + 0.5)
+              .cast(LongType).as("recall_e4"))
+          .orderBy(col("method"), col("k"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+              |cos AS (
+              |  SELECT e.vec_id,
+              |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+              |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+              |         list_sum(list_transform(qv, x -> x * x))) AS sim
+              |  FROM v e, q WHERE e.vec_id <> 0),
+              |exact AS (
+              |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn_e
+              |  FROM cos ORDER BY sim DESC, vec_id LIMIT 5),
+              |b AS (SELECT vec_id, v, ${bucketSql(hyperplanes(4, 64), "v")} AS bucket FROM v),
+              |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+              |lshr AS (
+              |  SELECT c.vec_id, ROW_NUMBER() OVER (ORDER BY c.sim DESC, c.vec_id) AS rn_a
+              |  FROM cos c JOIN b ON b.vec_id = c.vec_id, qb
+              |  WHERE b.bucket = qb.qbucket
+              |  ORDER BY c.sim DESC, c.vec_id LIMIT 5),
+              |dim AS (
+              |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+              |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+              |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+              |probe AS (
+              |  SELECT cid FROM (
+              |    SELECT c.cid,
+              |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+              |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+              |           list_sum(list_transform(qv, x -> x * x))) AS csim
+              |    FROM cent c, q)
+              |  ORDER BY csim DESC, cid LIMIT 2),
+              |csims AS (
+              |  SELECT e.vec_id, c.cid,
+              |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+              |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+              |         list_sum(list_transform(cv, x -> x * x))) AS sim
+              |  FROM v e, cent c WHERE e.vec_id <> 0),
+              |best AS (
+              |  SELECT vec_id, cid,
+              |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+              |  FROM csims),
+              |cand AS (
+              |  SELECT b2.vec_id FROM best b2 JOIN probe p ON p.cid = b2.cid
+              |  WHERE b2.rn = 1),
+              |ivfr AS (
+              |  SELECT c.vec_id, ROW_NUMBER() OVER (ORDER BY c.sim DESC, c.vec_id) AS rn_a
+              |  FROM cos c JOIN cand ca ON ca.vec_id = c.vec_id
+              |  ORDER BY c.sim DESC, c.vec_id LIMIT 5),
+              |meth AS (
+              |  SELECT 'lsh' AS method, a.rn_a, e.rn_e
+              |  FROM lshr a JOIN exact e USING (vec_id)
+              |  UNION ALL
+              |  SELECT 'ivf', a.rn_a, e.rn_e
+              |  FROM ivfr a JOIN exact e USING (vec_id)),
+              |ks AS (SELECT unnest([1, 3, 5]) AS k),
+              |mk AS (SELECT m.method, k.k
+              |       FROM (SELECT unnest(['lsh', 'ivf']) AS method) m, ks k),
+              |hits AS (
+              |  SELECT method, k.k AS k, count(*) AS n
+              |  FROM meth, ks k WHERE rn_a <= k.k AND rn_e <= k.k
+              |  GROUP BY 1, 2)
+              |SELECT mk.method, mk.k,
+              |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  CAST(floor(coalesce(h.n, 0) * 10000.0 / mk.k + 0.5) AS BIGINT) AS recall_e4
+              |FROM mk LEFT JOIN hits h ON h.method = mk.method AND h.k = mk.k
+              |ORDER BY mk.method, mk.k""".stripMargin),
+      "North star: ANN recall@k audit — LSH and IVF paths vs exact top-k"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }
