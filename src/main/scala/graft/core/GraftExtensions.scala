@@ -33,24 +33,45 @@ object GraftExtensions {
   private def toDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  /** Arity guard for the SQL-tier builders: a miscalled function must
+    * fail as a proper ANALYSIS error (the same WRONG_NUM_ARGS condition
+    * Spark's built-ins raise), not an IndexOutOfBoundsException from
+    * `children(1)` deep in the builder. */
+  private def requireArity(name: String, children: Seq[Expression],
+                           min: Int, max: Int): Unit =
+    if (children.length < min || children.length > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> (if (min == max) min.toString else s"[$min, $max]"),
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSim(toDoubleArray(children(0)), toDoubleArray(children(1))))
+      (children: Seq[Expression]) => {
+        requireArity("cosine_sim", children, 2, 2)
+        CosineSim(toDoubleArray(children(0)), toDoubleArray(children(1)))
+      })
 
   val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("rolling_hash_min"),
       new ExpressionInfo(classOf[RollingHashMin].getName, "rolling_hash_min"),
-      (children: Seq[Expression]) =>
+      (children: Seq[Expression]) => {
+        requireArity("rolling_hash_min", children, 1, 2)
         RollingHashMin(Cast(children(0), StringType),
-          if (children.length > 1) Cast(children(1), IntegerType) else Literal(32)))
+          if (children.length > 1) Cast(children(1), IntegerType) else Literal(32))
+      })
 
   val hammingDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("hamming_dist"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_dist"),
-      (children: Seq[Expression]) =>
-        HammingDistance(Cast(children(0), StringType), Cast(children(1), StringType)))
+      (children: Seq[Expression]) => {
+        requireArity("hamming_dist", children, 2, 2)
+        HammingDistance(Cast(children(0), StringType), Cast(children(1), StringType))
+      })
 
   /** Register on an already-built session (temp functions), including the
     * typed vector_avg aggregate. */

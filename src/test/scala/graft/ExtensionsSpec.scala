@@ -26,6 +26,21 @@ class ExtensionsSpec extends SparkTestBase {
     va.foreach(row => assert(row.getSeq[Double](1).length == 64))
   }
 
+  test("SQL functions raise WRONG_NUM_ARGS analysis errors on bad arity") {
+    GraftExtensions.register(spark)
+    graft.core.Tables(spark, sfDir).registerAll()
+    Seq("SELECT hamming_dist(text) FROM documents",
+        "SELECT hamming_dist(text, text, text) FROM documents",
+        "SELECT cosine_sim(embedding) FROM embeddings",
+        "SELECT rolling_hash_min() FROM documents").foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+        s"expected WRONG_NUM_ARGS for '$sql', got ${e.getCondition}: ${e.getMessage}")
+    }
+  }
+
   test("rolling_hash_min tolerates non-positive windows from SQL") {
     GraftExtensions.register(spark)
     graft.core.Tables(spark, sfDir).registerAll()
