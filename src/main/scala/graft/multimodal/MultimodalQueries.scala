@@ -178,7 +178,41 @@ object MultimodalQueries extends QueryPack {
              |      FROM documents)
              |WHERE doc_id < 64
              |ORDER BY doc_id""".stripMargin),
-      "North star: binaryFile ingest of real PNG fixtures + real decode"))
+      "North star: binaryFile ingest of real PNG fixtures + real decode"),
+
+    GraftQuery(
+      "mm06_audio_meta",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // REAL audio codec path (javax.sound.sampled — pure JDK): each
+        // doc_id maps to a deterministic 16-bit mono PCM signal whose
+        // frame count is a multiple of 256; the kernel encodes it to
+        // actual RIFF/WAVE bytes (AudioSystem.write), carries them as a
+        // binary column, then re-parses the container and decodes the
+        // PCM stream back. Header fields AND full-stream sample sums
+        // must match the closed forms the oracle computes from doc_id —
+        // the (c + 7i) mod 256 sawtooth is a bijection on each 256-frame
+        // period, so sums are period-exact and offset-independent.
+        val payloads = t.documents
+          .select(col("doc_id")).as[Long]
+          .map(id => (id, AudioCodec.encodeWav(id)))
+          .toDF("doc_id", "wav")
+          .as[(Long, Array[Byte])]
+        payloads.mapPartitions(_.map { case (id, wav) =>
+          AudioCodec.decodeMeta(id, wav)
+        }).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  8000 AS sample_rate,
+             |  1 AS channels,
+             |  16 AS bits,
+             |  CAST(n AS BIGINT) AS n_frames,
+             |  CAST(-128 * n AS BIGINT) AS sum_pcm,
+             |  CAST((n // 256) * 1398144 * 65536 AS BIGINT) AS sumsq_pcm
+             |FROM (SELECT doc_id, 256 * (4 + doc_id % 8) AS n FROM documents)""".stripMargin),
+      "North star: REAL WAV encode/decode via javax.sound — header + PCM sums oracle-exact"))
 }
 
 /** Features recovered by the REAL decoder — output contract of mm03. */
@@ -194,6 +228,77 @@ final case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
 
 /** PNG-file decode record (mm05). */
 final case class FileImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
+
+/** Audio metadata recovered by the REAL WAV decoder (mm06). */
+final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_frames: Long, sum_pcm: Long,
+                           sumsq_pcm: Long)
+
+/** Deterministic PCM fixtures + REAL JDK WAV codec (`javax.sound.sampled`).
+  *
+  * Fixture spec — all pure functions of doc_id:
+  *   n = 256·(4 + id%8) frames (1024..2816), 8 kHz mono 16-bit signed LE
+  *   frame(i) = (((c + 7i) mod 256) − 128)·256, c = id%97
+  * gcd(7, 256) = 1, so over each 256-frame period (c + 7i) mod 256 is a
+  * bijection onto 0..255 regardless of c, giving period-exact sums:
+  *   sum_pcm   = −128·n
+  *   sumsq_pcm = (n/256)·1398144·65536   (Σ_{j=−128}^{127} j² = 1398144)
+  * A real decode (RIFF parse + LE PCM reconstruction) must reproduce
+  * these exactly; a broken byte order or header offset cannot. */
+object AudioCodec {
+  import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+  val SampleRate = 8000f
+
+  def specFrames(id: Long): Int = 256 * (4 + (id % 8).toInt)
+
+  /** Raw little-endian 16-bit PCM for a doc_id. */
+  def renderPcm(id: Long): Array[Byte] = {
+    val n = specFrames(id)
+    val c = (id % 97).toInt
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((c + 7 * i) % 256) - 128) * 256
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** REAL WAV container encode via AudioSystem.write. */
+  def encodeWav(id: Long): Array[Byte] = {
+    val pcm = renderPcm(id)
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false) // signed, LE
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length / 2)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** mm06 kernel: REAL RIFF parse + PCM decode of the WAV payload. */
+  def decodeMeta(id: Long, wav: Array[Byte]): AudioMeta = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    try {
+      val fmt = in.getFormat
+      val nFrames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      var (sum, sumsq) = (0L, 0L)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        // little-endian signed 16-bit reconstruction
+        val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        sum += s; sumsq += s * s
+        i += 2
+      }
+      AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels,
+        fmt.getSampleSizeInBits, nFrames, sum, sumsq)
+    } finally in.close()
+  }
+}
 
 /** Deterministic image fixtures + REAL JDK codecs (`javax.imageio`).
   *
