@@ -83,8 +83,15 @@ object MultimodalQueries extends QueryPack {
         // (vehicle_consumer.py:94-96), with real codecs on both ends.
         // PNG sums are oracle-exact (lossless); JPEG is verified on
         // geometry (exact) and mean-luma drift (|Δ| ≤ 8 of 255, lossy).
+        // The codec kernel is CPU-bound: spread the (tiny) doc_id keys
+        // across all cores first — the testdata table is a single
+        // parquet file = one input partition, which would serialize all
+        // encode/decode work on one thread. The shuffle moves longs
+        // only; a production binary table already arrives many-partition.
         val payloads = t.documents
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .mapPartitions(_.map { id =>
             (id, ImageCodec.encodePng(id), ImageCodec.encodeJpeg(id))
           })
@@ -120,9 +127,14 @@ object MultimodalQueries extends QueryPack {
         // UDF batch. Each image is decoded (ImageIO.read), resampled
         // bilinearly into a fit-to-224 box (Graphics2D), re-encoded to
         // PNG and decoded AGAIN — out_w/out_h come from the second real
-        // decode, not from arithmetic. Zero shuffles — pure projection.
+        // decode, not from arithmetic. The only shuffle is the doc_id
+        // spread below; the codec stages themselves are projections.
+        // doc_id keys repartitioned before the codec stage (same
+        // single-input-file consideration as mm03).
         val bin = t.documents
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .map(id => (id, ImageCodec.encodePng(id)))
           .toDF("doc_id", "payload")
           .as[(Long, Array[Byte])]
@@ -195,8 +207,12 @@ object MultimodalQueries extends QueryPack {
         // must match the closed forms the oracle computes from doc_id —
         // the (c + 7i) mod 256 sawtooth is a bijection on each 256-frame
         // period, so sums are period-exact and offset-independent.
+        // doc_id keys repartitioned before the codec stage (same
+        // single-input-file consideration as mm03).
         val payloads = t.documents
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
           .map(id => (id, AudioCodec.encodeWav(id)))
           .toDF("doc_id", "wav")
           .as[(Long, Array[Byte])]
@@ -325,19 +341,22 @@ object ImageCodec {
   def specH(id: Long): Int = 16 + (id % 32).toInt
   def specC(id: Long): Int = (id % 97).toInt
 
-  /** Render the deterministic gradient image for a doc_id. */
+  /** Render the deterministic gradient image for a doc_id. Bulk setRGB:
+    * one colormodel-conversion call per image, not per pixel. */
   def render(id: Long): BufferedImage = {
     val (w, h, c) = (specW(id), specH(id), specC(id))
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        img.setRGB(x, y, ((c + x) << 16) | ((c + y) << 8) | (c + x + y))
+        px(y * w + x) = ((c + x) << 16) | ((c + y) << 8) | (c + x + y)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     img
   }
 
@@ -353,20 +372,20 @@ object ImageCodec {
   private def decode(bytes: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(bytes))
 
-  /** Per-channel pixel sums + mean luma of a decoded image. */
+  /** Per-channel pixel sums + mean luma of a decoded image. Bulk getRGB
+    * (one call per image) — per-pixel getRGB pays a colormodel
+    * conversion per call and dominated the kernel's profile. */
   private def channelSums(img: BufferedImage): (Long, Long, Long, Double) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     var (sr, sg, sb) = (0L, 0L, 0L)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y)
-        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-        x += 1
-      }
-      y += 1
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      i += 1
     }
-    val n = img.getWidth.toLong * img.getHeight
+    val n = w.toLong * h
     (sr, sg, sb, (sr + sg + sb) / (3.0 * n))
   }
 
