@@ -512,7 +512,75 @@ object SimilarityQueries extends QueryPack {
               |  CAST(floor(coalesce(h.n, 0) * 10000.0 / mk.k + 0.5) AS BIGINT) AS recall_e4
               |FROM mk LEFT JOIN hits h ON h.method = mk.method AND h.k = mk.k
               |ORDER BY mk.method, mk.k""".stripMargin),
-      "North star: ANN recall@k audit — LSH and IVF paths vs exact top-k"))
+      "North star: ANN recall@k audit — LSH and IVF paths vs exact top-k"),
+
+    GraftQuery(
+      "s10_product_quantize",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Product quantization — the codebook compression ANN serving
+        // stacks on top of IVF (Jégou et al.'s PQ): split each 64-dim
+        // vector into M=4 16-dim subvectors, quantize each against a
+        // per-subspace codebook, store 4 small codes instead of 64
+        // floats. Codebooks REUSE the per-label centroids (the mean of
+        // a subvector is the subvector of the mean), so the broadcast
+        // codebook is one tiny table. Scale shape: one narrow pass over
+        // the corpus against a broadcast codebook; the 4 per-subspace
+        // argmins share ONE (vec_id, m) exchange. Per-subspace errors
+        // round to e6 BEFORE summing, so the emitted reconstruction
+        // error is integer-exact across engines regardless of FP
+        // summation order.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        def sub(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
+        def subDist(m: Int): Column =
+          aggregate(
+            zip_with(sub(col("v"), m), sub(col("cv"), m),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val dists = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            col("cid"),
+            posexplode(array((0 until 4).map(subDist): _*)))
+          .toDF("vec_id", "cid", "m", "d")
+          .withColumn("d_e6", floor(col("d") * 1000000 + 0.5).cast(LongType))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid").asc)
+        dists
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(
+            max(when(col("m") === 0, col("cid"))).as("code0"),
+            max(when(col("m") === 1, col("cid"))).as("code1"),
+            max(when(col("m") === 2, col("cid"))).as("code2"),
+            max(when(col("m") === 3, col("cid"))).as("code3"),
+            sum(col("d_e6")).as("recon_err_e6"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |d AS (
+             |  SELECT e.vec_id, c.cid, s.m,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.v[s.m*16 + i] - c.cv[s.m*16 + i])
+             |         * (e.v[s.m*16 + i] - c.cv[s.m*16 + i]))) AS d
+             |  FROM v e, cent c, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |best AS (
+             |  SELECT vec_id, m, cid,
+             |    CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS d_e6,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |  FROM d)
+             |SELECT vec_id,
+             |  max(CASE WHEN m = 0 THEN cid END) AS code0,
+             |  max(CASE WHEN m = 1 THEN cid END) AS code1,
+             |  max(CASE WHEN m = 2 THEN cid END) AS code2,
+             |  max(CASE WHEN m = 3 THEN cid END) AS code3,
+             |  CAST(sum(d_e6) AS BIGINT) AS recon_err_e6
+             |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin),
+      "North star: product quantization — 4 subspace codes + integer-exact recon error"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }
