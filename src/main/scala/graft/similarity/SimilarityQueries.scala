@@ -580,7 +580,89 @@ object SimilarityQueries extends QueryPack {
              |  max(CASE WHEN m = 3 THEN cid END) AS code3,
              |  CAST(sum(d_e6) AS BIGINT) AS recon_err_e6
              |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin),
-      "North star: product quantization — 4 subspace codes + integer-exact recon error"))
+      "North star: product quantization — 4 subspace codes + integer-exact recon error"),
+
+    GraftQuery(
+      "s11_pq_search",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The PQ QUERY path completing s10's encode step: asymmetric
+        // distance computation (ADC). The query vector is NOT quantized;
+        // instead a 4×k lookup table of exact query-subvector-to-
+        // -centroid distances is built once (tiny, broadcast), and each
+        // corpus vector's approximate distance is the sum of 4 table
+        // lookups keyed by its PQ codes — at 100 TB the scan touches
+        // only the integer codes, never the float vectors. LUT entries
+        // round to e6 before summing, so ranking is integer-exact
+        // across engines; top-5 by (adc_e6, vec_id) total order.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        def sub(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
+        def subDistTo(target: Column)(m: Int): Column =
+          aggregate(
+            zip_with(sub(col("cv"), m), sub(target, m),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        // 4×k LUT: exact distance from each query subvector to each
+        // subspace centroid
+        val lut = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), posexplode(array((0 until 4).map(subDistTo(col("qv"))): _*)))
+          .toDF("cid", "m", "ld")
+          .select(col("cid"), col("m"),
+            floor(col("ld") * 1000000 + 0.5).cast(LongType).as("ld_e6"))
+        // PQ codes of the corpus (s10's encode shape, query excluded)
+        def encDist(m: Int): Column =
+          aggregate(
+            zip_with(sub(col("v"), m), sub(col("cv"), m),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid").asc)
+        val codes = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cid"),
+            posexplode(array((0 until 4).map(encDist): _*)))
+          .toDF("vec_id", "cid", "m", "d")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("cid"))
+        codes.join(broadcast(lut), Seq("m", "cid"))
+          .groupBy("vec_id")
+          .agg(sum(col("ld_e6")).as("adc_e6"))
+          .orderBy(col("adc_e6").asc, col("vec_id").asc)
+          .limit(5)
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |lut AS (
+             |  SELECT c.cid, s.m,
+             |    CAST(floor(list_sum(list_transform(range(1, 17),
+             |      i -> (c.cv[s.m*16 + i] - qv[s.m*16 + i])
+             |         * (c.cv[s.m*16 + i] - qv[s.m*16 + i]))) * 1000000 + 0.5) AS BIGINT) AS ld_e6
+             |  FROM cent c, q, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |d AS (
+             |  SELECT e.vec_id, c.cid, s.m,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.v[s.m*16 + i] - c.cv[s.m*16 + i])
+             |         * (e.v[s.m*16 + i] - c.cv[s.m*16 + i]))) AS d
+             |  FROM v e, cent c, (SELECT unnest([0, 1, 2, 3]) AS m) s
+             |  WHERE e.vec_id <> 0),
+             |best AS (
+             |  SELECT vec_id, m, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |  FROM d),
+             |adc AS (
+             |  SELECT b.vec_id, CAST(sum(l.ld_e6) AS BIGINT) AS adc_e6
+             |  FROM best b JOIN lut l ON l.m = b.m AND l.cid = b.cid
+             |  WHERE b.rn = 1 GROUP BY b.vec_id)
+             |SELECT vec_id, adc_e6 FROM adc
+             |ORDER BY adc_e6 ASC, vec_id ASC LIMIT 5""".stripMargin),
+      "North star: PQ asymmetric-distance search — broadcast LUT, codes-only scan"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }
