@@ -590,7 +590,82 @@ object StreamingQueries extends QueryPack {
       Some(graft.dedup.DedupQueries.decontamCte +
         "hit AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (sh))\n" +
         "SELECT doc_id FROM hit"),
-      "North star/T: decontamination on ingest — stream-static semi join ≡ batch d08 set"))
+      "North star/T: decontamination on ingest — stream-static semi join ≡ batch d08 set"),
+
+    GraftQuery(
+      "st17_stream_pq_encode",
+      (spark, dir) => {
+        // PQ ENCODE ON INGEST: the s10 product-quantization codes
+        // computed inside an embedding stream. The codebook (per-label
+        // sub-centroids) is a MODEL ARTIFACT — built once in batch,
+        // collected (10×64 doubles), and baked into the per-row
+        // expressions as literals, the same deterministic-artifact seam
+        // as the ABSA scorer. The encode itself is the scale-superior
+        // shape: argmin = array_min over (distance, cid) structs —
+        // struct ordering gives the (d, cid) tie-break — so each row
+        // quantizes with ZERO state and ZERO exchange; a 100 TB vector
+        // firehose encodes at scan speed. Drained codes must equal the
+        // batch s10 table row for row.
+        val t = Tables(spark, dir)
+        val embD = t.embeddings.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val codebook: Seq[(Int, Seq[Double])] =
+          graft.similarity.SimilarityQueries.centroids(embD).collect().toSeq
+            .map(r => (r.getInt(0), r.getSeq[Double](1)))
+            .sortBy(_._1)
+        def sub(c: org.apache.spark.sql.Column, m: Int) =
+          slice(c, m * 16 + 1, 16)
+        def distTo(cv: Seq[Double], m: Int): org.apache.spark.sql.Column =
+          aggregate(
+            zip_with(sub(col("v"), m),
+              typedLit(cv.slice(m * 16, m * 16 + 16)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        def bestOf(m: Int): org.apache.spark.sql.Column =
+          array_min(array(codebook.map { case (cid, cv) =>
+            struct(distTo(cv, m).as("d"), lit(cid).as("cid"))
+          }: _*))
+        val staged = Streams.dataDir("graft_emb_pq_")
+        t.embeddings.repartition(2).write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val encoded = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .select(col("vec_id"),
+              col("embedding").cast("array<double>").as("v"))
+            .select(col("vec_id"),
+              bestOf(0).getField("cid").as("code0"),
+              bestOf(1).getField("cid").as("code1"),
+              bestOf(2).getField("cid").as("code2"),
+              bestOf(3).getField("cid").as("code3"),
+              (0 until 4).map(m =>
+                floor(bestOf(m).getField("d") * 1000000 + 0.5).cast(LongType))
+                .reduce(_ + _).as("recon_err_e6"))
+          Streams.drainToMemory(encoded, "st17_sink", outputMode = "append")
+        }
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |d AS (
+             |  SELECT e.vec_id, c.cid, s.m,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.v[s.m*16 + i] - c.cv[s.m*16 + i])
+             |         * (e.v[s.m*16 + i] - c.cv[s.m*16 + i]))) AS d
+             |  FROM v e, cent c, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |best AS (
+             |  SELECT vec_id, m, cid,
+             |    CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS d_e6,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |  FROM d)
+             |SELECT vec_id,
+             |  max(CASE WHEN m = 0 THEN cid END) AS code0,
+             |  max(CASE WHEN m = 1 THEN cid END) AS code1,
+             |  max(CASE WHEN m = 2 THEN cid END) AS code2,
+             |  max(CASE WHEN m = 3 THEN cid END) AS code3,
+             |  CAST(sum(d_e6) AS BIGINT) AS recon_err_e6
+             |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin),
+      "North star/T: PQ encode on ingest — zero-state per-row argmin ≡ batch s10 codes"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
