@@ -1,0 +1,75 @@
+package graft
+
+import graft.multimodal.{AudioCodec, ImageCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM contracts of the REAL multimodal codecs (no Spark session):
+  * the closed forms the DuckDB oracles compute must be exactly what the
+  * codecs recover from their own encoded bytes. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  private def expectedSums(id: Long): (Long, Long, Long) = {
+    val (w, h, c) = (ImageCodec.specW(id), ImageCodec.specH(id), ImageCodec.specC(id))
+    val sr = h.toLong * (w.toLong * c + w.toLong * (w - 1) / 2)
+    val sg = w.toLong * (h.toLong * c + h.toLong * (h - 1) / 2)
+    val sb = w.toLong * h * c + h.toLong * (w.toLong * (w - 1) / 2) +
+      w.toLong * (h.toLong * (h - 1) / 2)
+    (sr, sg, sb)
+  }
+
+  test("PNG encode→decode reproduces closed-form channel sums exactly") {
+    Seq(0L, 1L, 47L, 96L, 97L, 499L, 12345L).foreach { id =>
+      val d = ImageCodec.decodeFeatures(id, ImageCodec.encodePng(id),
+        ImageCodec.encodeJpeg(id))
+      val (sr, sg, sb) = expectedSums(id)
+      assert(d.width == ImageCodec.specW(id) && d.height == ImageCodec.specH(id))
+      assert(d.channels == 3)
+      assert((d.sum_r, d.sum_g, d.sum_b) == ((sr, sg, sb)),
+        s"id=$id decoded sums ${(d.sum_r, d.sum_g, d.sum_b)} != ${(sr, sg, sb)}")
+    }
+  }
+
+  test("JPEG decode: exact geometry, bounded luma drift (lossy contract)") {
+    Seq(3L, 250L, 499L).foreach { id =>
+      val d = ImageCodec.decodeFeatures(id, ImageCodec.encodePng(id),
+        ImageCodec.encodeJpeg(id))
+      assert(d.jpeg_w == ImageCodec.specW(id) && d.jpeg_h == ImageCodec.specH(id))
+      assert(d.luma_ok, s"id=$id JPEG mean luma drifted > 8/255 from PNG")
+    }
+  }
+
+  test("resize fits the 224 box, preserves aspect, survives re-decode") {
+    Seq(0L, 31L, 499L).foreach { id =>
+      val r = ImageCodec.resize224(id, ImageCodec.encodePng(id))
+      val (w, h) = (ImageCodec.specW(id), ImageCodec.specH(id))
+      val (ew, eh) =
+        if (w >= h) (224, h * 224 / w) else (w * 224 / h, 224)
+      assert((r.out_w, r.out_h) == ((ew, eh)), s"id=$id got ${(r.out_w, r.out_h)}")
+      assert(r.in_w == w && r.in_h == h && r.resample_ok)
+    }
+  }
+
+  test("WAV encode→decode reproduces header fields and period-exact PCM sums") {
+    Seq(0L, 7L, 255L, 499L).foreach { id =>
+      val a = AudioCodec.decodeMeta(id, AudioCodec.encodeWav(id))
+      val n = AudioCodec.specFrames(id).toLong
+      assert(a.sample_rate == 8000 && a.channels == 1 && a.bits == 16)
+      assert(a.n_frames == n)
+      assert(a.sum_pcm == -128L * n, s"id=$id sum ${a.sum_pcm} != ${-128L * n}")
+      assert(a.sumsq_pcm == (n / 256) * 1398144L * 65536L,
+        s"id=$id sumsq ${a.sumsq_pcm}")
+    }
+  }
+
+  test("fixture dir materializes 64 PNGs once and is idempotent") {
+    val d1 = ImageCodec.ensureFixtureDir()
+    val files = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".png"))
+    assert(files.length == 64)
+    val mtimes = files.map(f => f.getName -> f.lastModified).toMap
+    val d2 = ImageCodec.ensureFixtureDir() // second call must be a no-op
+    assert(d2 == d1)
+    val after = new java.io.File(d2).listFiles()
+      .filter(_.getName.endsWith(".png")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == mtimes, "fixture files were rewritten on re-entry")
+  }
+}
