@@ -169,6 +169,13 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("s11: PQ search joins codes to a broadcast LUT — no sort-merge anywhere") {
+    val p = plan("s11_pq_search")
+    assert(p.contains("BroadcastHashJoin"), s"LUT should broadcast-hash-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"PQ search re-shuffled a broadcast-sized relation:\n$p")
+  }
+
   test("d03 band join: AQE splits a hot LSH band (skew-join handling fires)") {
     // At 100 TB, boilerplate shingles concentrate signatures into hot
     // bands; SCALE.md claims AQE's skew-join split absorbs them. Prove
