@@ -228,7 +228,48 @@ object MultimodalQueries extends QueryPack {
              |  CAST(-128 * n AS BIGINT) AS sum_pcm,
              |  CAST((n // 256) * 1398144 * 65536 AS BIGINT) AS sumsq_pcm
              |FROM (SELECT doc_id, 256 * (4 + doc_id % 8) AS n FROM documents)""".stripMargin),
-      "North star: REAL WAV encode/decode via javax.sound — header + PCM sums oracle-exact"))
+      "North star: REAL WAV encode/decode via javax.sound — header + PCM sums oracle-exact"),
+
+    GraftQuery(
+      "mm07_video_frames",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Video-frame ingest (S3): the reference decodes mp4, skips to a
+        // target FPS, and feature-extracts frames (video_producer.py:49-126).
+        // No mp4 codec ships in the JDK, so the container is the engine's
+        // MJPEG-style stand-in — length-prefixed REAL PNG frames — and
+        // everything downstream is the real work: parse the binary
+        // container frame by frame, keep every 2nd frame (the frame-skip),
+        // decode kept frames with the REAL codec, and reduce to features.
+        // Frame count, sample count and sampled channel sums must match
+        // the closed forms the oracle derives from doc_id alone.
+        val payloads = t.documents
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
+          .map(id => (id, ImageCodec.encodeVideo(id)))
+          .toDF("doc_id", "container")
+          .as[(Long, Array[Byte])]
+        payloads.mapPartitions(_.map { case (id, container) =>
+          ImageCodec.sampleFrames(id, container, every = 2)
+        }).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  CAST(4 + doc_id % 4 AS INTEGER) AS n_frames,
+             |  CAST((4 + doc_id % 4 + 1) // 2 AS INTEGER) AS n_sampled,
+             |  CAST(sum(CASE WHEN k % 2 = 0
+             |       THEN h * (w*c + (w*(w-1))//2) ELSE 0 END) AS BIGINT) AS sum_r_sampled
+             |FROM (
+             |  SELECT d.doc_id, t.k,
+             |    16 + (d.doc_id*8 + t.k) % 48 AS w,
+             |    16 + (d.doc_id*8 + t.k) % 32 AS h,
+             |    (d.doc_id*8 + t.k) % 97 AS c
+             |  FROM documents d, range(0, 8) t(k)
+             |  WHERE t.k < 4 + d.doc_id % 4)
+             |GROUP BY doc_id""".stripMargin),
+      "North star: video container parse + every-Nth frame sample + REAL frame decode"))
 }
 
 /** Features recovered by the REAL decoder — output contract of mm03. */
@@ -244,6 +285,10 @@ final case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
 
 /** PNG-file decode record (mm05). */
 final case class FileImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
+
+/** Frame-sampling features from a parsed video container (mm07). */
+final case class VideoSample(doc_id: Long, n_frames: Int, n_sampled: Int,
+                             sum_r_sampled: Long)
 
 /** Audio metadata recovered by the REAL WAV decoder (mm06). */
 final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
@@ -424,6 +469,46 @@ object ImageCodec {
     val img = decode(bytes)
     val (sr, _, _, _) = channelSums(img)
     FileImage(id, img.getWidth, img.getHeight, sr)
+  }
+
+  /** mm07 container: length-prefixed REAL PNG frames (MJPEG-style
+    * stand-in for an mp4 — the JDK ships no video codec). Frame k of
+    * doc id renders the deterministic image of fixture id·8+k, so
+    * every frame's channel sums stay closed-form. */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val nFrames = 4 + (id % 4).toInt
+    val bos = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    (0 until nFrames).foreach { k =>
+      val png = encodePng(id * 8 + k)
+      dos.writeInt(png.length)
+      dos.write(png)
+    }
+    dos.flush()
+    bos.toByteArray
+  }
+
+  /** mm07 kernel: parse the container frame by frame, keep every
+    * `every`-th frame (the reference's frame-skip,
+    * video_producer.py:83-90), REAL-decode kept frames, reduce to
+    * features. Skipped frames are never decoded — only sliced past. */
+  def sampleFrames(id: Long, container: Array[Byte], every: Int): VideoSample = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(container))
+    var k = 0
+    var sampled = 0
+    var sumR = 0L
+    while (in.available() > 0) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      if (k % every == 0) {
+        val (sr, _, _, _) = channelSums(decode(frame))
+        sumR += sr
+        sampled += 1
+      }
+      k += 1
+    }
+    VideoSample(id, k, sampled, sumR)
   }
 
   /** Idempotently materialize PNG fixture FILES img_0.png..img_63.png in a
