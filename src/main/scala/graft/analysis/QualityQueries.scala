@@ -436,5 +436,35 @@ object QualityQueries extends QueryPack {
              |SELECT source, n_docs, stride, n_kept,
              |  CAST(floor(n_kept * 1.0 / n_docs * 10000 + 0.5) AS BIGINT) AS kept_frac_e4
              |FROM kept""".stripMargin),
-      "North star: deterministic domain-mixture rebalancing toward uniform"))
+      "North star: deterministic domain-mixture rebalancing toward uniform"),
+
+    GraftQuery(
+      "t17_ngram_generator",
+      (spark, dir) => {
+        // U6 as a CUSTOM Catalyst Generator, not a builtin: the
+        // functions.NGrams table function (SQL `LATERAL VIEW
+        // ngrams(text, 3)`) plugs into GenerateExec exactly like
+        // explode — one generate pass, then a hash agg; the same
+        // shingle relation every dedup query derives, now reachable
+        // from the spark.sql text tier. Verified against the DuckDB
+        // shingle CTE used across the dedup pack.
+        graft.core.GraftExtensions.register(spark)
+        graft.core.Tables(spark, dir).registerAll()
+        spark.sql("""
+          SELECT doc_id, count(*) AS n_shingles,
+                 min(ngram) AS first_shingle
+          FROM documents
+          LATERAL VIEW ngrams(text, 3) g AS ngram
+          GROUP BY doc_id""")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(tk) - 2),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+             |  FROM toks WHERE len(tk) >= 3)
+             |SELECT doc_id, count(*) AS n_shingles, min(sh) AS first_shingle
+             |FROM sh GROUP BY doc_id""".stripMargin),
+      "U6: custom Catalyst Generator (SQL table function ngrams) ≡ dedup shingle CTE"))
 }

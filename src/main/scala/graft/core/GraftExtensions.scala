@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.hammingDescriptor)
+    ext.injectFunction(GraftExtensions.ngramsDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SelfCosineFold)
   }
 }
@@ -73,6 +74,14 @@ object GraftExtensions {
         HammingDistance(Cast(children(0), StringType), Cast(children(1), StringType))
       })
 
+  val ngramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[graft.functions.NGrams].getName, "ngrams"),
+      (children: Seq[Expression]) => {
+        requireArity("ngrams", children, 2, 2)
+        graft.functions.NGrams(Cast(children(0), StringType), children(1))
+      })
+
   /** Register on an already-built session (temp functions), including the
     * typed vector_avg aggregate. */
   def register(spark: SparkSession): Unit = {
@@ -83,6 +92,8 @@ object GraftExtensions {
       rollingHashDescriptor._3, "built-in")
     reg.createOrReplaceTempFunction("hamming_dist",
       hammingDescriptor._3, "built-in")
+    reg.createOrReplaceTempFunction("ngrams",
+      ngramsDescriptor._3, "built-in")
     spark.udf.register("vector_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))

@@ -41,6 +41,25 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("ngrams generator: matches composed shingles, empty under n words") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x"), (4L, null: String))
+      .toDF("id", "txt").createOrReplaceTempView("ngrams_probe")
+    val rows = spark.sql(
+      """SELECT id, ngram FROM ngrams_probe
+        |LATERAL VIEW ngrams(txt, 3) g AS ngram""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    // id 1: "a b c","b c d"; id 2: too short; id 3: distinct → "x x x";
+    // id 4: null text → no rows
+    assert(rows.toSeq == Seq((1L, "a b c"), (1L, "b c d"), (3L, "x x x")))
+    // non-literal width must be rejected (schema would be row-dependent)
+    val e = intercept[Exception] {
+      spark.sql("SELECT ngrams(txt, CAST(id AS INT)) FROM ngrams_probe").collect()
+    }
+    assert(e.getMessage.contains("literal"), s"unexpected: ${e.getMessage}")
+  }
+
   test("rolling_hash_min tolerates non-positive windows from SQL") {
     GraftExtensions.register(spark)
     graft.core.Tables(spark, sfDir).registerAll()
