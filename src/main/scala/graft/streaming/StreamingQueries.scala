@@ -665,7 +665,58 @@ object StreamingQueries extends QueryPack {
              |  max(CASE WHEN m = 3 THEN cid END) AS code3,
              |  CAST(sum(d_e6) AS BIGINT) AS recon_err_e6
              |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin),
-      "North star/T: PQ encode on ingest — zero-state per-row argmin ≡ batch s10 codes"))
+      "North star/T: PQ encode on ingest — zero-state per-row argmin ≡ batch s10 codes"),
+
+    GraftQuery(
+      "st18_stream_image_decode",
+      (spark, dir) => {
+        // S3 as a LIVE pipeline: image files land in a directory, a
+        // binaryFile STREAM picks them up (the S3-bucket listening
+        // shape), and the REAL ImageIO decode runs per micro-batch in
+        // the typed kernel — the reference's frames-arrive → decode →
+        // sink loop (vehicle_consumer.py) without Kafka in the middle.
+        // Results must equal the batch mm05 table: same files, same
+        // decoder, streamed.
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        val fixDir = graft.multimodal.ImageCodec.ensureFixtureDir()
+        // binaryFile's schema is fixed; readStream still needs it
+        // stated explicitly — take it from a batch probe of the dir.
+        val schema = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(fixDir).schema
+        Streams.withStreamShufflePartitions(spark) {
+          val files = spark.readStream.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .option("maxFilesPerTrigger", 16)
+            .schema(schema)
+            .load(fixDir)
+            .select(
+              regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+                .cast("long").as("doc_id"),
+              col("content"))
+          val decoded = files.as[(Long, Array[Byte])]
+            .mapPartitions(_.map { case (id, bytes) =>
+              graft.multimodal.ImageCodec.decodePng(id, bytes)
+            }).toDF()
+          // stream-static broadcast join keeps small SFs consistent
+          // with the oracle's doc_id < 64 predicate
+          val joined = decoded
+            .join(broadcast(t.documents.select("doc_id")), Seq("doc_id"))
+          Streams.drainToMemory(joined, "st18_sink", outputMode = "append")
+            .orderBy(col("doc_id").asc)
+        }
+      },
+      Some("""SELECT doc_id,
+             |  CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height,
+             |  CAST(h * (w*c + (w*(w-1))//2) AS BIGINT) AS sum_r
+             |FROM (SELECT doc_id, 16 + doc_id % 48 AS w, 16 + doc_id % 32 AS h,
+             |             doc_id % 97 AS c
+             |      FROM documents)
+             |WHERE doc_id < 64
+             |ORDER BY doc_id""".stripMargin),
+      "North star/T: image files decoded ON INGEST via a binaryFile stream ≡ batch mm05"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
