@@ -565,6 +565,40 @@ object DedupQueries extends QueryPack {
       "North star: SimHash sorted-neighborhood near-dup pairs, exact Hamming verify"),
 
     GraftQuery(
+      "d11_triangle_count",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Graph diagnostics over the verified near-dup pair graph:
+        // edge/wedge/triangle counts — triangle density distinguishes
+        // tight boilerplate CLIQUES (template spam: every pair verifies)
+        // from chain-shaped drift (each doc similar only to neighbors),
+        // which decides whether keep-first (d06) or full CC (d07) is the
+        // right removal policy. Scale shape: the canonical ordered
+        // wedge-close — edges kept as (a < b), wedges from ONE self-join
+        // on the middle vertex, triangles by closing (a, c) against the
+        // edge list. All joins are equi-joins on ids; counts are
+        // integer-exact. Near-dup pair graphs are ≪ corpus by
+        // construction (the d07 hybrid already banks on that).
+        val e = verifiedPairs(t.documents)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .localCheckpoint() // three consumers; pair list is tiny
+        val wedges = e.toDF("a", "b")
+          .join(e.toDF("b", "c"), "b")
+        val triangles = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      },
+      Some(verifiedPairsCte +
+        """, e AS (SELECT doc_a AS a, doc_b AS b FROM ver),
+          |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e2.a = e1.b),
+          |tr AS (SELECT w.a FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c)
+          |SELECT (SELECT count(*) FROM e) AS n_edges,
+          |       (SELECT count(*) FROM w) AS n_wedges,
+          |       (SELECT count(*) FROM tr) AS n_triangles""".stripMargin),
+      "North star: near-dup graph diagnostics — ordered wedge-close triangle count"),
+
+    GraftQuery(
       "d10_repeated_ngrams",
       (spark, dir) => {
         val t = Tables(spark, dir)
