@@ -211,6 +211,47 @@ object SimilarityQueries extends QueryPack {
       .drop("rn")
   }
 
+  /** Oracle of the IVF probe search — shared verbatim by s06 (join
+    * layout) and s12 (partition-pruned layout): same probe, same
+    * rerank, same contract. */
+  private val ivfSearchOracle: String =
+    """WITH dim AS (
+      |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+      |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+      |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid,
+      |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+      |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+      |           list_sum(list_transform(qv, x -> x * x))) AS csim
+      |    FROM cent c, q)
+      |  ORDER BY csim DESC, cid LIMIT 2),
+      |sims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+      |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+      |         list_sum(list_transform(cv, x -> x * x))) AS sim
+      |  FROM v e, cent c WHERE e.vec_id <> 0),
+      |best AS (
+      |  SELECT vec_id, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |  FROM sims),
+      |cand AS (
+      |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
+      |  WHERE b.rn = 1),
+      |scored AS (
+      |  SELECT ca.vec_id, ca.cid,
+      |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+      |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+      |         list_sum(list_transform(qv, x -> x * x))) AS sim
+      |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
+      |SELECT vec_id, cid,
+      |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+      |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
   private val ivf: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -271,42 +312,7 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id"), col("cid"),
                   floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
       },
-      Some("""WITH dim AS (
-             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
-             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
-             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
-             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
-             |probe AS (
-             |  SELECT cid FROM (
-             |    SELECT c.cid,
-             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
-             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
-             |           list_sum(list_transform(qv, x -> x * x))) AS csim
-             |    FROM cent c, q)
-             |  ORDER BY csim DESC, cid LIMIT 2),
-             |sims AS (
-             |  SELECT e.vec_id, c.cid,
-             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
-             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
-             |         list_sum(list_transform(cv, x -> x * x))) AS sim
-             |  FROM v e, cent c WHERE e.vec_id <> 0),
-             |best AS (
-             |  SELECT vec_id, cid,
-             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-             |  FROM sims),
-             |cand AS (
-             |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
-             |  WHERE b.rn = 1),
-             |scored AS (
-             |  SELECT ca.vec_id, ca.cid,
-             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
-             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
-             |         list_sum(list_transform(qv, x -> x * x))) AS sim
-             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
-             |SELECT vec_id, cid,
-             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
-             |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      Some(ivfSearchOracle),
       "J7/north star: IVF probe search — nprobe=2 lists, exact rerank inside"),
 
     GraftQuery(
@@ -662,7 +668,46 @@ object SimilarityQueries extends QueryPack {
              |  WHERE b.rn = 1 GROUP BY b.vec_id)
              |SELECT vec_id, adc_e6 FROM adc
              |ORDER BY adc_e6 ASC, vec_id ASC LIMIT 5""".stripMargin),
-      "North star: PQ asymmetric-distance search — broadcast LUT, codes-only scan"))
+      "North star: PQ asymmetric-distance search — broadcast LUT, codes-only scan"),
+
+    GraftQuery(
+      "s12_ivf_partitioned",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // s06's SCALE claim EXECUTED: "at 100 TB the corpus is stored
+        // bucketed by cid, so the probe prunes partitions". This query
+        // actually builds that layout — assignments written
+        // partitionBy(cid) — then re-reads with the probe set as a
+        // partition filter, so the rerank scan touches only nprobe of
+        // k directories (the same mechanics as src03's day pruning).
+        // The probe ids are collected (nprobe ints — bounded, like the
+        // st17 codebook) because partition pruning needs literal
+        // predicates. Results must equal s06 exactly.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val layout = graft.streaming.Streams.dataDir("graft_ivf_part_")
+        nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+          .select(col("vec_id"), col("cid"))
+          .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(layout)
+        val probeIds = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .collect().map(_.getInt(0))
+        spark.read.parquet(layout)
+          .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // partition-pruned scan
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      // identical contract to s06 — same probe, same rerank, new layout
+      Some(ivfSearchOracle),
+      "North star: IVF over a cid-partitioned layout — probe prunes the scan to nprobe dirs"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
 }

@@ -176,6 +176,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"PQ search re-shuffled a broadcast-sized relation:\n$p")
   }
 
+  test("s12: IVF probe becomes a partition filter on the cid layout") {
+    val p = plan("s12_ivf_partitioned")
+    assert(p.contains("PartitionFilters: [cid"),
+      s"probe ids did not prune the partitioned scan:\n$p")
+  }
+
   test("d03 band join: AQE splits a hot LSH band (skew-join handling fires)") {
     // At 100 TB, boilerplate shingles concentrate signatures into hot
     // bands; SCALE.md claims AQE's skew-join split absorbs them. Prove
