@@ -466,5 +466,95 @@ object QualityQueries extends QueryPack {
              |  FROM toks WHERE len(tk) >= 3)
              |SELECT doc_id, count(*) AS n_shingles, min(sh) AS first_shingle
              |FROM sh GROUP BY doc_id""".stripMargin),
-      "U6: custom Catalyst Generator (SQL table function ngrams) ≡ dedup shingle CTE"))
+      "U6: custom Catalyst Generator (SQL table function ngrams) ≡ dedup shingle CTE"),
+
+    GraftQuery(
+      "t18_full_pipeline",
+      (spark, dir) => {
+        import graft.dedup.DedupQueries.shingles
+        val t = Tables(spark, dir)
+        // The COMPLETE corpus build in one declarative plan — t13 plus
+        // the stage real pipelines cannot ship without: benchmark
+        // decontamination with an eval HOLDOUT. Stages: quality gate
+        // (the shared gopherKeep expression) → eval slice held out of
+        // train entirely → contaminated docs dropped (d08's broadcast
+        // eval-shingle semi join, here inverted to an anti join) →
+        // exact dedup keep-first → shard-local sequence packing. No
+        // intermediate materializes; Catalyst fuses the gate into the
+        // scan, the eval-shingle set and the kept-id list broadcast,
+        // and the only wide exchanges are the dedup hash-agg and the
+        // per-shard pack window.
+        val docs = t.documents
+        val kept = docs
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+          .filter(gopherKeep && col("doc_id") % 50 =!= 0)
+        val evalSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+        val contaminated = kept
+          .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+          .join(broadcast(evalSh), Seq("sh"), "left_semi")
+          .select("doc_id").distinct()
+        val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+        val firsts = clean
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val deduped = clean.join(firsts.select("doc_id"), Seq("doc_id"), "left_semi")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        deduped
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"), col("n_tokens"))
+          .withColumn("bin",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 512)
+              .cast(LongType))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens"),
+               min(col("doc_id")).as("first_doc"),
+               max(col("doc_id")).as("last_doc"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents)),
+             |kept AS (
+             |  SELECT doc_id, text, n_tokens FROM base
+             |  WHERE n_tokens >= 50 AND n_tokens <= 100000
+             |    AND chars_ns >= n_tokens * 3 AND chars_ns <= n_tokens * 10
+             |    AND n_uniq * 5 >= n_tokens AND n_stop >= 2
+             |    AND doc_id % 50 <> 0),
+             |evtok AS (
+             |  SELECT string_split(text, ' ') AS tk FROM documents WHERE doc_id % 50 = 0),
+             |ev AS (
+             |  SELECT DISTINCT unnest(list_transform(range(len(tk) - 3),
+             |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+             |  FROM evtok WHERE len(tk) >= 4),
+             |ktok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM kept),
+             |ksh AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(tk) - 3),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+             |  FROM ktok WHERE len(tk) >= 4),
+             |contam AS (SELECT DISTINCT doc_id FROM ksh JOIN ev USING (sh)),
+             |clean AS (
+             |  SELECT k.* FROM kept k LEFT JOIN contam c USING (doc_id)
+             |  WHERE c.doc_id IS NULL),
+             |firsts AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text)),
+             |ded AS (SELECT c.doc_id, c.n_tokens FROM clean c JOIN firsts USING (doc_id)),
+             |binned AS (
+             |  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      / 512) AS BIGINT) AS bin
+             |  FROM ded)
+             |SELECT shard, bin, count(*) AS n_docs,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM binned GROUP BY 1, 2""".stripMargin),
+      "North star: FULL corpus build — gate → eval holdout → decontaminate → dedup → pack"))
 }
