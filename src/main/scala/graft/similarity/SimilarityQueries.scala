@@ -709,5 +709,220 @@ object SimilarityQueries extends QueryPack {
       Some(ivfSearchOracle),
       "North star: IVF over a cid-partitioned layout — probe prunes the scan to nprobe dirs"))
 
-  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf
+  /** PQ sub-vector m (16 dims) of a 64-dim column. */
+  private def subVec(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
+
+  /** PQ codes, long format (vec_id, m, code): per (vector, subspace)
+    * argmin-distance centroid id. One (vec_id, m) exchange shared by the
+    * 4 subspace argmins; the codebook is broadcast. Same math as s10/s11,
+    * factored for reuse by the composed IVF+PQ path (s13/s14/st19). */
+  def pqCodes(emb: DataFrame, cent: DataFrame): DataFrame = {
+    def encDist(m: Int): Column =
+      aggregate(
+        zip_with(subVec(col("v"), m), subVec(col("cv"), m),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid").asc)
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        posexplode(array((0 until 4).map(encDist): _*)))
+      .toDF("vec_id", "cid", "m", "d")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+  }
+
+  /** ADC lookup table (code, m, ld_e6): exact squared distance from each
+    * query subvector to each subspace centroid, rounded to e6 BEFORE any
+    * summing so downstream ranking is integer-exact across engines.
+    * 4×k rows — always broadcast. */
+  def pqLut(cent: DataFrame, qv: DataFrame): DataFrame = {
+    def subDistTo(m: Int): Column =
+      aggregate(
+        zip_with(subVec(col("cv"), m), subVec(col("qv"), m),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    cent.crossJoin(broadcast(qv))
+      .select(col("cid"), posexplode(array((0 until 4).map(subDistTo): _*)))
+      .toDF("cid", "m", "ld")
+      .select(col("cid").as("code"), col("m"),
+        floor(col("ld") * 1000000 + 0.5).cast(LongType).as("ld_e6"))
+  }
+
+  /** Shared oracle CTE prefix for the composed IVF+PQ path: centroids,
+    * probe set, per-vector assignment, candidate set (assignment ∩ probe),
+    * ADC LUT, and per-candidate integer ADC. */
+  private val ivfpqCte: String =
+    """WITH dim AS (
+      |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+      |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+      |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+      |probe AS (
+      |  SELECT cid FROM (
+      |    SELECT c.cid,
+      |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+      |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+      |           list_sum(list_transform(qv, x -> x * x))) AS csim
+      |    FROM cent c, q)
+      |  ORDER BY csim DESC, cid LIMIT 2),
+      |asims AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+      |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+      |         list_sum(list_transform(cv, x -> x * x))) AS sim
+      |  FROM v e, cent c WHERE e.vec_id <> 0),
+      |assign AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      |    FROM asims) WHERE rn = 1),
+      |cand AS (SELECT a.vec_id, a.cid FROM assign a JOIN probe p ON p.cid = a.cid),
+      |lut AS (
+      |  SELECT c.cid AS code, s.m,
+      |    CAST(floor(list_sum(list_transform(range(1, 17),
+      |      i -> (c.cv[s.m*16 + i] - qv[s.m*16 + i])
+      |         * (c.cv[s.m*16 + i] - qv[s.m*16 + i]))) * 1000000 + 0.5) AS BIGINT) AS ld_e6
+      |  FROM cent c, q, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+      |d AS (
+      |  SELECT e.vec_id, c.cid, s.m,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> (e.v[s.m*16 + i] - c.cv[s.m*16 + i])
+      |         * (e.v[s.m*16 + i] - c.cv[s.m*16 + i]))) AS d
+      |  FROM v e, cent c, (SELECT unnest([0, 1, 2, 3]) AS m) s
+      |  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+      |best AS (
+      |  SELECT vec_id, m, cid,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |  FROM d),
+      |adc AS (
+      |  SELECT b.vec_id, CAST(sum(l.ld_e6) AS BIGINT) AS adc_e6
+      |  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.cid
+      |  WHERE b.rn = 1 GROUP BY b.vec_id)
+      |""".stripMargin
+
+  private val ivfpq: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "s13_ivfpq_search",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The composed 100 TB ANN serving shape — IVF partition pruning
+        // (s12) UNDER PQ asymmetric-distance rerank (s11): the corpus is
+        // stored as integer PQ codes partitioned by IVF cell, the probe
+        // selects nprobe=2 cells as literal partition filters, and the
+        // rerank is 4 broadcast-LUT lookups per candidate. The scan
+        // touches nprobe/k of the DIRECTORIES and zero float vectors —
+        // both axes of the real IVF-PQ index (Jégou et al.) at once.
+        // Driver-side materializations stay bounded: nprobe ints.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val layout = graft.streaming.Streams.dataDir("graft_ivfpq_part_")
+        pqCodes(corpus, cent)
+          .join(nearestCentroid(corpus, cent).select(col("vec_id"), col("cid")),
+                Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(layout)
+        val probeIds = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .collect().map(_.getInt(0))
+        spark.read.parquet(layout)
+          .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // partition-pruned, codes-only scan
+          .join(broadcast(pqLut(cent, qv)), Seq("m", "code"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum(col("ld_e6")).as("adc_e6"))
+          .orderBy(col("adc_e6").asc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"), col("adc_e6"))
+      },
+      Some(ivfpqCte +
+        """SELECT a.vec_id, ca.cid, a.adc_e6
+          |FROM adc a JOIN cand ca ON ca.vec_id = a.vec_id
+          |ORDER BY a.adc_e6 ASC, a.vec_id ASC LIMIT 5""".stripMargin),
+      "North star: IVF-PQ serving — partition-pruned codes-only scan + broadcast-LUT ADC rerank"),
+
+    GraftQuery(
+      "s14_ivfpq_recall",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Recall audit of the composed IVF-PQ path (s13's ranking —
+        // probe-restricted candidates ordered by integer ADC) against
+        // the exact brute-force top-k, s09-style. Quantifies BOTH error
+        // sources at once: IVF probe misses and PQ ranking distortion.
+        // Scale shape: candidate sets shrink to ≤5 rows via
+        // TakeOrderedAndProject before any global window.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val w5 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ord").asc, col("vec_id").asc)
+        val exact = corpus.crossJoin(broadcast(qv))
+          .select(col("vec_id"), (-cosineFast(col("v"), col("qv"))).as("ord"))
+          .orderBy(col("ord").asc, col("vec_id").asc).limit(5)
+          .withColumn("rn_e", row_number().over(w5))
+          .select(col("vec_id"), col("rn_e"))
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .select(col("cid"))
+        val cand = nearestCentroid(corpus, cent)
+          .select(col("vec_id"), col("cid"))
+          .join(broadcast(probe), Seq("cid"))
+        val ivfpqTop = pqCodes(corpus, cent)
+          .join(cand.select(col("vec_id")), Seq("vec_id"))
+          .join(broadcast(pqLut(cent, qv)), Seq("m", "code"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("ld_e6")).as("ord"))
+          .orderBy(col("ord").asc, col("vec_id").asc).limit(5)
+          .withColumn("rn_a", row_number().over(w5))
+          .select(col("vec_id"), col("rn_a"))
+        val ks = Seq(1, 3, 5).toDF("k")
+        val hits = ivfpqTop.join(exact, Seq("vec_id"))
+          .crossJoin(ks)
+          .filter(col("rn_a") <= col("k") && col("rn_e") <= col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"))
+        ks.join(hits, Seq("k"), "left")
+          .select(col("k"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            floor(coalesce(col("n"), lit(0L)) * 10000.0 / col("k") + 0.5)
+              .cast(LongType).as("recall_e4"))
+          .orderBy(col("k"))
+      },
+      Some(ivfpqCte +
+        """, cos AS (
+          |  SELECT e.vec_id,
+          |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+          |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+          |         list_sum(list_transform(qv, x -> x * x))) AS sim
+          |  FROM v e, q WHERE e.vec_id <> 0),
+          |exact AS (
+          |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn_e
+          |  FROM cos ORDER BY sim DESC, vec_id LIMIT 5),
+          |appr AS (
+          |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_e6 ASC, vec_id) AS rn_a
+          |  FROM adc ORDER BY adc_e6 ASC, vec_id LIMIT 5),
+          |ks AS (SELECT unnest([1, 3, 5]) AS k),
+          |hits AS (
+          |  SELECT k.k AS k, count(*) AS n
+          |  FROM appr a JOIN exact e USING (vec_id), ks k
+          |  WHERE a.rn_a <= k.k AND e.rn_e <= k.k
+          |  GROUP BY 1)
+          |SELECT ks.k,
+          |  CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+          |  CAST(floor(coalesce(h.n, 0) * 10000.0 / ks.k + 0.5) AS BIGINT) AS recall_e4
+          |FROM ks LEFT JOIN hits h ON h.k = ks.k
+          |ORDER BY ks.k""".stripMargin),
+      "North star: IVF-PQ recall@k audit vs exact top-k — quantifies probe + quantization loss"))
+
+  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf ++ ivfpq
 }

@@ -182,6 +182,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"probe ids did not prune the partitioned scan:\n$p")
   }
 
+  test("s13: IVF-PQ serve — probe prunes partitions AND the rerank is codes-only broadcast lookups") {
+    val p = plan("s13_ivfpq_search")
+    assert(p.contains("PartitionFilters: [cid"),
+      s"probe ids did not prune the partitioned codes layout:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"ADC LUT should broadcast-hash-join:\n$p")
+    // the pruned scan must read PQ codes, never the float vectors
+    val scan = p.linesIterator.find(l => l.contains("PartitionFilters: [cid")).getOrElse("")
+    assert(!scan.contains("embedding") && !p.contains("ReadSchema: struct<vec_id:bigint,m:int,code:int,v:"),
+      s"codes-only scan pulled float vectors:\n$p")
+  }
+
   test("d03 band join: AQE splits a hot LSH band (skew-join handling fires)") {
     // At 100 TB, boilerplate shingles concentrate signatures into hot
     // bands; SCALE.md claims AQE's skew-join split absorbs them. Prove
