@@ -23,6 +23,7 @@ object SparkEntry {
     graft.sources.SourceQueries,
     graft.analysis.TextQueries,
     graft.analysis.QualityQueries,
+    graft.analysis.BpeQueries,
     graft.operators.PipelineQueries,
     graft.operators.BreadthQueries,
     graft.dedup.DedupQueries,
