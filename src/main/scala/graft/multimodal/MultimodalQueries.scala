@@ -269,7 +269,92 @@ object MultimodalQueries extends QueryPack {
              |  FROM documents d, range(0, 8) t(k)
              |  WHERE t.k < 4 + d.doc_id % 4)
              |GROUP BY doc_id""".stripMargin),
-      "North star: video container parse + every-Nth frame sample + REAL frame decode"))
+      "North star: video container parse + every-Nth frame sample + REAL frame decode"),
+
+    GraftQuery(
+      "mm08_image_neardup",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Image perceptual-hash near-dup (the d12 gap: the pipeline
+        // decodes images but never fingerprints them). dHash over a REAL
+        // codec roundtrip: each id renders a 9×8-block fixture image
+        // (4×4-px constant blocks, gray values closed-form in id; ids
+        // sharing a base differ only in planted perturbed blocks), is
+        // PNG-encoded, decoded back, block-averaged to the 9×8 grid, and
+        // hashed by adjacent-mean comparisons → a 64-bit fingerprint.
+        // Mining is d09's shape: band the hash into 4×16-bit keys, pair
+        // within bands (linear shuffle, no doc×doc), verify with the
+        // codegen hamming_dist ≤ 4. PNG is lossless and blocks are
+        // constant, so the block means — and therefore every hash bit —
+        // are oracle-exact; the oracle replays the pipeline from the
+        // closed-form gray values alone. A broken decode or resample
+        // cannot reproduce the planted pair set.
+        val hashes = t.documents.filter(col("doc_id") < 64).select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            (id, ImageCodec.dhashFromPng(ImageCodec.encodeBlockPng(id)))
+          })
+          .toDF("id", "dhash")
+        val bands = hashes.select(col("id"), col("dhash"),
+          posexplode(array((0 until 4).map(i =>
+            substring(col("dhash"), i * 16 + 1, 16)): _*)))
+          .toDF("id", "dhash", "band_id", "bv")
+        val a = bands.select(col("band_id"), col("bv"),
+          col("id").as("id_a"), col("dhash").as("ha"))
+        val b = bands.select(col("band_id"), col("bv"),
+          col("id").as("id_b"), col("dhash").as("hb"))
+        a.join(b, Seq("band_id", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+          .distinct()
+          .select(col("id_a"), col("id_b"),
+            graft.functions.HammingDistance.hammingDist(col("ha"), col("hb"))
+              .as("hamming"))
+          .filter(col("hamming") <= 4)
+      },
+      Some({
+        val g = MultimodalQueries.blockGraySql
+        s"""WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS base, doc_id % 4 AS variant
+           |             FROM documents WHERE doc_id < 64),
+           |eff AS (SELECT id, variant,
+           |         CASE WHEN variant = 3 THEN base + 41 ELSE base END AS ebase FROM ids),
+           |blocks AS (
+           |  SELECT id, bxr.bx, byr.by,
+           |    CASE WHEN (variant >= 1 AND bxr.bx = 2 AND byr.by = 1)
+           |           OR (variant = 2 AND bxr.bx = 5 AND byr.by = 4)
+           |    THEN 255 - $g ELSE $g END AS g
+           |  FROM eff, (SELECT unnest(range(0, 9)) AS bx) bxr,
+           |            (SELECT unnest(range(0, 8)) AS by) byr),
+           |bits AS (
+           |  SELECT a.id, a.by * 8 + a.bx AS b,
+           |    CASE WHEN n.g > a.g THEN '1' ELSE '0' END AS bit
+           |  FROM blocks a JOIN blocks n ON n.id = a.id AND n.by = a.by AND n.bx = a.bx + 1
+           |  WHERE a.bx < 8),
+           |hash AS (SELECT id, string_agg(bit, '' ORDER BY b) AS dhash FROM bits GROUP BY id),
+           |band AS (SELECT id, dhash, bir.bi, substring(dhash, bir.bi*16 + 1, 16) AS bv
+           |         FROM hash, (SELECT unnest(range(0, 4)) AS bi) bir),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS ha, b.dhash AS hb
+           |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+           |SELECT id_a, id_b,
+           |  CAST(list_sum(list_transform(range(1, 65),
+           |    i -> CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+           |FROM cand
+           |WHERE hamming <= 4""".stripMargin
+      }),
+
+      "North star: image dHash near-dup — real codec roundtrip, banded mining, hamming verify"))
+
+  /** Closed-form block gray value, SQL form (quadratic mix so distinct
+    * ebase values are uncorrelated — a linear formula mod 200 makes
+    * different bases mere constant shifts with IDENTICAL dHashes). Must
+    * stay in lockstep with [[ImageCodec.blockGray]]. */
+  private[multimodal] def blockGraySql: String =
+    "(((((ebase + 1) * 2654435761 + (byr.by * 9 + bxr.bx + 1) * 40503) % 100003) * " +
+      "(((ebase + 1) * 2654435761 + (byr.by * 9 + bxr.bx + 1) * 40503) % 100003)) % 200 + 20)"
 }
 
 /** Features recovered by the REAL decoder — output contract of mm03. */
@@ -509,6 +594,97 @@ object ImageCodec {
       k += 1
     }
     VideoSample(id, k, sampled, sumR)
+  }
+
+  /** mm08 fixture: closed-form block gray value (MUST stay in lockstep
+    * with `MultimodalQueries.blockGraySql`). Quadratic mix keeps distinct
+    * ebase values uncorrelated; all intermediates fit a Long. */
+  def blockGray(ebase: Long, bx: Int, by: Int): Int = {
+    val h = ((ebase + 1) * 2654435761L + (by * 9 + bx + 1) * 40503L) % 100003L
+    ((h * h) % 200 + 20).toInt
+  }
+
+  /** mm08 fixture image: 9×8 grid of 4×4-px constant-gray blocks
+    * (36×32 px). ids sharing a base (id/4) differ only in planted
+    * perturbed blocks: variant 1 flips block (2,1), variant 2 flips
+    * (2,1) and (5,4), variant 3 is a different image entirely
+    * (ebase = base + 41 — an offset that collides with no base, see
+    * blockGraySql's scaladoc). */
+  def renderBlockImage(id: Long): BufferedImage = {
+    val base = id / 4
+    val variant = (id % 4).toInt
+    val ebase = if (variant == 3) base + 41 else base
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](36 * 32)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        val g0 = blockGray(ebase, bx, by)
+        val perturbed = (variant >= 1 && bx == 2 && by == 1) ||
+          (variant == 2 && bx == 5 && by == 4)
+        val g = if (perturbed) 255 - g0 else g0
+        val rgb = (g << 16) | (g << 8) | g
+        var dy = 0
+        while (dy < 4) {
+          var dx = 0
+          while (dx < 4) {
+            px((by * 4 + dy) * 36 + bx * 4 + dx) = rgb
+            dx += 1
+          }
+          dy += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    img.setRGB(0, 0, 36, 32, px, 0, 36)
+    img
+  }
+
+  def encodeBlockPng(id: Long): Array[Byte] = write(renderBlockImage(id), "png")
+
+  /** mm08 kernel: REAL decode, 9×8 block means (exact — PNG is lossless
+    * and blocks are constant), dHash = adjacent-mean comparisons row by
+    * row, emitted as a 64-char bit string (bit b = y·8+x set iff
+    * mean(x+1,y) > mean(x,y)). */
+  def dhashFromPng(bytes: Array[Byte]): String = {
+    val img = decode(bytes)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val bw = w / 9
+    val bh = h / 8
+    val mean = Array.ofDim[Long](8, 9)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 9) {
+        var s = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            s += (px((by * bh + dy) * w + bx * bw + dx) >> 16) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        mean(by)(bx) = s / (bw.toLong * bh)
+        bx += 1
+      }
+      by += 1
+    }
+    val sb = new StringBuilder(64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        sb.append(if (mean(y)(x + 1) > mean(y)(x)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
   }
 
   /** Idempotently materialize PNG fixture FILES img_0.png..img_63.png in a

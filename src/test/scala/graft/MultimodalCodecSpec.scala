@@ -61,6 +61,25 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: planted variants land near, different bases land far (mm08 kernel)") {
+    def dh(id: Long) = ImageCodec.dhashFromPng(ImageCodec.encodeBlockPng(id))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    (0L until 4L).foreach { base =>
+      val v0 = dh(base * 4)
+      assert(v0.length == 64 && v0.forall(c => c == '0' || c == '1'))
+      // variant 1 perturbs ONE block → at most 2 adjacent comparisons flip
+      assert(hamming(v0, dh(base * 4 + 1)) <= 2)
+      // variant 2 perturbs two blocks → ≤ 4 bits
+      assert(hamming(v0, dh(base * 4 + 2)) <= 4)
+      // variant 3 is an unrelated image → far outside the ≤4 verify gate
+      assert(hamming(v0, dh(base * 4 + 3)) > 4)
+      // different bases are uncorrelated
+      assert(hamming(v0, dh((base + 1) * 4)) > 4)
+    }
+    // decode really drives the hash: PNG bytes, not the id, are hashed
+    assert(dh(0) == ImageCodec.dhashFromPng(ImageCodec.encodeBlockPng(0)))
+  }
+
   test("fixture dir materializes 64 PNGs once and is idempotent") {
     val d1 = ImageCodec.ensureFixtureDir()
     val files = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".png"))
