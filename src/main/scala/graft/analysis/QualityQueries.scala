@@ -556,5 +556,82 @@ object QualityQueries extends QueryPack {
              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM binned GROUP BY 1, 2""".stripMargin),
-      "North star: FULL corpus build — gate → eval holdout → decontaminate → dedup → pack"))
+      "North star: FULL corpus build — gate → eval holdout → decontaminate → dedup → pack"),
+
+    GraftQuery(
+      "t20_ngram_lm_score",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // N-gram LM quality scoring (the KenLM-perplexity-filter shape):
+        // train trigram/bigram count tables on the corpus itself, then
+        // score every doc's average per-trigram surprisal and flag
+        // outliers. The log-domain math is INTEGER-EXACT by design:
+        // surprisal_bits = ⌊log2(c2 + V)⌋ − ⌊log2(c3 + 1)⌋ computed as
+        // length(bin(n)) — exact integer bit-length on both engines —
+        // approximating log2((c3+1)/(c2+V)) within ±1 bit. A float ln
+        // would hash-diverge across engines at e4 rounding boundaries
+        // (transcendentals aren't IEEE-correctly-rounded everywhere);
+        // bit-length is. Plan shape: ONE tokenize pass feeds trigram
+        // extraction (window lead, shuffles on doc_id), the count tables
+        // group on n-gram keys and broadcast back into the scoring join
+        // (corpus-derived dim tables ≪ corpus at 100 TB after the
+        // count-min cut; here they broadcast whole), and the per-doc agg
+        // is map-side partial.
+        val toks = t.documents
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "word")
+          .filter(length(col("word")) > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val tri = toks.select(col("doc_id"), col("word").as("w1"),
+          lead(col("word"), 1).over(w).as("w2"),
+          lead(col("word"), 2).over(w).as("w3"))
+        val tri2 = tri.filter(col("w3").isNotNull)
+        val c3 = tri2.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+        val c2 = tri.filter(col("w2").isNotNull)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val v = toks.agg(countDistinct(col("word")).as("vocab"))
+        tri2
+          .join(broadcast(c3), Seq("w1", "w2", "w3"))
+          .join(broadcast(c2), Seq("w1", "w2"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            (length(bin(col("c2") + col("vocab"))) -
+             length(bin(col("c3") + 1))).as("surprisal_bits"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tri"),
+               sum(col("surprisal_bits")).as("sum_bits"))
+          .select(col("doc_id"), col("n_tri"), col("sum_bits"),
+            expr("(sum_bits * 10000) div n_tri").as("avg_bits_e4"))
+          .withColumn("is_unusual", col("avg_bits_e4") > 42500)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, u.p.pos AS pos, u.p.word AS word FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+             |      i -> {'pos': i, 'word': l[i]})) AS p
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)) u
+             |  WHERE length(u.p.word) > 0),
+             |tri AS (
+             |  SELECT doc_id, word AS w1,
+             |    lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             |    lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+             |  FROM toks),
+             |tri2 AS (SELECT doc_id, w1, w2, w3 FROM tri WHERE w3 IS NOT NULL),
+             |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri2 GROUP BY 1, 2, 3),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tri WHERE w2 IS NOT NULL GROUP BY 1, 2),
+             |v AS (SELECT count(DISTINCT word) AS vocab FROM toks),
+             |scored AS (
+             |  SELECT t.doc_id,
+             |    length(bin(c2.c2 + v.vocab)) - length(bin(c3.c3 + 1)) AS surprisal_bits
+             |  FROM tri2 t JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+             |              JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2, v),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_tri,
+             |    CAST(sum(surprisal_bits) AS BIGINT) AS sum_bits
+             |  FROM scored GROUP BY doc_id)
+             |SELECT doc_id, n_tri, sum_bits,
+             |  (sum_bits * 10000) // n_tri AS avg_bits_e4,
+             |  (sum_bits * 10000) // n_tri > 42500 AS is_unusual
+             |FROM agg""".stripMargin),
+      "North star: n-gram LM quality score — integer-exact bit-length surprisal, outlier flags"))
 }
