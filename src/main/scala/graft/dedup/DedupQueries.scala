@@ -631,7 +631,62 @@ object DedupQueries extends QueryPack {
              |  FROM sh6 GROUP BY 1 HAVING count(*) >= 2)
              |SELECT sh, CAST(n_docs AS BIGINT) AS n_docs, first_doc
              |FROM rep ORDER BY n_docs DESC, sh ASC LIMIT 50""".stripMargin),
-      "North star: repeated exact 6-gram spans across the corpus (substring-dedup signal)"))
+      "North star: repeated exact 6-gram spans across the corpus (substring-dedup signal)"),
+
+    GraftQuery(
+      "d10b_multiwidth_ngrams",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // d10 at widths {6, 8, 12} approximating Lee et al.'s
+        // variable-width suffix-array signal: ONE tokenize of the corpus
+        // text (the split is shared by all three widths inside a single
+        // projection — the text column is read once), widths fan out as
+        // an exploded (width, shingles) array, then one hash-agg on
+        // (width, shingle) and a per-width top-20 under a TOTAL order
+        // via a window PARTITIONED BY width — never a global sort, and
+        // the rank window runs on the already-aggregated (small)
+        // repetition table, not the corpus.
+        def shFromTk(tk: Column, w: Int): Column =
+          when(size(tk) >= w,
+            array_distinct(transform(sequence(lit(0), size(tk) - w),
+              i => concat_ws(" ", slice(tk, i + 1, lit(w))))))
+            .otherwise(array())
+        val widths = Seq(6, 8, 12)
+        val toks = t.documents.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val sh = toks
+          .select(col("doc_id"), explode(array(widths.map(w =>
+            struct(lit(w).as("w"), shFromTk(col("tk"), w).as("shs"))): _*)).as("x"))
+          .select(col("doc_id"), col("x.w").as("w"), explode(col("x.shs")).as("sh"))
+        val rk = org.apache.spark.sql.expressions.Window
+          .partitionBy("w").orderBy(col("n_docs").desc, col("sh").asc)
+        sh.groupBy("w", "sh")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .withColumn("rnk", row_number().over(rk))
+          .filter(col("rnk") <= 20)
+      },
+      Some {
+        def joinW(w: Int): String =
+          (1 to w).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+        val arms = Seq(6, 8, 12).map { w =>
+          s"""SELECT DISTINCT doc_id, $w AS w,
+             |    unnest(list_transform(range(len(tk) - ${w - 1}), i -> ${joinW(w)})) AS sh
+             |  FROM toks WHERE len(tk) >= $w""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |sh AS (
+           |  $arms),
+           |rep AS (
+           |  SELECT w, sh, count(*) AS n_docs, min(doc_id) AS first_doc
+           |  FROM sh GROUP BY 1, 2 HAVING count(*) >= 2),
+           |rk AS (
+           |  SELECT w, sh, CAST(n_docs AS BIGINT) AS n_docs, first_doc,
+           |    CAST(row_number() OVER (PARTITION BY w ORDER BY n_docs DESC, sh) AS INTEGER) AS rnk
+           |  FROM rep)
+           |SELECT w, sh, n_docs, first_doc, rnk FROM rk WHERE rnk <= 20""".stripMargin
+      },
+      "North star: multi-width {6,8,12} repeated-span mining in one corpus text pass"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).
