@@ -716,7 +716,130 @@ object StreamingQueries extends QueryPack {
              |      FROM documents)
              |WHERE doc_id < 64
              |ORDER BY doc_id""".stripMargin),
-      "North star/T: image files decoded ON INGEST via a binaryFile stream ≡ batch mm05"))
+      "North star/T: image files decoded ON INGEST via a binaryFile stream ≡ batch mm05"),
+
+    GraftQuery(
+      "st19_stream_ann_serve",
+      (spark, dir) => {
+        // ANN SERVING LOOP: a stream of query vectors served against the
+        // STATIC s12 IVF layout (cid-partitioned parquet) — the shape a
+        // retrieval stack runs in production, and the loop the
+        // reference's frame pipeline approximates. Per micro-batch:
+        //   1. each query row picks its nprobe=2 cells from the
+        //      broadcast-literal codebook (zero-state per-row argmin,
+        //      st17's artifact seam);
+        //   2. the batch's DISTINCT probe ids (bounded: ≤ 2k ints) become
+        //      literal partition filters on the static layout — the scan
+        //      touches only the probed directories, per batch;
+        //   3. candidates rerank by exact cosine; per-query top-5 by a
+        //      window PARTITIONED BY query id (each query's candidates
+        //      are complete within its batch — row-level source).
+        // Streamed results must equal the batch IVF search row-for-row
+        // (the oracle generalizes s06/s12's contract to all queries).
+        import graft.similarity.SimilarityQueries.{centroids, nearestCentroid}
+        import graft.functions.CosineSim.cosineFast
+        val t = Tables(spark, dir)
+        val embD = t.embeddings.select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val corpus = embD.filter(col("vec_id") % 100 =!= 0)
+        val cent = centroids(embD)
+        val layout = Streams.dataDir("graft_ivf_serve_")
+        nearestCentroid(corpus, cent)
+          .select(col("vec_id"), col("cid"))
+          .join(corpus.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(layout)
+        val codebook: Seq[(Int, Seq[Double])] =
+          cent.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+        def csimTo(cv: Seq[Double]) = cosineFast(col("v"), typedLit(cv))
+        val probeCol = transform(
+          slice(array_sort(array(codebook.map { case (cid, cv) =>
+            struct((-csimTo(cv)).as("ns"), lit(cid).as("cid"))
+          }: _*)), 1, 2),
+          s => s.getField("cid"))
+        val staged = Streams.dataDir("graft_annq_")
+        t.embeddings.filter(col("vec_id") % 100 === 0)
+          .repartition(2).write.mode("overwrite").parquet(staged)
+        val out = Streams.dataDir("graft_annserve_out_")
+        val cp = Streams.scratchDir("graft_cp_st19")
+        Streams.withStreamShufflePartitions(spark) {
+          val queries = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .select(col("vec_id").as("qid"),
+              col("embedding").cast("array<double>").as("v"))
+            .select(col("qid"), col("v").as("qv"), probeCol.as("probe"))
+          val q = queries.writeStream
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batch.persist()
+              try if (!batch.isEmpty) {
+                val pc = batch.select(explode(col("probe")).as("cid"))
+                  .distinct().collect().map(_.getInt(0))
+                val pruned = spark.read.parquet(layout)
+                  .filter(col("cid").isin(pc.toIndexedSeq: _*)) // partition-pruned, per batch
+                val scored = batch
+                  .select(col("qid"), col("qv"), explode(col("probe")).as("cid"))
+                  .join(pruned, Seq("cid"))
+                  .select(col("qid"), col("vec_id"), col("cid"),
+                    cosineFast(col("v"), col("qv")).as("sim"))
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+                scored.withColumn("rnk", row_number().over(w))
+                  .filter(col("rnk") <= 5)
+                  .select(col("qid"), col("vec_id"), col("cid"),
+                    floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"),
+                    col("rnk"))
+                  .write.mode("append").parquet(out)
+              } finally { batch.unpersist(); () }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        spark.read.parquet(out)
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 100 = 0),
+             |probe AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             |        list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |        sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |             list_sum(list_transform(qv, x -> x * x))) DESC, c.cid) AS rn
+             |    FROM cent c, q)
+             |  WHERE rn <= 2),
+             |asims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id % 100 <> 0),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |    FROM asims) WHERE rn = 1),
+             |cand AS (SELECT p.qid, a.vec_id, a.cid FROM assign a JOIN probe p ON p.cid = a.cid),
+             |scored AS (
+             |  SELECT ca.qid, ca.vec_id, ca.cid,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(q.qv, x -> x * x))) AS sim
+             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id JOIN q ON q.qid = ca.qid),
+             |top AS (
+             |  SELECT qid, vec_id, cid, sim,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+             |  FROM scored)
+             |SELECT qid, vec_id, cid,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6,
+             |  CAST(rn AS INTEGER) AS rnk
+             |FROM top WHERE rn <= 5""".stripMargin),
+      "North star/T: streaming ANN serve — per-batch partition-pruned probe against the static IVF layout"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
