@@ -34,7 +34,16 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      finally spark.catalog.clearCache() // release per-query persists (d03/d05 sig tables)
+      finally {
+        spark.catalog.clearCache() // release per-query persists (d03/d05 sig tables)
+        // localCheckpoint blocks (d03/d07/d11 lineage truncation) are NOT
+        // in the SQL cache — they live until the RDD object is GC'd, so
+        // their shuffle/memory footprint lands on every LATER query's
+        // wall time (r6: d03 17.2 s in-suite vs 2.5 s isolated). Release
+        // them eagerly.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -115,13 +115,21 @@ object AdvancedQueries extends QueryPack {
         // sketch values. Both passes are map-side-partial aggregations —
         // the scale shape of A7/A11 is unchanged.
         val li = t.lineitem
-        val s = li.agg(
+        // Exact distincts and sketches MUST be separate aggregations:
+        // combining countDistinct with HLL/percentile triggers the
+        // multi-distinct Expand rewrite, which makes the non-distinct
+        // sketches ride along in the per-distinct-value first aggregate —
+        // allocating the ~21 KB rsd=0.01 HLL buffer once PER KEY GROUP
+        // instead of once per partition (measured 141 s vs 2 s at sf0.1).
+        val exacts = li.agg(
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          count(lit(1)).as("n_rows"),
+          count(lit(1)).as("n_rows"))
+        val sketches = li.agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pcts"))
+        val s = exacts.crossJoin(sketches)
           .select(col("exact_parts"), col("exact_orders"), col("n_rows"),
             col("ap"), col("ao"),
             element_at(col("pcts"), 1).as("p50"),
