@@ -26,6 +26,13 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Spark's INT96 default writes timestamp columns with NO parquet
+      // min/max statistics — every timestamp-sorted layout then scans
+      // the whole table because nothing can row-group-prune (measured
+      // in ScaleToolsSpec: 6000/6000 rows vs 838/6000 with INT64).
+      // INT64 micros is the modern type and what every other engine
+      // (and the parquet spec) expects.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.ui.enabled", "false")

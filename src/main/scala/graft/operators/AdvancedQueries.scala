@@ -159,6 +159,62 @@ object AdvancedQueries extends QueryPack {
       "A7/A11 scale path: HLL++ + quantile sketch, error-bound contract oracle-checked"),
 
     GraftQuery(
+      "q17b_sketch_reagg",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The 100 TB PRE-AGGREGATION pattern that q17's one-shot sketches
+        // can't express: build a small mergeable DataSketches-HLL sketch
+        // per partition key (here ship-month), persist those ~16 KB
+        // partials, and answer "global distinct" at query time by
+        // UNIONING sketches — never rescanning the fact table. This is
+        // how a 1000-executor cluster serves daily distinct-count
+        // dashboards: the per-day sketch table is a few MB regardless of
+        // fact size, and any date-range distinct is a sketch merge.
+        // Sketch bytes are engine-specific, so the oracle contract is:
+        // per-month and global EXACT counts (value-compared) plus
+        // boolean audits that every per-month estimate and the merged
+        // global estimate land within ±5 % of exact (lgK=14 → ~0.8 %
+        // rsd, so 5 % is a >6σ bound — deterministically TRUE).
+        // NOTE each agg keeps exact-distinct and sketch aggregates in
+        // SEPARATE passes — see q17's Expand-rewrite comment above.
+        val li = t.lineitem
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        val sketches = li.groupBy("ship_month")
+          .agg(hll_sketch_agg(col("l_partkey"), 14).as("sk"))
+          .localCheckpoint() // the "persisted sketch table": built once,
+                             // consumed by the per-month audit AND the union
+        val monthEst = sketches
+          .select(col("ship_month"), hll_sketch_estimate(col("sk")).as("est_m"))
+        val monthExact = li.groupBy("ship_month")
+          .agg(countDistinct(col("l_partkey")).as("exact_m"))
+        val perMonth = monthEst.join(monthExact, "ship_month")
+          .agg(
+            count(lit(1)).as("n_months"),
+            sum(col("exact_m")).as("sum_month_exacts"),
+            sum(when(abs(col("est_m") - col("exact_m")) <= col("exact_m") * 0.05, 1L)
+              .otherwise(0L)).as("n_within"))
+        val mergedEst = sketches
+          .agg(hll_union_agg(col("sk")).as("u"))
+          .select(hll_sketch_estimate(col("u")).as("est_g"))
+        val globalExact = li.agg(countDistinct(col("l_partkey")).as("exact_parts_global"))
+        perMonth.crossJoin(mergedEst).crossJoin(globalExact)
+          .select(
+            col("n_months"), col("sum_month_exacts"), col("exact_parts_global"),
+            (col("n_within") === col("n_months")).as("all_months_within_5pct"),
+            (abs(col("est_g") - col("exact_parts_global"))
+              <= col("exact_parts_global") * 0.05).as("merged_within_5pct"))
+      },
+      Some("""SELECT count(*) AS n_months,
+             |  CAST(sum(exact_m) AS BIGINT) AS sum_month_exacts,
+             |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_parts_global,
+             |  TRUE AS all_months_within_5pct,
+             |  TRUE AS merged_within_5pct
+             |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS m,
+             |        count(DISTINCT l_partkey) AS exact_m
+             |      FROM lineitem GROUP BY 1)""".stripMargin),
+      "A7 re-agg path: per-month mergeable HLL sketches unioned to a global distinct"),
+
+    GraftQuery(
       "q32_map_pack",
       (spark, dir) => {
         val t = Tables(spark, dir)

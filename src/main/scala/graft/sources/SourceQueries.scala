@@ -137,5 +137,48 @@ object SourceQueries extends QueryPack {
              |FROM events
              |WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
              |GROUP BY 1""".stripMargin),
-      "S-layout: day-partitioned write → partition-pruned single-day read ≡ oracle"))
+      "S-layout: day-partitioned write → partition-pruned single-day read ≡ oracle"),
+
+    GraftQuery(
+      "src04_sorted_layout",
+      (spark, dir) => {
+        // Row-group-level twin of src03's directory pruning: write the
+        // fact sorted by ship date WITHIN partitions, so every parquet
+        // row group carries a tight min/max on the sort key and a date
+        // predicate prunes row groups from footer stats alone. At 100 TB
+        // this is how a non-partitioned fact still reads ~one quarter
+        // instead of the whole table (directory partitioning by a
+        // second key stays available — the two compose). A small
+        // parquet.block.size forces many row groups even at test SF so
+        // the skipping is real, not vacuous (ScaleToolsSpec pins the
+        // rows-read metric; this entry pins the values).
+        //
+        // Two silent stats-killers to dodge: (1) Spark's INT96 default
+        // writes timestamps with NO parquet min/max stats at all — the
+        // engine session sets outputTimestampType=TIMESTAMP_MICROS
+        // (GraftSession); (2) TIMESTAMP_NTZ predicates are not
+        // convertible to parquet FilterPredicates, so the sort key is
+        // cast to a session-TZ (UTC) timestamp before the write.
+        val out = graft.streaming.Streams.dataDir("graft_sorted_")
+        graft.core.Tables(spark, dir).lineitem
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+          .repartition(4)
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite")
+          .option("parquet.block.size", (128 * 1024).toString)
+          .parquet(out)
+        spark.read.parquet(out)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+               graft.functions.Canon.sumCents(col("l_extendedprice")).as("sum_base_cents"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate <  TIMESTAMP '1996-04-01'
+             |GROUP BY 1""".stripMargin),
+      "S-layout: sort-within-partitions write → row-group stats-pruned range read ≡ oracle"))
 }

@@ -839,7 +839,43 @@ object StreamingQueries extends QueryPack {
              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6,
              |  CAST(rn AS INTEGER) AS rnk
              |FROM top WHERE rn <= 5""".stripMargin),
-      "North star/T: streaming ANN serve — per-batch partition-pruned probe against the static IVF layout"))
+      "North star/T: streaming ANN serve — per-batch partition-pruned probe against the static IVF layout"),
+
+    GraftQuery(
+      "st20_stream_sketch",
+      (spark, dir) => {
+        // T7 + A7 composition: distinct users per event type maintained
+        // INCREMENTALLY as a mergeable DataSketches-HLL aggregation
+        // buffer in streaming state. Each rate-limited micro-batch
+        // merges new rows into the per-type sketch (complete mode), so
+        // the state size is the ~16 KB sketch — never the user set.
+        // This is the streaming twin of q17b's pre-aggregation pattern:
+        // a 100 TB/day event firehose serves live distinct-user
+        // dashboards from state that is O(types × sketch), not O(users).
+        // Sketch bytes are engine-specific → the oracle compares exact
+        // per-type values and asserts the estimate's ±5 % audit bool
+        // (lgK=14 ≈ 0.8 % rsd, so 5 % is >6σ — deterministically TRUE).
+        val agg = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
+               count(lit(1)).as("n_events"))
+        val streamed = Streams.drainToMemory(agg, "st20_sink", outputMode = "complete")
+          .select(col("event_type"),
+                  hll_sketch_estimate(col("sk")).as("est"),
+                  col("n_events"))
+        val exact = Tables(spark, dir).events
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        streamed.join(exact, "event_type")
+          .select(col("event_type"), col("n_events"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <= col("exact_users") * 0.05)
+              .as("users_within_5pct"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  TRUE AS users_within_5pct
+             |FROM events GROUP BY 1""".stripMargin),
+      "T7+A7: streaming mergeable-HLL distinct state ≡ batch exact within sketch bounds"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

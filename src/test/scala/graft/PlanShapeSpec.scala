@@ -193,6 +193,37 @@ class PlanShapeSpec extends SparkTestBase {
       s"codes-only scan pulled float vectors:\n$p")
   }
 
+  test("q17b shape: sketch-only agg plans without Expand; mixing with countDistinct does not") {
+    // The q17 trap, pinned as a differential: mixing countDistinct with
+    // a sketch aggregate in ONE agg triggers the multi-distinct Expand
+    // rewrite, which allocates the ~16-21 KB sketch buffer once per
+    // distinct-key group instead of once per partition (q17 measured
+    // 141 s vs 2 s at sf0.1). q17b/st20 therefore keep exact-distinct
+    // and sketch aggregates in separate passes — the sketch-only plan
+    // must be a plain two-phase aggregation with no Expand anywhere.
+    // (q17b's own final plan hides this subtree behind its
+    // localCheckpoint, so pin the aggregation shape directly.)
+    import org.apache.spark.sql.functions.{col, countDistinct, date_format, hll_sketch_agg}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("m", date_format(col("l_shipdate"), "yyyy-MM"))
+    val good = li.groupBy("m").agg(hll_sketch_agg(col("l_partkey"), 14).as("sk"))
+    good.collect()
+    val gp = good.queryExecution.executedPlan.toString
+    assert(gp.contains("hll_sketch_agg"), s"sketch agg missing:\n$gp")
+    assert(!gp.contains("Expand"), s"sketch-only agg planned an Expand:\n$gp")
+    val mixed = li.groupBy("m").agg(
+      hll_sketch_agg(col("l_partkey"), 14).as("sk"),
+      countDistinct(col("l_orderkey")).as("cd"))
+    val mp = mixed.queryExecution.executedPlan.toString
+    // one distinct agg rewrites to a first aggregate grouped by
+    // (keys, distinct-col) — the sketch buffer lands per distinct value
+    // (≥2 distincts rewrite via Expand instead, same per-key damage)
+    assert(mp.linesIterator.exists(l =>
+        l.contains("hll_sketch_agg") && l.contains("keys=[") && l.contains("l_orderkey"))
+      || mp.contains("Expand"),
+      s"negative control: distinct rewrite no longer groups the sketch per key — revisit q17/q17b comments:\n$mp")
+  }
+
   test("d03 band join: AQE splits a hot LSH band (skew-join handling fires)") {
     // At 100 TB, boilerplate shingles concentrate signatures into hot
     // bands; SCALE.md claims AQE's skew-join split absorbs them. Prove

@@ -98,6 +98,60 @@ class ScaleToolsSpec extends SparkTestBase {
       s"pruning scanned $scanned of $allFiles files")
   }
 
+  test("sorted layout skips row groups on the sort-key predicate") {
+    // The src04 claim: a fact written sortWithinPartitions(l_shipdate)
+    // with small row groups answers a date-range scan from footer
+    // min/max stats — the scan's numOutputRows (rows surviving
+    // row-group pruning, BEFORE Spark's residual filter) must be well
+    // under the table size. An unsorted write of the same data leaves
+    // the date spread across every row group, so the same predicate
+    // prunes (almost) nothing — pinning that the SORT is what skips,
+    // not the predicate alone.
+    def scanRows(path: String): (Long, Long) = {
+      val filtered = spark.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      // drive THIS df's own queryExecution (count() builds a separate
+      // one whose metrics this plan would never see)
+      val n = filtered.collect().length.toLong
+      val scanned = filtered.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (scanned, n)
+    }
+    // single file + tiny block size: at sf0.001 the table is ~0.5 MB,
+    // so 4 files × 128 KB blocks would leave ONE row group per file —
+    // whose min/max spans the whole range and prunes nothing. The row
+    // check interval must also come down or the writer only notices the
+    // block boundary every 100 rows.
+    // the sort key must be an LTZ timestamp: INT96 (Spark's default
+    // outputTimestampType, overridden in SparkTestBase) has no stats at
+    // all, and TIMESTAMP_NTZ (what the testdata reads back as) pushes
+    // filters Spark never converts to parquet FilterPredicates
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+    val total = li.count()
+    val blockOpts = Map(
+      "parquet.block.size" -> (32 * 1024).toString,
+      "parquet.block.size.row.check.min" -> "50",
+      "parquet.block.size.row.check.max" -> "50")
+    val sorted = Files.createTempDirectory("graft_sorted").toString
+    li.repartition(1).sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").options(blockOpts).parquet(sorted)
+    val unsorted = Files.createTempDirectory("graft_unsorted").toString
+    li.repartition(1)
+      .write.mode("overwrite").options(blockOpts).parquet(unsorted)
+    val (sortedScan, nSorted) = scanRows(sorted)
+    val (unsortedScan, nUnsorted) = scanRows(unsorted)
+    assert(nSorted == nUnsorted) // same answer either way
+    assert(sortedScan >= nSorted, "scan emits at least the matching rows")
+    assert(sortedScan < total / 2,
+      s"sorted layout scanned $sortedScan of $total rows — row groups not pruned")
+    assert(sortedScan < unsortedScan,
+      s"sorted scan ($sortedScan) not tighter than unsorted ($unsortedScan)")
+  }
+
   test("dynamic partition pruning fires on a dim-filtered fact join") {
     // DPP: the partitioned fact's scan is pruned at RUNTIME by the
     // filtered dim's broadcast values — at 100 TB this is the difference
