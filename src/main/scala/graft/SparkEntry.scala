@@ -27,6 +27,7 @@ object SparkEntry {
     graft.operators.PipelineQueries,
     graft.operators.BreadthQueries,
     graft.dedup.DedupQueries,
+    graft.graph.GraphQueries,
     graft.similarity.SimilarityQueries,
     graft.multimodal.MultimodalQueries,
     graft.ml.MlQueries,

@@ -137,5 +137,55 @@ object AsofQueries extends QueryPack {
              |SELECT strftime(s.day, '%Y-%m-%d') AS day,
              |  coalesce(d.n, 0) AS n_events
              |FROM spine s LEFT JOIN daily d ON d.day = s.day""".stripMargin),
-      "Gap-fill: generated date spine (sequence+explode) + zero-filled left join"))
+      "Gap-fill: generated date spine (sequence+explode) + zero-filled left join"),
+
+    GraftQuery(
+      "q74_resample_ffill",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Time-series resample + forward fill (pandas `resample('1h')
+        // .max().ffill()` per key): hourly buckets per event_type over
+        // the full span, observation gaps carried forward by the last
+        // non-null bucket value. The carry is `last(_, ignoreNulls)`
+        // over a per-key ordered window — ONE shuffle on event_type,
+        // and the window state is a single value per key. Hours before
+        // a key's first observation stay NULL (nothing to carry).
+        // Spine = distinct types × generated hour sequence (tiny →
+        // broadcast side of the left join).
+        val ev = Tables(spark, dir).events
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val spine = bounds
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+          .crossJoin(ev.select(col("event_type")).distinct())
+        val hourly = ev
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(max(graft.functions.Canon.cents(col("value"))).as("obs_cents"))
+        val w = Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("event_type", "hour"), "left")
+          .select(col("event_type"),
+            date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour"),
+            last(col("obs_cents"), ignoreNulls = true).over(w).as("filled_cents"),
+            col("obs_cents").isNotNull.as("observed"))
+      },
+      Some("""WITH b AS (
+             |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+             |  FROM events),
+             |spine AS (
+             |  SELECT t.event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             |  FROM b CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+             |hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS hour,
+             |    max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS obs_cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT s.event_type, strftime(s.hour, '%Y-%m-%d %H:00') AS hour,
+             |  last_value(h.obs_cents IGNORE NULLS) OVER (
+             |    PARTITION BY s.event_type ORDER BY s.hour
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents,
+             |  (h.obs_cents IS NOT NULL) AS observed
+             |FROM spine s
+             |LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour""".stripMargin),
+      "Resample: hourly buckets per key + forward fill via ordered-window carry"))
 }

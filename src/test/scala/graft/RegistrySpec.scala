@@ -37,7 +37,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("non-streaming query names map 1:1 onto a SURVEY coverage row prefix") {
-    val prefixes = Set("q", "d", "s", "t", "mm", "ml", "st", "absa", "csv")
+    val prefixes = Set("q", "d", "s", "t", "mm", "ml", "st", "absa", "csv", "gr")
     val bad = SparkEntry.all.map(_.name)
       .filterNot(n => prefixes.exists(p => n.startsWith(p)))
     assert(bad.isEmpty, s"unclassifiable query names: ${bad.mkString(", ")}")
