@@ -33,6 +33,8 @@ object GraftSession {
       // INT64 micros is the modern type and what every other engine
       // (and the parquet spec) expects.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.warehouse.dir", // bucketed saveAsTable scratch
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.shuffle.spill.compress", "true")
       .config("spark.ui.enabled", "false")

@@ -240,6 +240,16 @@ object DedupQueries extends QueryPack {
       |  WHERE CAST(floor(i.n_inter * 10000.0 / (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000)
       |""".stripMargin
 
+  /** st21's oracle: the FULL batch near-dup pipeline, restricted to
+    * cross-split pairs (existing doc_a < split ≤ incoming doc_b) —
+    * exactly the set the streaming ingest gate must flag. */
+  val streamGateOracle: String = verifiedPairsCte +
+    """, split AS (
+      |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v FROM documents)
+      |SELECT DISTINCT doc_b AS doc_id FROM ver
+      |WHERE doc_b >= (SELECT v FROM split)
+      |  AND doc_a < (SELECT v FROM split)""".stripMargin
+
   /** Shared decontamination CTE prefix (d08 + streaming st16): 4-gram
     * shingles split into eval (`ev`) and train (`tr`) slices. */
   val decontamCte: String =

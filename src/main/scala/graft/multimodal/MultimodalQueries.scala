@@ -346,7 +346,79 @@ object MultimodalQueries extends QueryPack {
            |WHERE hamming <= 4""".stripMargin
       }),
 
-      "North star: image dHash near-dup — real codec roundtrip, banded mining, hamming verify"))
+      "North star: image dHash near-dup — real codec roundtrip, banded mining, hamming verify"),
+
+    GraftQuery(
+      "mm09_audio_neardup",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Audio perceptual near-dup — mm08's dHash idea on the audio
+        // axis: each id renders a 65-window constant-amplitude PCM
+        // fixture (window values closed-form in id; ids sharing a base
+        // differ only in planted inverted windows), is encoded to a
+        // REAL WAV container, decoded back (RIFF parse + LE 16-bit
+        // reconstruction), window-summed, and fingerprinted by adjacent
+        // window comparisons → 64 bits. Mining is the same banded shape
+        // (4×16-bit keys → linear shuffle), verified with the codegen
+        // hamming_dist ≤ 4. Constant windows make every sum — and
+        // therefore every hash bit — oracle-exact from doc_id alone; a
+        // byte-order or header-offset bug cannot reproduce the planted
+        // pair set.
+        val hashes = t.documents.filter(col("doc_id") < 64).select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            (id, AudioCodec.audioDhash(AudioCodec.encodeNdWav(id)))
+          })
+          .toDF("id", "dhash")
+        val bands = hashes.select(col("id"), col("dhash"),
+          posexplode(array((0 until 4).map(i =>
+            substring(col("dhash"), i * 16 + 1, 16)): _*)))
+          .toDF("id", "dhash", "band_id", "bv")
+        val a = bands.select(col("band_id"), col("bv"),
+          col("id").as("id_a"), col("dhash").as("ha"))
+        val b = bands.select(col("band_id"), col("bv"),
+          col("id").as("id_b"), col("dhash").as("hb"))
+        a.join(b, Seq("band_id", "bv"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+          .distinct()
+          .select(col("id_a"), col("id_b"),
+            graft.functions.HammingDistance.hammingDist(col("ha"), col("hb"))
+              .as("hamming"))
+          .filter(col("hamming") <= 4)
+      },
+      Some({
+        val g = MultimodalQueries.windowValSql
+        s"""WITH ids AS (SELECT doc_id AS id, doc_id // 4 AS base, doc_id % 4 AS variant
+           |             FROM documents WHERE doc_id < 64),
+           |eff AS (SELECT id, variant,
+           |         CASE WHEN variant = 3 THEN base + 41 ELSE base END AS ebase FROM ids),
+           |win AS (
+           |  SELECT id, wr.w,
+           |    CASE WHEN (variant >= 1 AND wr.w = 10) OR (variant = 2 AND wr.w = 40)
+           |    THEN -($g) ELSE ($g) END AS v
+           |  FROM eff, (SELECT unnest(range(0, 65)) AS w) wr),
+           |bits AS (
+           |  SELECT a.id, a.w AS b,
+           |    CASE WHEN n.v > a.v THEN '1' ELSE '0' END AS bit
+           |  FROM win a JOIN win n ON n.id = a.id AND n.w = a.w + 1
+           |  WHERE a.w < 64),
+           |hash AS (SELECT id, string_agg(bit, '' ORDER BY b) AS dhash FROM bits GROUP BY id),
+           |band AS (SELECT id, dhash, bir.bi, substring(dhash, bir.bi*16 + 1, 16) AS bv
+           |         FROM hash, (SELECT unnest(range(0, 4)) AS bi) bir),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.dhash AS ha, b.dhash AS hb
+           |  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+           |SELECT id_a, id_b,
+           |  CAST(list_sum(list_transform(range(1, 65),
+           |    i -> CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+           |FROM cand
+           |WHERE hamming <= 4""".stripMargin
+      }),
+      "North star: audio dHash near-dup — real WAV roundtrip, windowed fingerprint, banded mining"))
 
   /** Closed-form block gray value, SQL form (quadratic mix so distinct
     * ebase values are uncorrelated — a linear formula mod 200 makes
@@ -355,6 +427,12 @@ object MultimodalQueries extends QueryPack {
   private[multimodal] def blockGraySql: String =
     "(((((ebase + 1) * 2654435761 + (byr.by * 9 + bxr.bx + 1) * 40503) % 100003) * " +
       "(((ebase + 1) * 2654435761 + (byr.by * 9 + bxr.bx + 1) * 40503) % 100003)) % 200 + 20)"
+
+  /** SQL twin of [[AudioCodec.windowVal]] (amplitude; the ×64-frame
+    * window sum is a constant multiple, so comparisons are identical). */
+  private[multimodal] def windowValSql: String =
+    "(((((ebase + 1) * 2654435761 + (wr.w + 1) * 40503) % 100003) * " +
+      "(((ebase + 1) * 2654435761 + (wr.w + 1) * 40503) % 100003)) % 200 - 100) * 256"
 }
 
 /** Features recovered by the REAL decoder — output contract of mm03. */
@@ -443,6 +521,70 @@ object AudioCodec {
       AudioMeta(id, fmt.getSampleRate.toInt, fmt.getChannels,
         fmt.getSampleSizeInBits, nFrames, sum, sumsq)
     } finally in.close()
+  }
+
+  // ---- mm09 near-dup fixtures: 65 constant-value windows × 64 frames ----
+  val NdWindows = 65
+  val NdWinLen = 64
+
+  /** Closed-form window amplitude (quadratic mix like ImageCodec
+    * .blockGray, so distinct bases are uncorrelated; ×256 keeps it well
+    * inside 16-bit). Lockstep with mm09's oracle SQL. */
+  def windowVal(ebase: Long, w: Int): Int = {
+    val m = ((ebase + 1) * 2654435761L + (w + 1) * 40503L) % 100003L
+    (((m * m) % 200 - 100) * 256).toInt
+  }
+
+  /** Effective window value after the planted-variant rules: ids share a
+    * base per 4; variants 1/2 invert planted windows (near-dups of
+    * variant 0), variant 3 re-bases (NOT a near-dup). */
+  def ndVal(id: Long, w: Int): Int = {
+    val base = id / 4
+    val variant = id % 4
+    val ebase = if (variant == 3) base + 41 else base
+    val v = windowVal(ebase, w)
+    if ((variant >= 1 && w == 10) || (variant == 2 && w == 40)) -v else v
+  }
+
+  /** REAL WAV encode of the near-dup fixture signal. */
+  def encodeNdWav(id: Long): Array[Byte] = {
+    val n = NdWindows * NdWinLen
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ndVal(id, i / NdWinLen)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
+    val stream = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** mm09 kernel: REAL RIFF parse + PCM decode → per-window sums →
+    * 64-bit adjacent-comparison fingerprint (audio dHash). Windows are
+    * constant-valued, so sums (∝ means) are integer-exact and every
+    * hash bit is closed-form replayable. */
+  def audioDhash(wav: Array[Byte]): String = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val bytes = try in.readAllBytes() finally in.close()
+    val sums = new Array[Long](NdWindows)
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+      sums(i / 2 / NdWinLen) += s
+      i += 2
+    }
+    val sb = new StringBuilder(NdWindows - 1)
+    var w = 0
+    while (w < NdWindows - 1) {
+      sb.append(if (sums(w + 1) > sums(w)) '1' else '0')
+      w += 1
+    }
+    sb.toString
   }
 }
 

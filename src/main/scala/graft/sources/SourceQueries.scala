@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.{GraftQuery, QueryPack}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Source-format tier (SURVEY §2 S2 + format breadth): labeled-review ingestion with the
   * reference's exact data shape — header row, quoted fields with
@@ -180,5 +181,87 @@ object SourceQueries extends QueryPack {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              |  AND l_shipdate <  TIMESTAMP '1996-04-01'
              |GROUP BY 1""".stripMargin),
-      "S-layout: sort-within-partitions write → row-group stats-pruned range read ≡ oracle"))
+      "S-layout: sort-within-partitions write → row-group stats-pruned range read ≡ oracle"),
+
+    GraftQuery(
+      "src05_bucketed_join",
+      (spark, dir) => {
+        // Bucketed co-located join: both fact tables written bucketBy the
+        // join key, so the sort-merge join consumes bucket files directly
+        // — NO pre-join exchange on either side (ScaleToolsSpec pins the
+        // plan property; this entry pins the values). At 100 TB this is
+        // the difference between re-shuffling both fact tables on every
+        // join and shuffling neither: the bucketing IS the shuffle, paid
+        // once at write time and amortized over every downstream join on
+        // that key. Broadcast is disabled for the join so the co-location
+        // (not a small-side shortcut) is what's exercised.
+        val t = graft.core.Tables(spark, dir)
+        t.lineitem.write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("src05_li")
+        t.orders.write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("src05_o")
+        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          spark.table("src05_li")
+            .join(spark.table("src05_o"), col("l_orderkey") === col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n_rows"),
+                 graft.functions.Canon.sumCents(col("l_extendedprice")).as("sum_base_cents"))
+            // force the plan (and the bucket-scan) while the conf holds
+            .localCheckpoint()
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin),
+      "S-layout: bucketed write → co-located sort-merge join with zero pre-join exchanges"),
+
+    GraftQuery(
+      "src06_zorder_layout",
+      (spark, dir) => {
+        // Z-order layout: interleave the bits of TWO keys into one sort
+        // value, so row-group min/max stats prune range predicates on
+        // EITHER (or both) dimensions — the lakehouse answer to "sorted
+        // helps only the leading column". The interleave is a pure
+        // codegen'd HOF fold (no UDF); the 2-D box query reads a few row
+        // groups instead of the table (ScaleToolsSpec pins scan metrics
+        // vs a single-key sort; this entry pins the values).
+        val out = graft.streaming.Streams.dataDir("graft_zorder_")
+        // 20 bits per key (covers l_orderkey ≤ 150 k at sf0.1 with
+        // headroom; truncated high bits would silently fold distant key
+        // ranges onto the same z prefix and break the clustering)
+        val z = expr(
+          """aggregate(sequence(0, 19), 0L, (acc, i) ->
+            |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
+            |      + shiftleft((l_orderkey >> i) & 1, 2 * i + 1))""".stripMargin)
+        graft.core.Tables(spark, dir).lineitem
+          .withColumn("zval", z)
+          // range-partition THEN sort: files don't overlap in z, so the
+          // layout stays globally clustered while every writer works in
+          // parallel (repartition(1) + sort would single-thread the write)
+          .repartitionByRange(4, col("zval"))
+          .sortWithinPartitions("zval")
+          .write.mode("overwrite")
+          .option("parquet.block.size", (64 * 1024).toString)
+          .option("parquet.block.size.row.check.min", "100")
+          .option("parquet.block.size.row.check.max", "100")
+          .parquet(out)
+        spark.read.parquet(out)
+          .filter(col("l_partkey") >= 100 && col("l_partkey") < 300 &&
+                  col("l_orderkey") >= 200 && col("l_orderkey") < 600)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+               sum(col("l_quantity")).cast(LongType).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey >= 100 AND l_partkey < 300
+             |  AND l_orderkey >= 200 AND l_orderkey < 600
+             |GROUP BY 1""".stripMargin),
+      "S-layout: Z-order (bit-interleaved) sort → row-group pruning on BOTH box dimensions"))
 }

@@ -875,7 +875,78 @@ object StreamingQueries extends QueryPack {
              |  count(DISTINCT user_id) AS exact_users,
              |  TRUE AS users_within_5pct
              |FROM events GROUP BY 1""".stripMargin),
-      "T7+A7: streaming mergeable-HLL distinct state ≡ batch exact within sketch bounds"))
+      "T7+A7: streaming mergeable-HLL distinct state ≡ batch exact within sketch bounds"),
+
+    GraftQuery(
+      "st21_stream_dedup_gate",
+      (spark, dir) => {
+        // NEAR-DUP GATE ON INGEST — d12's incremental probe as a
+        // stream-static pipeline: the existing corpus's LSH band index
+        // and per-doc shingle arrays are STATIC artifacts (built once;
+        // the index-update loop between ingests is d12's batch job).
+        // Each micro-batch of incoming docs signs itself PER ROW with
+        // array_min over its own shingle array (zero state, zero
+        // exchange — st17's scan-speed argmin idea applied to MinHash),
+        // bands the signature, probes the broadcast index, and
+        // exact-Jaccard verifies each candidate ROW-LOCALLY via
+        // array_intersect against the static side's shingle array —
+        // no streaming aggregation anywhere, so the whole gate is
+        // stateless except the final once-per-doc emission dedup.
+        // (Batch verification explodes instead of moving arrays — d05's
+        // rule; the streaming gate makes the opposite trade to stay
+        // append-mode stateless, and only candidate rows pay it.)
+        // The oracle replays the FULL batch pipeline and selects
+        // cross-split verified pairs — the streamed gate must land on
+        // exactly that set.
+        import graft.dedup.DedupQueries
+        val docs = Tables(spark, dir).documents
+        val split = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
+          .head().getLong(0)
+        val staged = Streams.dataDir("graft_docs_dedup_")
+        docs.filter(col("doc_id") >= split)
+          .repartition(2).write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val sigCols = (0 until DedupQueries.numHashes).map { j =>
+            array_min(transform(col("shs"), s => DedupQueries.hashFn(j, s)))
+              .as(s"sig$j")
+          }
+          val bandArray = array(
+            concat_ws("|", col("sig0"), col("sig1")),
+            concat_ws("|", col("sig2"), col("sig3")),
+            concat_ws("|", col("sig4"), col("sig5")),
+            concat_ws("|", col("sig6"), col("sig7")))
+          def signed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+            .select(col("doc_id"), DedupQueries.shingles(col("text")).as("shs"))
+            .select(col("doc_id") +: col("shs") +: sigCols: _*)
+          // static artifacts (parquet tables in production)
+          val existing = signed(docs.filter(col("doc_id") < split))
+            .localCheckpoint()
+          val indexBands = existing
+            .select(col("doc_id").as("ex_id"), posexplode(bandArray))
+            .toDF("ex_id", "band_id", "band_hash")
+          val exArr = existing
+            .select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
+          val banded = signed(
+              Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1))
+            .select(col("doc_id"), col("shs"), posexplode(bandArray))
+            .toDF("doc_id", "shs", "band_id", "band_hash")
+          val flagged = banded
+            .join(broadcast(indexBands), Seq("band_id", "band_hash"))
+            .select(col("doc_id"), col("ex_id"), col("shs"))
+            .dropDuplicates("doc_id", "ex_id")
+            .join(exArr, Seq("ex_id"))
+            .select(col("doc_id"),
+              size(col("shs")).as("n_b"), size(col("ex_shs")).as("n_a"),
+              size(array_intersect(col("shs"), col("ex_shs"))).as("n_inter"))
+            .filter(floor(col("n_inter") * 10000.0 /
+              (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
+            .select("doc_id")
+            .dropDuplicates("doc_id")
+          Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
+        }
+      },
+      Some(graft.dedup.DedupQueries.streamGateOracle),
+      "North star/T: near-dup gate on ingest — per-row MinHash + static index probe ≡ batch d12 cross-split set"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

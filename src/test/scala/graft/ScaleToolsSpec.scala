@@ -152,6 +152,49 @@ class ScaleToolsSpec extends SparkTestBase {
       s"sorted scan ($sortedScan) not tighter than unsorted ($unsortedScan)")
   }
 
+  test("z-order layout prunes row groups on the non-leading dimension") {
+    // The src06 claim: single-key sort gives stats-pruning only on the
+    // leading column — a predicate on the OTHER key scans everything.
+    // Bit-interleaving both keys into one sort value gives every row
+    // group a bounded box in (partkey, suppkey) space, so either
+    // dimension's range predicate prunes. Pin the differential: the
+    // suppkey-only filter prunes the z-layout but not the
+    // partkey-sorted layout.
+    import org.apache.spark.sql.DataFrame
+    def scanRows(path: String, filt: DataFrame => DataFrame): Long = {
+      val f = filt(spark.read.parquet(path))
+      f.collect()
+      f.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val blockOpts = Map(
+      "parquet.block.size" -> (32 * 1024).toString,
+      "parquet.block.size.row.check.min" -> "50",
+      "parquet.block.size.row.check.max" -> "50")
+    val z = expr(
+      """aggregate(sequence(0, 19), 0L, (acc, i) ->
+        |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
+        |      + shiftleft((l_orderkey >> i) & 1, 2 * i + 1))""".stripMargin)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val total = li.count()
+    val byPart = Files.createTempDirectory("graft_sortpart").toString
+    li.repartition(1).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").options(blockOpts).parquet(byPart)
+    val byZ = Files.createTempDirectory("graft_sortz").toString
+    li.withColumn("zval", z).repartition(1).sortWithinPartitions("zval")
+      .write.mode("overwrite").options(blockOpts).parquet(byZ)
+    val orderBox = (df: DataFrame) =>
+      df.filter(col("l_orderkey") >= 100 && col("l_orderkey") < 300)
+    val zScan = scanRows(byZ, orderBox)
+    val partScan = scanRows(byPart, orderBox)
+    assert(zScan < total / 2,
+      s"z-layout scanned $zScan of $total rows on the second dimension")
+    assert(zScan < partScan,
+      s"z-layout ($zScan) not tighter than leading-key sort ($partScan)")
+  }
+
   test("dynamic partition pruning fires on a dim-filtered fact join") {
     // DPP: the partitioned fact's scan is pruned at RUNTIME by the
     // filtered dim's broadcast values — at 100 TB this is the difference
