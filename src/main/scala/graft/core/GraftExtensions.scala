@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
     ext.injectFunction(GraftExtensions.hammingDescriptor)
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
+    ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SelfCosineFold)
   }
 }
@@ -82,6 +83,15 @@ object GraftExtensions {
         graft.functions.NGrams(Cast(children(0), StringType), children(1))
       })
 
+  val zorderDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[graft.functions.ZOrder].getName, "zorder"),
+      (children: Seq[Expression]) => {
+        requireArity("zorder", children, 2, 2)
+        graft.functions.ZOrder(Cast(children(0), org.apache.spark.sql.types.LongType),
+          Cast(children(1), org.apache.spark.sql.types.LongType))
+      })
+
   /** Register on an already-built session (temp functions), including the
     * typed vector_avg aggregate. */
   def register(spark: SparkSession): Unit = {
@@ -94,6 +104,8 @@ object GraftExtensions {
       hammingDescriptor._3, "built-in")
     reg.createOrReplaceTempFunction("ngrams",
       ngramsDescriptor._3, "built-in")
+    reg.createOrReplaceTempFunction("zorder",
+      zorderDescriptor._3, "built-in")
     spark.udf.register("vector_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))

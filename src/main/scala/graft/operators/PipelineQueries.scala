@@ -51,6 +51,62 @@ object PipelineQueries extends QueryPack {
       "Pipeline: CDC snapshot upsert — delta overrides base by key, audited by status rollup"),
 
     GraftQuery(
+      "q75_scd2_dim",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Slowly-changing dimension, type 2: q59 overwrites; SCD2 keeps
+        // HISTORY — applying a change batch closes the matched current
+        // row (valid_to = effective date) and opens a new version.
+        // Shape: one anti/semi split of the snapshot by the (small,
+        // broadcast) change-key set + a union — no window, no shuffle
+        // of the dim beyond the join key, and the whole history table
+        // stays append-only (the warehouse pattern table formats call
+        // merge-into; expressed here engine-native). Change batch is
+        // deterministic: every 7th customer re-prices acctbal.
+        val eff = "2024-06-01"
+        val dim = t.customer.select(
+          col("c_custkey"),
+          graft.functions.Canon.cents(col("c_acctbal")).as("acctbal_cents"),
+          lit("1900-01-01").as("valid_from"))
+        val changes = dim.filter(col("c_custkey") % 7 === 3)
+          .select(col("c_custkey"),
+            (col("acctbal_cents") + 12345L).as("acctbal_cents"))
+        val changedOld = dim
+          .join(broadcast(changes.select("c_custkey")), Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("acctbal_cents"), col("valid_from"),
+            lit(eff).as("valid_to"), lit(false).as("is_current"))
+        val changedNew = changes
+          .select(col("c_custkey"), col("acctbal_cents"),
+            lit(eff).as("valid_from"), lit(null.asInstanceOf[String]).as("valid_to"),
+            lit(true).as("is_current"))
+        val unchanged = dim
+          .join(broadcast(changes.select("c_custkey")), Seq("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("acctbal_cents"), col("valid_from"),
+            lit(null.asInstanceOf[String]).as("valid_to"), lit(true).as("is_current"))
+        unchanged.unionByName(changedOld).unionByName(changedNew)
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey,
+             |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+             |    '1900-01-01' AS valid_from
+             |  FROM customer),
+             |changes AS (
+             |  SELECT c_custkey, acctbal_cents + 12345 AS acctbal_cents
+             |  FROM dim WHERE c_custkey % 7 = 3)
+             |SELECT d.c_custkey, d.acctbal_cents, d.valid_from,
+             |  NULL AS valid_to, TRUE AS is_current
+             |FROM dim d WHERE d.c_custkey % 7 <> 3
+             |UNION ALL
+             |SELECT d.c_custkey, d.acctbal_cents, d.valid_from,
+             |  '2024-06-01' AS valid_to, FALSE AS is_current
+             |FROM dim d WHERE d.c_custkey % 7 = 3
+             |UNION ALL
+             |SELECT c.c_custkey, c.acctbal_cents, '2024-06-01' AS valid_from,
+             |  NULL AS valid_to, TRUE AS is_current
+             |FROM changes c""".stripMargin),
+      "Pipeline: SCD2 dimension versioning — change batch closes + reopens rows, history append-only"),
+
+    GraftQuery(
       "q60_sessionize",
       (spark, dir) => {
         val t = Tables(spark, dir)

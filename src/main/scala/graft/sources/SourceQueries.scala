@@ -231,13 +231,12 @@ object SourceQueries extends QueryPack {
         // groups instead of the table (ScaleToolsSpec pins scan metrics
         // vs a single-key sort; this entry pins the values).
         val out = graft.streaming.Streams.dataDir("graft_zorder_")
-        // 20 bits per key (covers l_orderkey ≤ 150 k at sf0.1 with
-        // headroom; truncated high bits would silently fold distant key
-        // ranges onto the same z prefix and break the clustering)
-        val z = expr(
-          """aggregate(sequence(0, 19), 0L, (acc, i) ->
-            |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
-            |      + shiftleft((l_orderkey >> i) & 1, 2 * i + 1))""".stripMargin)
+        // Native codegen Morton interleave of the low 20 bits of both
+        // keys (covers l_orderkey ≤ 150 k at sf0.1 with headroom;
+        // truncated high bits would silently fold distant key ranges
+        // onto the same z prefix and break the clustering). The HOF-fold
+        // equivalent is spec-pinned identical in ExpressionsSpec.
+        val z = graft.functions.ZOrder.zorder(col("l_partkey"), col("l_orderkey"))
         graft.core.Tables(spark, dir).lineitem
           .withColumn("zval", z)
           // range-partition THEN sort: files don't overlap in z, so the

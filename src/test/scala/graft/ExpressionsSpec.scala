@@ -96,4 +96,30 @@ class ExpressionsSpec extends SparkTestBase {
     val r = spark.sql("SELECT hamming_dist('1010', '1001') AS h").head()
     assert(r.getInt(0) == 2)
   }
+
+  test("ZOrder matches the 20-bit HOF-fold interleave (seeded sweep + edges)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0xFFFFFL, 0xFFFFFL)) ++
+      Seq.fill(200)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val df = rows.toDF("a", "b")
+    val folded = expr(
+      """aggregate(sequence(0, 19), 0L, (acc, i) ->
+        |  acc + shiftleft((a >> i) & 1, 2 * i)
+        |      + shiftleft((b >> i) & 1, 2 * i + 1))""".stripMargin)
+    val out = df.select(
+      graft.functions.ZOrder.zorder(col("a"), col("b")).as("fast"),
+      folded.as("folded")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // high bits beyond 20 are masked, not folded onto the prefix
+    assert(graft.functions.ZOrder.interleave(1L << 20, 0L) == 0L)
+  }
+
+  test("zorder is callable from SQL via GraftExtensions") {
+    graft.core.GraftExtensions.register(spark)
+    // interleave(3, 1) = (spread 3 = 0b101) | (spread 1 << 1 = 0b10) = 0b111
+    val r = spark.sql("SELECT zorder(3, 1) AS z").head()
+    assert(r.getLong(0) == 7L)
+  }
 }

@@ -28,7 +28,9 @@ class RegistrySpec extends AnyFunSuite {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val ctes = "(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*(\\w+)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val refs = "(?i)(?:FROM|JOIN)\\s+(\\w+)".r
+      // \b keeps identifiers ENDING in from/join (valid_from, …) from
+      // matching as keywords and mis-capturing the next word
+      val refs = "(?i)\\b(?:FROM|JOIN)\\s+(\\w+)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- ctes -- Set("read_parquet", "read_csv")
       assert(unknown.isEmpty,

@@ -173,10 +173,7 @@ class ScaleToolsSpec extends SparkTestBase {
       "parquet.block.size" -> (32 * 1024).toString,
       "parquet.block.size.row.check.min" -> "50",
       "parquet.block.size.row.check.max" -> "50")
-    val z = expr(
-      """aggregate(sequence(0, 19), 0L, (acc, i) ->
-        |  acc + shiftleft((l_partkey >> i) & 1, 2 * i)
-        |      + shiftleft((l_orderkey >> i) & 1, 2 * i + 1))""".stripMargin)
+    val z = graft.functions.ZOrder.zorder(col("l_partkey"), col("l_orderkey"))
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val total = li.count()
     val byPart = Files.createTempDirectory("graft_sortpart").toString
