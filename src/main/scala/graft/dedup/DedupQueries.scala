@@ -773,7 +773,52 @@ object DedupQueries extends QueryPack {
           |FROM documents d
           |LEFT JOIN drop dr ON dr.doc_id = d.doc_id
           |WHERE d.doc_id >= (SELECT v FROM split)""".stripMargin),
-      "North star: incremental-ingest dedup — new batch probes the stored LSH index, O(batch) not O(corpus)"))
+      "North star: incremental-ingest dedup — new batch probes the stored LSH index, O(batch) not O(corpus)"),
+
+    GraftQuery(
+      "d13_neardup_keepbest",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The dedup DECISION POLICY generalized: d06 keeps the FIRST doc
+        // of each verified pair (ingest order); production corpora keep
+        // the BEST — the longer/cleaner copy survives regardless of
+        // arrival order. Same pair relation, same one-pass drop-list
+        // shape (policy is a per-pair projection, NOT a new pipeline):
+        // the loser of each pair is the lower word count, ties broken
+        // toward the higher doc_id so keep-best degrades to keep-first
+        // exactly when quality can't discriminate.
+        val docs = t.documents
+        val score = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("score"))
+        val losers = verifiedPairs(docs)
+          .join(score.toDF("doc_a", "score_a"), "doc_a")
+          .join(score.toDF("doc_b", "score_b"), "doc_b")
+          .select(
+            when(col("score_a") < col("score_b"), col("doc_a"))
+              .when(col("score_b") < col("score_a"), col("doc_b"))
+              .otherwise(greatest(col("doc_a"), col("doc_b")))
+              .as("doc_id"))
+          .distinct()
+        docs
+          .join(losers.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+      },
+      Some(verifiedPairsCte +
+        """, score AS (
+          |  SELECT doc_id, len(string_split(text, ' ')) AS score FROM documents),
+          |losers AS (
+          |  SELECT DISTINCT CASE
+          |    WHEN sa.score < sb.score THEN v.doc_a
+          |    WHEN sb.score < sa.score THEN v.doc_b
+          |    ELSE greatest(v.doc_a, v.doc_b) END AS doc_id
+          |  FROM ver v
+          |  JOIN score sa ON sa.doc_id = v.doc_a
+          |  JOIN score sb ON sb.doc_id = v.doc_b)
+          |SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dropped
+          |FROM documents d
+          |LEFT JOIN losers l ON l.doc_id = d.doc_id""".stripMargin),
+      "North star: keep-BEST removal verdicts — quality-priority policy over the same verified pairs"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).

@@ -707,7 +707,91 @@ object SimilarityQueries extends QueryPack {
       },
       // identical contract to s06 — same probe, same rerank, new layout
       Some(ivfSearchOracle),
-      "North star: IVF over a cid-partitioned layout — probe prunes the scan to nprobe dirs"))
+      "North star: IVF over a cid-partitioned layout — probe prunes the scan to nprobe dirs"),
+
+    GraftQuery(
+      "s15_ivf_append",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // INDEX MAINTENANCE — the ANN side of d12's incremental ingest:
+        // the coarse quantizer is FROZEN (centroids from the existing
+        // corpus only; production retrains offline, never per ingest),
+        // the existing corpus sits in the s12 cid-partitioned layout,
+        // and a new vector batch is assigned against the frozen
+        // centroids and APPENDED into the same directory tree — each
+        // new vector lands in its cid directory, no rewrite of the
+        // existing lists. The probe-pruned serve then runs over the
+        // UPDATED layout and must rank old and new vectors together
+        // exactly as a full rebuild would (the oracle replays: frozen
+        // existing-only centroids, full-corpus search).
+        val emb = doubled(t)
+        val split = emb.agg(floor(max(col("vec_id")) * 0.8).cast(LongType))
+          .head().getLong(0)
+        val cent = centroids(emb.filter(col("vec_id") < split)).localCheckpoint()
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val layout = graft.streaming.Streams.dataDir("graft_ivf_append_")
+        def writeAssigned(part: DataFrame, mode: String): Unit =
+          nearestCentroid(part, cent)
+            .select(col("vec_id"), col("cid"))
+            .join(part.select(col("vec_id"), col("v")), Seq("vec_id"))
+            .write.mode(mode).partitionBy("cid").parquet(layout)
+        writeAssigned(emb.filter(col("vec_id") =!= 0 && col("vec_id") < split),
+          "overwrite")
+        writeAssigned(emb.filter(col("vec_id") >= split), "append")
+        val probeIds = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .collect().map(_.getInt(0))
+        spark.read.parquet(layout)
+          .filter(col("cid").isin(probeIds.toIndexedSeq: _*))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      Some("""WITH split AS (
+             |  SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS sv FROM embeddings),
+             |dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i)
+             |  WHERE vec_id < (SELECT sv FROM split) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid,
+             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS csim
+             |    FROM cent c, q)
+             |  ORDER BY csim DESC, cid LIMIT 2),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM sims),
+             |cand AS (
+             |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
+             |  WHERE b.rn = 1),
+             |scored AS (
+             |  SELECT ca.vec_id, ca.cid,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
+             |SELECT vec_id, cid,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "North star: incremental ANN ingest — frozen quantizer, append to the cid layout, serve sees the batch"))
 
   /** PQ sub-vector m (16 dims) of a 64-dim column. */
   private def subVec(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
