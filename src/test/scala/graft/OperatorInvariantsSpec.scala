@@ -254,4 +254,69 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val cnts = r.map(_.getAs[Long]("cnt"))
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts not ranked desc")
   }
+
+  test("incremental batch dedup ≡ full-pipeline verdicts on the batch (d12 ⊆ d06-style)") {
+    // d12's whole claim is differential: probing the stored index with
+    // only the batch signed must equal re-running the FULL pipeline and
+    // restricting to batch docs. The oracle checks it against DuckDB;
+    // this pins it engine-internally too (same code both sides, but a
+    // broken candidate probe — e.g. bands not unioned with the batch's
+    // own — diverges here first).
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val split = docs.agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
+    val full = graft.dedup.DedupQueries.verifiedPairs(docs)
+      .filter(col("doc_b") >= split)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val inc = run("d12_incremental_dedup")
+      .filter(col("dropped")).collect().map(_.getLong(0)).toSet
+    assert(inc == full, s"incremental=${inc.size} full=${full.size}; " +
+      s"diff=${(inc diff full) ++ (full diff inc)}")
+  }
+
+  test("streaming ingest gate flags exactly the cross-split pairs (st21 vs batch)") {
+    // st21 dedups only against the EXISTING index (within-batch pairs
+    // are the next ingest's d12 job) — its flag set must equal the
+    // batch pipeline's cross-split restriction, no more, no less.
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val split = docs.agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
+    val crossSplit = graft.dedup.DedupQueries.verifiedPairs(docs)
+      .filter(col("doc_b") >= split && col("doc_a") < split)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val streamed = run("st21_stream_dedup_gate")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == crossSplit,
+      s"streamed=${streamed.size} batch=${crossSplit.size}; " +
+      s"diff=${(streamed diff crossSplit) ++ (crossSplit diff streamed)}")
+  }
+
+  test("keep-best drops exactly one side of every verified pair (d13)") {
+    val verdicts = run("d13_neardup_keepbest").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val pairs = graft.dedup.DedupQueries
+      .verifiedPairs(graft.core.Tables(spark, sfDir).documents)
+      .select("doc_a", "doc_b").collect()
+    pairs.foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      assert(verdicts(a) || verdicts(b),
+        s"pair ($a, $b) survived keep-best with both docs kept")
+    }
+  }
+
+  test("SCD2 history conserves keys and versions correctly (q75)") {
+    val r = run("q75_scd2_dim").collect()
+    val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    // exactly one current row per key; changed keys have exactly one
+    // closed historical row; every closed row has a valid_to
+    val byKey = r.groupBy(_.getLong(0))
+    assert(byKey.size == nCustomers)
+    byKey.foreach { case (k, rows) =>
+      val current = rows.filter(_.getBoolean(4))
+      assert(current.length == 1, s"key $k has ${current.length} current rows")
+      val closed = rows.filterNot(_.getBoolean(4))
+      assert(closed.forall(!_.isNullAt(3)), s"key $k has an open historical row")
+      assert(closed.length == (if (k % 7 == 3) 1 else 0))
+    }
+  }
 }
