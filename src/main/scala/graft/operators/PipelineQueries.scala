@@ -107,6 +107,37 @@ object PipelineQueries extends QueryPack {
       "Pipeline: SCD2 dimension versioning — change batch closes + reopens rows, history append-only"),
 
     GraftQuery(
+      "q76_latest_by_key",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // CDC log compaction: a change stream lands as append-only rows;
+        // reads want the LATEST record per key. One row_number window
+        // over (key, ts desc) — a single shuffle on the key, and at
+        // 100 TB the log is bucketed by key so even that exchange
+        // disappears. Tie-break on event_id so the pick is total-ordered
+        // (two updates in the same microsecond must compact identically
+        // on every engine and every run).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t.events
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"),
+               Canon.sumCents(col("value")).as("sum_latest_cents"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events)
+             |SELECT event_type, count(*) AS n_users,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_latest_cents
+             |FROM ranked WHERE rn = 1 GROUP BY 1""".stripMargin),
+      "Pipeline: CDC log compaction — latest record per key via one keyed window"),
+
+    GraftQuery(
       "q60_sessionize",
       (spark, dir) => {
         val t = Tables(spark, dir)

@@ -262,5 +262,53 @@ object SourceQueries extends QueryPack {
              |WHERE l_partkey >= 100 AND l_partkey < 300
              |  AND l_orderkey >= 200 AND l_orderkey < 600
              |GROUP BY 1""".stripMargin),
-      "S-layout: Z-order (bit-interleaved) sort → row-group pruning on BOTH box dimensions"))
+      "S-layout: Z-order (bit-interleaved) sort → row-group pruning on BOTH box dimensions"),
+
+    GraftQuery(
+      "src07_bad_records",
+      (spark, dir) => {
+        // Malformed-input robustness: a 100 TB JSON feed ALWAYS contains
+        // broken lines, and the pipeline must quarantine them without
+        // failing the job or silently dropping good rows. Every 13th
+        // event is written as a truncated JSON line; the PERMISSIVE read
+        // routes them to _corrupt_record, and the audit proves the
+        // good/bad split matches the planted pattern exactly — so no
+        // good row was misclassified and no bad row parsed. (At scale
+        // the same read runs with badRecordsPath for a quarantine
+        // directory; FAILFAST is the validation-job mode.)
+        val out = graft.streaming.Streams.dataDir("graft_badrec_")
+        val events = graft.core.Tables(spark, dir).events
+        events.select(
+            when(col("event_id") % 13 === 0,
+              concat(lit("{\"event_id\":"), col("event_id"))) // truncated
+              .otherwise(to_json(struct(events.columns.map(col): _*)))
+              .as("value"))
+          .write.mode("overwrite").text(out)
+        val schema = org.apache.spark.sql.types.StructType(
+          events.schema.fields :+
+            org.apache.spark.sql.types.StructField("_corrupt_record",
+              org.apache.spark.sql.types.StringType))
+        // Spark refuses a query whose plan touches ONLY the corrupt
+        // column of an unparsed scan; materialize once (bounded here —
+        // production quarantines via badRecordsPath instead)
+        val parsed = spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(out)
+          .cache()
+        parsed.agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_corrupt_record").isNull,
+            graft.functions.Canon.cents(col("value"))).otherwise(0L))
+            .as("sum_value_cents_good"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN event_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             |  CAST(sum(CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+             |  CAST(sum(CASE WHEN event_id % 13 <> 0
+             |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |    AS sum_value_cents_good
+             |FROM events""".stripMargin),
+      "S-robustness: PERMISSIVE corrupt-record quarantine ≡ the planted bad-line pattern"))
 }

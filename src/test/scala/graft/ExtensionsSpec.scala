@@ -32,6 +32,7 @@ class ExtensionsSpec extends SparkTestBase {
     Seq("SELECT hamming_dist(text) FROM documents",
         "SELECT hamming_dist(text, text, text) FROM documents",
         "SELECT cosine_sim(embedding) FROM embeddings",
+        "SELECT zorder(doc_id) FROM documents",
         "SELECT rolling_hash_min() FROM documents").foreach { sql =>
       val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(sql).collect()
