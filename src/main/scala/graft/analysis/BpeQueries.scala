@@ -64,9 +64,16 @@ object BpeQueries extends QueryPack {
             |              THEN concat(substring(acc, 1, length(acc) - ${a.length}), '$a$b')
             |              ELSE concat(acc, ' ', x) END), ' ')""".stripMargin)
 
-  /** Adjacent-pair explosion of the current symbol table. */
+  /** Adjacent-pair explosion of the current symbol table. Words already
+    * merged to ONE symbol contribute no pairs and must be filtered
+    * BEFORE the transform — `sequence(1, 0)` goes *descending* (the
+    * same quirk DedupQueries.shingles guards), so a 1-element syms
+    * would hit element_at index 0 and throw under ANSI mode. The
+    * oracle's `range(1, len)` is empty there, so the filter is also
+    * what keeps the engines in lockstep. */
   private def pairCounts(cur: DataFrame): DataFrame =
-    cur.select(col("cnt"), explode(expr(
+    cur.filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(expr(
         "transform(sequence(1, size(syms) - 1), i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
       .groupBy("a", "b").agg(sum(col("cnt")).as("c"))
@@ -76,16 +83,26 @@ object BpeQueries extends QueryPack {
   def train(docs: DataFrame): (Seq[(String, String, Long)], DataFrame) = {
     var cur = charSyms(wordCounts(docs)).persist()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-    for (_ <- 1 to K) {
-      val row = pairCounts(cur)
+    var round = 0
+    var exhausted = false
+    while (round < K && !exhausted) {
+      round += 1
+      // headOption: a corpus can run out of adjacent pairs before K
+      // merges (every word collapsed to one symbol) — stop training
+      // rather than crash; the t19 oracle replays K full rounds, so the
+      // registry corpus must (and does) have vocab ≫ K
+      pairCounts(cur)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
-      val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
-      merges += ((a, b, c))
-      val next = cur.withColumn("syms", applyMerge(a, b)).persist()
-      next.count() // materialize before releasing the parent
-      cur.unpersist()
-      cur = next
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(row) =>
+          val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((a, b, c))
+          val next = cur.withColumn("syms", applyMerge(a, b)).persist()
+          next.count() // materialize before releasing the parent
+          cur.unpersist()
+          cur = next
+      }
     }
     (merges.toSeq, cur)
   }

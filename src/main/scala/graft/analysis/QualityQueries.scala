@@ -577,15 +577,23 @@ object QualityQueries extends QueryPack {
         // (corpus-derived dim tables ≪ corpus at 100 TB after the
         // count-min cut; here they broadcast whole), and the per-doc agg
         // is map-side partial.
+        // persist the shared relations: Catalyst does not share common
+        // subplans (see verifiedPairs' scaladoc), so without the cache
+        // the tokenize and the lead() window would re-run for each of
+        // their four consumers (tri2 scoring base, c3, c2, vocab) —
+        // four corpus text passes where one is intended. Released by
+        // the harness's per-query clearCache.
         val toks = t.documents
           .select(col("doc_id"), posexplode(split(col("text"), " ")))
           .toDF("doc_id", "pos", "word")
           .filter(length(col("word")) > 0)
+          .persist()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("pos")
         val tri = toks.select(col("doc_id"), col("word").as("w1"),
           lead(col("word"), 1).over(w).as("w2"),
           lead(col("word"), 2).over(w).as("w3"))
+          .persist()
         val tri2 = tri.filter(col("w3").isNotNull)
         val c3 = tri2.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
         val c2 = tri.filter(col("w2").isNotNull)

@@ -722,8 +722,12 @@ object DedupQueries extends QueryPack {
           .head().getLong(0)
         val existing = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
+        // persists are released by the harness's per-query clearCache —
+        // an unpersist in the BUILDER would fire before the returned
+        // (lazy) DataFrame ever executes, silently recomputing the
+        // batch shingling at every downstream consumer
         val shNew = shingleRelation(batch).persist()
-        try {
+        locally {
           val newBands = bandRows(signaturesFromShingles(shNew))
             .localCheckpoint() // consumed twice: as probe AND probe-target
           // "stored index": built here from the existing corpus; in
@@ -745,7 +749,7 @@ object DedupQueries extends QueryPack {
           val shExCand = shingleRelation(
             existing.join(candExistingIds, Seq("doc_id"), "left_semi"))
           val sh = shExCand.union(shNew).persist()
-          try {
+          locally {
             val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
             val ver = cand
               .join(sh.toDF("doc_a", "sh"), "doc_a")
@@ -762,8 +766,8 @@ object DedupQueries extends QueryPack {
             batch.join(dropped.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
               .select(col("doc_id"),
                 coalesce(col("is_dup"), lit(false)).as("dropped"))
-          } finally sh.unpersist(blocking = false)
-        } finally shNew.unpersist(blocking = false)
+          }
+        }
       },
       Some(verifiedPairsCte +
         """, split AS (

@@ -78,7 +78,7 @@ object GraphQueries extends QueryPack {
         val iter = (prev: String, cur: String) =>
           s"""$cur AS (
              |  SELECT n.id,
-             |    CAST(150000 + (85 * COALESCE(sum($prev.r // od.od), 0)) // 100 AS BIGINT) AS r
+             |    CAST($baseE6 + ($damping * COALESCE(sum($prev.r // od.od), 0)) // 100 AS BIGINT) AS r
              |  FROM nodes n
              |  LEFT JOIN edges e ON e.dst = n.id
              |  LEFT JOIN outdeg od ON od.src = e.src

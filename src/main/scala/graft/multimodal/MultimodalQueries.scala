@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.{GraftQuery, QueryPack}
 import graft.core.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column pack (north star): treat image/audio/video payloads
@@ -20,6 +21,29 @@ import org.apache.spark.sql.functions._
   * A stubbed or broken decoder cannot reproduce those sums.
   */
 object MultimodalQueries extends QueryPack {
+
+  /** Shared dHash near-dup mining (mm08 image / mm09 audio): band the
+    * 64-bit fingerprint into 4×16-bit keys, pair within bands (linear
+    * shuffle, no id×id), verify with the codegen `hamming_dist`. Input
+    * contract: (id, dhash) with dhash a 64-char bit-string. */
+  private def dhashNearDupPairs(hashes: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val bands = hashes.select(col("id"), col("dhash"),
+      posexplode(array((0 until 4).map(i =>
+        substring(col("dhash"), i * 16 + 1, 16)): _*)))
+      .toDF("id", "dhash", "band_id", "bv")
+    val a = bands.select(col("band_id"), col("bv"),
+      col("id").as("id_a"), col("dhash").as("ha"))
+    val b = bands.select(col("band_id"), col("bv"),
+      col("id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band_id", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        graft.functions.HammingDistance.hammingDist(col("ha"), col("hb"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -298,22 +322,7 @@ object MultimodalQueries extends QueryPack {
             (id, ImageCodec.dhashFromPng(ImageCodec.encodeBlockPng(id)))
           })
           .toDF("id", "dhash")
-        val bands = hashes.select(col("id"), col("dhash"),
-          posexplode(array((0 until 4).map(i =>
-            substring(col("dhash"), i * 16 + 1, 16)): _*)))
-          .toDF("id", "dhash", "band_id", "bv")
-        val a = bands.select(col("band_id"), col("bv"),
-          col("id").as("id_a"), col("dhash").as("ha"))
-        val b = bands.select(col("band_id"), col("bv"),
-          col("id").as("id_b"), col("dhash").as("hb"))
-        a.join(b, Seq("band_id", "bv"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
-          .distinct()
-          .select(col("id_a"), col("id_b"),
-            graft.functions.HammingDistance.hammingDist(col("ha"), col("hb"))
-              .as("hamming"))
-          .filter(col("hamming") <= 4)
+        dhashNearDupPairs(hashes)
       },
       Some({
         val g = MultimodalQueries.blockGraySql
@@ -373,22 +382,7 @@ object MultimodalQueries extends QueryPack {
             (id, AudioCodec.audioDhash(AudioCodec.encodeNdWav(id)))
           })
           .toDF("id", "dhash")
-        val bands = hashes.select(col("id"), col("dhash"),
-          posexplode(array((0 until 4).map(i =>
-            substring(col("dhash"), i * 16 + 1, 16)): _*)))
-          .toDF("id", "dhash", "band_id", "bv")
-        val a = bands.select(col("band_id"), col("bv"),
-          col("id").as("id_a"), col("dhash").as("ha"))
-        val b = bands.select(col("band_id"), col("bv"),
-          col("id").as("id_b"), col("dhash").as("hb"))
-        a.join(b, Seq("band_id", "bv"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("ha"), col("hb"))
-          .distinct()
-          .select(col("id_a"), col("id_b"),
-            graft.functions.HammingDistance.hammingDist(col("ha"), col("hb"))
-              .as("hamming"))
-          .filter(col("hamming") <= 4)
+        dhashNearDupPairs(hashes)
       },
       Some({
         val g = MultimodalQueries.windowValSql

@@ -142,7 +142,6 @@ object AsofQueries extends QueryPack {
     GraftQuery(
       "q74_resample_ffill",
       (spark, dir) => {
-        val t = Tables(spark, dir)
         // Time-series resample + forward fill (pandas `resample('1h')
         // .max().ffill()` per key): hourly buckets per event_type over
         // the full span, observation gaps carried forward by the last

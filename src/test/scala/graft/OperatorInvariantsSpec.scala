@@ -109,6 +109,18 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(df2.head().getSeq[String](0) == Seq("aba", "b", "_"))
   }
 
+  test("BPE training survives a word collapsing to one symbol (pairCounts guard)") {
+    // 'a' merges to a single symbol after round 1's (a, _) merge; round
+    // 2's pairCounts would then hit Spark's DESCENDING sequence(1, 0)
+    // and element_at index 0 without the size-≥2 filter. Training must
+    // instead stop cleanly when no adjacent pairs remain.
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, "a")).toDF("doc_id", "text")
+    val (merges, vocab) = graft.analysis.BpeQueries.train(docs)
+    assert(merges.length == 1, s"expected 1 merge then exhaustion, got $merges")
+    assert(vocab.filter(size(col("syms")) === 1).count() > 0)
+  }
+
   test("BPE training merges have monotone non-increasing counts and grow the vocab (t19)") {
     val rows = run("t19_bpe_train").collect()
     assert(rows.length == graft.analysis.BpeQueries.K)
