@@ -791,7 +791,140 @@ object SimilarityQueries extends QueryPack {
              |SELECT vec_id, cid,
              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
              |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
-      "North star: incremental ANN ingest — frozen quantizer, append to the cid layout, serve sees the batch"))
+      "North star: incremental ANN ingest — frozen quantizer, append to the cid layout, serve sees the batch"),
+
+    GraftQuery(
+      "s16_ivfpq_residual",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The CANONICAL IVF-PQ (Jégou et al. §III): PQ encodes the
+        // RESIDUAL v − centroid(cell), not the raw vector — residuals
+        // concentrate near the origin, so the same code budget spends
+        // its precision on the part of v the coarse quantizer didn't
+        // explain. s13's composition, upgraded: codes are residual
+        // codes, and the query builds a PER-CELL LUT from its own
+        // residual qv − centroid(cell) (still nprobe × 4 × k rows —
+        // broadcast-sized). The layout scan stays partition-pruned and
+        // codes-only. The residual codebook is bucket means
+        // (vec_id % 8) — deterministic, so the oracle replays training,
+        // encoding, LUT, and ADC end to end.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val assign = nearestCentroid(corpus, cent).select(col("vec_id"), col("cid"))
+        val residuals = corpus.join(assign, "vec_id")
+          .join(broadcast(cent), "cid")
+          .select(col("vec_id"), col("cid"),
+            zip_with(col("v"), col("cv"), (x, y) => x - y).as("r"))
+        val rcent = residuals
+          .select((col("vec_id") % 8).as("rcid"), posexplode(col("r")))
+          .toDF("rcid", "pos", "x")
+          .groupBy("rcid", "pos").agg(avg(col("x")).as("c"))
+          .groupBy("rcid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                         s => s.getField("c")).as("cv"))
+          .select(col("rcid").as("cid"), col("cv"))
+          .localCheckpoint() // tiny codebook, consumed by encode AND LUT
+        val layout = graft.streaming.Streams.dataDir("graft_ivfpq_res_")
+        pqCodes(residuals.select(col("vec_id"), col("r").as("v")), rcent)
+          .join(assign, Seq("vec_id"))
+          .write.mode("overwrite").partitionBy("cid").parquet(layout)
+        val probed = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), col("cv"), col("qv"),
+            cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(2)
+          .localCheckpoint() // nprobe rows
+        val probeIds = probed.select("cid").collect().map(_.getInt(0))
+        // per-cell query residual → per-cell LUT (nprobe × 4 × 8 rows)
+        val qres = probed.select(col("cid").as("pcell"),
+          zip_with(col("qv"), col("cv"), (x, y) => x - y).as("qr"))
+        def subDistTo(m: Int): Column =
+          aggregate(
+            zip_with(slice(col("cv"), m * 16 + 1, 16), slice(col("qr"), m * 16 + 1, 16),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        val lut = rcent.crossJoin(broadcast(qres))
+          .select(col("pcell").as("cid"), col("cid").as("code"),
+            posexplode(array((0 until 4).map(subDistTo): _*)))
+          .toDF("cid", "code", "m", "ld")
+          .select(col("cid"), col("code"), col("m"),
+            floor(col("ld") * 1000000 + 0.5).cast(LongType).as("ld_e6"))
+        spark.read.parquet(layout)
+          .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // pruned, codes-only
+          .join(broadcast(lut), Seq("cid", "m", "code"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum(col("ld_e6")).as("adc_e6"))
+          .orderBy(col("adc_e6").asc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"), col("adc_e6"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |asims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vec_id, cid,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |    FROM asims) WHERE rn = 1),
+             |rv AS (
+             |  SELECT e.vec_id, a.cid,
+             |    list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS r
+             |  FROM v e JOIN assign a ON a.vec_id = e.vec_id
+             |           JOIN cent c ON c.cid = a.cid),
+             |rdim AS (
+             |  SELECT vec_id % 8 AS rcid, i AS pos, avg(r[i]) AS c
+             |  FROM rv, range(1, 65) t(i) GROUP BY 1, 2),
+             |rcent AS (SELECT rcid, list(c ORDER BY pos) AS rcv FROM rdim GROUP BY rcid),
+             |probe AS (
+             |  SELECT cid, cv FROM (
+             |    SELECT c.cid, c.cv,
+             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS csim
+             |    FROM cent c, q)
+             |  ORDER BY csim DESC, cid LIMIT 2),
+             |d AS (
+             |  SELECT e.vec_id, rc.rcid, s.m,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.r[s.m*16 + i] - rc.rcv[s.m*16 + i])
+             |         * (e.r[s.m*16 + i] - rc.rcv[s.m*16 + i]))) AS d
+             |  FROM rv e, rcent rc, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |codes AS (
+             |  SELECT vec_id, m, rcid AS code FROM (
+             |    SELECT vec_id, m, rcid,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, rcid) AS rn
+             |    FROM d) WHERE rn = 1),
+             |cand AS (SELECT a.vec_id, a.cid FROM assign a JOIN probe p ON p.cid = a.cid),
+             |qres AS (
+             |  SELECT p.cid AS pcell,
+             |    list_transform(range(1, 65), i -> qv[i] - p.cv[i]) AS qr
+             |  FROM probe p, q),
+             |lut AS (
+             |  SELECT qr.pcell AS cid, rc.rcid AS code, s.m,
+             |    CAST(floor(list_sum(list_transform(range(1, 17),
+             |      i -> (rc.rcv[s.m*16 + i] - qr.qr[s.m*16 + i])
+             |         * (rc.rcv[s.m*16 + i] - qr.qr[s.m*16 + i]))) * 1000000 + 0.5) AS BIGINT) AS ld_e6
+             |  FROM rcent rc, qres qr, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |adc AS (
+             |  SELECT ca.vec_id, ca.cid, CAST(sum(l.ld_e6) AS BIGINT) AS adc_e6
+             |  FROM cand ca
+             |  JOIN codes co ON co.vec_id = ca.vec_id
+             |  JOIN lut l ON l.cid = ca.cid AND l.m = co.m AND l.code = co.code
+             |  GROUP BY ca.vec_id, ca.cid)
+             |SELECT vec_id, cid, adc_e6
+             |FROM adc ORDER BY adc_e6 ASC, vec_id ASC LIMIT 5""".stripMargin),
+      "North star: canonical residual IVF-PQ — per-cell residual LUT, pruned codes-only scan"))
 
   /** PQ sub-vector m (16 dims) of a 64-dim column. */
   private def subVec(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
