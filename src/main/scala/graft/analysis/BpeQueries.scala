@@ -40,6 +40,20 @@ object BpeQueries extends QueryPack {
   val V = 2000
   val Budget = 512L
 
+  /** Deterministic training-corpus sample — the 100 TB knob. Tokenizer
+    * training never needs the full corpus (production BPE/unigram
+    * vocabularies are trained on O(10 GB) samples; the merge statistics
+    * converge long before that), and `wordCounts` is the ONLY
+    * corpus-wide pass in this loop — so at scale you bound it here.
+    * Hash-mod on the stable doc key (keep doc when
+    * xxhash64(doc_id) % denom == 0) rather than `sample()`: the chosen
+    * subset is identical on every run, partitioning, and engine, which
+    * keeps a trained-on-sample vocabulary reproducible — same property
+    * d06's bounded probe relies on. The sampled word-frequency table
+    * feeds the SAME train loop; nothing downstream changes. */
+  def sampleDocs(docs: DataFrame, denom: Long): DataFrame =
+    docs.filter(pmod(xxhash64(col("doc_id")), lit(denom)) === 0)
+
   /** Corpus word frequencies, truncated to the top-V vocabulary. */
   def wordCounts(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))

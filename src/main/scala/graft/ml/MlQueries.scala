@@ -122,6 +122,103 @@ object MlQueries extends QueryPack {
       "M2: deterministic 80/20 train/val split (train_absa_model.py:145-152)"),
 
     GraftQuery(
+      "ml05_retrain_cycle",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The reference's retrain DAG (absa_model_retrain_dag.py:30-106)
+        // chains: new data → label decode → split → train → eval →
+        // deploy gate. ml01-ml04 prove each stage alone; this runs the
+        // whole cycle as ONE dataflow over two scenarios sharing one
+        // scan — 'stale' (rerun with no new data: candidate ≡ current)
+        // and 'retrained' (candidate learned every 3rd val example, the
+        // planted quality delta) — and the gate must flip between them.
+        // Train stage itself stays the external seam (M3 per SURVEY §2);
+        // what's composed here is everything the DAG runs around it.
+        val split = t.embeddings.select(col("vec_id"), col("label"),
+          when(col("vec_id") % 5 < 4, "train").otherwise("val").as("split"))
+        val counts = split.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+        // M1: decode the integer label into the class vocabulary the
+        // metrics report over
+        val decoded = split.filter(col("split") === "val")
+          .select(col("vec_id"), col("label"),
+            when(col("label") % 3 === 0, "NEU")
+              .when(col("label") % 3 === 1, "POS").otherwise("NEG").as("cls"))
+        val scen = decoded
+          .select(col("vec_id"), col("label"), col("cls"),
+            explode(array(lit("retrained"), lit("stale"))).as("scenario"))
+          .select(col("scenario"), col("label"), col("cls"),
+            (col("vec_id") % 10).cast("int").as("pred_current"),
+            when(col("scenario") === "retrained" && col("vec_id") % 3 === 0,
+              col("label").cast("int"))
+              .otherwise((col("vec_id") % 10).cast("int")).as("pred_candidate"))
+        // M4: overall accuracy + per-class recall for both models; both
+        // aggs share the scenario clustering
+        val overall = scen.groupBy("scenario").agg(
+          floor(avg(when(col("pred_current") === col("label"), 1).otherwise(0)) * 10000 + 0.5)
+            .cast(LongType).as("current_e4"),
+          floor(avg(when(col("pred_candidate") === col("label"), 1).otherwise(0)) * 10000 + 0.5)
+            .cast(LongType).as("candidate_e4"))
+        val perClass = scen.groupBy("scenario", "cls").agg(
+          floor(sum(when(col("pred_current") === col("label"), 1).otherwise(0))
+            * 10000.0 / count(lit(1)) + 0.5).cast(LongType).as("cur_recall_e4"),
+          floor(sum(when(col("pred_candidate") === col("label"), 1).otherwise(0))
+            * 10000.0 / count(lit(1)) + 0.5).cast(LongType).as("cand_recall_e4"))
+        val minRec = perClass.groupBy("scenario").agg(
+          min(col("cur_recall_e4")).as("cur_min_recall_e4"),
+          min(col("cand_recall_e4")).as("cand_min_recall_e4"))
+        // M5: deploy iff overall improves >1% AND no class regressed —
+        // the per-class guard is what the metrics stage feeds the gate
+        overall.join(minRec, "scenario").crossJoin(counts)
+          .select(col("scenario"), col("n_train"), col("n_val"),
+            col("current_e4"), col("candidate_e4"), col("cand_min_recall_e4"),
+            (col("candidate_e4") - col("current_e4") > 100 &&
+             col("cand_min_recall_e4") >= col("cur_min_recall_e4")).as("deploy"))
+      },
+      Some("""WITH split AS (
+             |  SELECT vec_id, label,
+             |    CASE WHEN vec_id % 5 < 4 THEN 'train' ELSE 'val' END AS split
+             |  FROM embeddings),
+             |counts AS (
+             |  SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+             |  FROM split),
+             |decoded AS (
+             |  SELECT vec_id, label,
+             |    CASE label % 3 WHEN 0 THEN 'NEU' WHEN 1 THEN 'POS' ELSE 'NEG' END AS cls
+             |  FROM split WHERE split = 'val'),
+             |scen AS (
+             |  SELECT s.scenario, d.label, d.cls,
+             |    CAST(d.vec_id % 10 AS INTEGER) AS pred_current,
+             |    CASE WHEN s.scenario = 'retrained' AND d.vec_id % 3 = 0
+             |         THEN CAST(d.label AS INTEGER)
+             |         ELSE CAST(d.vec_id % 10 AS INTEGER) END AS pred_candidate
+             |  FROM (SELECT 'retrained' AS scenario UNION ALL SELECT 'stale') s
+             |  CROSS JOIN decoded d),
+             |overall AS (
+             |  SELECT scenario,
+             |    CAST(floor(avg(CASE WHEN pred_current = label THEN 1 ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS current_e4,
+             |    CAST(floor(avg(CASE WHEN pred_candidate = label THEN 1 ELSE 0 END) * 10000 + 0.5) AS BIGINT) AS candidate_e4
+             |  FROM scen GROUP BY scenario),
+             |per_class AS (
+             |  SELECT scenario, cls,
+             |    CAST(floor(sum(CASE WHEN pred_current = label THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) AS BIGINT) AS cur_recall_e4,
+             |    CAST(floor(sum(CASE WHEN pred_candidate = label THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) AS BIGINT) AS cand_recall_e4
+             |  FROM scen GROUP BY scenario, cls),
+             |min_rec AS (
+             |  SELECT scenario, min(cur_recall_e4) AS cur_min_recall_e4,
+             |         min(cand_recall_e4) AS cand_min_recall_e4
+             |  FROM per_class GROUP BY scenario)
+             |SELECT o.scenario, c.n_train, c.n_val, o.current_e4, o.candidate_e4,
+             |  m.cand_min_recall_e4,
+             |  (o.candidate_e4 - o.current_e4 > 100
+             |   AND m.cand_min_recall_e4 >= m.cur_min_recall_e4) AS deploy
+             |FROM overall o JOIN min_rec m ON m.scenario = o.scenario
+             |CROSS JOIN counts c""".stripMargin),
+      "M1-M5 composed: retrain cycle — decode → split → val metrics → gate flips on a planted delta (absa_model_retrain_dag.py:30-106)"),
+
+    GraftQuery(
       "absa01_pipeline",
       (spark, dir) => {
         val t = Tables(spark, dir)

@@ -68,8 +68,11 @@ final case class FileTopicSink(topicDir: String,
   * (consumer_postgres_streaming.py:427-440). Streaming has no native
   * jdbc format, so each micro-batch appends through the batch JDBC
   * writer inside foreachBatch — the same shape the reference uses
-  * (`df.write.jdbc(..., mode="append")` per batch). Compiled in;
-  * exercised only when a JDBC url + driver are configured. */
+  * (`df.write.jdbc(..., mode="append")` per batch), including its
+  * empty-frame probe before touching the database (an idle trigger must
+  * not open connections or create tables). Exercised end-to-end against
+  * embedded Derby in JdbcSinkSpec; any other database is the same code
+  * with a different url/driver pair. */
 final case class JdbcBatchSink(url: String, table: String,
                                props: Map[String, String],
                                checkpointDir: String) extends StreamSink {
@@ -78,13 +81,15 @@ final case class JdbcBatchSink(url: String, table: String,
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = props.foldLeft(
-          batch.withColumn("batch_id", lit(batchId))
-            .write.format("jdbc")
-            .option("url", url).option("dbtable", table)) {
-          case (acc, (k, v)) => acc.option(k, v)
+        if (!batch.isEmpty) {
+          val w = props.foldLeft(
+            batch.withColumn("batch_id", lit(batchId))
+              .write.format("jdbc")
+              .option("url", url).option("dbtable", table)) {
+            case (acc, (k, v)) => acc.option(k, v)
+          }
+          w.mode("append").save()
         }
-        w.mode("append").save()
         ()
       }
       .start()

@@ -131,6 +131,27 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(merged.distinct.length == merged.length, "duplicate merge outputs")
   }
 
+  test("BPE sample path: deterministic subset, bounded size, same train loop") {
+    import graft.analysis.BpeQueries
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val s1 = BpeQueries.sampleDocs(docs, 4L)
+    val n = s1.count()
+    // hash-mod keeps ~1/4; exact set is fixed, so two evaluations agree
+    // row-for-row (the reproducibility `sample()` can't give)
+    assert(n > 0 && n < docs.count())
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = BpeQueries.sampleDocs(docs, 4L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // the sampled corpus trains through the SAME loop: merges come out
+    // rank-ordered with non-increasing counts, nothing downstream changes
+    val (merges, vocab) = BpeQueries.train(s1)
+    vocab.unpersist()
+    assert(merges.nonEmpty && merges.length <= BpeQueries.K)
+    val cnts = merges.map(_._3)
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
+  }
+
   test("BPE packing conserves tokens and never exceeds whitespace count (t08b vs t08)") {
     // BPE merges only ever REDUCE a word's symbol count from chars+1,
     // and every doc appears in exactly one bin.
