@@ -74,3 +74,51 @@ class AbsaPipelineSpec extends SparkTestBase {
 class ConstantScorer extends AbsaPipeline.Scorer {
   def score(text: String): Array[Double] = Array.fill(12)(0.5)
 }
+
+/** The real in-JVM inference path behind the U1 seam: an actual
+  * feed-forward network (hashed BoW → relu dense → sigmoid/softmax
+  * heads) with a binary weight artifact — what a production deployment
+  * swaps in for the keyword stub. */
+class MlpScorerSpec extends SparkTestBase {
+  import graft.ml.MlpScorer
+
+  test("MLP inference: output obeys the 3+9 probability contract") {
+    val p = new MlpScorer().score("the quick brown fox jumps over the lazy dog")
+    assert(p.length == 12)
+    assert(p.forall(v => v >= 0.0 && v <= 1.0))
+    // each sentiment triplet is a softmax → sums to 1
+    (0 until 3).foreach { a =>
+      val s = p(3 + a * 3) + p(3 + a * 3 + 1) + p(3 + a * 3 + 2)
+      assert(math.abs(s - 1.0) < 1e-9, s"aspect $a triplet sums to $s")
+    }
+  }
+
+  test("MLP inference: deterministic across instances; null-safe; text-sensitive") {
+    val m1 = new MlpScorer(); val m2 = new MlpScorer()
+    val t = "streaming joins are fast"
+    assert(m1.score(t).toSeq == m2.score(t).toSeq)
+    assert(m1.score(null).length == 12) // null guard like the reference UDF
+    assert(m1.score(t).toSeq != m1.score("tables are slow today").toSeq)
+  }
+
+  test("MLP artifact: weight file round-trips to the identical network") {
+    val path = java.nio.file.Files.createTempFile("graft_mlp_", ".bin").toString
+    MlpScorer.writeWeights(path)
+    val fromInit = new MlpScorer().score("artifact parity check")
+    sys.props(MlpScorer.WeightsProp) = path
+    try {
+      val fromArtifact = new MlpScorer().score("artifact parity check")
+      assert(fromArtifact.toSeq == fromInit.toSeq)
+    } finally sys.props -= MlpScorer.WeightsProp
+  }
+
+  test("MLP binds through the scorer seam by class name") {
+    val key = "graft.absa.scorer.class"
+    sys.props(key) = classOf[MlpScorer].getName
+    try {
+      val s = AbsaPipeline.resolveScorer()
+      assert(s.isInstanceOf[MlpScorer])
+      assert(s.score("seam check").length == 12)
+    } finally sys.props -= key
+  }
+}
