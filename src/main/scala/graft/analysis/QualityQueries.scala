@@ -439,6 +439,82 @@ object QualityQueries extends QueryPack {
       "North star: deterministic domain-mixture rebalancing toward uniform"),
 
     GraftQuery(
+      "t21_mixture_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Token-BUDGET mixture sampling — the op that actually builds a
+        // pretraining mix: given per-domain weights and a total token
+        // budget, each domain contributes its highest-quality docs until
+        // its token share is spent (t16 rebalances doc COUNTS; training
+        // mixtures are specified in TOKENS — The Pile / DoReMi style).
+        // Deterministic end to end: weights derive from the source name,
+        // quality rank is (n_chars DESC, doc_id), and the keep rule is
+        // "running token sum ≤ budget" — a monotone prefix, so the
+        // selected set is identical at any parallelism. Scale shape: one
+        // corpus pass for per-doc token counts, ONE shuffle on source
+        // for the rank+running-sum window, and the weight/budget tables
+        // are per-domain aggregates (broadcast). At 100 TB with a
+        // source-bucketed layout even that shuffle disappears.
+        val docs = t.documents.select(col("doc_id"), col("source"),
+          col("n_chars"), size(split(col("text"), " ")).as("n_tokens"))
+        val wgtExpr = regexp_extract(col("source"), "([0-9]+)$", 1)
+          .cast(LongType) % 3 + 1
+        val weights = docs.select(col("source")).distinct()
+          .select(col("source"), wgtExpr.as("wgt"))
+        // budget = half the corpus tokens, split across domains by weight
+        // (integer `div` both engines — no float drift in budgets)
+        val tot = docs.agg(expr("sum(n_tokens) div 2").as("budget_total"))
+        val wsum = weights.agg(sum(col("wgt")).as("wsum"))
+        val budgets = weights.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+          .select(col("source"), col("wgt"),
+            expr("(budget_total * wgt) div wsum").as("budget_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docs.join(broadcast(budgets), "source")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") <= col("budget_tokens"))
+          .groupBy("source")
+          .agg(first(col("wgt")).as("wgt"),
+               first(col("budget_tokens")).as("budget_tokens"),
+               count(lit(1)).as("n_docs_kept"),
+               sum(col("n_tokens")).as("n_tokens_kept"))
+          .select(col("source"), col("wgt"), col("budget_tokens"),
+            col("n_docs_kept"), col("n_tokens_kept"),
+            e4(col("n_tokens_kept").cast("double") / col("budget_tokens"))
+              .as("util_e4"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source, n_chars,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |w AS (
+             |  SELECT source,
+             |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 + 1 AS wgt
+             |  FROM (SELECT DISTINCT source FROM documents)),
+             |tot AS (
+             |  SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // 2 AS BIGINT) AS budget_total
+             |  FROM docs),
+             |wsum AS (SELECT CAST(sum(wgt) AS BIGINT) AS wsum FROM w),
+             |budgets AS (
+             |  SELECT w.source, w.wgt,
+             |    CAST((t.budget_total * w.wgt) // s.wsum AS BIGINT) AS budget_tokens
+             |  FROM w CROSS JOIN tot t CROSS JOIN wsum s),
+             |ranked AS (
+             |  SELECT d.source, d.n_tokens, b.wgt, b.budget_tokens,
+             |    sum(d.n_tokens) OVER (PARTITION BY d.source
+             |      ORDER BY d.n_chars DESC, d.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM docs d JOIN budgets b USING (source))
+             |SELECT source, wgt, budget_tokens,
+             |  count(*) AS n_docs_kept,
+             |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+             |  CAST(floor(sum(n_tokens) * 1.0 / budget_tokens * 10000 + 0.5) AS BIGINT) AS util_e4
+             |FROM ranked WHERE cum_tokens <= budget_tokens
+             |GROUP BY source, wgt, budget_tokens""".stripMargin),
+      "North star: token-budget mixture packing — weighted per-domain quality-ranked prefix"),
+
+    GraftQuery(
       "t17_ngram_generator",
       (spark, dir) => {
         // U6 as a CUSTOM Catalyst Generator, not a builtin: the

@@ -113,6 +113,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"sessionization went single-partition:\n$p")
   }
 
+  test("t21: per-domain budget tables broadcast — the corpus never shuffles for the join") {
+    val p = plan("t21_mixture_pack")
+    // budgets/weights are per-domain aggregates (tiny) joined back into
+    // the corpus: must be BroadcastHashJoin. A SortMergeJoin here means
+    // the whole corpus shuffled for a 20-row dim — the 100 TB killer.
+    assert(p.contains("BroadcastHashJoin"), s"budget join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the budget join:\n$p")
+    // the quality-rank + running-sum window and the final per-source agg
+    // share the source clustering (window feeds agg with no exchange
+    // between — same property as q60)
+    assert(p.contains("Window"), s"expected the per-source prefix window:\n$p")
+  }
+
   test("q59: upsert anti-join broadcasts the delta keys, snapshot never shuffles pre-agg") {
     val p = plan("q59_upsert_merge")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
