@@ -310,5 +310,47 @@ object SourceQueries extends QueryPack {
              |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
              |    AS sum_value_cents_good
              |FROM events""".stripMargin),
-      "S-robustness: PERMISSIVE corrupt-record quarantine ≡ the planted bad-line pattern"))
+      "S-robustness: PERMISSIVE corrupt-record quarantine ≡ the planted bad-line pattern"),
+
+    GraftQuery(
+      "src08_schema_evolution",
+      (spark, dir) => {
+        // Schema EVOLUTION across a table's file history — the other
+        // schema-drift failure mode (round 8's theme: events.ts changed
+        // spelling under the catalog). A 100 TB lake table accretes
+        // columns over years; old files simply lack them. Plant exactly
+        // that: batch v1 writes the narrow schema, batch v2 adds
+        // `value2`, and the read must union-by-name with nulls for the
+        // missing column — Spark's mergeSchema scan (schema reconciled
+        // across ALL file footers, not the first one sampled). The
+        // audit proves no row was dropped, v1 rows carry NULL value2,
+        // and v2's values survive exactly. At scale mergeSchema's
+        // footer sweep is the cost knob — a production table pins the
+        // merged schema in a catalog instead; the SCAN contract is the
+        // same, which is what this query verifies.
+        val out = graft.streaming.Streams.dataDir("graft_schevo_")
+        val events = graft.core.Tables(spark, dir).events
+        val half = events.agg(expr("max(event_id) div 2")).head().getLong(0)
+        events.filter(col("event_id") <= half)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(s"$out/batch=v1")
+        events.filter(col("event_id") > half)
+          .select(col("event_id"), col("event_type"), col("value"),
+            graft.functions.Canon.cents(col("value") * 2).as("value2_cents"))
+          .write.mode("overwrite").parquet(s"$out/batch=v2")
+        spark.read.option("mergeSchema", "true").parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+               sum(when(col("value2_cents").isNull, 1L).otherwise(0L)).as("n_legacy"),
+               sum(coalesce(col("value2_cents"), lit(0L))).as("sum_value2_cents"))
+      },
+      Some("""WITH half AS (SELECT CAST(max(event_id) // 2 AS BIGINT) AS h FROM events)
+             |SELECT event_type, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN event_id <= h THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+             |  CAST(sum(CASE WHEN event_id > h
+             |    THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |    AS sum_value2_cents
+             |FROM events CROSS JOIN half
+             |GROUP BY event_type""".stripMargin),
+      "S-evolution: mergeSchema union-by-name read over a column-accreting file history"))
 }
