@@ -72,25 +72,55 @@ final case class FileTopicSink(topicDir: String,
   * empty-frame probe before touching the database (an idle trigger must
   * not open connections or create tables). Exercised end-to-end against
   * embedded Derby in JdbcSinkSpec; any other database is the same code
-  * with a different url/driver pair. */
+  * with a different url/driver pair.
+  *
+  * `idempotent = true` upgrades the channel's at-least-once delivery to
+  * effectively-once TABLE CONTENTS — the JDBC twin of
+  * [[Streams.idempotentBatchWriter]]'s dynamic-partition overwrite:
+  * every row carries its batch_id, and a batch whose id is already
+  * present in the table (a crash-recovery replay) is skipped instead of
+  * appended twice. One existence probe per batch; the reference's plain
+  * append (at-least-once, duplicates on replay) remains the default. */
 final case class JdbcBatchSink(url: String, table: String,
                                props: Map[String, String],
-                               checkpointDir: String) extends StreamSink {
+                               checkpointDir: String,
+                               idempotent: Boolean = false) extends StreamSink {
+
+  /** The per-micro-batch write, exposed so specs can drive a replay
+    * directly (the streaming engine only replays after a real crash). */
+  def writeBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty && !(idempotent && alreadyWritten(batch, batchId))) {
+      val w = props.foldLeft(
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("jdbc")
+          .option("url", url).option("dbtable", table)) {
+        case (acc, (k, v)) => acc.option(k, v)
+      }
+      w.mode("append").save()
+    }
+  }
+
+  /** Replay probe: does the table already hold this batch's rows? A
+    * missing table (first-ever batch) reads as "no". */
+  private def alreadyWritten(batch: DataFrame, batchId: Long): Boolean =
+    try {
+      val n = props.foldLeft(
+        batch.sparkSession.read.format("jdbc")
+          .option("url", url)
+          // the writer CREATEs with quoted (case-sensitive) column
+          // names — the probe must quote too or Derby/Postgres
+          // upper-case-fold the identifier and miss the column
+          .option("query",
+            s"""SELECT count(*) AS n FROM $table WHERE "batch_id" = $batchId""")) {
+        case (acc, (k, v)) => acc.option(k, v)
+      }.load().head().getAs[Number](0).longValue()
+      n > 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def start(df: DataFrame): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val w = props.foldLeft(
-            batch.withColumn("batch_id", lit(batchId))
-              .write.format("jdbc")
-              .option("url", url).option("dbtable", table)) {
-            case (acc, (k, v)) => acc.option(k, v)
-          }
-          w.mode("append").save()
-        }
-        ()
-      }
+      .foreachBatch(writeBatch _)
       .start()
 }

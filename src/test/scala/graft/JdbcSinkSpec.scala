@@ -56,6 +56,31 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(back.select(countDistinct(col("batch_id"))).head().getLong(0) >= 2)
   }
 
+  test("K4: idempotent mode makes a replayed batch a no-op (effectively-once contents)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Streams.dataDir("graft_derby_idem_")}/db;create=true"
+    val sink = JdbcBatchSink(url, "idem_sink",
+      Map("driver" -> driver), Streams.scratchDir("graft_cp_jdbc_i_"),
+      idempotent = true)
+    val batch = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    def rows(): Long = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "idem_sink")
+      .option("driver", driver).load().count()
+    sink.writeBatch(batch, 0L)
+    assert(rows() === 2)
+    // crash-recovery replay of the SAME batch id: must not duplicate
+    sink.writeBatch(batch, 0L)
+    assert(rows() === 2, "replayed batch appended twice")
+    // a genuinely new batch still appends
+    sink.writeBatch(batch, 1L)
+    assert(rows() === 4)
+    // the reference-default non-idempotent sink DOES duplicate on replay
+    // (at-least-once) — the differential control
+    val plain = sink.copy(idempotent = false)
+    plain.writeBatch(batch, 1L)
+    assert(rows() === 6)
+  }
+
   test("K4: empty micro-batches never touch the database (no table created)") {
     import spark.implicits._
     val url = s"jdbc:derby:${Streams.dataDir("graft_derby_empty_")}/db;create=true"
