@@ -946,7 +946,59 @@ object StreamingQueries extends QueryPack {
         }
       },
       Some(graft.dedup.DedupQueries.streamGateOracle),
-      "North star/T: near-dup gate on ingest — per-row MinHash + static index probe ≡ batch d12 cross-split set"))
+      "North star/T: near-dup gate on ingest — per-row MinHash + static index probe ≡ batch d12 cross-split set"),
+
+    GraftQuery(
+      "st22_stream_schema_drift",
+      (spark, dir) => {
+        // SCHEMA DRIFT TOLERANCE ON INGEST — src08's lake-history
+        // problem, streaming tier: producers upgrade on their own
+        // schedule, so one topic simultaneously carries v1 payloads
+        // (missing the late value2_cents field, carrying a legacy field
+        // the engine never declared) and v2 payloads. `from_json`
+        // against the ENGINE's target schema must null-fill the missing
+        // field and ignore the unknown one, per record, with no restart
+        // and no reprocessing — the tolerance the reference's JSON
+        // envelope parse relies on implicitly
+        // (consumer_postgres_streaming.py:300-305 null-guards). The
+        // audit proves per-version row conservation and that v2 values
+        // survive exactly. Kafka swap: identical from_json over the
+        // connector's `value` column.
+        val out = Streams.dataDir("graft_schdrift_")
+        val events = Tables(spark, dir).events
+        events.repartition(4)
+          .select(
+            when(col("event_id") % 3 === 0,
+              to_json(struct(col("event_id"), col("event_type"),
+                col("value"), lit(1).as("legacy_flag"))))
+            .otherwise(
+              to_json(struct(col("event_id"), col("event_type"),
+                col("value"),
+                Canon.cents(col("value") * 2).as("value2_cents"))))
+            .as("value"))
+          .write.mode("overwrite").text(out)
+        Streams.withStreamShufflePartitions(spark) {
+          val parsed = spark.readStream
+            .option("maxFilesPerTrigger", 1)
+            .text(out)
+            .select(from_json(col("value"),
+              "event_id BIGINT, event_type STRING, value DOUBLE, value2_cents BIGINT",
+              Map.empty[String, String]).as("e"))
+            .select("e.*")
+          val agg = parsed.groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"),
+                 sum(when(col("value2_cents").isNull, 1L).otherwise(0L)).as("n_v1"),
+                 sum(coalesce(col("value2_cents"), lit(0L))).as("sum_value2_cents"))
+          Streams.drainToMemory(agg, "st22_sink", outputMode = "complete")
+        }
+      },
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+             |  CAST(sum(CASE WHEN event_id % 3 <> 0
+             |    THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+             |    AS sum_value2_cents
+             |FROM events GROUP BY 1""".stripMargin),
+      "T/S-evolution: mixed-version JSON stream — from_json null-fills late columns, drops unknown ones"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
