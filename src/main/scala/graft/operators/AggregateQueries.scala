@@ -195,5 +195,68 @@ object AggregateQueries extends QueryPack {
              |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
              |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
              |FROM documents GROUP BY source""".stripMargin),
-      "A5 wide form: pivot to per-lang counts (streamlit value_counts reindex)"))
+      "A5 wide form: pivot to per-lang counts (streamlit value_counts reindex)"),
+
+    GraftQuery(
+      "q78_heavy_hitters",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Heavy-hitter (top-talker) detection with a MERGEABLE
+        // Misra-Gries summary (functions.FreqSketchAggregator) — the
+        // frequent-items member of the sketch tier (q17 HLL/quantiles,
+        // st20 streaming HLL). The event stream's own keys are
+        // near-uniform, so plant the production shape deterministically:
+        // every 5th event routes to one of 3 hot keys (each ~6.7% of
+        // traffic), the rest stay per-user tail — exactly the
+        // few-heavies-over-long-tail distribution top-talker monitoring
+        // exists for. The summary's CONTENTS are merge-order dependent
+        // (any partitioning), so the oracle-compared columns are the
+        // exact corpus facts plus MG's two theory-guaranteed audits,
+        // both TRUE for every partitioning: all true heavies (count >
+        // n/(k+1)) surface, and every estimate is within n/(k+1) below
+        // its true count. Exact side = one groupBy for the audit; at
+        // 100 TB only the ≤2k-entry summaries move, never the key set.
+        val k = 64
+        val keyed = t.events.select(
+          when(col("event_id") % 5 === 0,
+            concat(lit("hot"), (col("event_id") % 3).cast("string")))
+            .otherwise(concat(lit("u"), col("user_id").cast("string")))
+            .as("key"))
+        val mg = udaf(new graft.functions.FreqSketchAggregator(k))
+        val sketch = keyed.agg(mg(col("key")).as("entries"))
+          .select(explode(col("entries")).as("e"))
+          .select(col("e._1").as("key"), col("e._2").as("est"))
+        val exact = keyed.groupBy("key").agg(count(lit(1)).as("cnt"))
+        val tot = keyed.agg(count(lit(1)).as("n_keys_total"))
+        val heavy = exact.crossJoin(broadcast(tot))
+          .withColumn("bound", expr(s"n_keys_total div ${k + 1}"))
+          .filter(col("cnt") > col("bound"))
+          .join(sketch, Seq("key"), "left")
+        heavy.agg(
+          first(col("n_keys_total")).as("n_keys_total"),
+          first(col("bound")).as("bound"),
+          count(lit(1)).as("n_heavy"),
+          (sum(when(col("est").isNull, 1).otherwise(0)) === 0)
+            .as("all_heavy_found"),
+          (sum(when(col("est").isNotNull &&
+                    (col("est") > col("cnt") ||
+                     col("cnt") - col("est") > col("bound")), 1)
+            .otherwise(0)) === 0).as("est_within_bound"))
+          .select(col("n_keys_total"), lit(k).as("k"), col("bound"),
+            col("n_heavy"), col("all_heavy_found"), col("est_within_bound"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT CASE WHEN event_id % 5 = 0
+             |    THEN 'hot' || CAST(event_id % 3 AS VARCHAR)
+             |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS key
+             |  FROM events),
+             |tot AS (SELECT count(*) AS n FROM keyed),
+             |ex AS (SELECT key, count(*) AS cnt FROM keyed GROUP BY 1)
+             |SELECT (SELECT n FROM tot) AS n_keys_total,
+             |  64 AS k,
+             |  CAST((SELECT n FROM tot) // 65 AS BIGINT) AS bound,
+             |  (SELECT count(*) FROM ex CROSS JOIN tot WHERE cnt > n // 65) AS n_heavy,
+             |  TRUE AS all_heavy_found,
+             |  TRUE AS est_within_bound""".stripMargin),
+      "A-sketch: mergeable Misra-Gries heavy hitters — theory-bound audits vs exact, any merge order"))
 }

@@ -123,3 +123,33 @@ class ExpressionsSpec extends SparkTestBase {
     assert(r.getLong(0) == 7L)
   }
 }
+
+/** Misra-Gries frequent-items summary: the two theory guarantees the
+  * q78 audit leans on, checked under an adversarial partitioning and
+  * merge order (guarantees must hold for ANY — that's what makes the
+  * audit booleans deterministic on a cluster). */
+class FreqSketchSpec extends SparkTestBase {
+  test("MG guarantees survive uneven partitions merged in reverse") {
+    val agg = new graft.functions.FreqSketchAggregator(8)
+    // one 20% hot key over a 97-key tail — hot is the only true heavy
+    val stream = (0 until 5000).map(i => if (i % 5 == 4) "HOT" else s"t${i % 97}")
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = stream.size.toLong
+    val bound = n / 9 // k=8 → error ≤ n/(k+1)
+    // uneven chunks, merged tail-first — worst-case associativity probe
+    val bufs = stream.grouped(717).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    val merged = bufs.reverse.reduce(agg.merge)
+    val res = agg.finish(merged).toMap
+    assert(res.size <= 8, s"summary exceeded k entries: ${res.size}")
+    exact.filter(_._2 > bound).keys.foreach { k =>
+      assert(res.contains(k), s"true heavy '$k' missing from summary") }
+    res.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(est <= ex && ex - est <= bound,
+        s"estimate for '$k' out of bounds: est=$est exact=$ex bound=$bound")
+    }
+    // single-partition path agrees with the guarantee too
+    val solo = agg.finish(stream.foldLeft(agg.zero)(agg.reduce)).toMap
+    assert(solo.contains("HOT") && solo("HOT") <= exact("HOT"))
+  }
+}
