@@ -189,5 +189,81 @@ object DepthQueries extends QueryPack {
              |  CAST(floor(quantile_cont(l_extendedprice * 100, 0.5) + 0.5) AS BIGINT) AS median_cents,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-      "A11: exact per-group median"))
+      "A11: exact per-group median"),
+
+    GraftQuery(
+      "q79_kmv_sample",
+      (spark, dir) => {
+        val t = graft.core.Tables(spark, dir)
+        // Bottom-k (KMV) hash sample per group — the MERGEABLE fixed-size
+        // sample: every partition keeps its k smallest md5 priorities and
+        // a merge keeps the k smallest of the union, so the same k keys
+        // surface at any parallelism with zero coordination (q45/q65
+        // sample by key-modulo RATE; this samples by SIZE — the primitive
+        // behind distinct-sampling and audit subsets at 100 TB). The
+        // k-th minimum doubles as the KMV distinct estimator
+        // (Bar-Yossef et al.): est = (k-1)·2³²/kth_pri. Priorities are
+        // md5 slices (DedupQueries' cross-engine family), so sample
+        // membership AND estimate are bit-identical in both engines —
+        // exact oracle columns, no tolerance audit needed. Scale shape:
+        // one (event_type, user_id) distinct, one window on the group
+        // key; at production the window is a bounded per-group heap.
+        val k = 16
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("pri"), col("user_id"))
+        val kept = t.events.select(col("event_type"), col("user_id")).distinct()
+          .withColumn("pri",
+            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+              .cast(LongType))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+        val exact = t.events.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users_exact"))
+        kept.groupBy("event_type")
+          .agg(count(lit(1)).as("n_sample"),
+               coalesce(max(when(col("rn") === k, col("pri"))), lit(0L)).as("kth_pri"),
+               array_join(array_sort(collect_list(col("user_id").cast("string"))), ",")
+                 .as("sample_users"))
+          .join(exact, "event_type")
+          .withColumn("kmv_est",
+            when(col("n_sample") < k, col("n_sample"))
+              .otherwise(expr(s"(${k - 1}L * 4294967296L) div kth_pri")))
+          .select(col("event_type"), col("n_users_exact"), col("n_sample"),
+            col("kth_pri"), col("kmv_est"),
+            floor(abs(col("kmv_est") - col("n_users_exact")) * 10000.0 /
+              col("n_users_exact") + 0.5).cast(LongType).as("err_e4"),
+            col("sample_users"))
+      },
+      Some(s"""WITH du AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |pri AS (
+             |  SELECT event_type, user_id,
+             |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS pri
+             |  FROM du),
+             |ranked AS (
+             |  SELECT event_type, user_id, pri,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY pri, user_id) AS rn
+             |  FROM pri),
+             |kept AS (SELECT * FROM ranked WHERE rn <= 16),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n_sample,
+             |    coalesce(max(CASE WHEN rn = 16 THEN pri END), 0) AS kth_pri,
+             |    string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY CAST(user_id AS VARCHAR)) AS sample_users
+             |  FROM kept GROUP BY 1),
+             |exact AS (
+             |  SELECT event_type, count(DISTINCT user_id) AS n_users_exact
+             |  FROM events GROUP BY 1),
+             |est AS (
+             |  SELECT a.event_type, e.n_users_exact, a.n_sample,
+             |    CAST(a.kth_pri AS BIGINT) AS kth_pri,
+             |    CAST(CASE WHEN a.n_sample < 16 THEN a.n_sample
+             |         ELSE (15 * 4294967296) // a.kth_pri END AS BIGINT) AS kmv_est,
+             |    a.sample_users
+             |  FROM agg a JOIN exact e ON e.event_type = a.event_type)
+             |SELECT event_type, n_users_exact, CAST(n_sample AS BIGINT) AS n_sample,
+             |  kth_pri, kmv_est,
+             |  CAST(floor(abs(kmv_est - n_users_exact) * 10000.0 / n_users_exact + 0.5) AS BIGINT) AS err_e4,
+             |  sample_users
+             |FROM est""".stripMargin),
+      "O2-sketch: bottom-k (KMV) hash sample — mergeable fixed-size sample + distinct estimate, bit-identical cross-engine"))
 }
