@@ -352,5 +352,52 @@ object SourceQueries extends QueryPack {
              |    AS sum_value2_cents
              |FROM events CROSS JOIN half
              |GROUP BY event_type""".stripMargin),
-      "S-evolution: mergeSchema union-by-name read over a column-accreting file history"))
+      "S-evolution: mergeSchema union-by-name read over a column-accreting file history"),
+
+    GraftQuery(
+      "src09_compaction",
+      (spark, dir) => {
+        // SMALL-FILES COMPACTION — the lake maintenance job streaming
+        // ingest makes mandatory: micro-batches leave a litter of tiny
+        // files (64 planted here), and every later scan pays per-file
+        // open + footer + task-scheduling cost. The compactor rewrites
+        // them into a few range-clustered files (repartitionByRange +
+        // sortWithinPartitions — same recipe as src04, so compaction
+        // RESTORES row-group pruning that ingest order destroyed, and
+        // writers stay parallel: one task per output file, no
+        // single-threaded coalesce(1)). The audit proves compaction is
+        // content-neutral — row count, value checksum, and key census
+        // all survive — plus the 64→4 file collapse itself. At 100 TB
+        // this runs per partition-dir, bin-packing to a target file
+        // size; the per-dir plan is exactly this one.
+        val out = graft.streaming.Streams.dataDir("graft_compact_")
+        val small = s"$out/small"
+        val compacted = s"$out/compacted"
+        val events = graft.core.Tables(spark, dir).events
+        events.repartition(64).write.mode("overwrite").parquet(small)
+        spark.read.parquet(small)
+          .repartitionByRange(4, col("ts"), col("event_id"))
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(compacted)
+        def nFiles(p: String): Long = new java.io.File(p).listFiles()
+          .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .toLong
+        spark.read.parquet(compacted).agg(
+            count(lit(1)).as("n_rows"),
+            sum(graft.functions.Canon.cents(col("value"))).as("sum_value_cents"),
+            sum(col("event_id")).as("sum_event_id"),
+            countDistinct(col("event_id")).as("n_distinct_ids"))
+          .select(col("n_rows"), col("sum_value_cents"), col("sum_event_id"),
+            col("n_distinct_ids"),
+            lit(nFiles(small)).as("files_before"),
+            lit(nFiles(compacted)).as("files_after"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+             |  count(DISTINCT event_id) AS n_distinct_ids,
+             |  CAST(64 AS BIGINT) AS files_before,
+             |  CAST(4 AS BIGINT) AS files_after
+             |FROM events""".stripMargin),
+      "S-maintenance: small-files compaction — content-neutral 64→4 range-clustered rewrite"))
 }

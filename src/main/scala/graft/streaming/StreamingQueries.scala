@@ -998,7 +998,72 @@ object StreamingQueries extends QueryPack {
              |    THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
              |    AS sum_value2_cents
              |FROM events GROUP BY 1""".stripMargin),
-      "T/S-evolution: mixed-version JSON stream — from_json null-fills late columns, drops unknown ones"))
+      "T/S-evolution: mixed-version JSON stream — from_json null-fills late columns, drops unknown ones"),
+
+    GraftQuery(
+      "st23_stream_heavy_hitters",
+      (spark, dir) => {
+        // q78's mergeable Misra-Gries summary LIVING IN STREAMING STATE
+        // (st20's pattern with frequent-items instead of HLL): each
+        // rate-limited micro-batch folds its rows into the per-type MG
+        // buffer, so live top-talker dashboards are served from
+        // O(types × 2k) state for any key cardinality — a firehose's
+        // distinct keys never materialize anywhere. MG's guarantees
+        // hold under ANY merge order, which is exactly what makes the
+        // audit booleans deterministic when micro-batch boundaries (and
+        // therefore the buffer's merge tree) are a runtime artifact.
+        // Same planted hot-keys-over-tail shape as q78.
+        val k = 64
+        val mg = udaf(new graft.functions.FreqSketchAggregator(k))
+        val keyed = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+          .select(col("event_type"),
+            when(col("event_id") % 5 === 0,
+              concat(lit("hot"), (col("event_id") % 3).cast("string")))
+              .otherwise(concat(lit("u"), col("user_id").cast("string")))
+              .as("key"))
+        val agg = keyed.groupBy("event_type").agg(mg(col("key")).as("entries"))
+        val sketch = Streams.drainToMemory(agg, "st23_sink", outputMode = "complete")
+          .select(col("event_type"), explode(col("entries")).as("e"))
+          .select(col("event_type"), col("e._1").as("key"), col("e._2").as("est"))
+        val batchKeyed = Tables(spark, dir).events.select(col("event_type"),
+          when(col("event_id") % 5 === 0,
+            concat(lit("hot"), (col("event_id") % 3).cast("string")))
+            .otherwise(concat(lit("u"), col("user_id").cast("string")))
+            .as("key"))
+        val exact = batchKeyed.groupBy("event_type", "key").agg(count(lit(1)).as("cnt"))
+        val tot = batchKeyed.groupBy("event_type").agg(count(lit(1)).as("n_keys_total"))
+        val heavy = exact.join(tot, "event_type")
+          .withColumn("bound", expr(s"n_keys_total div ${k + 1}"))
+          .filter(col("cnt") > col("bound"))
+          .join(sketch, Seq("event_type", "key"), "left")
+        heavy.groupBy("event_type").agg(
+          first(col("n_keys_total")).as("n_keys_total"),
+          first(col("bound")).as("bound"),
+          count(lit(1)).as("n_heavy"),
+          (sum(when(col("est").isNull, 1).otherwise(0)) === 0)
+            .as("all_heavy_found"),
+          (sum(when(col("est").isNotNull &&
+                    (col("est") > col("cnt") ||
+                     col("cnt") - col("est") > col("bound")), 1)
+            .otherwise(0)) === 0).as("est_within_bound"))
+      },
+      Some("""WITH keyed AS (
+             |  SELECT event_type, CASE WHEN event_id % 5 = 0
+             |    THEN 'hot' || CAST(event_id % 3 AS VARCHAR)
+             |    ELSE 'u' || CAST(user_id AS VARCHAR) END AS key
+             |  FROM events),
+             |tot AS (SELECT event_type, count(*) AS n FROM keyed GROUP BY 1),
+             |ex AS (SELECT event_type, key, count(*) AS cnt FROM keyed GROUP BY 1, 2)
+             |SELECT e.event_type,
+             |  CAST(t.n AS BIGINT) AS n_keys_total,
+             |  CAST(t.n // 65 AS BIGINT) AS bound,
+             |  count(*) AS n_heavy,
+             |  TRUE AS all_heavy_found,
+             |  TRUE AS est_within_bound
+             |FROM ex e JOIN tot t ON t.event_type = e.event_type
+             |WHERE e.cnt > t.n // 65
+             |GROUP BY e.event_type, t.n""".stripMargin),
+      "T7+A-sketch: streaming Misra-Gries heavy hitters — O(types × 2k) state, audits hold for any micro-batching"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
