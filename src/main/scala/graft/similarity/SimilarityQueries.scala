@@ -1141,5 +1141,84 @@ object SimilarityQueries extends QueryPack {
           |ORDER BY ks.k""".stripMargin),
       "North star: IVF-PQ recall@k audit vs exact top-k — quantifies probe + quantization loss"))
 
-  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf ++ ivfpq
+  private val filtered: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "s17_filtered_ann",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // FILTERED (hybrid) ANN — top-k among vectors satisfying a
+        // metadata predicate, the production vector-search shape
+        // ("nearest docs WHERE tenant = X AND lang = 'en'") and the
+        // classically hard ANN regime: a selective filter empties the
+        // nearest cells, so a fixed-nprobe probe under-recalls. The
+        // standard mitigation is OVER-PROBING (nprobe 2 → 4 here;
+        // production adapts nprobe to the filter's selectivity), with
+        // the predicate applied to the ASSIGNMENT relation before any
+        // vector moves — so the rerank join touches only filtered
+        // candidates inside probed cells, and on the s12 partitioned
+        // layout both the cid pruning and the metadata predicate reach
+        // the scan together. Predicate (vec_id % 3 = 1) is independent
+        // of cell structure — the adversarial case; the oracle replays
+        // probe + filter + rerank exactly.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val probe = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc)
+          .limit(4)
+          .select(col("cid"))
+        val assigned = nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+          .select(col("vec_id"), col("cid"))
+          .filter(col("vec_id") % 3 === 1)
+        assigned
+          .join(broadcast(probe), Seq("cid"))
+          .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(5)
+          .select(col("vec_id"), col("cid"),
+                  floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid,
+             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS csim
+             |    FROM cent c, q)
+             |  ORDER BY csim DESC, cid LIMIT 4),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM sims),
+             |cand AS (
+             |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
+             |  WHERE b.rn = 1 AND b.vec_id % 3 = 1),
+             |scored AS (
+             |  SELECT ca.vec_id, ca.cid,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
+             |SELECT vec_id, cid,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "North star: FILTERED ANN — metadata predicate inside the probe, over-probed nprobe=4"))
+
+  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf ++ ivfpq ++ filtered
 }
