@@ -43,9 +43,12 @@ object Bench {
         // in the SQL cache — they live until the RDD object is GC'd, so
         // their shuffle/memory footprint lands on every LATER query's
         // wall time (r6: d03 17.2 s in-suite vs 2.5 s isolated). Release
-        // them eagerly.
+        // them eagerly — and BLOCKING, so the removal cost is billed
+        // inside this `finally` to the query that created the blocks,
+        // not to whichever neighbor runs while the async removal drains
+        // (r8: d08 12.1 s in-suite vs 2.6 s isolated from exactly this).
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -64,8 +67,15 @@ object Bench {
     // Quiesce the heap before each timed query: without it, collection
     // debt from the previous query's shuffle buffers lands inside the
     // next query's wall time (the mechanism behind the observed 10×
-    // same-code swings on the suite's heaviest entries).
-    val results = names.map { n => System.gc(); n -> once(n) }
+    // same-code swings on the suite's heaviest entries). The short
+    // settle gap lets the ContextCleaner drain the reference queue the
+    // gc just populated — its async broadcast/shuffle removals would
+    // otherwise run inside the next query's timed region. Gap wall time
+    // is outside every timer.
+    val results = names.map { n =>
+      System.gc(); Thread.sleep(300)
+      n -> once(n)
+    }
     // Locale.ROOT formatting: f"%.3f" under a comma-decimal default
     // locale would emit invalid JSON
     def num(v: Double, d: Int): String =
