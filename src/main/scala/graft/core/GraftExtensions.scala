@@ -109,5 +109,11 @@ object GraftExtensions {
     spark.udf.register("vector_avg",
       org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator,
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
+    // Misra-Gries frequent-items summary for the SQL tier (k = 64, the
+    // q78 default; other widths construct the Aggregator directly)
+    spark.udf.register("freq_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new graft.functions.FreqSketchAggregator(64),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]()))
   }
 }

@@ -107,3 +107,40 @@ class ExtensionsSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() == 3)
   }
 }
+
+/** SQL-tier binding of the frequent-items aggregate (q78's summary as a
+  * text-tier function) + the t21 budget invariant that must survive any
+  * future edit of the mixture packer. */
+class RoundEightExtensionsSpec extends SparkTestBase {
+
+  test("freq_sketch callable from SQL text; top entry is the planted mode") {
+    graft.core.GraftExtensions.register(spark)
+    graft.core.Tables(spark, sfDir).registerAll()
+    // 'doc' appears in essentially every row of the synthetic corpus —
+    // with k=64 over a 31-word vocab the summary is exact, so the top
+    // entry must be the corpus's true modal word
+    val r = spark.sql(
+      """SELECT freq_sketch(word) AS sk FROM (
+        |  SELECT explode(split(text, ' ')) AS word FROM documents
+        |) WHERE length(word) > 0""".stripMargin).head()
+    val entries = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(entries.nonEmpty && entries.length <= 64)
+    val exact = spark.sql(
+      """SELECT first(word) FROM (
+        |  SELECT word, count(*) AS c FROM (
+        |    SELECT explode(split(text, ' ')) AS word FROM documents
+        |  ) WHERE length(word) > 0 GROUP BY word ORDER BY c DESC, word LIMIT 1
+        |)""".stripMargin).head().getString(0)
+    assert(entries.head.getString(0) === exact)
+  }
+
+  test("t21 invariant: no domain ever exceeds its token budget") {
+    val rows = SparkEntry.queries("t21_mixture_pack")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens_kept") <= r.getAs[Long]("budget_tokens"),
+        s"budget exceeded for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_docs_kept") > 0)
+    }
+  }
+}
