@@ -36,6 +36,50 @@ object AdvancedQueries extends QueryPack {
       "S4/§3.3: spark.sql text tier — one ANSI statement runs on both engines"),
 
     GraftQuery(
+      "q80_sql_scripting",
+      (spark, dir) => {
+        // Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE/SET) — the
+        // procedural SQL surface an analyst-facing tier grows into once
+        // a dashboard query needs a loop: here an iterative threshold
+        // search (smallest power-of-10 cents cutoff whose exceedance
+        // tail is < 1 % of events — an alerting-threshold calibration).
+        // Each iteration is a full distributed aggregation; the loop is
+        // driver-side control flow over O(log range) rounds, the same
+        // shape as t19's merge loop. The loop is deterministic (tail
+        // fraction is monotone in the cutoff), so the DuckDB oracle
+        // computes the identical fixpoint in closed form over a
+        // generated exponent series — engine-procedural vs closed-form,
+        // same answer.
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        Tables(spark, dir).registerAll()
+        spark.sql("""
+          BEGIN
+            DECLARE t BIGINT DEFAULT 1;
+            DECLARE frac_e4 BIGINT DEFAULT 10000;
+            WHILE frac_e4 >= 100 DO
+              SET t = t * 10;
+              SET frac_e4 = (
+                SELECT CAST(floor(sum(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) >= t
+                                      THEN 1 ELSE 0 END) * 10000.0 / count(*) + 0.5) AS BIGINT)
+                FROM events);
+            END WHILE;
+            SELECT t AS threshold_cents, frac_e4 AS tail_frac_e4;
+          END""")
+      },
+      Some("""WITH cents AS (
+             |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+             |n AS (SELECT count(*) AS n FROM cents),
+             |ks AS (SELECT unnest(generate_series(1, 12)) AS k),
+             |fr AS (
+             |  SELECT k, CAST(floor(sum(CASE WHEN c >= CAST(power(10, k) AS BIGINT)
+             |                            THEN 1 ELSE 0 END) * 10000.0 / (SELECT n FROM n) + 0.5) AS BIGINT) AS frac_e4
+             |  FROM ks CROSS JOIN cents GROUP BY k)
+             |SELECT CAST(power(10, k) AS BIGINT) AS threshold_cents,
+             |  frac_e4 AS tail_frac_e4
+             |FROM fr WHERE frac_e4 < 100 ORDER BY k LIMIT 1""".stripMargin),
+      "S4+: Spark 4 SQL scripting — iterative threshold calibration ≡ closed-form fixpoint"),
+
+    GraftQuery(
       "q33_from_json",
       (spark, dir) => {
         val t = Tables(spark, dir)
