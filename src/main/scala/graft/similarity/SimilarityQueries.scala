@@ -1218,7 +1218,102 @@ object SimilarityQueries extends QueryPack {
              |SELECT vec_id, cid,
              |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
              |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
-      "North star: FILTERED ANN — metadata predicate inside the probe, over-probed nprobe=4"))
+      "North star: FILTERED ANN — metadata predicate inside the probe, over-probed nprobe=4"),
+
+    GraftQuery(
+      "s18_filtered_recall",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // WHY s17 over-probes, measured: recall@5 of the filtered IVF
+        // search against the exact filtered top-5, at nprobe=2 (s06's
+        // unfiltered default) vs nprobe=4. The audit quantifies the
+        // filtered-ANN failure mode — the filter thins every probed
+        // cell, so candidate mass shifts into cells a narrow probe
+        // skips — and pins that widening the probe never hurts
+        // (recall4 ≥ recall2: candidate sets are nested by probe-set
+        // inclusion, so this is a THEOREM, not a data accident; the
+        // recall VALUES are corpus facts the oracle recomputes). The
+        // exact arm is a full filtered scan — the audit's price, not
+        // the serve path's.
+        val emb = doubled(t)
+        val cent = centroids(emb)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        def probeIds(n: Int) = cent.crossJoin(broadcast(qv))
+          .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+          .orderBy(col("csim").desc, col("cid").asc).limit(n).select(col("cid"))
+        val keep = col("vec_id") =!= 0 && col("vec_id") % 3 === 1
+        val exactTop = emb.filter(keep).crossJoin(broadcast(qv))
+          .select(col("vec_id"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        val assigned = nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+          .filter(col("vec_id") % 3 === 1).select(col("vec_id"), col("cid"))
+        def ivfTop(n: Int) = assigned
+          .join(broadcast(probeIds(n)), Seq("cid"))
+          .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), cosineFast(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+        val nExact = exactTop.agg(count(lit(1)).as("n_exact"))
+        val hit2 = exactTop.join(ivfTop(2), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit2"))
+        val hit4 = exactTop.join(ivfTop(4), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit4"))
+        nExact.crossJoin(hit2).crossJoin(hit4)
+          .select(col("n_exact"),
+            floor(col("n_hit2") * 100.0 / col("n_exact") + 0.5).cast(LongType).as("recall2_e2"),
+            floor(col("n_hit4") * 100.0 / col("n_exact") + 0.5).cast(LongType).as("recall4_e2"),
+            (col("n_hit4") >= col("n_hit2")).as("over_probe_never_hurts"))
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |csims AS (
+             |  SELECT c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS csim
+             |  FROM cent c, q),
+             |probe2 AS (SELECT cid FROM csims ORDER BY csim DESC, cid LIMIT 2),
+             |probe4 AS (SELECT cid FROM csims ORDER BY csim DESC, cid LIMIT 4),
+             |fsims AS (
+             |  SELECT e.vec_id,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM v e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 = 1),
+             |exact_top AS (SELECT vec_id, sim FROM fsims ORDER BY sim DESC, vec_id LIMIT 5),
+             |asims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM asims),
+             |assigned AS (
+             |  SELECT vec_id, cid FROM best WHERE rn = 1 AND vec_id % 3 = 1),
+             |ivf2 AS (
+             |  SELECT f.vec_id FROM fsims f JOIN assigned a ON a.vec_id = f.vec_id
+             |  JOIN probe2 p ON p.cid = a.cid ORDER BY f.sim DESC, f.vec_id LIMIT 5),
+             |ivf4 AS (
+             |  SELECT f.vec_id FROM fsims f JOIN assigned a ON a.vec_id = f.vec_id
+             |  JOIN probe4 p ON p.cid = a.cid ORDER BY f.sim DESC, f.vec_id LIMIT 5),
+             |counts AS (
+             |  SELECT
+             |    (SELECT count(*) FROM exact_top) AS n_exact,
+             |    (SELECT count(*) FROM exact_top e JOIN ivf2 i ON i.vec_id = e.vec_id) AS n_hit2,
+             |    (SELECT count(*) FROM exact_top e JOIN ivf4 i ON i.vec_id = e.vec_id) AS n_hit4)
+             |SELECT n_exact,
+             |  CAST(floor(n_hit2 * 100.0 / n_exact + 0.5) AS BIGINT) AS recall2_e2,
+             |  CAST(floor(n_hit4 * 100.0 / n_exact + 0.5) AS BIGINT) AS recall4_e2,
+             |  (n_hit4 >= n_hit2) AS over_probe_never_hurts
+             |FROM counts""".stripMargin),
+      "North star: filtered-ANN recall audit — nprobe=2 vs over-probed 4 against exact filtered top-k"))
 
   val queries: Seq[GraftQuery] = exactAndLsh ++ ivf ++ ivfpq ++ filtered
 }

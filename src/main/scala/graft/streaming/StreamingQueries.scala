@@ -1063,7 +1063,59 @@ object StreamingQueries extends QueryPack {
              |FROM ex e JOIN tot t ON t.event_type = e.event_type
              |WHERE e.cnt > t.n // 65
              |GROUP BY e.event_type, t.n""".stripMargin),
-      "T7+A-sketch: streaming Misra-Gries heavy hitters — O(types × 2k) state, audits hold for any micro-batching"))
+      "T7+A-sketch: streaming Misra-Gries heavy hitters — O(types × 2k) state, audits hold for any micro-batching"),
+
+    GraftQuery(
+      "st24_stream_compaction",
+      (spark, dir) => {
+        // LIVE-TABLE MAINTENANCE — K1's append sink and src09's
+        // compactor as ONE lifecycle: the rate-limited stream drains
+        // into the table dir (one-plus small files per micro-batch —
+        // the litter every streaming parquet table accretes), then the
+        // compactor rewrites the table in place to 4 range-clustered
+        // files, and the audit proves the TABLE still answers exactly
+        // like batch — compaction under a live writer is content-
+        // neutral. Plain parquet needs this quiesced-window model; a
+        // snapshot-isolated table format runs the same rewrite
+        // concurrently, and this query is the semantics it must
+        // preserve. File counts from streaming are runtime artifacts
+        // (batches × partitions), so the audit pins a boolean
+        // (ingest left ≥ 4 files) plus the exact post-compaction 4.
+        val out = Streams.dataDir("graft_live_")
+        val table = s"$out/table"
+        val compacted = s"$out/compacted"
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append").format("parquet")
+            .option("path", table)
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st24_"))
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        def nFiles(p: String): Long = new java.io.File(p).listFiles()
+          .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .toLong
+        val before = nFiles(table)
+        spark.read.parquet(table)
+          .repartitionByRange(4, col("ts"), col("event_id"))
+          .sortWithinPartitions("ts", "event_id")
+          .write.mode("overwrite").parquet(compacted)
+        spark.read.parquet(compacted).agg(
+            count(lit(1)).as("n_rows"),
+            Canon.sumCents(col("value")).as("sum_value_cents"),
+            sum(col("event_id")).as("sum_event_id"))
+          .select(col("n_rows"), col("sum_value_cents"), col("sum_event_id"),
+            lit(before >= 4).as("ingest_left_litter"),
+            lit(nFiles(compacted)).as("files_after"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+             |  TRUE AS ingest_left_litter,
+             |  CAST(4 AS BIGINT) AS files_after
+             |FROM events""".stripMargin),
+      "K1+S-maintenance: streaming append then in-place compaction — live table stays batch-exact"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
