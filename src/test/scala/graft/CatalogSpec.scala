@@ -109,6 +109,30 @@ class CatalogSpec extends SparkTestBase {
     ).head().getString(0) === "AFRICA")
   }
 
+  test("events accessor: legacy TIMESTAMP(NANOS) parquet spelling falls back and reads clean") {
+    // Spark cannot WRITE a NANOS-annotated parquet file, so this fixture
+    // was generated with pyarrow (timestamp[ns], format version 2.6) and
+    // committed — the only way to pin the eventsRaw catch-retry path
+    // against the real [ILLEGAL_PARQUET_TYPE] error, which is how the
+    // pre-round-8 testdata actually spelled events.ts.
+    // NOTE: registered LAST-ish in this suite on purpose — the fallback
+    // legitimately sets the legacy nanosAsLong conf, and the NTZ test
+    // above asserts the conf is NOT set on the modern path.
+    val url = getClass.getResource("/nanos_events/events.parquet")
+    assert(url != null, "nanos fixture missing from test resources")
+    val dir = new java.io.File(url.toURI).getParent
+    try {
+      val ev = Tables(spark, dir).events
+      assert(ev.schema("ts").dataType === TimestampType)
+      assert(ev.count() === 5)
+      // 2026-01-02 03:04:05.123456789 → sub-micro tail truncates exactly
+      val first = ev.filter(col("event_id") === 1)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .head().getString(0)
+      assert(first === "2026-01-02 03:04:05.123456")
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+  }
+
   test("schema audit: testdata sf0.001 is clean") {
     val diffs = Tables(spark, sfDir).audit()
     assert(diffs.isEmpty, s"schema drift:\n${diffs.mkString("\n")}")
