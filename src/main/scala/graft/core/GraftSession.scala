@@ -44,4 +44,23 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Run `body` with the given runtime SQL confs set, restoring each
+    * key's prior value (or unsetting a previously-unset key) on the way
+    * out. Query bodies share one engine session, so a conf they flip
+    * must not leak into the next query — every query-scoped
+    * `spark.conf.set` goes through here. Restoration happens as soon as
+    * `body` returns: confs that gate PARSING/ANALYSIS (e.g.
+    * spark.sql.scripting.enabled) are safe because `spark.sql` resolves
+    * the plan eagerly; a conf that must stay set through a later
+    * ACTION on the returned frame doesn't fit this helper. */
+  def withConf[A](spark: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -59,18 +59,31 @@ final case class Tables(spark: SparkSession, dir: String) {
     * fault isolation: one unreadable table must not take down SQL-text
     * queries over the other nine (in round 7 a stale events schema
     * propagated through here to every registered-view query).
+    *
+    * Returns the names that could NOT be registered, with their root
+    * errors, so callers (Bench, Verify) can surface the original read
+    * failure next to the first TABLE_OR_VIEW_NOT_FOUND it causes —
+    * a later query error over a skipped view otherwise hides the cause.
     */
-  def registerAll(): Unit =
-    Tables.names.foreach { n =>
+  def registerAll(): Seq[(String, Throwable)] = {
+    val skipped = Tables.names.flatMap { n =>
       try {
         val df = if (n == "events") events else table(n)
         df.createOrReplaceTempView(n)
-      } catch {
-        case NonFatal(e) =>
-          System.err.println(
-            s"[graft.Tables] registerAll: skipping unreadable table '$n': ${e.getMessage}")
+        None
+      } catch { case NonFatal(e) => Some(n -> e) }
+    }
+    if (skipped.nonEmpty) {
+      System.err.println(
+        s"[graft.Tables] registerAll: skipped unreadable tables " +
+          skipped.map(_._1).mkString("[", ", ", "]") +
+          " — run graft.tools.SchemaAudit for named diffs")
+      skipped.foreach { case (n, e) =>
+        System.err.println(s"[graft.Tables]   $n: ${e.getMessage}")
       }
     }
+    skipped
+  }
 
   /** Startup schema audit: compare each table's post-normalization schema
     * against [[Tables.expectedSchemas]] and return one NAMED diff line per
@@ -134,12 +147,21 @@ object Tables {
           s"events.$column: expected epoch-nanos BIGINT / TIMESTAMP_NTZ / TIMESTAMP, got ${other.sql}")
     }
 
-  /** Spark 4 rejects parquet TIMESTAMP(NANOS) during schema inference;
-    * match that error (and only that) for the legacy-read fallback. */
+  /** Spark 4 rejects parquet TIMESTAMP(NANOS) during schema inference
+    * with [ILLEGAL_PARQUET_TYPE]. Match that error AND the NANOS
+    * spelling — both, not either: an unrelated failure that merely
+    * mentions "NANOS" must not flip the global legacy nanosAsLong conf
+    * and mask itself behind a retry. Checked on the error class where
+    * Spark provides one, with the message pair as the fallback for
+    * wrapped/stringified rethrows. */
   def isNanosTypeError(e: Throwable): Boolean = {
     val m = Option(e.getMessage).getOrElse("")
-    m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("Illegal Parquet type") ||
-      m.contains("NANOS")
+    val illegalType = (e match {
+      case st: org.apache.spark.SparkThrowable =>
+        st.getCondition == "ILLEGAL_PARQUET_TYPE"
+      case _ => false
+    }) || m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("Illegal Parquet type")
+    illegalType && m.contains("NANOS")
   }
 
   /** Post-normalization logical schema contract per table — what every

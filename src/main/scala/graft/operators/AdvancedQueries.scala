@@ -50,8 +50,12 @@ object AdvancedQueries extends QueryPack {
         // computes the identical fixpoint in closed form over a
         // generated exponent series — engine-procedural vs closed-form,
         // same answer.
-        spark.conf.set("spark.sql.scripting.enabled", "true")
         Tables(spark, dir).registerAll()
+        // scripting.enabled gates parsing only, and SQL scripts execute
+        // eagerly inside spark.sql — withConf restores the prior value
+        // before the frame is returned, leaking nothing into the session
+        graft.core.GraftSession.withConf(spark,
+          "spark.sql.scripting.enabled" -> "true") {
         spark.sql("""
           BEGIN
             DECLARE t BIGINT DEFAULT 1;
@@ -65,6 +69,7 @@ object AdvancedQueries extends QueryPack {
             END WHILE;
             SELECT t AS threshold_cents, frac_e4 AS tail_frac_e4;
           END""")
+        }
       },
       Some("""WITH cents AS (
              |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),

@@ -202,9 +202,8 @@ object SourceQueries extends QueryPack {
         t.orders.write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("src05_o")
-        val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
+        graft.core.GraftSession.withConf(spark,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
           spark.table("src05_li")
             .join(spark.table("src05_o"), col("l_orderkey") === col("o_orderkey"))
             .groupBy("o_orderstatus")
@@ -212,7 +211,7 @@ object SourceQueries extends QueryPack {
                  graft.functions.Canon.sumCents(col("l_extendedprice")).as("sum_base_cents"))
             // force the plan (and the bucket-scan) while the conf holds
             .localCheckpoint()
-        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        }
       },
       Some("""SELECT o_orderstatus, count(*) AS n_rows,
              |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents
@@ -382,6 +381,11 @@ object SourceQueries extends QueryPack {
         def nFiles(p: String): Long = new java.io.File(p).listFiles()
           .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
           .toLong
+        // the file-collapse audit is a BOOLEAN, not an exact count:
+        // repartitionByRange's sampled boundaries may leave an output
+        // range empty on small/skewed inputs, and an empty partition
+        // writes no file — pinning files_after = 4 would turn a
+        // data-size artifact into a false failure (round-8 advice)
         spark.read.parquet(compacted).agg(
             count(lit(1)).as("n_rows"),
             sum(graft.functions.Canon.cents(col("value"))).as("sum_value_cents"),
@@ -390,14 +394,15 @@ object SourceQueries extends QueryPack {
           .select(col("n_rows"), col("sum_value_cents"), col("sum_event_id"),
             col("n_distinct_ids"),
             lit(nFiles(small)).as("files_before"),
-            lit(nFiles(compacted)).as("files_after"))
+            lit(nFiles(compacted) <= 4L && nFiles(compacted) < nFiles(small))
+              .as("compacted_ok"))
       },
       Some("""SELECT count(*) AS n_rows,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
              |  count(DISTINCT event_id) AS n_distinct_ids,
              |  CAST(64 AS BIGINT) AS files_before,
-             |  CAST(4 AS BIGINT) AS files_after
+             |  TRUE AS compacted_ok
              |FROM events""".stripMargin),
       "S-maintenance: small-files compaction — content-neutral 64→4 range-clustered rewrite"))
 }

@@ -77,10 +77,15 @@ final case class FileTopicSink(topicDir: String,
   * `idempotent = true` upgrades the channel's at-least-once delivery to
   * effectively-once TABLE CONTENTS — the JDBC twin of
   * [[Streams.idempotentBatchWriter]]'s dynamic-partition overwrite:
-  * every row carries its batch_id, and a batch whose id is already
-  * present in the table (a crash-recovery replay) is skipped instead of
-  * appended twice. One existence probe per batch; the reference's plain
-  * append (at-least-once, duplicates on replay) remains the default. */
+  * every row carries its batch_id, and a replayed batch (crash
+  * recovery) first DELETEs any rows a prior attempt left for that id,
+  * then appends. Delete-then-append — rather than probe-and-skip —
+  * because Spark's JDBC append commits per PARTITION in separate
+  * transactions: a crash mid-batch leaves the batch partially written,
+  * and a probe that skips on "any rows present" would silently drop the
+  * remainder forever. Repair converges to exactly the batch's rows no
+  * matter where the crash landed. The reference's plain append
+  * (at-least-once, duplicates on replay) remains the default. */
 final case class JdbcBatchSink(url: String, table: String,
                                props: Map[String, String],
                                checkpointDir: String,
@@ -89,7 +94,8 @@ final case class JdbcBatchSink(url: String, table: String,
   /** The per-micro-batch write, exposed so specs can drive a replay
     * directly (the streaming engine only replays after a real crash). */
   def writeBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (!batch.isEmpty && !(idempotent && alreadyWritten(batch, batchId))) {
+    if (!batch.isEmpty) {
+      if (idempotent) deleteBatchRows(batchId)
       val w = props.foldLeft(
         batch.withColumn("batch_id", lit(batchId))
           .write.format("jdbc")
@@ -100,22 +106,44 @@ final case class JdbcBatchSink(url: String, table: String,
     }
   }
 
-  /** Replay probe: does the table already hold this batch's rows? A
-    * missing table (first-ever batch) reads as "no". */
-  private def alreadyWritten(batch: DataFrame, batchId: Long): Boolean =
+  /** Repair step for a replayed batch: remove whatever a prior
+    * (possibly partial) attempt committed under this batch_id. Runs on
+    * the driver over a plain JDBC connection — one statement per batch.
+    * A missing table is the expected first-ever-batch case and is
+    * identified by its SQLState (Derby 42X05, Postgres 42P01); any
+    * other database error is a real fault and propagates instead of
+    * silently degrading to a duplicate append. */
+  private def deleteBatchRows(batchId: Long): Unit = {
+    props.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, jdbcProps)
     try {
-      val n = props.foldLeft(
-        batch.sparkSession.read.format("jdbc")
-          .option("url", url)
-          // the writer CREATEs with quoted (case-sensitive) column
-          // names — the probe must quote too or Derby/Postgres
-          // upper-case-fold the identifier and miss the column
-          .option("query",
-            s"""SELECT count(*) AS n FROM $table WHERE "batch_id" = $batchId""")) {
-        case (acc, (k, v)) => acc.option(k, v)
-      }.load().head().getAs[Number](0).longValue()
-      n > 0
-    } catch { case scala.util.control.NonFatal(_) => false }
+      val st = conn.createStatement()
+      // the writer CREATEs with quoted (case-sensitive) column names —
+      // the delete must quote too or Derby/Postgres upper-case-fold
+      // the identifier and miss the column
+      try st.executeUpdate(
+        s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      finally st.close()
+    } catch {
+      case e: java.sql.SQLException if isMissingTable(e) => ()
+    } finally conn.close()
+  }
+
+  private def jdbcProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  /** Table-does-not-exist, by SQLState, across the whole cause chain
+    * (drivers often wrap): Derby 42X05, Postgres 42P01, SQL-standard
+    * base table not found 42S02 (MySQL/H2). */
+  private def isMissingTable(e: java.sql.SQLException): Boolean = {
+    val states = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .collect { case s: java.sql.SQLException => s.getSQLState }
+    states.exists(s => s == "42X05" || s == "42P01" || s == "42S02")
+  }
 
   def start(df: DataFrame): StreamingQuery =
     df.writeStream

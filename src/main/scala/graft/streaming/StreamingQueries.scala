@@ -1078,9 +1078,11 @@ object StreamingQueries extends QueryPack {
         // neutral. Plain parquet needs this quiesced-window model; a
         // snapshot-isolated table format runs the same rewrite
         // concurrently, and this query is the semantics it must
-        // preserve. File counts from streaming are runtime artifacts
-        // (batches × partitions), so the audit pins a boolean
-        // (ingest left ≥ 4 files) plus the exact post-compaction 4.
+        // preserve. File counts are runtime artifacts on BOTH sides —
+        // batches × partitions on ingest, sampled range boundaries on
+        // compaction (an empty range writes no file) — so the audit
+        // pins booleans: ingest left ≥ 4 files, compaction collapsed
+        // to ≤ 4 and strictly fewer.
         val out = Streams.dataDir("graft_live_")
         val table = s"$out/table"
         val compacted = s"$out/compacted"
@@ -1107,13 +1109,14 @@ object StreamingQueries extends QueryPack {
             sum(col("event_id")).as("sum_event_id"))
           .select(col("n_rows"), col("sum_value_cents"), col("sum_event_id"),
             lit(before >= 4).as("ingest_left_litter"),
-            lit(nFiles(compacted)).as("files_after"))
+            lit(nFiles(compacted) <= 4L && nFiles(compacted) < before)
+              .as("compacted_ok"))
       },
       Some("""SELECT count(*) AS n_rows,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  CAST(sum(event_id) AS BIGINT) AS sum_event_id,
              |  TRUE AS ingest_left_litter,
-             |  CAST(4 AS BIGINT) AS files_after
+             |  TRUE AS compacted_ok
              |FROM events""".stripMargin),
       "K1+S-maintenance: streaming append then in-place compaction — live table stays batch-exact"))
 }

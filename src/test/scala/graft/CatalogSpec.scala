@@ -102,7 +102,12 @@ class CatalogSpec extends SparkTestBase {
       .write.parquet(s"$dir/region.parquet")
     Seq((0, "ALGERIA", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
       .write.parquet(s"$dir/nation.parquet")
-    Tables(spark, dir).registerAll()
+    val skipped = Tables(spark, dir).registerAll()
+    // the skip list names the unreadable eight so callers can surface
+    // the root read error next to a later TABLE_OR_VIEW_NOT_FOUND
+    assert(skipped.map(_._1).toSet ===
+      Tables.names.toSet -- Set("region", "nation"))
+    assert(skipped.forall(_._2 != null))
     assert(spark.sql("SELECT count(*) FROM region").head().getLong(0) === 1)
     assert(spark.sql(
       """SELECT r_name FROM nation JOIN region ON n_regionkey = r_regionkey"""

@@ -134,6 +134,37 @@ class RoundEightExtensionsSpec extends SparkTestBase {
     assert(entries.head.getString(0) === exact)
   }
 
+  test("conf hygiene: query bodies leave no session-conf residue (withConf sweep)") {
+    // the two query-scoped conf flips in the tree — q80 (scripting) and
+    // src05 (broadcast off). Running each must leave the session conf
+    // exactly as found; a leak here poisons every later query on the
+    // shared session (round-8 verdict item 7).
+    val keys = Seq("spark.sql.scripting.enabled",
+                   "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k))
+    assert(SparkEntry.queries("q80_sql_scripting")(spark, sfDir).count() > 0)
+    assert(SparkEntry.queries("src05_bucketed_join")(spark, sfDir).count() > 0)
+    val after = keys.map(k => k -> spark.conf.getOption(k))
+    assert(after === before,
+      s"session-conf residue: before=$before after=$after")
+  }
+
+  test("withConf restores a previously-unset key to unset and rethrows body errors") {
+    val key = "spark.sql.graft.probe.conf"
+    assert(spark.conf.getOption(key).isEmpty)
+    graft.core.GraftSession.withConf(spark, key -> "x") {
+      assert(spark.conf.get(key) === "x")
+    }
+    assert(spark.conf.getOption(key).isEmpty, "unset key not restored")
+    // restoration must also run on the error path
+    intercept[RuntimeException] {
+      graft.core.GraftSession.withConf(spark, key -> "y") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.getOption(key).isEmpty, "error path leaked the conf")
+  }
+
   test("t21 invariant: no domain ever exceeds its token budget") {
     val rows = SparkEntry.queries("t21_mixture_pack")(spark, sfDir).collect()
     assert(rows.nonEmpty)

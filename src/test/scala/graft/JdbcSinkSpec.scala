@@ -81,6 +81,34 @@ class JdbcSinkSpec extends SparkTestBase {
     assert(rows() === 6)
   }
 
+  test("K4: idempotent replay REPAIRS a partially-committed batch (no silent loss)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Streams.dataDir("graft_derby_repair_")}/db;create=true"
+    val sink = JdbcBatchSink(url, "repair_sink",
+      Map("driver" -> driver), Streams.scratchDir("graft_cp_jdbc_r_"),
+      idempotent = true)
+    // Spark's JDBC append commits per partition in separate
+    // transactions — a crash mid-batch leaves the batch PARTIALLY
+    // written. Simulate that: only 1 of batch 7's 3 rows committed.
+    val partial = Seq((1L, 10L)).toDF("k", "v")
+    val full    = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    sink.copy(idempotent = false).writeBatch(partial, 7L)
+    // recovery replays the whole batch: repair must converge to exactly
+    // the batch's rows — a probe-and-skip sink would see n>0 and drop
+    // rows 2 and 3 forever
+    sink.writeBatch(full, 7L)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "repair_sink")
+      .option("driver", driver).load()
+    assert(back.count() === 3, "repair must restore the full batch")
+    assert(back.agg(sum(col("v"))).head().getLong(0) === 60L)
+    // a second replay is still a no-op in contents
+    sink.writeBatch(full, 7L)
+    assert(spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "repair_sink")
+      .option("driver", driver).load().count() === 3)
+  }
+
   test("K4: empty micro-batches never touch the database (no table created)") {
     import spark.implicits._
     val url = s"jdbc:derby:${Streams.dataDir("graft_derby_empty_")}/db;create=true"
