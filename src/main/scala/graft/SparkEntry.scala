@@ -32,6 +32,7 @@ object SparkEntry {
     graft.multimodal.MultimodalQueries,
     graft.ml.MlQueries,
     graft.streaming.StreamingQueries,
+    graft.streaming.VehiclePipeline,
   )
 
   def all: Seq[GraftQuery] = packs.flatMap(_.queries)

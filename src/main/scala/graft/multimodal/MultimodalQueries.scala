@@ -412,7 +412,53 @@ object MultimodalQueries extends QueryPack {
            |FROM cand
            |WHERE hamming <= 4""".stripMargin
       }),
-      "North star: audio dHash near-dup — real WAV roundtrip, windowed fingerprint, banded mining"))
+      "North star: audio dHash near-dup — real WAV roundtrip, windowed fingerprint, banded mining"),
+
+    GraftQuery(
+      "mm10_fire_struct",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // U4's distinctive shape: a struct-returning kernel whose image
+        // field is emitted CONDITIONALLY — every 5th frame or on
+        // detection (fire_consumer_streaming.py:146-219). mm03 covers
+        // the decode; this pins the EMISSION POLICY: rows where neither
+        // trigger fires must carry NULL for the (expensive) re-encoded
+        // overlay, and rows where either fires must carry the real
+        // re-encode's decoded red sum. See ImageCodec.fireDetect for
+        // the full contract.
+        t.documents.select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            ImageCodec.fireDetect(id, ImageCodec.encodePng(id))
+          })
+          .toDF()
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    CAST(16 + doc_id % 48 AS BIGINT) AS w,
+             |    CAST(16 + doc_id % 32 AS BIGINT) AS h,
+             |    CAST(doc_id % 97 AS BIGINT) AS c
+             |  FROM documents),
+             |m AS (SELECT doc_id, w, h, c,
+             |    LEAST(w, 128 - c) AS k,
+             |    h*(w*c + (w*(w-1))//2) AS sum_r
+             |  FROM f),
+             |e AS (SELECT doc_id, w, h, c, k,
+             |    (10000 * h * (w - k)) // (w*h) AS fire_pct_e4,
+             |    (10000 * sum_r) // (255*w*h) AS conf_e4
+             |  FROM m)
+             |SELECT doc_id,
+             |  fire_pct_e4 > 100 AS fire_detected,
+             |  fire_pct_e4,
+             |  conf_e4,
+             |  (doc_id % 5 = 0 OR fire_pct_e4 > 100) AS image_emitted,
+             |  CASE WHEN doc_id % 5 = 0 OR fire_pct_e4 > 100
+             |       THEN h*(k*c + (k*(k-1))//2) + 255*h*(w - k)
+             |       ELSE NULL END AS overlay_sum_r
+             |FROM e""".stripMargin),
+      "North star: fire-struct contract — conditional overlay emission, real re-encode, oracle-exact"))
 
   /** Closed-form block gray value, SQL form (quadratic mix so distinct
     * ebase values are uncorrelated — a linear formula mod 200 makes
@@ -444,6 +490,15 @@ final case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
 final case class FileImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
 
 /** Frame-sampling features from a parsed video container (mm07). */
+/** mm10 output row — the reference's detect_fire_udf struct
+  * (fire_consumer_streaming.py:145-150) with e4-integer percentages and
+  * the conditional image field reported as its decoded red-channel sum
+  * (None ⇔ the reference's image_data = null). */
+final case class FireDetection(doc_id: Long, fire_detected: Boolean,
+                               fire_pct_e4: Long, conf_e4: Long,
+                               image_emitted: Boolean,
+                               overlay_sum_r: Option[Long])
+
 final case class VideoSample(doc_id: Long, n_frames: Int, n_sampled: Int,
                              sum_r_sampled: Long)
 
@@ -683,6 +738,66 @@ object ImageCodec {
     val (sr, sg2, sb, _) = channelSums(back)
     ResizedImage(id, iw, ih, back.getWidth, back.getHeight,
       2240000L / math.max(math.max(iw, ih), 1), sr + sg2 + sb > 0)
+  }
+
+  /** st25 kernel seam: REAL decode → per-channel sums. The vehicle
+    * pipeline's detection stage derives its counts from these, so a
+    * stubbed decoder cannot reproduce the oracle's closed-form answer. */
+  def decodeChannelSums(png: Array[Byte]): (Long, Long, Long) = {
+    val (sr, sg, sb, _) = channelSums(decode(png))
+    (sr, sg, sb)
+  }
+
+  /** mm10 kernel: REAL decode → fire-mask stats → CONDITIONAL overlay
+    * re-encode — the fire_consumer_streaming.py:146-219 struct contract
+    * (fire_detected, fire_percentage, confidence, image_data) with the
+    * reference's emission policy exact: the image field is non-null only
+    * for every `emitEveryNth`-th frame OR when fire is detected
+    * (`save_image or fire_detected`, :160,192). "Fire" = red channel
+    * > 127; the fixture's pixel r = c+x, so mask size, mean-red
+    * confidence, and the OVERLAY's red sum (fire pixels painted pure
+    * red, the :198-205 visualization) are all closed-form in doc_id.
+    * The overlay is genuinely re-encoded to PNG and re-decoded before
+    * summing — lossless, so a broken re-encode cannot match the oracle.
+    * Integer e4 scaling on both percentages (Canon float policy).
+    * One deliberate deviation, documented: the reference keys "every
+    * 5th" off its per-BATCH row index (:157), which changes with
+    * batching; the stable frame number (doc_id) is the deterministic
+    * equivalent. */
+  def fireDetect(id: Long, png: Array[Byte], emitEveryNth: Int = 5): FireDetection = {
+    val img = decode(png)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var firePx = 0L
+    var sumR = 0L
+    var i = 0
+    while (i < px.length) {
+      val r = (px(i) >> 16) & 0xff
+      sumR += r
+      if (r > 127) firePx += 1
+      i += 1
+    }
+    val n = w.toLong * h
+    val firePctE4 = firePx * 10000L / n
+    val confE4 = sumR * 10000L / (255L * n)
+    val fireDetected = firePctE4 > 100L
+    val emit = (id % emitEveryNth == 0) || fireDetected
+    val overlaySumR =
+      if (!emit) None
+      else {
+        val opx = new Array[Int](px.length)
+        var j = 0
+        while (j < px.length) {
+          opx(j) = if (((px(j) >> 16) & 0xff) > 127) 0xff0000 else px(j)
+          j += 1
+        }
+        val overlay = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        overlay.setRGB(0, 0, w, h, opx, 0, w)
+        val back = decode(write(overlay, "png"))
+        val (sr, _, _, _) = channelSums(back)
+        Some(sr)
+      }
+    FireDetection(id, fireDetected, firePctE4, confE4, emit, overlaySumR)
   }
 
   /** mm05 kernel: REAL decode of a PNG file's bytes. */

@@ -1081,8 +1081,9 @@ object StreamingQueries extends QueryPack {
         // preserve. File counts are runtime artifacts on BOTH sides —
         // batches × partitions on ingest, sampled range boundaries on
         // compaction (an empty range writes no file) — so the audit
-        // pins booleans: ingest left ≥ 4 files, compaction collapsed
-        // to ≤ 4 and strictly fewer.
+        // pins booleans: ingest left ≥ 4 files, compaction bounded the
+        // table at ≤ 4 (not `< before`: at small SFs ingest can leave
+        // exactly 4, making strict improvement data-dependent).
         val out = Streams.dataDir("graft_live_")
         val table = s"$out/table"
         val compacted = s"$out/compacted"
@@ -1109,7 +1110,7 @@ object StreamingQueries extends QueryPack {
             sum(col("event_id")).as("sum_event_id"))
           .select(col("n_rows"), col("sum_value_cents"), col("sum_event_id"),
             lit(before >= 4).as("ingest_left_litter"),
-            lit(nFiles(compacted) <= 4L && nFiles(compacted) < before)
+            lit(nFiles(compacted) >= 1L && nFiles(compacted) <= 4L)
               .as("compacted_ok"))
       },
       Some("""SELECT count(*) AS n_rows,

@@ -109,6 +109,35 @@ class JdbcSinkSpec extends SparkTestBase {
       .option("driver", driver).load().count() === 3)
   }
 
+  test("st25: streaming vehicle pipeline ≡ batch twin; Derby table carries VARCHAR DDL types") {
+    import graft.streaming.VehiclePipeline
+    val (table, url) = VehiclePipeline.runPipeline(spark, sfDir)
+    val got = table.filter(col("camera_id") =!= "__flush__")
+      .select("window_start_epoch", "camera_id", "vehicle_type",
+        "n_frames", "n_vehicles", "sum_conf_e4")
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "pipeline wrote no sealed windows")
+    // batch twin: the SAME parse/detect/window functions executed as one
+    // batch query over the same staged messages — stream ≡ batch is the
+    // whole lifecycle claim
+    val staged = VehiclePipeline.stageFrames(spark, sfDir)
+    val batch = VehiclePipeline.windowedCounts(
+        VehiclePipeline.detectFrames(spark.read.parquet(staged)))
+      .collect().map(_.toSeq).toSet
+    assert(got === batch, "streamed table != batch twin")
+    // DDL fidelity: createTableColumnTypes must have produced VARCHAR
+    // (Postgres-shape) columns, not Derby's CLOB default for strings
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, "VEHICLE_COUNTS", null)
+      val types = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME") -> r.getString("TYPE_NAME")).toMap
+      assert(types("camera_id") === "VARCHAR", s"got $types")
+      assert(types("vehicle_type") === "VARCHAR", s"got $types")
+      assert(types.contains("batch_id"), "idempotent provenance column missing")
+    } finally conn.close()
+  }
+
   test("K4: empty micro-batches never touch the database (no table created)") {
     import spark.implicits._
     val url = s"jdbc:derby:${Streams.dataDir("graft_derby_empty_")}/db;create=true"

@@ -80,6 +80,34 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(dh(0) == ImageCodec.dhashFromPng(ImageCodec.encodeBlockPng(0)))
   }
 
+  test("mm10 fire kernel: emission policy exact, overlay re-encode closed-form") {
+    Seq(0L, 1L, 4L, 5L, 47L, 96L, 97L, 127L, 499L).foreach { id =>
+      val d = ImageCodec.fireDetect(id, ImageCodec.encodePng(id))
+      val (w, h, c) = (ImageCodec.specW(id).toLong, ImageCodec.specH(id).toLong,
+        ImageCodec.specC(id).toLong)
+      val (sr, _, _) = expectedSums(id)
+      val k = math.min(w, 128 - c) // non-fire pixels per row (r = c+x > 127)
+      val firePx = h * (w - k)
+      assert(d.fire_pct_e4 == 10000L * firePx / (w * h), s"id=$id fire pct")
+      assert(d.conf_e4 == 10000L * sr / (255L * w * h), s"id=$id confidence")
+      assert(d.fire_detected == (d.fire_pct_e4 > 100), s"id=$id detect rule")
+      // the reference's emission rule (save every 5th OR on detection,
+      // fire_consumer_streaming.py:157,192): image present iff either
+      assert(d.image_emitted == (id % 5 == 0 || d.fire_detected), s"id=$id policy")
+      assert(d.overlay_sum_r.isDefined == d.image_emitted, s"id=$id null contract")
+      d.overlay_sum_r.foreach { got =>
+        val expect = h * (k * c + k * (k - 1) / 2) + 255L * h * (w - k)
+        assert(got == expect, s"id=$id overlay sum $got != $expect")
+      }
+    }
+    // both emission triggers must be exercised by the fixture ids above
+    val ds = (0L to 499L).map(id => ImageCodec.fireDetect(id, ImageCodec.encodePng(id)))
+    assert(ds.exists(d => d.image_emitted && !d.fire_detected), "every-5th-only emission")
+    assert(ds.exists(d => d.image_emitted && d.fire_detected && d.doc_id % 5 != 0),
+      "detection-only emission")
+    assert(ds.exists(!_.image_emitted), "suppressed emission")
+  }
+
   test("fixture dir materializes 64 PNGs once and is idempotent") {
     val d1 = ImageCodec.ensureFixtureDir()
     val files = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".png"))
