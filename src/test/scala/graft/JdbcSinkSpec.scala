@@ -138,6 +138,107 @@ class JdbcSinkSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("K1: reference DDL types round-trip with per-column fidelity (VEHICLE_COUNTING_GUIDE.md:107-118)") {
+    import spark.implicits._
+    val url = s"jdbc:derby:${Streams.dataDir("graft_derby_ddl_")}/db;create=true"
+    // the reference's vehicle_counts shape: VARCHAR(50) strings, INTEGER
+    // counts, TIMESTAMP, FLOAT (= DOUBLE PRECISION) confidence
+    val rows = Seq(
+      ("cam_1", 10, java.sql.Timestamp.valueOf("2026-03-01 00:00:01.123456"),
+        "car", 0.955, 3),
+      ("cam_2", 11, java.sql.Timestamp.valueOf("2026-03-01 00:00:02.5"),
+        "truck", 0.705, 1))
+    val df = rows.toDF("camera_id", "frame_number", "detection_time",
+      "vehicle_type", "confidence", "count")
+    val sink = JdbcBatchSink(url, "vehicle_counts_ddl",
+      Map("driver" -> driver,
+        "createTableColumnTypes" -> "camera_id VARCHAR(50), vehicle_type VARCHAR(50)"),
+      Streams.scratchDir("graft_cp_ddl_"))
+    sink.writeBatch(df, 0L)
+
+    def columnMeta(table: String): Map[String, (String, Int)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.getMetaData.getColumns(null, null, table, null)
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getString("COLUMN_NAME") ->
+            (r.getString("TYPE_NAME"), r.getInt("COLUMN_SIZE"))).toMap
+      } finally conn.close()
+    }
+    val meta = columnMeta("VEHICLE_COUNTS_DDL")
+    assert(meta("camera_id") === ("VARCHAR", 50), s"got $meta")
+    assert(meta("vehicle_type") === ("VARCHAR", 50))
+    assert(meta("frame_number")._1 === "INTEGER")
+    assert(meta("detection_time")._1 === "TIMESTAMP")
+    // DoubleType maps to DOUBLE PRECISION DDL (the Postgres FLOAT shape)
+    assert(meta("confidence")._1 === "DOUBLE")
+    assert(meta("count")._1 === "INTEGER")
+
+    // per-column VALUE fidelity after the round trip — micros-precision
+    // timestamp, exact double bits, exact strings
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "vehicle_counts_ddl")
+      .option("driver", driver).load()
+      .select(col("camera_id"), col("frame_number"), col("detection_time"),
+        col("vehicle_type"), col("confidence"), col("count"))
+      .as[(String, Int, java.sql.Timestamp, String, Double, Int)]
+      .collect().toSet
+    assert(back === rows.toSet, "round-trip value drift")
+
+    // contrast pin: WITHOUT the DDL override Derby maps StringType to
+    // CLOB — the reason createTableColumnTypes matters for this dialect
+    val plain = JdbcBatchSink(url, "vehicle_counts_clob",
+      Map("driver" -> driver), Streams.scratchDir("graft_cp_ddl2_"))
+    plain.writeBatch(df.select("camera_id", "confidence"), 0L)
+    assert(columnMeta("VEHICLE_COUNTS_CLOB")("camera_id")._1 === "CLOB")
+  }
+
+  test("T3: crash between JDBC write and checkpoint commit — exactly-once vs at-least-once") {
+    import spark.implicits._
+    // The T3 guarantee, proven at the CRASH POINT that matters: the
+    // micro-batch's JDBC write has committed but the checkpoint commit
+    // log has not. On restart Spark replays that batch (at-least-once
+    // channel); the idempotent sink must converge to exactly-once table
+    // contents while the reference-default append shows the documented
+    // duplicate.
+    def run(idem: Boolean): Long = {
+      val staged = Streams.dataDir("graft_crash_src_")
+      Seq(1L, 2L).toDF("id").repartition(1).write.mode("append").parquet(staged)
+      Seq(3L, 4L).toDF("id").repartition(1).write.mode("append").parquet(staged)
+      val url = s"jdbc:derby:${Streams.dataDir("graft_derby_crash_")}/db;create=true"
+      val cp = Streams.scratchDir("graft_cp_crash_")
+      val sink = JdbcBatchSink(url, "crash_sink", Map("driver" -> driver),
+        cp, idempotent = idem)
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def start() = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+        .writeStream.outputMode("append").option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.writeBatch(b, id)
+          // fail AFTER the database write, BEFORE Spark records the
+          // batch in the commit log — the partial-failure window
+          if (crashed.compareAndSet(false, true))
+            throw new RuntimeException("injected crash post-write pre-commit")
+        }.start()
+      val q1 = start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      assert(e.getMessage.contains("injected crash"), s"unexpected: ${e.getMessage}")
+      // recovery: same checkpoint, same sink — Spark replays the
+      // uncommitted batch, then drains the rest
+      val q2 = start()
+      assert(Streams.awaitDrained(q2))
+      q2.stop()
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "crash_sink")
+        .option("driver", driver).load().count()
+    }
+    assert(run(idem = true) === 4L,
+      "idempotent sink must yield exactly-once contents across the crash")
+    assert(run(idem = false) === 6L,
+      "default append must show the documented at-least-once duplicate")
+  }
+
   test("K4: empty micro-batches never touch the database (no table created)") {
     import spark.implicits._
     val url = s"jdbc:derby:${Streams.dataDir("graft_derby_empty_")}/db;create=true"
