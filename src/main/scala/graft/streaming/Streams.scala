@@ -90,11 +90,25 @@ object Streams {
     !timedOut
   }
 
-  /** Run `body` with a reduced shuffle-partition count. Streaming state
-    * stores create one state dir per shuffle partition per micro-batch;
-    * 32 partitions × N batches of checkpoint files dominates bounded-run
-    * wall clock. 4 partitions is plenty for the drained volumes, and a
-    * real deployment sizes this to key cardinality anyway. */
+  val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val explicitProviderKey = "graft.streaming.stateStore.explicit"
+
+  /** Run `body` with a reduced shuffle-partition count and the engine's
+    * stateful defaults. Streaming state stores create one state dir per
+    * shuffle partition per micro-batch; 32 partitions × N batches of
+    * checkpoint files dominates bounded-run wall clock. 4 partitions is
+    * plenty for the drained volumes, and a real deployment sizes this to
+    * key cardinality anyway.
+    *
+    * RocksDB is the engine-wide STATEFUL DEFAULT (SURVEY §4.3's 100 TB
+    * choice): per-key state lives off-heap/on-disk, so state size is
+    * bounded by disk instead of executor heap — a watermarked join or
+    * dedup whose state outgrows the heap degrades instead of OOMing.
+    * Every drain helper routes through here, so all stateful queries
+    * (st01/st04/st13/st20/st23/…) run RocksDB unless a caller pinned a
+    * provider explicitly via [[withStateStoreProvider]]. */
   def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     // Retaining the default 100 checkpoint generations is pure I/O for
@@ -103,10 +117,14 @@ object Streams {
     val retainKey = "spark.sql.streaming.minBatchesToRetain"
     val prev = spark.conf.get(key)
     val prevRetain = spark.conf.getOption(retainKey)
+    val explicitProvider = spark.conf.getOption(explicitProviderKey).contains("true")
+    val prevProvider = spark.conf.get(providerKey)
     spark.conf.set(key, n.toString)
     spark.conf.set(retainKey, "2")
+    if (!explicitProvider) spark.conf.set(providerKey, rocksDbProvider)
     try body finally {
       spark.conf.set(key, prev)
+      if (!explicitProvider) spark.conf.set(providerKey, prevProvider)
       prevRetain match {
         case Some(v) => spark.conf.set(retainKey, v)
         case None    => spark.conf.unset(retainKey)
@@ -210,15 +228,25 @@ object Streams {
     spark.table(name)
   }
 
-  /** Run `body` with the given state-store provider (e.g. RocksDB — the
-    * off-heap path for when per-key state outgrows executor heap). */
+  /** Run `body` with an EXPLICITLY pinned state-store provider. RocksDB
+    * is already the engine default (see [[withStreamShufflePartitions]]);
+    * this is for pinning a specific provider — e.g. the HDFS-backed
+    * store for comparison runs — and the marker conf keeps the default
+    * from clobbering the explicit choice inside nested drains. */
   def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, providerClass)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val prev = spark.conf.getOption(providerKey)
+    val prevMarker = spark.conf.getOption(explicitProviderKey)
+    spark.conf.set(providerKey, providerClass)
+    spark.conf.set(explicitProviderKey, "true")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+      prevMarker match {
+        case Some(v) => spark.conf.set(explicitProviderKey, v)
+        case None    => spark.conf.unset(explicitProviderKey)
+      }
     }
   }
 

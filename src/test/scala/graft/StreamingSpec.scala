@@ -49,6 +49,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("T7: RocksDB is the stateful DEFAULT — state-store metrics prove the provider") {
+    // no explicit provider anywhere in this query: the engine default
+    // inside withStreamShufflePartitions must route state to RocksDB,
+    // and the query's own progress metrics are the proof (the
+    // HDFS-backed store reports loadedMapCache* metrics instead)
+    import scala.jdk.CollectionConverters._
+    val stream = Streams.eventsStream(spark, sfDir, maxFilesPerTrigger = 2)
+      .groupBy("event_type").count()
+    Streams.withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("rocks_default_sink")
+        .option("checkpointLocation", Streams.scratchDir("graft_cp_rocksdef_"))
+        .start()
+      assert(Streams.awaitDrained(q))
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty, "stateful query reported no state operators")
+      val metricKeys = ops(0).customMetrics.asScala.keys.toSeq
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state metrics show no rocksdb keys: $metricKeys")
+      q.stop()
+    }
+    // and an explicit pin must survive the default (escape hatch)
+    val hdfs = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    Streams.withStateStoreProvider(spark, hdfs) {
+      Streams.withStreamShufflePartitions(spark) {
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass") === hdfs,
+          "explicit provider was clobbered by the RocksDB default")
+      }
+    }
+  }
+
   test("T2: rate limiting produces multiple micro-batches") {
     val stream = Streams.eventsStream(spark, sfDir, maxFilesPerTrigger = 1)
       .select(col("event_id"))
