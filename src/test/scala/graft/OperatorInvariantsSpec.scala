@@ -136,8 +136,9 @@ class OperatorInvariantsSpec extends SparkTestBase {
     val docs = graft.core.Tables(spark, sfDir).documents
     val s1 = BpeQueries.sampleDocs(docs, 4L)
     val n = s1.count()
-    // hash-mod keeps ~1/4; exact set is fixed, so two evaluations agree
-    // row-for-row (the reproducibility `sample()` can't give)
+    // doc_id-mod keeps ~1/4; exact set is fixed, so two evaluations agree
+    // row-for-row (the reproducibility `sample()` can't give), and the
+    // DuckDB oracle can replay the identical subset
     assert(n > 0 && n < docs.count())
     val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     val ids2 = BpeQueries.sampleDocs(docs, 4L)
@@ -150,6 +151,38 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(merges.nonEmpty && merges.length <= BpeQueries.K)
     val cnts = merges.map(_._3)
     assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("BPE sample-default: sample-trained merge table equals full-corpus training (t19)") {
+    import graft.analysis.BpeQueries
+    // the round-8 verdict's convergence claim, pinned: on the fixture
+    // corpus the default 1/4 sample learns the SAME K merges as
+    // full-corpus training, and the resulting tokenizer encodes the
+    // vocabulary IDENTICALLY. Rank order of near-tie merges is
+    // legitimately sample-sensitive (measured: ranks 3-5 are counts
+    // 784/771/770 on the sample — a permutation of disjoint merges,
+    // which cannot change any encoding), so the pin is set + encoded
+    // output, not rank order. (If a future corpus breaks THESE, the
+    // sample genuinely diverged and the denom needs retuning.)
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val (sampled, v1) = BpeQueries.train(BpeQueries.trainingCorpus(docs))
+    val sampledVocab = v1.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    v1.unpersist()
+    val (full, v2) = BpeQueries.train(docs)
+    val fullVocab = v2.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    v2.unpersist()
+    assert(sampled.map(m => (m._1, m._2)).toSet === full.map(m => (m._1, m._2)).toSet,
+      s"merge SETS diverged:\nsample=$sampled\nfull=$full")
+    // both trainings ranked over the same top-V vocab? not necessarily —
+    // compare encodings on the words both saw
+    val common = sampledVocab.keySet intersect fullVocab.keySet
+    assert(common.nonEmpty)
+    val diverged = common.filter(w => sampledVocab(w) != fullVocab(w))
+    assert(diverged.isEmpty,
+      s"encodings diverged for ${diverged.take(5)}: " +
+        diverged.take(2).map(w => s"$w: ${sampledVocab(w)} vs ${fullVocab(w)}").mkString("; "))
   }
 
   test("BPE packing conserves tokens and never exceeds whitespace count (t08b vs t08)") {
