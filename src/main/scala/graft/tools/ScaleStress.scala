@@ -1,0 +1,124 @@
+package graft.tools
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (round-9 verdict item 3): synthesize 10×/100×
+  * `events` + `documents` from the base testdata with its OWN generator
+  * (no driver dependency), run the heavy bench queries at each scale,
+  * and fit per-query scaling exponents — the measured evidence behind
+  * SCALE.md's "≤ ~linear" claims, one decade past the largest on-disk
+  * testdata. Results: SCALESTRESS.md.
+  *
+  * Generator design (replicate-and-remap, deterministic):
+  *   - k copies of every base row via an in-task `explode(sequence)` —
+  *     no join, no shuffle to generate;
+  *   - IDs and user keys are offset per copy (`+ copy·(max+1)`) so KEY
+  *     CARDINALITY scales with the data — replicating keys verbatim
+  *     would freeze group counts and understate shuffle growth;
+  *   - event times shift by copy·span so the TIME RANGE scales — q03's
+  *     bucket count and q60's session layout grow like real data;
+  *   - document words are salted per copy (`w → c<copy>w`) so VOCABULARY
+  *     and shingle space scale and near-dup structure is the base's,
+  *     replicated per copy. Without the salt every copy of a text is an
+  *     exact duplicate of k−1 others, and any dedup query would face
+  *     quadratic duplicate-group blowup BY CONSTRUCTION of the data —
+  *     measuring that would stress the fixture, not the operator;
+  *   - the k=1 "baseline" runs through the same generator (salt c0), so
+  *     the only variable across scales is k.
+  *
+  * Protocol: generate all scales, run the full query list once at k=1
+  * as JIT warmup (unrecorded), then time one run per (query, scale) in
+  * ascending-scale order. Exponent = least-squares slope of ln t over
+  * ln k. Run this EXCLUSIVELY (no concurrent sbt/bench) — suite-load
+  * contamination is the round-8 lesson in the verify notes.
+  */
+object ScaleStress {
+
+  /** Heavy bench queries confined to events+documents (the two scaled
+    * tables): time-bucket agg, ts parse, sessionize, histogram, exact +
+    * LSH + SimHash dedup, TF-IDF, BPE train, image-decode kernel. */
+  val queryNames: Seq[String] = Seq(
+    "q03_time_bucket", "q29_unixtime", "q60_sessionize", "q64_histogram",
+    "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
+    "t07_top_terms", "t19_bpe_train", "mm03_decode_features")
+
+  def generate(spark: SparkSession, baseDir: String, k: Int, out: String): Unit = {
+    val t = Tables(spark, baseDir)
+    val ev = t.events
+    val evStats = ev.agg(max("event_id"), max("user_id"),
+      (unix_timestamp(max("ts")) - unix_timestamp(min("ts")) + 3600L).as("span")).head()
+    val (maxEid, maxUid, span) =
+      (evStats.getLong(0), evStats.getLong(1), evStats.getLong(2))
+    ev.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(
+        (col("event_id") + col("copy") * lit(maxEid + 1)).as("event_id"),
+        expr(s"ts + make_interval(0, 0, 0, 0, 0, 0, copy * ${span}L)").as("ts"),
+        (col("user_id") + col("copy") * lit(maxUid + 1)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(math.max(8, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val docs = t.documents
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
+    docs.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(
+        (col("doc_id") + col("copy") * lit(maxDoc + 1)).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), w -> concat('c', copy, w)), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(math.max(8, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Least-squares slope of ln(t) vs ln(k). */
+  def exponent(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(p._2))
+    val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                 else Seq(1, 10, 100)
+    val spark = graft.core.GraftSession.getOrCreate()
+    val root = java.nio.file.Files.createTempDirectory("graft_scale_stress_").toString
+    val dirs = scales.map { kk =>
+      val d = s"$root/x$kk"
+      val t0 = System.nanoTime()
+      generate(spark, baseDir, kk, d)
+      println(f"[scalestress] generated x$kk in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      kk -> d
+    }
+    // JIT warmup, unrecorded
+    queryNames.foreach(n => timeOne(spark, n, dirs.head._2))
+    val times = scala.collection.mutable.Map[String, Vector[(Int, Double)]]()
+      .withDefaultValue(Vector.empty)
+    for ((kk, d) <- dirs; n <- queryNames) {
+      val sec = timeOne(spark, n, d)
+      times(n) = times(n) :+ (kk -> sec)
+      println(f"[scalestress] x$kk $n: $sec%.2f s")
+    }
+    println("| query | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
+    println("|---|" + scales.map(_ => "---|").mkString + "---|")
+    queryNames.foreach { n =>
+      val pts = times(n)
+      println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
+        f" | ${exponent(pts)}%.2f |")
+    }
+    spark.stop()
+  }
+}
