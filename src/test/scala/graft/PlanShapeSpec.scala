@@ -273,4 +273,39 @@ class PlanShapeSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("st25: frame pipeline is ONE shuffle — decode/detect/explode stay map-side") {
+    // the 100 TB shape claim of the vehicle flagship: pixels are decoded,
+    // detected, and exploded inside the scan stage; the only exchange in
+    // the whole dataflow is the window×camera×type aggregation, and it
+    // moves counts, never frames. Pinned on the batch twin (identical
+    // functions; streaming adds only the StateStore wrapping).
+    import graft.streaming.VehiclePipeline
+    val staged = VehiclePipeline.stageFrames(spark, sfDir)
+    val df = VehiclePipeline.windowedCounts(
+      VehiclePipeline.detectFrames(spark.read.parquet(staged)))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle (the window agg), got $exchanges:\n$p")
+    assert(p.contains("MapPartitions"), s"typed decode/detect kernel missing:\n$p")
+    assert(p.contains("Generate"), s"explode missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"unexpected join in a join-free pipeline:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("mm10: fire-struct kernel plans as one deliberate spread + map-only stage") {
+    // AQE plans print Final AND Initial sections — count nodes in the
+    // final one only (same split as the skew test)
+    val p = plan("mm10_fire_struct").split("== Initial Plan ==")(0)
+    // one exchange: the explicit repartition that spreads the single-file
+    // doc_id scan across cores before the CPU-bound codec kernel; after
+    // it, decode/detect/overlay all happen in-place — no agg, no join
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected only the deliberate repartition, got $exchanges:\n$p")
+    assert(p.contains("MapPartitions"), s"typed kernel missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("HashAggregate"), s"unexpected relational ops in a pure kernel:\n$p")
+  }
 }
