@@ -157,5 +157,100 @@ object JoinQueries extends QueryPack {
              |JOIN supplier ON l_suppkey = s_suppkey
              |JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin),
-      "J1+J2: multiway star join (TPC-H Q5 shape), dims broadcast"))
+      "J1+J2: multiway star join (TPC-H Q5 shape), dims broadcast"),
+
+    GraftQuery(
+      "q81_salted_skew_join",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        import spark.implicits._
+        // events.event_type has 5 distinct values — the pathological
+        // hot-key join: at 100 TB an unsalted shuffle join lands each
+        // type's entire row mass on ONE reducer. Salting.saltedJoin
+        // spreads every type across nSalts reducers; the weights dim
+        // stands in for a per-key table too big to broadcast at scale
+        // (the shuffle_hash hint inside saltedJoin keeps the demo
+        // honest — broadcast would dissolve the skew by accident).
+        val weights = Seq(
+          ("click", 1.5), ("view", 1.0), ("purchase", 5.0),
+          ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+        Salting.saltedJoin(t.events, weights, "event_type",
+            nSalts = 8, saltFrom = Seq("event_id"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum(Canon.cents(col("value") * col("weight"))).as("weighted_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * weight * 100 + 0.5) AS BIGINT)) AS BIGINT) AS weighted_cents
+             |FROM events
+             |JOIN (VALUES ('click', 1.5), ('view', 1.0), ('purchase', 5.0),
+             |             ('signup', 2.0), ('error', 0.0))
+             |  AS w(event_type, weight) USING (event_type)
+             |GROUP BY event_type""".stripMargin),
+      "skew toolkit: salted shuffle join on a 5-value hot key — result ≡ plain join, plan spreads each key over 8 reducers"),
+
+    GraftQuery(
+      "q82_runtime_filter_join",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Selective dim-side filter (one priority × one status) → Spark's
+        // InjectRuntimeFilter seeds a bloom filter from the filtered
+        // orders keys and applies it to the lineitem scan BEFORE the
+        // shuffle — at 100 TB that is the difference between shuffling
+        // the whole fact and shuffling the ~4 % that can match.
+        // Correctness never depends on the filter (it only drops
+        // non-matching rows early); PlanShapeSpec pins the injection.
+        val urgent = t.orders.filter(
+          col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+        t.lineitem
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+               sum(Canon.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_lines,
+             |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+             |GROUP BY l_returnflag""".stripMargin),
+      "runtime bloom-filter join: selective dim filter seeds a bloom pushed into the fact scan pre-shuffle (plan-pinned)"),
+
+    GraftQuery(
+      "q83_dpp_partitioned_join",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        import spark.implicits._
+        // Dynamic partition pruning: lay the fact out partitioned by the
+        // join key, join against a FILTERED dim — Catalyst turns the
+        // dim's surviving keys into a runtime partition filter
+        // (dynamicpruningexpression, reusing the broadcast exchange), so
+        // the fact scan opens only the 2 matching directories out of 5.
+        // At 100 TB with date/tenant partitions this is the single
+        // biggest I/O lever there is.
+        val layout = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        t.events.write.mode("overwrite").partitionBy("event_type").parquet(s"$layout/fact")
+        val fact = spark.read.parquet(s"$layout/fact")
+        // the dim must be a real datasource scan: a literal local relation
+        // would constant-fold its filter away and the DPP rule would see
+        // no selective predicate to derive the partition filter from
+        Seq(("click", "engagement"), ("view", "engagement"),
+            ("purchase", "revenue"), ("signup", "acquisition"), ("error", "ops"))
+          .toDF("event_type", "category")
+          .write.mode("overwrite").parquet(s"$layout/dim")
+        val dim = spark.read.parquet(s"$layout/dim")
+        fact
+          .join(broadcast(dim.filter(col("category") === "engagement")), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+               sum(Canon.cents(col("value"))).as("value_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events
+             |JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+             |             ('purchase', 'revenue'), ('signup', 'acquisition'), ('error', 'ops'))
+             |  AS d(event_type, category) USING (event_type)
+             |WHERE category = 'engagement'
+             |GROUP BY event_type""".stripMargin),
+      "dynamic partition pruning: partition-keyed layout + filtered broadcast dim → runtime partition filter on the fact scan"))
 }

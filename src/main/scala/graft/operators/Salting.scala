@@ -42,15 +42,21 @@ object Salting {
   /** Skew-safe equi-join: salt the large side PER ROW (salting by the
     * join key alone would keep a hot key in one partition — the salt must
     * come from row-distinguishing columns), replicate the small side
-    * across all salt values, join on (key, salt). Small side must be
-    * broadcast-sized × nSalts. */
+    * across all salt values, join on (key, salt).
+    *
+    * The join is deliberately a SHUFFLED hash join, never broadcast: if
+    * the small side fit in a broadcast there would be no shuffle to skew
+    * and salting would be pointless overhead. Salting earns its keep
+    * exactly when the small side is too big to broadcast but small
+    * enough to replicate ×nSalts — the hot key's rows then land on
+    * nSalts different reducers instead of one. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  nSalts: Int, saltFrom: Seq[String]): DataFrame = {
     val saltedLarge = large.withColumn("__salt",
       salt(nSalts, saltFrom.map(col): _*))
     val replicatedSmall = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
-    saltedLarge.join(broadcast(replicatedSmall), Seq(key, "__salt"))
+    saltedLarge.join(replicatedSmall.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

@@ -370,6 +370,37 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("salted join ≡ plain join — salting changes the plan, never the result (q81)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = graft.core.Tables(spark, sfDir)
+    val weights = Seq(
+      ("click", 1.5), ("view", 1.0), ("purchase", 5.0),
+      ("signup", 2.0), ("error", 0.0)).toDF("event_type", "weight")
+    val plain = t.events.join(weights, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(graft.functions.Canon.cents(col("value") * col("weight"))).as("weighted_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = run("q81_salted_skew_join")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain, s"salted=$salted\nplain=$plain")
+  }
+
+  test("DPP layout join ≡ direct join — partition pruning is I/O-only (q83)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.core.Tables(spark, sfDir)
+    val direct = t.events
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(graft.functions.Canon.cents(col("value"))).as("value_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val pruned = run("q83_dpp_partitioned_join")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned == direct, s"pruned=$pruned\ndirect=$direct")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()

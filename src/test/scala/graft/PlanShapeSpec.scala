@@ -295,6 +295,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q81: salted join shuffles on (key, salt) — hot key spread across reducers, no broadcast") {
+    val p = plan("q81_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffled hash join (broadcast would dissolve the skew demo):\n$p")
+    assert(p.contains("__salt"), s"join keys do not carry the salt:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the replicated small side must shuffle, not broadcast:\n$p")
+  }
+
+  test("q82: selective dim filter injects a runtime bloom filter into the fact scan") {
+    // InjectRuntimeFilter fires when the join is shuffle-based and the
+    // application side is big enough; at test volume, force the SMJ path
+    // and drop the size gate so the 100 TB-default behavior is visible.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q82_runtime_filter_join")(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(p.contains("bloom_filter_agg"),
+        s"no bloom filter built from the filtered dim keys:\n$p")
+      assert(p.contains("might_contain"),
+        s"bloom filter not applied to the fact side pre-shuffle:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q83: filtered dim prunes fact partitions at runtime (dynamicpruningexpression)") {
+    val p = plan("q83_dpp_partitioned_join")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning filter on the fact scan:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"fact scan has no partition filters at all:\n$p")
+  }
+
   test("mm10: fire-struct kernel plans as one deliberate spread + map-only stage") {
     // AQE plans print Final AND Initial sections — count nodes in the
     // final one only (same split as the skew test)
