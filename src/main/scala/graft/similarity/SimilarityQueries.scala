@@ -794,6 +794,125 @@ object SimilarityQueries extends QueryPack {
       "North star: incremental ANN ingest — frozen quantizer, append to the cid layout, serve sees the batch"),
 
     GraftQuery(
+      "s19_ivf_rebalance",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // INDEX MAINTENANCE, part 2 — the offline retrain that s15's
+        // frozen-quantizer story defers: after enough appends the lists
+        // drift, so rebalance with ONE spherical k-means (Lloyd)
+        // iteration over the full corpus and reassign. The spherical
+        // update averages UNIT vectors — the mean direction of
+        // normalized members is the argmax of the within-list cosine
+        // sum (a raw mean is only equivalent when all norms are equal),
+        // so the objective provably never decreases (spec-pinned).
+        // Report per-list membership before/after plus the exact
+        // integer sim mass (sum of e6-floored cosines). Scale shape:
+        // centroids broadcast at every use; the update is one
+        // posexplode + (cid, pos) groupBy — the same linear pass as the
+        // s04 build, never a vector×vector join.
+        //
+        // Determinism: this query SUMS floored sims over every row, so
+        // a last-bit centroid difference between engines would flip
+        // some floor eventually. Centroid means are therefore computed
+        // integer-exactly: member coords quantized to e9 ints (the
+        // coords themselves are bitwise-identical in both engines),
+        // summed as BIGINT (order-independent), then divided in a fixed
+        // chain — making centroids, hence every downstream cosine,
+        // bitwise-identical across engines.
+        val emb = doubled(t)
+        val split = emb.agg(floor(max(col("vec_id")) * 0.8).cast(LongType))
+          .head().getLong(0)
+        def centQuant(memb: DataFrame): DataFrame = // (cid, w: array<double>)
+          memb.select(col("cid"), posexplode(col("w")))
+            .toDF("cid", "pos", "x")
+            .groupBy("cid", "pos")
+            .agg((sum(floor(col("x") * 1e9 + 0.5)).cast("double")
+                    / count(lit(1)) / 1e9).as("c"))
+            .groupBy("cid")
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+                           s => s.getField("c")).as("cv"))
+        val cent0 = centQuant(
+          emb.filter(col("vec_id") < split)
+            .select(col("label").as("cid"), col("v").as("w"))).localCheckpoint()
+        val assign0 = nearestCentroid(emb, cent0)
+        val unit = emb.select(col("vec_id"),
+          transform(col("v"), x =>
+            x / sqrt(aggregate(col("v"), lit(0.0), (a, y) => a + y * y))).as("vn"))
+        val cent1 = centQuant(
+          assign0.select(col("cid"), col("vec_id"))
+            .join(unit, Seq("vec_id"))
+            .select(col("cid"), col("vn").as("w")))
+        val assign1 = nearestCentroid(emb, cent1)
+        val before = assign0.groupBy("cid")
+          .agg(count(lit(1)).as("n_before"),
+               sum(floor(col("sim") * 1000000 + 0.5).cast(LongType)).as("sum_sim_before_e6"))
+        val after = assign1.groupBy("cid")
+          .agg(count(lit(1)).as("n_after"),
+               sum(floor(col("sim") * 1000000 + 0.5).cast(LongType)).as("sum_sim_after_e6"))
+        before.join(after, Seq("cid"), "full")
+          .select(col("cid"),
+                  coalesce(col("n_before"), lit(0L)).as("n_before"),
+                  coalesce(col("n_after"), lit(0L)).as("n_after"),
+                  coalesce(col("sum_sim_before_e6"), lit(0L)).as("sum_sim_before_e6"),
+                  coalesce(col("sum_sim_after_e6"), lit(0L)).as("sum_sim_after_e6"))
+      },
+      Some("""WITH split AS (
+             |  SELECT CAST(floor(max(vec_id) * 0.8) AS BIGINT) AS sv FROM embeddings),
+             |dim0 AS (
+             |  SELECT label AS cid, i AS pos,
+             |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / count(*) / 1000000000 AS c
+             |  FROM embeddings, range(1, 65) t(i)
+             |  WHERE vec_id < (SELECT sv FROM split) GROUP BY 1, 2),
+             |cent0 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim0 GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sims0 AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent0 c),
+             |a0 AS (
+             |  SELECT vec_id, cid, sim FROM (
+             |    SELECT vec_id, cid, sim,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |    FROM sims0) WHERE rn = 1),
+             |vu AS (
+             |  SELECT vec_id,
+             |    list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+             |  FROM v),
+             |dim1 AS (
+             |  SELECT a0.cid, i AS pos,
+             |    CAST(sum(CAST(floor(e.vn[i] * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / count(*) / 1000000000 AS c
+             |  FROM a0 JOIN vu e USING (vec_id), range(1, 65) t(i) GROUP BY 1, 2),
+             |cent1 AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim1 GROUP BY cid),
+             |sims1 AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent1 c),
+             |a1 AS (
+             |  SELECT vec_id, cid, sim FROM (
+             |    SELECT vec_id, cid, sim,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |    FROM sims1) WHERE rn = 1),
+             |nb AS (SELECT cid, count(*) AS n_before,
+             |         CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_sim_before_e6
+             |       FROM a0 GROUP BY cid),
+             |na AS (SELECT cid, count(*) AS n_after,
+             |         CAST(sum(CAST(floor(sim * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_sim_after_e6
+             |       FROM a1 GROUP BY cid)
+             |SELECT coalesce(nb.cid, na.cid) AS cid,
+             |  coalesce(n_before, 0) AS n_before,
+             |  coalesce(n_after, 0) AS n_after,
+             |  coalesce(sum_sim_before_e6, 0) AS sum_sim_before_e6,
+             |  coalesce(sum_sim_after_e6, 0) AS sum_sim_after_e6
+             |FROM nb FULL JOIN na ON nb.cid = na.cid""".stripMargin),
+      "North star: offline IVF rebalance — one spherical-Lloyd iteration, reassign, per-list drift report"),
+
+    GraftQuery(
       "s16_ivfpq_residual",
       (spark, dir) => {
         val t = Tables(spark, dir)

@@ -401,6 +401,19 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(pruned == direct, s"pruned=$pruned\ndirect=$direct")
   }
 
+  test("IVF rebalance conserves vectors and never decreases the cosine objective (s19)") {
+    val r = run("s19_ivf_rebalance").collect()
+    val nBefore = r.map(_.getLong(1)).sum
+    val nAfter = r.map(_.getLong(2)).sum
+    assert(nBefore == nAfter, s"rebalance lost vectors: $nBefore -> $nAfter")
+    val objBefore = r.map(_.getLong(3)).sum
+    val objAfter = r.map(_.getLong(4)).sum
+    // spherical-Lloyd step + reassignment are both objective-non-decreasing;
+    // allow nAfter slack for the per-row e6 floor (each floor error < 1)
+    assert(objAfter >= objBefore - nAfter,
+      s"objective decreased: $objBefore -> $objAfter over $nAfter vectors")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()
