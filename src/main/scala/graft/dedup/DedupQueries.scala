@@ -822,7 +822,77 @@ object DedupQueries extends QueryPack {
           |SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dropped
           |FROM documents d
           |LEFT JOIN losers l ON l.doc_id = d.doc_id""".stripMargin),
-      "North star: keep-BEST removal verdicts — quality-priority policy over the same verified pairs"))
+      "North star: keep-BEST removal verdicts — quality-priority policy over the same verified pairs"),
+
+    GraftQuery(
+      "d14_chunk_dedup",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // EXACT-SUBSTRING dedup at chunk granularity — the scalable form
+        // of RefinedWeb/C4's duplicated-span removal: d01 drops whole
+        // duplicate documents; this removes duplicated PASSAGES from
+        // otherwise-unique documents. Split each doc into consecutive
+        // 8-word chunks, keep only the corpus-wide FIRST occurrence of
+        // each distinct chunk (order: doc_id, then position), and
+        // reconstruct every doc from its surviving chunks. A true
+        // suffix-array ESD matches arbitrary offsets; aligned chunking
+        // is the linear approximation. Shuffle accounting at 100 TB:
+        // chunking is MAP-SIDE (transform + slice over the doc's own
+        // word array — no explode/groupBy), the corpus-wide first-keep
+        // window runs over (md5, doc_id, chunk_pos) — 16-byte hashes
+        // and ids, never chunk text (plan-pinned) — and the text moves
+        // only in the verdict join-back + per-doc reconstruction.
+        val chunks = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), posexplode(
+            transform(
+              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
+              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+          .toDF("doc_id", "chunk_pos", "chunk")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+          .orderBy(col("doc_id").asc, col("chunk_pos").asc)
+        val verdicts = chunks
+          .select(col("doc_id"), col("chunk_pos"), md5(col("chunk")).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("chunk_pos"), (col("rn") === 1).as("keep"))
+        val kept = chunks
+          .join(verdicts, Seq("doc_id", "chunk_pos"))
+          .filter(col("keep"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+               md5(array_join(
+                 transform(array_sort(collect_list(struct(col("chunk_pos"), col("chunk")))),
+                           s => s.getField("chunk")), " ")).as("kept_md5"))
+        val totals = chunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"))
+        totals.join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, CAST(floor((i - 1) / 8) AS BIGINT) AS chunk_pos,
+             |         string_agg(word, ' ' ORDER BY i) AS chunk
+             |  FROM w GROUP BY doc_id, floor((i - 1) / 8)),
+             |keep AS (
+             |  SELECT doc_id, chunk_pos, chunk,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_pos) AS rn
+             |  FROM ch),
+             |rec AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(chunk, ' ' ORDER BY chunk_pos)) AS kept_md5
+             |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_chunks,
+             |  coalesce(r.n_kept, 0) AS n_kept,
+             |  coalesce(r.kept_md5, md5('')) AS kept_md5
+             |FROM tot t LEFT JOIN rec r USING (doc_id)""".stripMargin),
+      "North star: exact-substring (chunk) dedup — corpus-wide first-occurrence keep + doc reconstruction"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).

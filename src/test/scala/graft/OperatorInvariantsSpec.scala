@@ -401,6 +401,34 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(pruned == direct, s"pruned=$pruned\ndirect=$direct")
   }
 
+  test("chunk dedup conserves chunks and reconstructs untouched docs verbatim (d14)") {
+    import org.apache.spark.sql.functions._
+    val r = run("d14_chunk_dedup").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3))).toSeq
+    // per-doc: never keep more than existed; global: kept chunks = the
+    // number of distinct chunks in the corpus (each distinct chunk
+    // survives exactly once, somewhere)
+    assert(r.forall { case (_, n, k, _) => k <= n })
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val distinctChunks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "word")
+      .groupBy(col("doc_id"), floor(col("pos") / 8))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+        s => s.getField("word")), " ").as("chunk"))
+      .select("chunk").distinct().count()
+    assert(r.map(_._3).sum == distinctChunks,
+      s"kept ${r.map(_._3).sum} != $distinctChunks distinct chunks")
+    // a doc that lost nothing must reconstruct to its original text
+    val originals = docs.select(col("doc_id"), md5(col("text")))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val untouched = r.filter { case (_, n, k, _) => n == k }
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (id, _, _, h) =>
+      assert(h == originals(id), s"doc $id reconstruction drifted")
+    }
+  }
+
   test("IVF rebalance conserves vectors and never decreases the cosine objective (s19)") {
     val r = run("s19_ivf_rebalance").collect()
     val nBefore = r.map(_.getLong(1)).sum

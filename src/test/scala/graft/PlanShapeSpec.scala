@@ -336,6 +336,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"fact scan has no partition filters at all:\n$p")
   }
 
+  test("d14: first-keep window shuffles hashes + ids, never chunk text; chunking is map-side") {
+    val p = plan("d14_chunk_dedup")
+    assert(p.contains("windowspecdefinition(h#"),
+      s"first-keep window is not over the md5 hash:\n$p")
+    assert(!p.contains("windowspecdefinition(chunk#"),
+      s"window partitions by chunk TEXT — the corpus would shuffle through it:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("mm10: fire-struct kernel plans as one deliberate spread + map-only stage") {
     // AQE plans print Final AND Initial sections — count nodes in the
     // final one only (same split as the skew test)
