@@ -38,10 +38,12 @@ object ScaleStress {
 
   /** Heavy bench queries confined to events+documents (the two scaled
     * tables): time-bucket agg, ts parse, sessionize, histogram, exact +
-    * LSH + SimHash dedup, TF-IDF, BPE train, image-decode kernel. */
+    * LSH + SimHash + chunk dedup, TF-IDF, BPE train, image-decode
+    * kernel, salted skew join. */
   val queryNames: Seq[String] = Seq(
     "q03_time_bucket", "q29_unixtime", "q60_sessionize", "q64_histogram",
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
+    "d14_chunk_dedup", "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features")
 
   def generate(spark: SparkSession, baseDir: String, k: Int, out: String): Unit = {

@@ -110,6 +110,40 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("d14 map-side chunking matches grouped(8) on random word lists") {
+    import spark.implicits._
+    val genDoc = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"w$i")).map(_.mkString(" ")))
+    val texts = sample(genDoc, 200, seed = 41L).distinct
+    val df = texts.toDF("text").select(col("text"), split(col("text"), " ").as("ws"))
+      .select(col("text"), posexplode(
+        transform(
+          sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
+          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+      .toDF("text", "chunk_pos", "chunk")
+    val got = df.collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    texts.foreach { t =>
+      val ref = t.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      assert(got(t) == ref, s"chunking mismatch on '${t.take(60)}'")
+    }
+  }
+
+  test("Salting.salt is deterministic and lands in [0, n)") {
+    import spark.implicits._
+    val ids = sample(Gen.chooseNum(Long.MinValue, Long.MaxValue), 2000, seed = 43L)
+    val df = ids.toDF("id")
+      .select(graft.operators.Salting.salt(8, col("id")).as("s"))
+    val once = df.collect().map(_.getLong(0)).toSeq
+    assert(once.forall(s => s >= 0 && s < 8), "salt out of range")
+    assert(once.toSet.size > 1, "salt degenerate — all rows in one bucket")
+    val again = df.collect().map(_.getLong(0)).toSeq
+    assert(once == again, "salt not deterministic across runs")
+  }
+
   test("Canon.sumCents is exact where a double sum drifts") {
     import spark.implicits._
     // money values: k cents rendered as doubles (the parquet reality)
