@@ -892,7 +892,86 @@ object DedupQueries extends QueryPack {
              |  coalesce(r.n_kept, 0) AS n_kept,
              |  coalesce(r.kept_md5, md5('')) AS kept_md5
              |FROM tot t LEFT JOIN rec r USING (doc_id)""".stripMargin),
-      "North star: exact-substring (chunk) dedup — corpus-wide first-occurrence keep + doc reconstruction"))
+      "North star: exact-substring (chunk) dedup — corpus-wide first-occurrence keep + doc reconstruction"),
+
+    GraftQuery(
+      "d15_incremental_chunk_dedup",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // d14's INCREMENTAL twin, completing the round-7 invariant that
+        // every index the engine builds updates at O(batch), never
+        // O(corpus): the existing corpus's chunk-hash index (in
+        // production a persisted table keyed by h) is probed by the new
+        // batch's chunk hashes — a hash-only anti-join — and the
+        // within-batch first-keep window then runs over the SURVIVORS'
+        // (h, ids). Because every existing doc_id precedes every batch
+        // doc_id, "not in the index, and first within the batch" is
+        // exactly the full-rerun first-occurrence rule restricted to
+        // batch docs — which is what the oracle replays. Only batch
+        // text is ever chunked or moved; the existing corpus
+        // contributes hashes alone.
+        val docs = t.documents
+        val splitId = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
+          .head().getLong(0)
+        def chunksOf(d: DataFrame): DataFrame = d
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), posexplode(
+            transform(
+              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
+              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+          .toDF("doc_id", "chunk_pos", "chunk")
+        val index = chunksOf(docs.filter(col("doc_id") < splitId))
+          .select(md5(col("chunk")).as("h")).distinct()
+        val batchChunks = chunksOf(docs.filter(col("doc_id") >= splitId))
+          .localCheckpoint() // consumed twice: verdicts + totals/join-back
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("h"))
+          .orderBy(col("doc_id").asc, col("chunk_pos").asc)
+        val verdicts = batchChunks
+          .select(col("doc_id"), col("chunk_pos"), md5(col("chunk")).as("h"))
+          .join(index, Seq("h"), "left_anti")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("chunk_pos"))
+        val kept = batchChunks
+          .join(verdicts, Seq("doc_id", "chunk_pos"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+               md5(array_join(
+                 transform(array_sort(collect_list(struct(col("chunk_pos"), col("chunk")))),
+                           s => s.getField("chunk")), " ")).as("kept_md5"))
+        batchChunks.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+                  coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+                  coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, CAST(floor((i - 1) / 8) AS BIGINT) AS chunk_pos,
+             |         string_agg(word, ' ' ORDER BY i) AS chunk
+             |  FROM w GROUP BY doc_id, floor((i - 1) / 8)),
+             |keep AS (
+             |  SELECT doc_id, chunk_pos, chunk,
+             |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_pos) AS rn
+             |  FROM ch),
+             |split AS (
+             |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS sv FROM documents),
+             |rec AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(chunk, ' ' ORDER BY chunk_pos)) AS kept_md5
+             |  FROM keep WHERE rn = 1 GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_chunks,
+             |  coalesce(r.n_kept, 0) AS n_kept,
+             |  coalesce(r.kept_md5, md5('')) AS kept_md5
+             |FROM tot t LEFT JOIN rec r USING (doc_id)
+             |WHERE t.doc_id >= (SELECT sv FROM split)""".stripMargin),
+      "North star: incremental chunk dedup — batch probes the stored chunk-hash index at O(batch), verdicts ≡ full rerun"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).

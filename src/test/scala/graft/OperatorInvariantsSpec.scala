@@ -429,6 +429,23 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental chunk dedup ≡ full d14 rerun on the batch slice (d15)") {
+    import org.apache.spark.sql.functions._
+    val full = run("d14_chunk_dedup").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val inc = run("d15_incremental_chunk_dedup").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val splitId = graft.core.Tables(spark, sfDir).documents
+      .agg(floor(max(col("doc_id")) * 0.8)).head().getLong(0)
+    assert(inc.nonEmpty && inc.keySet.forall(_ >= splitId),
+      "incremental verdicts leaked outside the batch")
+    inc.foreach { case (id, v) =>
+      assert(full(id) == v, s"doc $id: incremental $v != full-rerun ${full(id)}")
+    }
+    assert(inc.keySet == full.keySet.filter(_ >= splitId),
+      "batch coverage mismatch vs full rerun")
+  }
+
   test("IVF rebalance conserves vectors and never decreases the cosine objective (s19)") {
     val r = run("s19_ivf_rebalance").collect()
     val nBefore = r.map(_.getLong(1)).sum
