@@ -69,6 +69,20 @@ object DedupQueries extends QueryPack {
   def shingleRelation(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** Aligned 8-word chunk relation (doc_id, chunk_pos, chunk), built
+    * MAP-SIDE (transform + slice over the doc's own word array — no
+    * explode/groupBy shuffle). The ONE chunk definition shared by d14
+    * (full exact-substring dedup) and d15 (incremental probe): their
+    * verdict-equivalence contract holds only while both sides chunk
+    * identically, so neither query declares its own copy. */
+  def chunkRelation(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .select(col("doc_id"), posexplode(
+      transform(
+        sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
+        i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+    .toDF("doc_id", "chunk_pos", "chunk")
+
   /** Signatures from an already-exploded shingle relation (no text pass). */
   def signaturesFromShingles(sh: DataFrame,
                              family: (Int, Column) => Column = hashFn): DataFrame =
@@ -842,13 +856,7 @@ object DedupQueries extends QueryPack {
         // window runs over (md5, doc_id, chunk_pos) — 16-byte hashes
         // and ids, never chunk text (plan-pinned) — and the text moves
         // only in the verdict join-back + per-doc reconstruction.
-        val chunks = t.documents
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"), posexplode(
-            transform(
-              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
-              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
-          .toDF("doc_id", "chunk_pos", "chunk")
+        val chunks = chunkRelation(t.documents)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h"))
           .orderBy(col("doc_id").asc, col("chunk_pos").asc)
@@ -913,16 +921,9 @@ object DedupQueries extends QueryPack {
         val docs = t.documents
         val splitId = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
           .head().getLong(0)
-        def chunksOf(d: DataFrame): DataFrame = d
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"), posexplode(
-            transform(
-              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
-              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
-          .toDF("doc_id", "chunk_pos", "chunk")
-        val index = chunksOf(docs.filter(col("doc_id") < splitId))
+        val index = chunkRelation(docs.filter(col("doc_id") < splitId))
           .select(md5(col("chunk")).as("h")).distinct()
-        val batchChunks = chunksOf(docs.filter(col("doc_id") >= splitId))
+        val batchChunks = chunkRelation(docs.filter(col("doc_id") >= splitId))
           .localCheckpoint() // consumed twice: verdicts + totals/join-back
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h"))

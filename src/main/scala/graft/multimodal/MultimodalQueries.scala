@@ -489,7 +489,6 @@ final case class ResizedImage(doc_id: Long, in_w: Int, in_h: Int,
 /** PNG-file decode record (mm05). */
 final case class FileImage(doc_id: Long, width: Int, height: Int, sum_r: Long)
 
-/** Frame-sampling features from a parsed video container (mm07). */
 /** mm10 output row — the reference's detect_fire_udf struct
   * (fire_consumer_streaming.py:145-150) with e4-integer percentages and
   * the conditional image field reported as its decoded red-channel sum
@@ -499,6 +498,7 @@ final case class FireDetection(doc_id: Long, fire_detected: Boolean,
                                image_emitted: Boolean,
                                overlay_sum_r: Option[Long])
 
+/** Frame-sampling features from a parsed video container (mm07). */
 final case class VideoSample(doc_id: Long, n_frames: Int, n_sampled: Int,
                              sum_r_sampled: Long)
 

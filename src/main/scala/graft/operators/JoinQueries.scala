@@ -227,7 +227,9 @@ object JoinQueries extends QueryPack {
         // the fact scan opens only the 2 matching directories out of 5.
         // At 100 TB with date/tenant partitions this is the single
         // biggest I/O lever there is.
-        val layout = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        // dataDir registers the staging for shutdown-hook deletion — a
+        // raw temp dir would leak a full events copy per bench run
+        val layout = graft.streaming.Streams.dataDir("graft_dpp")
         t.events.write.mode("overwrite").partitionBy("event_type").parquet(s"$layout/fact")
         val fact = spark.read.parquet(s"$layout/fact")
         // the dim must be a real datasource scan: a literal local relation

@@ -78,26 +78,32 @@ object ScaleStress {
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache() // teardown outside the timed window
+    sec
   }
 
-  /** Least-squares slope of ln(t) vs ln(k). */
+  /** Least-squares slope of ln(t) vs ln(k). NaN when fewer than two
+    * distinct scales were measured (no slope exists to fit). */
   def exponent(points: Seq[(Int, Double)]): Double = {
     val xs = points.map(p => math.log(p._1.toDouble))
     val ys = points.map(p => math.log(p._2))
     val (mx, my) = (xs.sum / xs.length, ys.sum / ys.length)
     val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
     val den = xs.map(x => (x - mx) * (x - mx)).sum
-    num / den
+    if (den == 0.0) Double.NaN else num / den
   }
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                  else Seq(1, 10, 100)
+    require(scales.distinct.size >= 2,
+      s"need >= 2 distinct scales to fit exponents, got $scales")
     val spark = graft.core.GraftSession.getOrCreate()
-    val root = java.nio.file.Files.createTempDirectory("graft_scale_stress_").toString
+    // dataDir registers the root for shutdown-hook deletion — a raw temp
+    // dir would strand ~111x the base corpus on disk per run
+    val root = graft.streaming.Streams.dataDir("graft_scale_stress_")
     val dirs = scales.map { kk =>
       val d = s"$root/x$kk"
       val t0 = System.nanoTime()

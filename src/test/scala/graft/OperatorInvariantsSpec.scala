@@ -410,12 +410,7 @@ class OperatorInvariantsSpec extends SparkTestBase {
     // survives exactly once, somewhere)
     assert(r.forall { case (_, n, k, _) => k <= n })
     val docs = graft.core.Tables(spark, sfDir).documents
-    val distinctChunks = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "word")
-      .groupBy(col("doc_id"), floor(col("pos") / 8))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-        s => s.getField("word")), " ").as("chunk"))
+    val distinctChunks = graft.dedup.DedupQueries.chunkRelation(docs)
       .select("chunk").distinct().count()
     assert(r.map(_._3).sum == distinctChunks,
       s"kept ${r.map(_._3).sum} != $distinctChunks distinct chunks")

@@ -308,24 +308,18 @@ class PlanShapeSpec extends SparkTestBase {
     // InjectRuntimeFilter fires when the join is shuffle-based and the
     // application side is big enough; at test volume, force the SMJ path
     // and drop the size gate so the 100 TB-default behavior is visible.
-    val confs = Map(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
-    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    // The conf triple is THE published PlanAudit set — referencing it
+    // keeps the PLANS.md shape and the spec-pinned shape the same plan.
+    val p = graft.core.GraftSession.withConf(spark,
+        graft.tools.PlanAudit.confs("q82_runtime_filter_join"): _*) {
       val df = SparkEntry.queries("q82_runtime_filter_join")(spark, sfDir)
       df.collect()
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-      assert(p.contains("bloom_filter_agg"),
-        s"no bloom filter built from the filtered dim keys:\n$p")
-      assert(p.contains("might_contain"),
-        s"bloom filter not applied to the fact side pre-shuffle:\n$p")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     }
+    assert(p.contains("bloom_filter_agg"),
+      s"no bloom filter built from the filtered dim keys:\n$p")
+    assert(p.contains("might_contain"),
+      s"bloom filter not applied to the fact side pre-shuffle:\n$p")
   }
 
   test("q83: filtered dim prunes fact partitions at runtime (dynamicpruningexpression)") {

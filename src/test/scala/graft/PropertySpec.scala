@@ -110,25 +110,21 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
-  test("d14 map-side chunking matches grouped(8) on random word lists") {
+  test("d14/d15 shared chunkRelation matches grouped(8) on random word lists") {
     import spark.implicits._
     val genDoc = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"w$i")).map(_.mkString(" ")))
     val texts = sample(genDoc, 200, seed = 41L).distinct
-    val df = texts.toDF("text").select(col("text"), split(col("text"), " ").as("ws"))
-      .select(col("text"), posexplode(
-        transform(
-          sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
-          i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
-      .toDF("text", "chunk_pos", "chunk")
-    val got = df.collect()
-      .groupBy(_.getString(0))
-      .map { case (t, rows) =>
-        t -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.dedup.DedupQueries.chunkRelation(docs).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
       }
-    texts.foreach { t =>
+    texts.zipWithIndex.foreach { case (t, i) =>
       val ref = t.split(" ").grouped(8).map(_.mkString(" ")).toSeq
-      assert(got(t) == ref, s"chunking mismatch on '${t.take(60)}'")
+      assert(got(i.toLong) == ref, s"chunking mismatch on '${t.take(60)}'")
     }
   }
 
