@@ -1119,7 +1119,77 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS ingest_left_litter,
              |  TRUE AS compacted_ok
              |FROM events""".stripMargin),
-      "K1+S-maintenance: streaming append then in-place compaction — live table stays batch-exact"))
+      "K1+S-maintenance: streaming append then in-place compaction — live table stays batch-exact"),
+
+    GraftQuery(
+      "st26_stream_chunk_scrub",
+      (spark, dir) => {
+        // CHUNK-LEVEL SCRUB ON INGEST — d14's exact-substring signal as
+        // a stream gate, with st21's division of labor: the existing
+        // corpus's chunk set is a STATIC artifact probed per row; the
+        // within-batch first-keep and index update between ingests are
+        // d15's batch job. Each incoming doc is chunked ROW-LOCALLY
+        // (the shared chunkRelation kernel as an array expression),
+        // known chunks are filtered out against the broadcast set, and
+        // the doc is re-emitted rebuilt from its surviving chunks —
+        // content REWRITE, not just a flag (st16 flags; this scrubs).
+        // Zero streaming state, zero exchange: pure per-row map, so
+        // append mode needs no watermark. At 100 TB the exact string
+        // set swaps for d08b's Bloom (false positives over-scrub — the
+        // safe direction for decontamination-style gates).
+        import graft.dedup.DedupQueries
+        val docs = Tables(spark, dir).documents
+        val splitId = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
+          .head().getLong(0)
+        val staged = Streams.dataDir("graft_docs_scrub_")
+        docs.filter(col("doc_id") >= splitId)
+          .repartition(2).write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val known = DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
+            .select("chunk").distinct()
+            .collect().map(_.getString(0)).toSet
+          val knownBc = spark.sparkContext.broadcast(known)
+          val scrub = udf((chunks: Seq[String]) =>
+            chunks.filterNot(knownBc.value.contains))
+          val out = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .select(col("doc_id"), split(col("text"), " ").as("ws"))
+            .select(col("doc_id"), transform(
+              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
+              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")).as("chunks"))
+            .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
+            .select(col("doc_id"),
+              size(col("chunks")).cast(LongType).as("n_chunks"),
+              size(col("kept")).cast(LongType).as("n_kept"),
+              md5(array_join(col("kept"), " ")).as("kept_md5"))
+          Streams.drainToMemory(out, "st26_sink", outputMode = "append")
+        }
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             |         generate_subscripts(string_split(text, ' '), 1) AS i
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, CAST(floor((i - 1) / 8) AS BIGINT) AS chunk_pos,
+             |         string_agg(word, ' ' ORDER BY i) AS chunk
+             |  FROM w GROUP BY doc_id, floor((i - 1) / 8)),
+             |split AS (
+             |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS sv FROM documents),
+             |bat AS (SELECT * FROM ch WHERE doc_id >= (SELECT sv FROM split)),
+             |kept AS (
+             |  SELECT b.doc_id, b.chunk_pos, b.chunk FROM bat b
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM ch e
+             |    WHERE e.doc_id < (SELECT sv FROM split) AND e.chunk = b.chunk)),
+             |rec AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         md5(string_agg(chunk, ' ' ORDER BY chunk_pos)) AS kept_md5
+             |  FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_chunks FROM bat GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_chunks,
+             |  coalesce(r.n_kept, 0) AS n_kept,
+             |  coalesce(r.kept_md5, md5('')) AS kept_md5
+             |FROM tot t LEFT JOIN rec r USING (doc_id)""".stripMargin),
+      "North star/T: chunk scrub on ingest — row-local chunking + broadcast known-set filter, content rewritten stateless"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

@@ -441,6 +441,25 @@ class OperatorInvariantsSpec extends SparkTestBase {
       "batch coverage mismatch vs full rerun")
   }
 
+  test("stream chunk scrub keeps a superset of d15's verdicts; batch-dup gap explains the difference (st26)") {
+    // st26 drops only KNOWN-corpus chunks (stateless gate); d15
+    // additionally drops within-batch duplicates (the index-update
+    // batch job). So per doc: same chunk totals, st26 keeps >= d15,
+    // and the summed gap is exactly the batch-internal duplicate count.
+    val gate = run("st26_stream_chunk_scrub").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val inc = run("d15_incremental_chunk_dedup").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(gate.keySet == inc.keySet, "batch doc coverage differs")
+    gate.foreach { case (id, (n, k)) =>
+      val (ni, ki) = inc(id)
+      assert(n == ni, s"doc $id: chunk totals differ ($n vs $ni)")
+      assert(k >= ki, s"doc $id: gate kept fewer than the full incremental dedup")
+    }
+    assert(gate.values.map(_._2).sum > inc.values.map(_._2).sum ||
+           gate == inc, "gap must be zero only when the batch has no internal dups")
+  }
+
   test("IVF rebalance conserves vectors and never decreases the cosine objective (s19)") {
     val r = run("s19_ivf_rebalance").collect()
     val nBefore = r.map(_.getLong(1)).sum
