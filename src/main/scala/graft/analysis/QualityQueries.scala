@@ -515,6 +515,48 @@ object QualityQueries extends QueryPack {
       "North star: token-budget mixture packing — weighted per-domain quality-ranked prefix"),
 
     GraftQuery(
+      "t22_shuffle_shard",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // THE LAST MILE of every training-data pipeline: a seeded
+        // DETERMINISTIC global shuffle + sharding of the final corpus
+        // into N training files. No rand() — the order is a pure
+        // function of (seed, doc_id): priority = md5("42:"||doc_id)
+        // (the cross-engine hash family of the dedup pack), shard =
+        // first-32-bits mod N, within-shard order = (priority, doc_id).
+        // Identical at any parallelism, re-runnable after a crash
+        // (position is derivable, never stateful), and a different seed
+        // re-shuffles every epoch with zero data movement until write
+        // time. Scale shape: ONE shuffle — in production this is
+        // exactly `repartition(N, shard).sortWithinPartitions(pri)` and
+        // the writer emits shard files directly; hash-uniform shards
+        // balance to ±O(√n) so no shard straggles. The row_number
+        // window here runs per shard key — same single exchange.
+        val n = 4
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("pri"), col("doc_id"))
+        t.documents
+          .select(col("doc_id"),
+            md5(concat(lit("42:"), col("doc_id").cast("string"))).as("pri"))
+          .withColumn("shard",
+            pmod(conv(substring(col("pri"), 1, 8), 16, 10).cast(LongType),
+                 lit(n.toLong)))
+          .withColumn("pos", row_number().over(w).cast(LongType))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""WITH pri AS (
+             |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS pri
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, pri,
+             |    CAST(('0x' || substr(pri, 1, 8)) AS BIGINT) % 4 AS shard
+             |  FROM pri)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY pri, doc_id) AS pos
+             |FROM sh""".stripMargin),
+      "North star: seeded deterministic shuffle-shard — the training-order writer's order/placement contract"),
+
+    GraftQuery(
       "t17_ngram_generator",
       (spark, dir) => {
         // U6 as a CUSTOM Catalyst Generator, not a builtin: the

@@ -123,6 +123,17 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The 80%-of-max-id batch split every incremental-index query shares
+    * (d12/d15/s15/s19/st21/st26): rows with id < split are "the existing
+    * corpus", rows with id >= split are "the new batch". ONE definition —
+    * each query's incremental-vs-full-rerun equivalence argument (and its
+    * oracle's matching split CTE) depends on all consumers agreeing on
+    * what "the batch" is, so no query derives its own. */
+  def incrementalSplitId(df: DataFrame, idCol: String): Long =
+    df.agg(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.max(col(idCol)) * 0.8).cast(LongType))
+      .head().getLong(0)
+
   /** Canonicalize an events-style timestamp column to TimestampType,
     * dispatching on the dtype the parquet read produced:
     *   - `LongType` → epoch NANOS from a legacy `nanosAsLong` read;

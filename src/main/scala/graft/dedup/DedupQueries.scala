@@ -69,18 +69,23 @@ object DedupQueries extends QueryPack {
   def shingleRelation(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
+  /** Row-local aligned 8-word chunking of a words array — THE chunk
+    * definition (width, slicing rule) shared by every chunk-dedup
+    * consumer: d14 (full exact-substring dedup), d15 (incremental
+    * probe), and st26 (streaming scrub). Their verdict-equivalence
+    * contracts hold only while all sides chunk identically, so no
+    * consumer declares its own copy of this expression. */
+  def chunkArray(ws: Column): Column =
+    transform(
+      sequence(lit(0), ((size(ws) - 1) / lit(8)).cast("int")),
+      i => array_join(slice(ws, i * 8 + 1, lit(8)), " "))
+
   /** Aligned 8-word chunk relation (doc_id, chunk_pos, chunk), built
     * MAP-SIDE (transform + slice over the doc's own word array — no
-    * explode/groupBy shuffle). The ONE chunk definition shared by d14
-    * (full exact-substring dedup) and d15 (incremental probe): their
-    * verdict-equivalence contract holds only while both sides chunk
-    * identically, so neither query declares its own copy. */
+    * explode/groupBy shuffle) from the shared [[chunkArray]] kernel. */
   def chunkRelation(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    .select(col("doc_id"), posexplode(
-      transform(
-        sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
-        i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " "))))
+    .select(col("doc_id"), posexplode(chunkArray(col("ws"))))
     .toDF("doc_id", "chunk_pos", "chunk")
 
   /** Signatures from an already-exploded shingle relation (no text pass). */
@@ -732,8 +737,7 @@ object DedupQueries extends QueryPack {
         // The batch split is the top ~20 % of doc ids (a 1-row bounded
         // collect; production knows its ingest boundary a priori).
         val docs = t.documents
-        val split = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val split = Tables.incrementalSplitId(docs, "doc_id")
         val existing = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
         // persists are released by the harness's per-query clearCache —
@@ -856,7 +860,10 @@ object DedupQueries extends QueryPack {
         // window runs over (md5, doc_id, chunk_pos) — 16-byte hashes
         // and ids, never chunk text (plan-pinned) — and the text moves
         // only in the verdict join-back + per-doc reconstruction.
-        val chunks = chunkRelation(t.documents)
+        // localCheckpoint: consumed three times (verdicts, kept
+        // join-back, totals) — without it each subtree re-splits and
+        // re-explodes the corpus text, tripling the dominant pass.
+        val chunks = chunkRelation(t.documents).localCheckpoint()
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("h"))
           .orderBy(col("doc_id").asc, col("chunk_pos").asc)
@@ -919,8 +926,7 @@ object DedupQueries extends QueryPack {
         // text is ever chunked or moved; the existing corpus
         // contributes hashes alone.
         val docs = t.documents
-        val splitId = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val splitId = Tables.incrementalSplitId(docs, "doc_id")
         val index = chunkRelation(docs.filter(col("doc_id") < splitId))
           .select(md5(col("chunk")).as("h")).distinct()
         val batchChunks = chunkRelation(docs.filter(col("doc_id") >= splitId))

@@ -725,8 +725,7 @@ object SimilarityQueries extends QueryPack {
         // exactly as a full rebuild would (the oracle replays: frozen
         // existing-only centroids, full-corpus search).
         val emb = doubled(t)
-        val split = emb.agg(floor(max(col("vec_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val split = Tables.incrementalSplitId(emb, "vec_id")
         val cent = centroids(emb.filter(col("vec_id") < split)).localCheckpoint()
         val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
         val layout = graft.streaming.Streams.dataDir("graft_ivf_append_")
@@ -820,8 +819,7 @@ object SimilarityQueries extends QueryPack {
         // chain — making centroids, hence every downstream cosine,
         // bitwise-identical across engines.
         val emb = doubled(t)
-        val split = emb.agg(floor(max(col("vec_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val split = Tables.incrementalSplitId(emb, "vec_id")
         def centQuant(memb: DataFrame): DataFrame = // (cid, w: array<double>)
           memb.select(col("cid"), posexplode(col("w")))
             .toDF("cid", "pos", "x")

@@ -129,9 +129,25 @@ final case class JdbcBatchSink(url: String, table: String,
     } finally conn.close()
   }
 
+  /** Connection properties for the hand-rolled repair connection.
+    * Spark-WRITER-only options (createTableColumnTypes, batchsize, …)
+    * must not leak to the driver as connection attributes — Spark's own
+    * connector strips them (JDBCOptions.asConnectionProperties) before
+    * connecting, and a strict driver rejects unknown attributes, which
+    * would kill the DELETE on a database where the append path works. */
   private def jdbcProps: java.util.Properties = {
+    val sparkOnly = Set("url", "dbtable", "query", "driver", "partitioncolumn",
+      "lowerbound", "upperbound", "numpartitions", "querytimeout", "fetchsize",
+      "truncate", "cascadetruncate", "createtableoptions",
+      "createtablecolumntypes", "customschema", "batchsize", "isolationlevel",
+      "sessioninitstatement", "pushdownpredicate", "pushdownaggregate",
+      "pushdownlimit", "pushdownoffset", "pushdowntablesample", "keytab",
+      "principal", "refreshkrb5config", "connectionprovider", "preparequery")
     val p = new java.util.Properties()
-    props.foreach { case (k, v) => p.setProperty(k, v) }
+    props.foreach { case (k, v) =>
+      if (!sparkOnly.contains(k.toLowerCase(java.util.Locale.ROOT)))
+        p.setProperty(k, v)
+    }
     p
   }
 

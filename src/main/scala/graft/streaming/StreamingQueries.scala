@@ -900,8 +900,7 @@ object StreamingQueries extends QueryPack {
         // exactly that set.
         import graft.dedup.DedupQueries
         val docs = Tables(spark, dir).documents
-        val split = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val split = Tables.incrementalSplitId(docs, "doc_id")
         val staged = Streams.dataDir("graft_docs_dedup_")
         docs.filter(col("doc_id") >= split)
           .repartition(2).write.mode("overwrite").parquet(staged)
@@ -1139,30 +1138,28 @@ object StreamingQueries extends QueryPack {
         // safe direction for decontamination-style gates).
         import graft.dedup.DedupQueries
         val docs = Tables(spark, dir).documents
-        val splitId = docs.agg(floor(max(col("doc_id")) * 0.8).cast(LongType))
-          .head().getLong(0)
+        val splitId = Tables.incrementalSplitId(docs, "doc_id")
         val staged = Streams.dataDir("graft_docs_scrub_")
         docs.filter(col("doc_id") >= splitId)
           .repartition(2).write.mode("overwrite").parquet(staged)
-        Streams.withStreamShufflePartitions(spark) {
-          val known = DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
-            .select("chunk").distinct()
-            .collect().map(_.getString(0)).toSet
-          val knownBc = spark.sparkContext.broadcast(known)
-          val scrub = udf((chunks: Seq[String]) =>
-            chunks.filterNot(knownBc.value.contains))
-          val out = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-            .select(col("doc_id"), split(col("text"), " ").as("ws"))
-            .select(col("doc_id"), transform(
-              sequence(lit(0), ((size(col("ws")) - 1) / lit(8)).cast("int")),
-              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")).as("chunks"))
-            .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
-            .select(col("doc_id"),
-              size(col("chunks")).cast(LongType).as("n_chunks"),
-              size(col("kept")).cast(LongType).as("n_kept"),
-              md5(array_join(col("kept"), " ")).as("kept_md5"))
-          Streams.drainToMemory(out, "st26_sink", outputMode = "append")
-        }
+        // The known-set build is a BATCH job over the existing corpus —
+        // it runs at full session parallelism here, outside the drain's
+        // 4-partition streaming conf (drainToMemory scopes that itself).
+        val known = DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
+          .select("chunk").distinct()
+          .collect().map(_.getString(0)).toSet
+        val knownBc = spark.sparkContext.broadcast(known)
+        val scrub = udf((chunks: Seq[String]) =>
+          chunks.filterNot(knownBc.value.contains))
+        val out = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), DedupQueries.chunkArray(col("ws")).as("chunks"))
+          .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
+          .select(col("doc_id"),
+            size(col("chunks")).cast(LongType).as("n_chunks"),
+            size(col("kept")).cast(LongType).as("n_kept"),
+            md5(array_join(col("kept"), " ")).as("kept_md5"))
+        Streams.drainToMemory(out, "st26_sink", outputMode = "append")
       },
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

@@ -110,26 +110,15 @@ object Streams {
     * (st01/st04/st13/st20/st23/…) run RocksDB unless a caller pinned a
     * provider explicitly via [[withStateStoreProvider]]. */
   def withStreamShufflePartitions[T](spark: SparkSession, n: Int = 4)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
+    val explicitProvider = spark.conf.getOption(explicitProviderKey).contains("true")
     // Retaining the default 100 checkpoint generations is pure I/O for
     // bounded drains (and a real deployment tunes this to its recovery
     // SLO); 2 keeps crash-recovery semantics with minimal churn.
-    val retainKey = "spark.sql.streaming.minBatchesToRetain"
-    val prev = spark.conf.get(key)
-    val prevRetain = spark.conf.getOption(retainKey)
-    val explicitProvider = spark.conf.getOption(explicitProviderKey).contains("true")
-    val prevProvider = spark.conf.get(providerKey)
-    spark.conf.set(key, n.toString)
-    spark.conf.set(retainKey, "2")
-    if (!explicitProvider) spark.conf.set(providerKey, rocksDbProvider)
-    try body finally {
-      spark.conf.set(key, prev)
-      if (!explicitProvider) spark.conf.set(providerKey, prevProvider)
-      prevRetain match {
-        case Some(v) => spark.conf.set(retainKey, v)
-        case None    => spark.conf.unset(retainKey)
-      }
-    }
+    val kvs = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.minBatchesToRetain" -> "2") ++
+      (if (explicitProvider) Nil else Seq(providerKey -> rocksDbProvider))
+    graft.core.GraftSession.withConf(spark, kvs: _*)(body)
   }
 
   /** Stage the `events` table as a multi-file parquet dir so the file
@@ -233,22 +222,9 @@ object Streams {
     * this is for pinning a specific provider — e.g. the HDFS-backed
     * store for comparison runs — and the marker conf keeps the default
     * from clobbering the explicit choice inside nested drains. */
-  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T = {
-    val prev = spark.conf.getOption(providerKey)
-    val prevMarker = spark.conf.getOption(explicitProviderKey)
-    spark.conf.set(providerKey, providerClass)
-    spark.conf.set(explicitProviderKey, "true")
-    try body finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
-      prevMarker match {
-        case Some(v) => spark.conf.set(explicitProviderKey, v)
-        case None    => spark.conf.unset(explicitProviderKey)
-      }
-    }
-  }
+  def withStateStoreProvider[T](spark: SparkSession, providerClass: String)(body: => T): T =
+    graft.core.GraftSession.withConf(spark,
+      providerKey -> providerClass, explicitProviderKey -> "true")(body)
 
   /** Drain a stream through a foreachBatch parquet-append sink — the K1
     * pattern (consumer_postgres_streaming.py:403-450) with the reference's

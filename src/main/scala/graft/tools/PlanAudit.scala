@@ -58,6 +58,17 @@ object PlanAudit {
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0"))
 
+  /** Execute the frame and return its AQE-FINAL physical plan: collect
+    * first (finalizes AQE so the executed plan is the real one), then
+    * keep only the final section — `toString` prepends the pre-AQE
+    * "== Initial Plan ==" section, which must not leak into the audit. */
+  def capturePlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outFile = if (args.length > 1) args(1) else "PLANS.md"
@@ -81,11 +92,7 @@ object PlanAudit {
     headline.foreach { case (name, why) =>
       val plan = graft.core.GraftSession.withConf(
           spark, confs.getOrElse(name, Seq.empty): _*) {
-        val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        df.collect() // finalize AQE so the executed plan is the real one
-        df.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0) // final section only
-          .linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+        capturePlan(graft.SparkEntry.queries(name)(spark, sfDir))
       }
       sb.append(s"\n## $name — $why\n\n```\n$plan\n```\n")
       spark.catalog.clearCache()
@@ -98,12 +105,8 @@ object PlanAudit {
     locally {
       import graft.streaming.VehiclePipeline
       val staged = VehiclePipeline.stageFrames(spark, sfDir)
-      val df = VehiclePipeline.windowedCounts(
-        VehiclePipeline.detectFrames(spark.read.parquet(staged)))
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-        .linesIterator.takeWhile(_.nonEmpty).mkString("\n")
+      val plan = capturePlan(VehiclePipeline.windowedCounts(
+        VehiclePipeline.detectFrames(spark.read.parquet(staged))))
       sb.append("\n## st25_vehicle_pipeline (batch twin) — decode/detect/explode map-side; ONE shuffle of counts\n\n")
       sb.append(s"```\n$plan\n```\n")
     }

@@ -488,4 +488,26 @@ class OperatorInvariantsSpec extends SparkTestBase {
       assert(closed.length == (if (k % 7 == 3) 1 else 0))
     }
   }
+
+  test("shuffle-shard is a deterministic permutation with balanced shards (t22)") {
+    val r = run("t22_shuffle_shard").collect()
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val n = docs.count()
+    // permutation: every doc appears exactly once
+    assert(r.length == n && r.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // each shard's positions are exactly 1..|shard|
+    r.groupBy(_.getAs[Long]("shard")).foreach { case (s, rows) =>
+      val pos = rows.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to rows.length),
+        s"shard $s positions are not 1..${rows.length}")
+    }
+    // hash-uniform balance: no shard more than 2x the ideal share
+    val sizes = r.groupBy(_.getAs[Long]("shard")).map(_._2.length)
+    assert(sizes.max <= 2 * (n / 4 + 1).toInt,
+      s"shard skew: sizes=${sizes.mkString(",")}")
+    // seeded determinism is parallelism-independent: recompute the
+    // assignment from a differently-partitioned input — identical rows
+    val again = SparkEntry.queries("t22_shuffle_shard")(spark, sfDir).collect()
+    assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
