@@ -39,12 +39,13 @@ object ScaleStress {
   /** Heavy bench queries confined to events+documents (the two scaled
     * tables): time-bucket agg, ts parse, sessionize, histogram, exact +
     * LSH + SimHash + chunk dedup, TF-IDF, BPE train, image-decode
-    * kernel, salted skew join. */
+    * kernel, salted skew join, shuffle-shard. */
   val queryNames: Seq[String] = Seq(
     "q03_time_bucket", "q29_unixtime", "q60_sessionize", "q64_histogram",
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
     "d14_chunk_dedup", "q81_salted_skew_join",
-    "t07_top_terms", "t19_bpe_train", "mm03_decode_features")
+    "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
+    "t22_shuffle_shard")
 
   def generate(spark: SparkSession, baseDir: String, k: Int, out: String): Unit = {
     val t = Tables(spark, baseDir)
@@ -94,6 +95,15 @@ object ScaleStress {
     if (den == 0.0) Double.NaN else num / den
   }
 
+  /** SPARK_GRAFT_STRESS_ONLY=a,b,c restricts the stressed queries — the
+    * suite twin of Bench's SPARK_GRAFT_BENCH_ONLY: under variable
+    * machine load a single-query run is the only way to get exponents
+    * that measure the operator rather than the neighbors. */
+  def selectedQueries: Seq[String] = sys.env.get("SPARK_GRAFT_STRESS_ONLY") match {
+    case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case None    => queryNames
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
@@ -112,17 +122,17 @@ object ScaleStress {
       kk -> d
     }
     // JIT warmup, unrecorded
-    queryNames.foreach(n => timeOne(spark, n, dirs.head._2))
+    selectedQueries.foreach(n => timeOne(spark, n, dirs.head._2))
     val times = scala.collection.mutable.Map[String, Vector[(Int, Double)]]()
       .withDefaultValue(Vector.empty)
-    for ((kk, d) <- dirs; n <- queryNames) {
+    for ((kk, d) <- dirs; n <- selectedQueries) {
       val sec = timeOne(spark, n, d)
       times(n) = times(n) :+ (kk -> sec)
       println(f"[scalestress] x$kk $n: $sec%.2f s")
     }
     println("| query | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
     println("|---|" + scales.map(_ => "---|").mkString + "---|")
-    queryNames.foreach { n =>
+    selectedQueries.foreach { n =>
       val pts = times(n)
       println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
         f" | ${exponent(pts)}%.2f |")
