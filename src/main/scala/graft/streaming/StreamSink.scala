@@ -131,25 +131,17 @@ final case class JdbcBatchSink(url: String, table: String,
 
   /** Connection properties for the hand-rolled repair connection.
     * Spark-WRITER-only options (createTableColumnTypes, batchsize, …)
-    * must not leak to the driver as connection attributes — Spark's own
-    * connector strips them (JDBCOptions.asConnectionProperties) before
-    * connecting, and a strict driver rejects unknown attributes, which
-    * would kill the DELETE on a database where the append path works. */
-  private def jdbcProps: java.util.Properties = {
-    val sparkOnly = Set("url", "dbtable", "query", "driver", "partitioncolumn",
-      "lowerbound", "upperbound", "numpartitions", "querytimeout", "fetchsize",
-      "truncate", "cascadetruncate", "createtableoptions",
-      "createtablecolumntypes", "customschema", "batchsize", "isolationlevel",
-      "sessioninitstatement", "pushdownpredicate", "pushdownaggregate",
-      "pushdownlimit", "pushdownoffset", "pushdowntablesample", "keytab",
-      "principal", "refreshkrb5config", "connectionprovider", "preparequery")
-    val p = new java.util.Properties()
-    props.foreach { case (k, v) =>
-      if (!sparkOnly.contains(k.toLowerCase(java.util.Locale.ROOT)))
-        p.setProperty(k, v)
-    }
-    p
-  }
+    * must not leak to the driver as connection attributes — a strict
+    * driver rejects unknown attributes, which would kill the DELETE on
+    * a database where the append path works. Delegates to the SAME
+    * filter Spark's connector applies before connecting
+    * (`JDBCOptions.asConnectionProperties`) rather than a parallel
+    * option-name list that would silently drift across Spark versions.
+    * JDBCOptions sits in an `execution` package but is public and the
+    * stable carrier of exactly this contract. */
+  private def jdbcProps: java.util.Properties =
+    new org.apache.spark.sql.execution.datasources.jdbc.JDBCOptions(
+      url, table, props).asConnectionProperties
 
   /** Table-does-not-exist, by SQLState, across the whole cause chain
     * (drivers often wrap): Derby 42X05, Postgres 42P01, SQL-standard

@@ -80,7 +80,12 @@ object ScaleStress {
     graft.SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
-    spark.catalog.clearCache() // teardown outside the timed window
+    // Teardown outside the timed window: clearCache alone misses
+    // localCheckpoint blocks (d14's chunked corpus), which would stay in
+    // the block manager and pressure every LATER timed query at that
+    // scale — the same leak Bench's teardown releases.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     sec
   }
 
@@ -110,6 +115,13 @@ object ScaleStress {
                  else Seq(1, 10, 100)
     require(scales.distinct.size >= 2,
       s"need >= 2 distinct scales to fit exponents, got $scales")
+    // Fail on a bad STRESS_ONLY name in milliseconds, not after the
+    // multi-minute x100 generation: only queryNames members are known
+    // to read exclusively the two scaled tables.
+    val unknown = selectedQueries.filterNot(queryNames.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
+        unknown.mkString(", "))
     val spark = graft.core.GraftSession.getOrCreate()
     // dataDir registers the root for shutdown-hook deletion — a raw temp
     // dir would strand ~111x the base corpus on disk per run
