@@ -93,6 +93,11 @@ object WindowQueries extends QueryPack {
       "q43_window_ntile_dense",
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // Unpartitioned window = ONE partition holds the whole input —
+        // acceptable ONLY because supplier is a dimension table (stays
+        // dim-sized at any fact scale). A global ntile over a fact
+        // would instead go through q44's TakeOrderedAndProject shape or
+        // a two-pass range-partitioned rank.
         val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
         t.supplier
           .select(col("s_suppkey"),
