@@ -26,6 +26,7 @@ object SparkEntry {
     graft.analysis.BpeQueries,
     graft.operators.PipelineQueries,
     graft.operators.BreadthQueries,
+    graft.operators.ProfilingQueries,
     graft.dedup.DedupQueries,
     graft.graph.GraphQueries,
     graft.similarity.SimilarityQueries,
