@@ -557,6 +557,97 @@ object QualityQueries extends QueryPack {
       "North star: seeded deterministic shuffle-shard — the training-order writer's order/placement contract"),
 
     GraftQuery(
+      "t23_corpus_drift",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // INGEST-TIME DRIFT MONITOR — the observability twin of the
+        // incremental-index tier (q84 profiles ONE table; this compares
+        // the new batch against the stored corpus): per source, doc
+        // share, tokens/doc, and the t09 Gopher pass rate (the SHARED
+        // gopherKeep expression, so the monitor and the gate cannot
+        // disagree), old vs new, with a fixed-point share-shift flag
+        // (|Δshare| > 5 pp). A mixture built by t16/t21 assumes the
+        // per-source distribution it was tuned on; this is the query
+        // that notices when an ingest breaks that assumption. Scale
+        // shape: ONE corpus pass folded into a conditional aggregate
+        // per (source), totals broadcast back — the same single-shuffle
+        // shape as t15's report card. All emitted values integer
+        // fixed-point (e4/e2), sentinel -1 where a side is empty.
+        val sv = Tables.incrementalSplitId(t.documents, "doc_id")
+        val per = t.documents
+          .select(col("source"), (col("doc_id") >= sv).as("is_new"),
+            size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+            gopherKeep.as("keep"))
+          .groupBy("source")
+          .agg(
+            sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(!col("is_new"), col("n_toks")).otherwise(0L)).as("tok_old"),
+            sum(when(col("is_new"), col("n_toks")).otherwise(0L)).as("tok_new"),
+            sum(when(!col("is_new") && col("keep"), 1L).otherwise(0L)).as("pass_old"),
+            sum(when(col("is_new") && col("keep"), 1L).otherwise(0L)).as("pass_new"))
+        val tot = per.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+        def safeE4(num: Column, den: Column): Column =
+          when(den > 0, e4(num / den)).otherwise(lit(-1L))
+        def safeE2(num: Column, den: Column): Column =
+          when(den > 0, floor(num / den * 100 + 0.5).cast(LongType)).otherwise(lit(-1L))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_old"), col("n_new"),
+            safeE4(col("n_old"), col("t_old")).as("share_old_e4"),
+            safeE4(col("n_new"), col("t_new")).as("share_new_e4"),
+            safeE2(col("tok_old"), col("n_old")).as("toks_doc_old_e2"),
+            safeE2(col("tok_new"), col("n_new")).as("toks_doc_new_e2"),
+            safeE4(col("pass_old"), col("n_old")).as("pass_old_e4"),
+            safeE4(col("pass_new"), col("n_new")).as("pass_new_e4"))
+          .withColumn("share_drift",
+            abs(col("share_new_e4") - col("share_old_e4")) > 500 &&
+              col("share_old_e4") >= 0 && col("share_new_e4") >= 0)
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS sv FROM documents),
+             |g AS (
+             |  SELECT source, doc_id >= (SELECT sv FROM s) AS is_new,
+             |    n_words AS n_toks,
+             |    (n_words >= 50 AND n_words <= 100000
+             |     AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
+             |     AND n_uniq * 5 >= n_words AND n_stop >= 2) AS keep
+             |  FROM (
+             |    SELECT source, doc_id,
+             |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |      CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |      CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |         + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |         + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |    FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))),
+             |per AS (
+             |  SELECT source,
+             |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |    CAST(sum(CASE WHEN NOT is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_old,
+             |    CAST(sum(CASE WHEN is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_new,
+             |    CAST(sum(CASE WHEN NOT is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_old,
+             |    CAST(sum(CASE WHEN is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_new
+             |  FROM g GROUP BY source),
+             |tot AS (
+             |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+             |         CAST(sum(n_new) AS BIGINT) AS t_new FROM per)
+             |SELECT source, n_old, n_new,
+             |  CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_old_e4,
+             |  CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_new_e4,
+             |  CASE WHEN n_old > 0 THEN CAST(floor(tok_old * 1.0 / n_old * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_old_e2,
+             |  CASE WHEN n_new > 0 THEN CAST(floor(tok_new * 1.0 / n_new * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_new_e2,
+             |  CASE WHEN n_old > 0 THEN CAST(floor(pass_old * 1.0 / n_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_old_e4,
+             |  CASE WHEN n_new > 0 THEN CAST(floor(pass_new * 1.0 / n_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_new_e4,
+             |  (abs((CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END)
+             |     - (CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END)) > 500
+             |   AND t_old > 0 AND t_new > 0) AS share_drift
+             |FROM per CROSS JOIN tot
+             |ORDER BY source""".stripMargin),
+      "North star: per-source corpus drift monitor — new batch vs stored corpus, shared Gopher gate, fixed-point share-shift flag"),
+
+    GraftQuery(
       "t17_ngram_generator",
       (spark, dir) => {
         // U6 as a CUSTOM Catalyst Generator, not a builtin: the
