@@ -46,7 +46,11 @@ object PlanAudit {
     "q83_dpp_partitioned_join" -> "dynamic partition pruning: filtered dim → runtime partition filter",
     "d14_chunk_dedup" -> "exact-substring dedup: map-side chunking, first-keep window over hashes + ids only",
     "d15_incremental_chunk_dedup" -> "incremental chunk dedup: stored-index hash anti-join, O(batch) text movement",
-    "s19_ivf_rebalance" -> "IVF rebalance: broadcast centroids, linear (cid, pos) update — no vector×vector join")
+    "s19_ivf_rebalance" -> "IVF rebalance: broadcast centroids, linear (cid, pos) update — no vector×vector join",
+    "q84_table_profile" -> "one-pass profile: single scan, one Expand of pruned (gid, value) pairs",
+    "q85_quality_constraints" -> "constraint report: one conditional agg + broadcast-key FK anti-join",
+    "t22_shuffle_shard" -> "training-order shuffle-shard: ONE hash exchange + per-shard sort",
+    "t23_corpus_drift" -> "drift monitor: one conditional agg per source, totals broadcast back")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at
