@@ -489,6 +489,31 @@ class OperatorInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("q85 constraint report: the generator's data contract holds (q85)") {
+    // A testdata regeneration that breaks pk-uniqueness, the
+    // orders→customer FK, or the status domain should fail HERE with a
+    // named constraint, not as 40 mysterious query mismatches — the
+    // relational twin of SchemaAudit's dtype canary.
+    val r = run("q85_quality_constraints").collect()
+    assert(r.length == 5)
+    val failed = r.filterNot(_.getAs[Boolean]("passed"))
+      .map(x => s"${x.getAs[String]("constraint")} " +
+        s"(${x.getAs[Long]("n_violations")} violations)")
+    assert(failed.isEmpty, s"data contract broken: ${failed.mkString("; ")}")
+  }
+
+  test("table profile agrees with directly-computed ground truth (q84)") {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val r = run("q84_table_profile").collect()
+      .map(x => x.getAs[String]("col_name") -> x).toMap
+    assert(r.keySet == o.columns.toSet, "one profile row per column")
+    val n = o.count()
+    assert(r.values.forall(_.getAs[Long]("n_rows") == n))
+    val ndKey = o.select("o_orderkey").distinct().count()
+    assert(r("o_orderkey").getAs[Long]("n_distinct") == ndKey)
+    assert(r("o_orderstatus").getAs[Long]("n_distinct") == 3)
+  }
+
   test("shuffle-shard is a deterministic permutation with balanced shards (t22)") {
     val r = run("t22_shuffle_shard").collect()
     val docs = graft.core.Tables(spark, sfDir).documents
