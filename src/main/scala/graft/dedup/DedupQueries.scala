@@ -615,8 +615,8 @@ object DedupQueries extends QueryPack {
           .join(e.toDF("b", "c"), "b")
         val triangles = wedges.join(e.toDF("a", "c"), Seq("a", "c"))
         e.agg(count(lit(1)).as("n_edges"))
-          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-          .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+          .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+          .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
       },
       Some(verifiedPairsCte +
         """, e AS (SELECT doc_a AS a, doc_b AS b FROM ver),

@@ -170,7 +170,7 @@ object MlQueries extends QueryPack {
           min(col("cand_recall_e4")).as("cand_min_recall_e4"))
         // M5: deploy iff overall improves >1% AND no class regressed —
         // the per-class guard is what the metrics stage feeds the gate
-        overall.join(minRec, "scenario").crossJoin(counts)
+        overall.join(minRec, "scenario").crossJoin(broadcast(counts))
           .select(col("scenario"), col("n_train"), col("n_val"),
             col("current_e4"), col("candidate_e4"), col("cand_min_recall_e4"),
             (col("candidate_e4") - col("current_e4") > 100 &&

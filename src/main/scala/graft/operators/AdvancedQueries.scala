@@ -178,7 +178,7 @@ object AdvancedQueries extends QueryPack {
           approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
           approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
           expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("pcts"))
-        val s = exacts.crossJoin(sketches)
+        val s = exacts.crossJoin(broadcast(sketches))
           .select(col("exact_parts"), col("exact_orders"), col("n_rows"),
             col("ap"), col("ao"),
             element_at(col("pcts"), 1).as("p50"),
@@ -246,7 +246,7 @@ object AdvancedQueries extends QueryPack {
           .agg(hll_union_agg(col("sk")).as("u"))
           .select(hll_sketch_estimate(col("u")).as("est_g"))
         val globalExact = li.agg(countDistinct(col("l_partkey")).as("exact_parts_global"))
-        perMonth.crossJoin(mergedEst).crossJoin(globalExact)
+        perMonth.crossJoin(broadcast(mergedEst)).crossJoin(broadcast(globalExact))
           .select(
             col("n_months"), col("sum_month_exacts"), col("exact_parts_global"),
             (col("n_within") === col("n_months")).as("all_months_within_5pct"),

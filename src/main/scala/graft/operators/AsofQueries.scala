@@ -157,7 +157,7 @@ object AsofQueries extends QueryPack {
           date_trunc("hour", max(col("ts"))).as("h1"))
         val spine = bounds
           .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
-          .crossJoin(ev.select(col("event_type")).distinct())
+          .crossJoin(broadcast(ev.select(col("event_type")).distinct()))
         val hourly = ev
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
           .agg(max(graft.functions.Canon.cents(col("value"))).as("obs_cents"))

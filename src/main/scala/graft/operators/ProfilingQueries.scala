@@ -50,24 +50,33 @@ object ProfilingQueries extends QueryPack {
         // profile needs cardinality ESTIMATES; q17 pins the error
         // bounds) while null/min/max stay exact in the same pass.
         val fields = df.schema.fields.toSeq
-        val aggs: Seq[Column] = fields.flatMap { f =>
-          val c = col(f.name)
+        // Genericity hardening: source columns are addressed through
+        // backtick quoting (a name containing '.' must not parse as a
+        // nested-field path) and every generated alias carries a
+        // reserved `__p_` prefix plus a positional index, so a profiled
+        // table may itself contain columns named n_rows / *__nn / etc.
+        def a(i: Int, kind: String) = s"__p_${i}_$kind"
+        def q(name: String) = col(s"`$name`")
+        val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+          val c = q(f.name)
           // repr AFTER min/max: the extremum must be found in the
           // column's native ordering (a lexicographic min of "999" vs
           // "1499" is wrong), then rendered canonically.
-          Seq(count(c).as(s"${f.name}__nn"),
-              countDistinct(c).as(s"${f.name}__nd"),
-              repr(min(c), f.dataType).as(s"${f.name}__min"),
-              repr(max(c), f.dataType).as(s"${f.name}__max"))
+          Seq(count(c).as(a(i, "nn")),
+              countDistinct(c).as(a(i, "nd")),
+              repr(min(c), f.dataType).as(a(i, "min")),
+              repr(max(c), f.dataType).as(a(i, "max")))
         }
-        df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-          .select(col("n_rows"), explode(array(fields.map(f =>
+        df.agg(count(lit(1)).as("__p_rows"), aggs: _*)
+          .select(col("__p_rows").as("n_rows"),
+            explode(array(fields.zipWithIndex.map { case (f, i) =>
             struct(
               lit(f.name).as("col_name"),
-              (col("n_rows") - col(s"${f.name}__nn")).as("n_null"),
-              col(s"${f.name}__nd").as("n_distinct"),
-              col(s"${f.name}__min").as("min_repr"),
-              col(s"${f.name}__max").as("max_repr"))): _*)).as("m"))
+              (col("__p_rows") - col(a(i, "nn"))).as("n_null"),
+              col(a(i, "nd")).as("n_distinct"),
+              col(a(i, "min")).as("min_repr"),
+              col(a(i, "max")).as("max_repr"))
+          }: _*)).as("m"))
           .select(col("m.col_name").as("col_name"), col("n_rows"),
             col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
             col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))

@@ -51,8 +51,10 @@ object SetOpQueries extends QueryPack {
         val custKeys = t.customer.select(col("c_custkey").as("k"))
         val orderCust = t.orders.select(col("o_custkey").as("k"))
         custKeys.intersect(orderCust).agg(count(lit(1)).as("n_both"))
-          .crossJoin(custKeys.except(orderCust).agg(count(lit(1)).as("n_no_orders")))
-          .crossJoin(custKeys.union(orderCust).distinct().agg(count(lit(1)).as("n_all_keys")))
+          .crossJoin(broadcast(
+            custKeys.except(orderCust).agg(count(lit(1)).as("n_no_orders"))))
+          .crossJoin(broadcast(
+            custKeys.union(orderCust).distinct().agg(count(lit(1)).as("n_all_keys"))))
       },
       Some("""SELECT
              |  (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_both,

@@ -441,8 +441,8 @@ object SimilarityQueries extends QueryPack {
           .withColumnRenamed("rn", "rn_a")
           .join(exact, Seq("vec_id"))
         val ks = Seq(1, 3, 5).toDF("k")
-        val mk = Seq("lsh", "ivf").toDF("method").crossJoin(ks)
-        val hits = meth.crossJoin(ks)
+        val mk = Seq("lsh", "ivf").toDF("method").crossJoin(broadcast(ks))
+        val hits = meth.crossJoin(broadcast(ks))
           .filter(col("rn_a") <= col("k") && col("rn_e") <= col("k"))
           .groupBy("method", "k")
           .agg(count(lit(1)).as("n"))
@@ -1221,7 +1221,7 @@ object SimilarityQueries extends QueryPack {
           .select(col("vec_id"), col("rn_a"))
         val ks = Seq(1, 3, 5).toDF("k")
         val hits = ivfpqTop.join(exact, Seq("vec_id"))
-          .crossJoin(ks)
+          .crossJoin(broadcast(ks))
           .filter(col("rn_a") <= col("k") && col("rn_e") <= col("k"))
           .groupBy("k")
           .agg(count(lit(1)).as("n"))
@@ -1375,7 +1375,7 @@ object SimilarityQueries extends QueryPack {
           .agg(count(lit(1)).as("n_hit2"))
         val hit4 = exactTop.join(ivfTop(4), Seq("vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_hit4"))
-        nExact.crossJoin(hit2).crossJoin(hit4)
+        nExact.crossJoin(broadcast(hit2)).crossJoin(broadcast(hit4))
           .select(col("n_exact"),
             floor(col("n_hit2") * 100.0 / col("n_exact") + 0.5).cast(LongType).as("recall2_e2"),
             floor(col("n_hit4") * 100.0 / col("n_exact") + 0.5).cast(LongType).as("recall4_e2"),

@@ -138,8 +138,15 @@ final case class JdbcBatchSink(url: String, table: String,
     * (`JDBCOptions.asConnectionProperties`) rather than a parallel
     * option-name list that would silently drift across Spark versions.
     * JDBCOptions sits in an `execution` package but is public and the
-    * stable carrier of exactly this contract. */
-  private def jdbcProps: java.util.Properties =
+    * stable carrier of exactly this contract.
+    *
+    * The constructor validates option combinations eagerly (e.g.
+    * partitionColumn without bounds) — acceptable here because the
+    * WRITE path constructs `JdbcOptionsInWrite` (a subclass) from the
+    * same props and applies the SAME validation, so any props map that
+    * reaches a repair has already survived an append. `lazy val`: one
+    * construction per sink, not one per replayed batch. */
+  private lazy val jdbcProps: java.util.Properties =
     new org.apache.spark.sql.execution.datasources.jdbc.JDBCOptions(
       url, table, props).asConnectionProperties
 

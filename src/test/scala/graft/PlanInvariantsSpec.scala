@@ -22,12 +22,28 @@ package graft
 class PlanInvariantsSpec extends SparkTestBase {
 
   test("no CartesianProduct in any batch query's physical plan") {
+    // autoBroadcastJoinThreshold=-1 makes the check FALSIFIABLE: at
+    // sf0.001 everything fits the default 10MB threshold, so an
+    // unintended fact×fact cross join would auto-broadcast here and
+    // plan CartesianProduct only in production. With auto-broadcast
+    // off, only joins that carry an EXPLICIT broadcast() hint — the
+    // deliberate scalar/dim sides — stay BroadcastNestedLoopJoin; an
+    // unhinted cross join plans CartesianProduct and trips the sweep
+    // exactly as it would at scale.
     val names = SparkEntry.all.map(_.name).filterNot(_.startsWith("st")).sorted
-    val bad = names.flatMap { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(n) else None
+    val bad = graft.core.GraftSession.withConf(spark,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      names.flatMap { n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(n) else None
+      }
     }
+    // Some builders persist/localCheckpoint eagerly at construction;
+    // release their blocks so this sweep doesn't pressure later suites
+    // (catalog.clearCache alone misses localCheckpoint blocks).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     assert(bad.isEmpty,
       s"CartesianProduct planned in: ${bad.mkString(", ")} — a non-broadcast " +
         "cross join cannot run at fact scale; broadcast the small side or " +
