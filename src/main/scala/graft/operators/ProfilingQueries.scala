@@ -34,54 +34,56 @@ object ProfilingQueries extends QueryPack {
     case _                                    => c.cast(StringType)
   }
 
+  /** Per-column (n_rows, n_null, n_distinct, min_repr, max_repr) of ANY
+    * DataFrame in ONE job — the library entry behind q84. The aggregate
+    * list is generated from `df.schema`, so no code changes per table.
+    *
+    * Scale shape: a single scan; the k exact count(DISTINCT col)
+    * aggregates compile to one Expand (k× multiplication of PRUNED
+    * (gid, value) pairs in the shuffle — never the full row). At 100 TB
+    * the exact distincts swap for the q17 HLL tier (a profile needs
+    * cardinality ESTIMATES; q17 pins the error bounds) while
+    * null/min/max stay exact in the same pass.
+    *
+    * Genericity (spec-pinned on an adversarial schema): source columns
+    * are addressed through backtick quoting (a name containing '.' must
+    * not parse as a nested-field path) and every generated alias
+    * carries a reserved `__p_` prefix plus a positional index, so a
+    * profiled table may itself contain columns named n_rows/col_name. */
+  def profile(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def a(i: Int, kind: String) = s"__p_${i}_$kind"
+    def q(name: String) = col(s"`$name`")
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = q(f.name)
+      // repr AFTER min/max: the extremum must be found in the column's
+      // native ordering (a lexicographic min of "999" vs "1499" is
+      // wrong), then rendered canonically.
+      Seq(count(c).as(a(i, "nn")),
+          countDistinct(c).as(a(i, "nd")),
+          repr(min(c), f.dataType).as(a(i, "min")),
+          repr(max(c), f.dataType).as(a(i, "max")))
+    }
+    df.agg(count(lit(1)).as("__p_rows"), aggs: _*)
+      .select(col("__p_rows"), explode(array(fields.zipWithIndex.map { case (f, i) =>
+        struct(
+          lit(f.name).as("col_name"),
+          (col("__p_rows") - col(a(i, "nn"))).as("n_null"),
+          col(a(i, "nd")).as("n_distinct"),
+          col(a(i, "min")).as("min_repr"),
+          col(a(i, "max")).as("max_repr"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("__p_rows").as("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+        col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))
+      .orderBy("col_name")
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "q84_table_profile",
-      (spark, dir) => {
-        val df = Tables(spark, dir).orders
-        // Per-column (n_rows, n_null, n_distinct, min_repr, max_repr)
-        // in ONE job: the aggregate list is generated from df.schema,
-        // so the same code profiles any catalog table. Scale shape: a
-        // single scan; the k exact count(DISTINCT col) aggregates
-        // compile to one Expand (k× multiplication of PRUNED
-        // (gid, value) pairs in the shuffle — never the full row). At
-        // 100 TB the exact distincts swap for the q17 HLL tier (a
-        // profile needs cardinality ESTIMATES; q17 pins the error
-        // bounds) while null/min/max stay exact in the same pass.
-        val fields = df.schema.fields.toSeq
-        // Genericity hardening: source columns are addressed through
-        // backtick quoting (a name containing '.' must not parse as a
-        // nested-field path) and every generated alias carries a
-        // reserved `__p_` prefix plus a positional index, so a profiled
-        // table may itself contain columns named n_rows / *__nn / etc.
-        def a(i: Int, kind: String) = s"__p_${i}_$kind"
-        def q(name: String) = col(s"`$name`")
-        val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
-          val c = q(f.name)
-          // repr AFTER min/max: the extremum must be found in the
-          // column's native ordering (a lexicographic min of "999" vs
-          // "1499" is wrong), then rendered canonically.
-          Seq(count(c).as(a(i, "nn")),
-              countDistinct(c).as(a(i, "nd")),
-              repr(min(c), f.dataType).as(a(i, "min")),
-              repr(max(c), f.dataType).as(a(i, "max")))
-        }
-        df.agg(count(lit(1)).as("__p_rows"), aggs: _*)
-          .select(col("__p_rows").as("n_rows"),
-            explode(array(fields.zipWithIndex.map { case (f, i) =>
-            struct(
-              lit(f.name).as("col_name"),
-              (col("__p_rows") - col(a(i, "nn"))).as("n_null"),
-              col(a(i, "nd")).as("n_distinct"),
-              col(a(i, "min")).as("min_repr"),
-              col(a(i, "max")).as("max_repr"))
-          }: _*)).as("m"))
-          .select(col("m.col_name").as("col_name"), col("n_rows"),
-            col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
-            col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))
-          .orderBy("col_name")
-      },
+      (spark, dir) => profile(Tables(spark, dir).orders),
       Some("""WITH p AS (
              |  SELECT count(*) AS n_rows,
              |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,

@@ -502,6 +502,30 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(failed.isEmpty, s"data contract broken: ${failed.mkString("; ")}")
   }
 
+  test("profiler is schema-generic: adversarial column names and nulls (q84 kernel)") {
+    // The profile() doc claims ANY table works — pin it on a schema
+    // designed to collide: a column literally named n_rows, a dotted
+    // name, and nulls.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_rows", LongType), StructField("a.b", StringType)))
+    val data = java.util.Arrays.asList(
+      Row(5L, "x"), Row(null, "y"), Row(7L, null), Row(5L, "y"))
+    val adv = spark.createDataFrame(data, schema)
+    val p = graft.operators.ProfilingQueries.profile(adv).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p.keySet == Set("n_rows", "a.b"))
+    assert(p("n_rows").getAs[Long]("n_rows") == 4)
+    assert(p("n_rows").getAs[Long]("n_null") == 1)
+    assert(p("n_rows").getAs[Long]("n_distinct") == 2)
+    assert(p("n_rows").getAs[String]("min_repr") == "5")
+    assert(p("n_rows").getAs[String]("max_repr") == "7")
+    assert(p("a.b").getAs[Long]("n_null") == 1)
+    assert(p("a.b").getAs[Long]("n_distinct") == 2)
+    assert(p("a.b").getAs[String]("max_repr") == "y")
+  }
+
   test("table profile agrees with directly-computed ground truth (q84)") {
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
     val r = run("q84_table_profile").collect()
