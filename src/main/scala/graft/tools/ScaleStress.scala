@@ -45,7 +45,7 @@ object ScaleStress {
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
     "d14_chunk_dedup", "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
-    "t22_shuffle_shard")
+    "t22_shuffle_shard", "t23_corpus_drift")
 
   def generate(spark: SparkSession, baseDir: String, k: Int, out: String): Unit = {
     val t = Tables(spark, baseDir)
