@@ -34,6 +34,8 @@ object SparkEntry {
     graft.ml.MlQueries,
     graft.streaming.StreamingQueries,
     graft.streaming.VehiclePipeline,
+    graft.streaming.FirePipeline,
+    graft.streaming.AbsaJdbcPipeline,
   )
 
   def all: Seq[GraftQuery] = packs.flatMap(_.queries)

@@ -146,7 +146,7 @@ final case class JdbcBatchSink(url: String, table: String,
     * same props and applies the SAME validation, so any props map that
     * reaches a repair has already survived an append. `lazy val`: one
     * construction per sink, not one per replayed batch. */
-  private lazy val jdbcProps: java.util.Properties =
+  private[graft] lazy val jdbcProps: java.util.Properties =
     new org.apache.spark.sql.execution.datasources.jdbc.JDBCOptions(
       url, table, props).asConnectionProperties
 

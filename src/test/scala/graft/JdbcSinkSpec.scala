@@ -138,6 +138,82 @@ class JdbcSinkSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("st27: streaming fire pipeline ≡ batch twin; NULL overlay survives the database round trip") {
+    import graft.streaming.FirePipeline
+    val (table, url, staged) = FirePipeline.runPipeline(spark, sfDir)
+    val cols = Seq("camera_id", "frame_number", "detection_ts_epoch",
+      "fire_detected", "fire_pct_e4", "conf_e4", "image_emitted", "overlay_sum_r")
+    val got = table.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "pipeline wrote no detections")
+    // batch twin: the SAME parse/decode/detect kernel executed as one
+    // batch query over the same staged messages
+    val batch = FirePipeline.detectFires(spark.read.parquet(staged))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got === batch, "streamed table != batch twin")
+    // the conditional-emission policy must survive JDBC: suppressed rows
+    // exist and carry SQL NULL, emitted rows never do
+    val nullRows = table.filter(col("overlay_sum_r").isNull)
+    assert(nullRows.count() > 0, "fixture produced no suppressed overlays")
+    assert(nullRows.filter(col("image_emitted")).count() === 0)
+    assert(table.filter(col("image_emitted") && col("overlay_sum_r").isNull)
+      .count() === 0, "emitted row lost its overlay in the database")
+    // multi-batch streaming (not one bulk insert) + Postgres-shape DDL
+    assert(table.select(countDistinct(col("batch_id"))).head().getLong(0) >= 2)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, "FIRE_DETECTIONS", null)
+      val types = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME") -> r.getString("TYPE_NAME")).toMap
+      assert(types("camera_id") === "VARCHAR", s"got $types")
+      assert(types("fire_detected") === "BOOLEAN", s"got $types")
+    } finally conn.close()
+  }
+
+  test("st28: streaming ABSA → absa_results DDL shape ≡ batch twin, row-level") {
+    import graft.streaming.AbsaJdbcPipeline
+    val (table, url, staged) = AbsaJdbcPipeline.runPipeline(spark, sfDir)
+    val cols = Seq("doc_id", "review_text", "value_label", "table_label", "stream_label")
+    val got = table.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty, "pipeline wrote no rows")
+    val batch = AbsaJdbcPipeline.absaResults(spark.read.parquet(staged))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got === batch, "streamed absa_results != batch twin")
+    // every document landed exactly once (idempotent channel)
+    assert(table.count() ===
+      core.Tables(spark, sfDir).documents.count())
+    assert(table.select(countDistinct(col("batch_id"))).head().getLong(0) >= 2)
+    // the reference's TEXT-analog DDL: VARCHAR columns, not Derby CLOB
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, "ABSA_RESULTS", null)
+      val types = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getString("COLUMN_NAME") -> r.getString("TYPE_NAME")).toMap
+      assert(types("review_text") === "VARCHAR", s"got $types")
+      assert(types("value_label") === "VARCHAR", s"got $types")
+    } finally conn.close()
+  }
+
+  test("K1: repair-connection props delegate to Spark's filter — writer options stripped, credentials kept") {
+    // jdbcProps builds on the internal JDBCOptions.asConnectionProperties
+    // (no compatibility guarantee) — pin the contract so a Spark bump
+    // that changes which props reach the repair connection fails loudly
+    // instead of silently altering DELETE behavior.
+    val sink = JdbcBatchSink("jdbc:derby:memory:propsPin;create=true", "t",
+      Map("driver" -> driver, "user" -> "u1", "password" -> "p1",
+        "createTableColumnTypes" -> "c VARCHAR(10)", "batchsize" -> "500",
+        "isolationLevel" -> "READ_COMMITTED"),
+      Streams.scratchDir("graft_cp_props_"))
+    val p = sink.jdbcProps
+    assert(p.getProperty("user") === "u1", "driver-level credential must survive")
+    assert(p.getProperty("password") === "p1")
+    assert(p.getProperty("createTableColumnTypes") == null,
+      "Spark-writer-only DDL option leaked to the raw connection")
+    assert(p.getProperty("batchsize") == null,
+      "Spark-writer-only batch option leaked to the raw connection")
+    assert(p.getProperty("isolationLevel") == null,
+      "Spark-writer-only isolation option leaked to the raw connection")
+  }
+
   test("K1: reference DDL types round-trip with per-column fidelity (VEHICLE_COUNTING_GUIDE.md:107-118)") {
     import spark.implicits._
     val url = s"jdbc:derby:${Streams.dataDir("graft_derby_ddl_")}/db;create=true"
