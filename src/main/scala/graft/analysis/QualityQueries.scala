@@ -65,6 +65,35 @@ object QualityQueries extends QueryPack {
       |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
       |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))""".stripMargin
 
+  /** t22 kernel — THE LAST MILE of every training-data pipeline: a
+    * seeded DETERMINISTIC global shuffle + sharding of the final corpus
+    * into N training files. No rand() — the order is a pure function of
+    * (seed, doc_id): priority = md5(seed||":"||doc_id) (the
+    * cross-engine hash family of the dedup pack), shard = first-32-bits
+    * mod N, within-shard order = (priority, doc_id). Identical at any
+    * parallelism or input partitioning (spec-pinned by recomputing over
+    * a repartitioned input), re-runnable after a crash (position is
+    * derivable, never stateful), and a different seed re-shuffles every
+    * epoch with zero data movement until write time. Scale shape: ONE
+    * shuffle — in production this is exactly
+    * `repartition(N, shard).sortWithinPartitions(pri)` and the writer
+    * emits shard files directly; hash-uniform shards balance to ±O(√n)
+    * so no shard straggles. The row_number window here runs per shard
+    * key — same single exchange. */
+  def shuffleShard(docs: org.apache.spark.sql.DataFrame, n: Int = 4,
+                   seed: String = "42"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("pri"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))).as("pri"))
+      .withColumn("shard",
+        pmod(conv(substring(col("pri"), 1, 8), 16, 10).cast(LongType),
+             lit(n.toLong)))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -516,34 +545,7 @@ object QualityQueries extends QueryPack {
 
     GraftQuery(
       "t22_shuffle_shard",
-      (spark, dir) => {
-        val t = Tables(spark, dir)
-        // THE LAST MILE of every training-data pipeline: a seeded
-        // DETERMINISTIC global shuffle + sharding of the final corpus
-        // into N training files. No rand() — the order is a pure
-        // function of (seed, doc_id): priority = md5("42:"||doc_id)
-        // (the cross-engine hash family of the dedup pack), shard =
-        // first-32-bits mod N, within-shard order = (priority, doc_id).
-        // Identical at any parallelism, re-runnable after a crash
-        // (position is derivable, never stateful), and a different seed
-        // re-shuffles every epoch with zero data movement until write
-        // time. Scale shape: ONE shuffle — in production this is
-        // exactly `repartition(N, shard).sortWithinPartitions(pri)` and
-        // the writer emits shard files directly; hash-uniform shards
-        // balance to ±O(√n) so no shard straggles. The row_number
-        // window here runs per shard key — same single exchange.
-        val n = 4
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("shard").orderBy(col("pri"), col("doc_id"))
-        t.documents
-          .select(col("doc_id"),
-            md5(concat(lit("42:"), col("doc_id").cast("string"))).as("pri"))
-          .withColumn("shard",
-            pmod(conv(substring(col("pri"), 1, 8), 16, 10).cast(LongType),
-                 lit(n.toLong)))
-          .withColumn("pos", row_number().over(w).cast(LongType))
-          .select(col("doc_id"), col("shard"), col("pos"))
-      },
+      (spark, dir) => shuffleShard(Tables(spark, dir).documents),
       Some("""WITH pri AS (
              |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS pri
              |  FROM documents),

@@ -3,15 +3,16 @@ package graft.operators
 import graft.{GraftQuery, QueryPack}
 import graft.core.Tables
 import graft.functions.Canon
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Data observability pack (north star; beyond the reference): the two
+/** Data observability pack (north star; beyond the reference): the
   * gates every 100 TB training-data platform runs before a corpus is
-  * allowed into a mixture — a one-pass per-column TABLE PROFILE and a
-  * declarative CONSTRAINT VALIDATION report (the Deequ/expectations
-  * shape, engine-native).
+  * allowed into a mixture — a one-pass per-column TABLE PROFILE (exact,
+  * approximate, and incrementally-mergeable tiers) and a declarative
+  * CONSTRAINT VALIDATION report (the Deequ/expectations shape,
+  * engine-native).
   *
   * The reference has no profiling surface at all; its closest analog is
   * the ad-hoc dashboard COUNT(*) queries (vehicle_counting_app.py:38-47).
@@ -24,54 +25,89 @@ import org.apache.spark.sql.types._
 object ProfilingQueries extends QueryPack {
 
   /** Canonical cross-engine string representation of a column's
-    * min/max by dtype: integers cast, money as integer cents
-    * ([[Canon.cents]]), timestamps at second precision, strings as-is.
-    * Mirrors the SQL forms documented in Canon's scaladoc. */
-  private def repr(c: Column, dt: DataType): Column = dt match {
-    case DoubleType | FloatType               => Canon.cents(c).cast(StringType)
+    * min/max by dtype: timestamps at second precision, money-valued
+    * doubles as integer cents ([[Canon.cents]] — opt-in per column),
+    * everything else a plain string cast. Mirrors the SQL forms
+    * documented in Canon's scaladoc. */
+  private def repr(c: Column, dt: DataType, money: Boolean): Column = dt match {
+    case DoubleType | FloatType if money      => Canon.cents(c).cast(StringType)
     case TimestampType | TimestampNTZType     => date_format(c, "yyyy-MM-dd HH:mm:ss")
     case DateType                             => date_format(c, "yyyy-MM-dd")
     case _                                    => c.cast(StringType)
   }
 
+  /** Dtype contract: a column participates in min/max/distinct only if
+    * its type is orderable AND groupable. Maps and variants are
+    * profiled as (n_rows, n_null) with NULL stats — the documented
+    * skip, not an analysis error. */
+  private def statable(dt: DataType): Boolean = dt match {
+    case _: MapType     => false
+    case _: VariantType => false
+    case _              => true
+  }
+
+  private def alias(i: Int, kind: String) = s"__p_${i}_$kind"
+
+  /** Positional input rename: source columns are addressed as
+    * `__p_in_<i>`, so duplicate or dotted source names can never
+    * collide or parse as nested-field paths. */
+  private def positional(df: DataFrame): DataFrame =
+    df.toDF(df.columns.indices.map(i => s"__p_in_$i"): _*)
+
   /** Per-column (n_rows, n_null, n_distinct, min_repr, max_repr) of ANY
     * DataFrame in ONE job — the library entry behind q84. The aggregate
     * list is generated from `df.schema`, so no code changes per table.
     *
-    * Scale shape: a single scan; the k exact count(DISTINCT col)
-    * aggregates compile to one Expand (k× multiplication of PRUNED
-    * (gid, value) pairs in the shuffle — never the full row). At 100 TB
-    * the exact distincts swap for the q17 HLL tier (a profile needs
-    * cardinality ESTIMATES; q17 pins the error bounds) while
-    * null/min/max stay exact in the same pass.
+    * Scale shape: a single scan. With `approx = false` the k exact
+    * count(DISTINCT col) aggregates compile to one Expand (k×
+    * multiplication of PRUNED (gid, value) pairs in the shuffle —
+    * never the full row). `approx = true` is the 100 TB form: HLL++
+    * sketches (rsd 1 %) replace the exact distincts, which removes the
+    * Expand entirely — one map-side-partial pass, k fixed-size sketch
+    * buffers per partition (q87 oracle-checks its error bound; q17
+    * pins the general contract).
     *
-    * Genericity (spec-pinned on an adversarial schema): source columns
-    * are addressed through backtick quoting (a name containing '.' must
-    * not parse as a nested-field path) and every generated alias
-    * carries a reserved `__p_` prefix plus a positional index, so a
-    * profiled table may itself contain columns named n_rows/col_name. */
-  def profile(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * Dtype contract (spec-pinned on an adversarial schema):
+    *   - duplicate and dotted column names are safe — inputs are
+    *     addressed positionally and every generated alias carries a
+    *     reserved `__p_` prefix, so a profiled table may itself contain
+    *     columns named n_rows/col_name;
+    *   - Double/Float columns render min/max as plain string casts
+    *     unless named in `moneyCols`, which opts them into the
+    *     integer-cents money representation (money semantics are a
+    *     per-column business fact the schema cannot carry);
+    *   - non-orderable/non-groupable types (map, variant) get
+    *     (n_rows, n_null) and NULL distinct/min/max instead of an
+    *     analysis error. */
+  def profile(df: DataFrame, moneyCols: Set[String] = Set.empty,
+              approx: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
-    def a(i: Int, kind: String) = s"__p_${i}_$kind"
-    def q(name: String) = col(s"`$name`")
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
-      val c = q(f.name)
-      // repr AFTER min/max: the extremum must be found in the column's
-      // native ordering (a lexicographic min of "999" vs "1499" is
-      // wrong), then rendered canonically.
-      Seq(count(c).as(a(i, "nn")),
-          countDistinct(c).as(a(i, "nd")),
-          repr(min(c), f.dataType).as(a(i, "min")),
-          repr(max(c), f.dataType).as(a(i, "max")))
+      val c = col(s"__p_in_$i")
+      if (!statable(f.dataType))
+        Seq(count(c).as(alias(i, "nn")),
+            lit(null).cast(LongType).as(alias(i, "nd")),
+            lit(null).cast(StringType).as(alias(i, "min")),
+            lit(null).cast(StringType).as(alias(i, "max")))
+      else {
+        val nd = if (approx) approx_count_distinct(c, 0.01) else countDistinct(c)
+        // repr AFTER min/max: the extremum must be found in the column's
+        // native ordering (a lexicographic min of "999" vs "1499" is
+        // wrong), then rendered canonically.
+        Seq(count(c).as(alias(i, "nn")),
+            nd.as(alias(i, "nd")),
+            repr(min(c), f.dataType, moneyCols(f.name)).as(alias(i, "min")),
+            repr(max(c), f.dataType, moneyCols(f.name)).as(alias(i, "max")))
+      }
     }
-    df.agg(count(lit(1)).as("__p_rows"), aggs: _*)
+    positional(df).agg(count(lit(1)).as("__p_rows"), aggs: _*)
       .select(col("__p_rows"), explode(array(fields.zipWithIndex.map { case (f, i) =>
         struct(
           lit(f.name).as("col_name"),
-          (col("__p_rows") - col(a(i, "nn"))).as("n_null"),
-          col(a(i, "nd")).as("n_distinct"),
-          col(a(i, "min")).as("min_repr"),
-          col(a(i, "max")).as("max_repr"))
+          (col("__p_rows") - col(alias(i, "nn"))).as("n_null"),
+          col(alias(i, "nd")).as("n_distinct"),
+          col(alias(i, "min")).as("min_repr"),
+          col(alias(i, "max")).as("max_repr"))
       }: _*)).as("m"))
       .select(col("m.col_name").as("col_name"), col("__p_rows").as("n_rows"),
         col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
@@ -79,43 +115,167 @@ object ProfilingQueries extends QueryPack {
       .orderBy("col_name")
   }
 
+  /** MERGEABLE partial profile: one row of (n_rows, per-column
+    * n_nonnull, NATIVE-typed min/max, DataSketches-HLL sketch bytes) —
+    * the persistable unit of the incremental tier behind q86. Two
+    * partials over disjoint row sets merge exactly for
+    * counts/nulls/min/max and by sketch-union for distincts
+    * ([[mergedProfile]]); the merged result never rescans the rows a
+    * partial summarizes. Sketch input is the value's string cast —
+    * injective per dtype, so sketch cardinality = value cardinality —
+    * because the HLL aggregate accepts a narrower dtype set than the
+    * profile. Requires statable dtypes (maps/variants have no
+    * mergeable distinct form; profile() is the fallback). */
+  def partialProfile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    require(fields.forall(f => statable(f.dataType)),
+      "partialProfile requires orderable/groupable column types")
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"__p_in_$i")
+      Seq(count(c).as(alias(i, "nn")),
+          min(c).as(alias(i, "min")),
+          max(c).as(alias(i, "max")),
+          hll_sketch_agg(c.cast(StringType), lit(14)).as(alias(i, "sk")))
+    }
+    positional(df).agg(count(lit(1)).as("__p_rows"), aggs: _*)
+  }
+
+  /** Fold any number of [[partialProfile]] rows into the q84 report
+    * shape: counts add, native min/max fold then render, HLL sketches
+    * union → `n_distinct_est`. The fold's input is O(partials), never
+    * the profiled rows — this is how a 100 TB corpus keeps a live
+    * profile: one stored partial per ingest batch, re-folded on read. */
+  def mergedProfile(parts: DataFrame, schema: StructType,
+                    moneyCols: Set[String] = Set.empty): DataFrame = {
+    val fields = schema.fields.toSeq
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      Seq(sum(col(alias(i, "nn"))).as(alias(i, "nn")),
+          repr(min(col(alias(i, "min"))), f.dataType, moneyCols(f.name))
+            .as(alias(i, "min")),
+          repr(max(col(alias(i, "max"))), f.dataType, moneyCols(f.name))
+            .as(alias(i, "max")),
+          hll_sketch_estimate(hll_union_agg(col(alias(i, "sk")), lit(true)))
+            .as(alias(i, "nd")))
+    }
+    parts.agg(sum(col("__p_rows")).as("__p_rows"), aggs: _*)
+      .select(col("__p_rows"), explode(array(fields.zipWithIndex.map { case (f, i) =>
+        struct(
+          lit(f.name).as("col_name"),
+          (col("__p_rows") - col(alias(i, "nn"))).as("n_null"),
+          col(alias(i, "nd")).as("n_distinct_est"),
+          col(alias(i, "min")).as("min_repr"),
+          col(alias(i, "max")).as("max_repr"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("__p_rows").as("n_rows"),
+        col("m.n_null").as("n_null"), col("m.n_distinct_est").as("n_distinct_est"),
+        col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))
+      .orderBy("col_name")
+  }
+
+  /** q84's oracle body, shared by q86/q87 (they re-check the same exact
+    * stats under different distinct tiers). */
+  private val ordersProfileSql =
+    """WITH p AS (
+      |  SELECT count(*) AS n_rows,
+      |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+      |      CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+      |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+      |      CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
+      |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+      |      min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+      |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
+      |      CAST(CAST(floor(min(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR) AS t_min,
+      |      CAST(CAST(floor(max(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR) AS t_max,
+      |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+      |      strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_min,
+      |      strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_max,
+      |    count(o_orderpriority) AS pr_nn, count(DISTINCT o_orderpriority) AS pr_nd,
+      |      min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max
+      |  FROM orders)
+      |SELECT col_name, n_rows, n_null, n_distinct, min_repr, max_repr FROM (
+      |  SELECT 'o_orderkey' AS col_name, n_rows, n_rows - k_nn AS n_null,
+      |         k_nd AS n_distinct, k_min AS min_repr, k_max AS max_repr FROM p
+      |  UNION ALL
+      |  SELECT 'o_custkey', n_rows, n_rows - c_nn, c_nd, c_min, c_max FROM p
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', n_rows, n_rows - s_nn, s_nd, s_min, s_max FROM p
+      |  UNION ALL
+      |  SELECT 'o_totalprice', n_rows, n_rows - t_nn, t_nd, t_min, t_max FROM p
+      |  UNION ALL
+      |  SELECT 'o_orderdate', n_rows, n_rows - d_nn, d_nd, d_min, d_max FROM p
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', n_rows, n_rows - pr_nn, pr_nd, pr_min, pr_max FROM p)""".stripMargin
+
+  private val ordersMoney = Set("o_totalprice")
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
       "q84_table_profile",
-      (spark, dir) => profile(Tables(spark, dir).orders),
-      Some("""WITH p AS (
-             |  SELECT count(*) AS n_rows,
-             |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
-             |      CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
-             |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
-             |      CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
-             |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
-             |      min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
-             |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
-             |      CAST(CAST(floor(min(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR) AS t_min,
-             |      CAST(CAST(floor(max(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR) AS t_max,
-             |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
-             |      strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_min,
-             |      strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS d_max,
-             |    count(o_orderpriority) AS pr_nn, count(DISTINCT o_orderpriority) AS pr_nd,
-             |      min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max
-             |  FROM orders)
-             |SELECT col_name, n_rows, n_null, n_distinct, min_repr, max_repr FROM (
-             |  SELECT 'o_orderkey' AS col_name, n_rows, n_rows - k_nn AS n_null,
-             |         k_nd AS n_distinct, k_min AS min_repr, k_max AS max_repr FROM p
-             |  UNION ALL
-             |  SELECT 'o_custkey', n_rows, n_rows - c_nn, c_nd, c_min, c_max FROM p
-             |  UNION ALL
-             |  SELECT 'o_orderstatus', n_rows, n_rows - s_nn, s_nd, s_min, s_max FROM p
-             |  UNION ALL
-             |  SELECT 'o_totalprice', n_rows, n_rows - t_nn, t_nd, t_min, t_max FROM p
-             |  UNION ALL
-             |  SELECT 'o_orderdate', n_rows, n_rows - d_nn, d_nd, d_min, d_max FROM p
-             |  UNION ALL
-             |  SELECT 'o_orderpriority', n_rows, n_rows - pr_nn, pr_nd, pr_min, pr_max FROM p)
-             |ORDER BY col_name""".stripMargin),
+      (spark, dir) => profile(Tables(spark, dir).orders, moneyCols = ordersMoney),
+      Some(ordersProfileSql + "\nORDER BY col_name"),
       "North star: one-pass schema-driven table profile — per-column nulls/cardinality/bounds, Canon reprs"),
+
+    GraftQuery(
+      "q86_incremental_profile",
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        // The observability twin of d15/s15: the stored corpus's profile
+        // is maintained INCREMENTALLY — its partial (counts, native
+        // extrema, HLL sketches) is persisted once as a parquet
+        // artifact; each new ingest batch contributes only ITS partial,
+        // and the report is a fold over partials. Counts/nulls/min/max
+        // merge exactly (value-compared against the full-rescan
+        // oracle); distincts merge by sketch-union, audited here
+        // against a full-scan exact at ±5 % (lgK=14 → ~0.8 % rsd, >6σ)
+        // — the audit pass is what the 100 TB deployment drops.
+        val split = Tables.incrementalSplitId(o, "o_orderkey")
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_profile_store_").toString
+        partialProfile(o.filter(col("o_orderkey") < split))
+          .write.mode("overwrite").parquet(store)
+        val parts = spark.read.parquet(store) // sketch bytes round-trip the artifact seam
+          .unionByName(partialProfile(o.filter(col("o_orderkey") >= split)))
+        val merged = mergedProfile(parts, o.schema, moneyCols = ordersMoney)
+        val exact = profile(o, moneyCols = ordersMoney)
+          .select(col("col_name"), col("n_distinct").as("nd_exact"))
+        merged.join(exact, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("min_repr"), col("max_repr"),
+            (abs(col("n_distinct_est") - col("nd_exact"))
+              <= col("nd_exact") * 0.05).as("distinct_within_5pct"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT col_name, n_rows, n_null, min_repr, max_repr,
+             |  TRUE AS distinct_within_5pct
+             |FROM (""".stripMargin + ordersProfileSql.linesIterator
+               .map("  " + _).mkString("\n") + ")\nORDER BY col_name"),
+      "North star: incremental profile — persisted mergeable partials fold to the full-rescan report, HLL distinct tier audited"),
+
+    GraftQuery(
+      "q87_approx_profile",
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        // The documented 100 TB form of q84, made oracle-checked instead
+        // of asserted: approx=true swaps the exact distincts for HLL++
+        // (rsd 1 %), turning the profile into a single Expand-free
+        // map-side pass. Exact stats are value-compared; the estimate is
+        // audited at ±5 % (5σ) against the exact tier, which is the
+        // pass a production profile drops.
+        val ap = profile(o, moneyCols = ordersMoney, approx = true)
+          .select(col("col_name"), col("n_distinct").as("nd_approx"))
+        profile(o, moneyCols = ordersMoney).join(ap, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_repr"), col("max_repr"),
+            (abs(col("nd_approx") - col("n_distinct"))
+              <= col("n_distinct") * 0.05).as("approx_within_5pct"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT col_name, n_rows, n_null, n_distinct, min_repr, max_repr,
+             |  TRUE AS approx_within_5pct
+             |FROM (""".stripMargin + ordersProfileSql.linesIterator
+               .map("  " + _).mkString("\n") + ")\nORDER BY col_name"),
+      "North star: approx profile tier — HLL++ distincts, Expand-free one-pass, error bound oracle-checked"),
 
     GraftQuery(
       "q85_quality_constraints",

@@ -502,20 +502,28 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(failed.isEmpty, s"data contract broken: ${failed.mkString("; ")}")
   }
 
-  test("profiler is schema-generic: adversarial column names and nulls (q84 kernel)") {
+  test("profiler is schema-generic: adversarial column names, dup names, maps, nulls (q84 kernel)") {
     // The profile() doc claims ANY table works — pin it on a schema
     // designed to collide: a column literally named n_rows, a dotted
-    // name, and nulls.
+    // name, DUPLICATE names, a non-orderable map, a non-money double,
+    // and nulls.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
-      StructField("n_rows", LongType), StructField("a.b", StringType)))
+      StructField("n_rows", LongType), StructField("a.b", StringType),
+      StructField("dup", IntegerType), StructField("dup", StringType),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("tiny", DoubleType)))
     val data = java.util.Arrays.asList(
-      Row(5L, "x"), Row(null, "y"), Row(7L, null), Row(5L, "y"))
+      Row(5L, "x", 1, "p", Map("k" -> 1L), 0.004),
+      Row(null, "y", 2, "q", null, 0.5),
+      Row(7L, null, 3, null, Map("k" -> 2L), null),
+      Row(5L, "y", 1, "p", Map.empty[String, Long], 0.004))
     val adv = spark.createDataFrame(data, schema)
-    val p = graft.operators.ProfilingQueries.profile(adv).collect()
-      .map(r => r.getAs[String]("col_name") -> r).toMap
-    assert(p.keySet == Set("n_rows", "a.b"))
+    val rows = graft.operators.ProfilingQueries.profile(adv).collect()
+    assert(rows.length == 6, "one profile row per column, duplicates included")
+    val p = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p.keySet == Set("n_rows", "a.b", "dup", "m", "tiny"))
     assert(p("n_rows").getAs[Long]("n_rows") == 4)
     assert(p("n_rows").getAs[Long]("n_null") == 1)
     assert(p("n_rows").getAs[Long]("n_distinct") == 2)
@@ -524,6 +532,41 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(p("a.b").getAs[Long]("n_null") == 1)
     assert(p("a.b").getAs[Long]("n_distinct") == 2)
     assert(p("a.b").getAs[String]("max_repr") == "y")
+    // duplicate names: BOTH columns profiled independently (positional
+    // addressing) — distinguish them by their differing stats
+    val dups = rows.filter(_.getAs[String]("col_name") == "dup")
+    assert(dups.map(_.getAs[String]("max_repr")).toSet == Set("3", "q"))
+    // map column: counts exact, stats the documented NULL skip
+    assert(p("m").getAs[Long]("n_null") == 1)
+    assert(p("m").isNullAt(p("m").fieldIndex("n_distinct")))
+    assert(p("m").isNullAt(p("m").fieldIndex("min_repr")))
+    // a generic double is NOT money: 0.004 must survive, not collapse
+    // to cents "0" (doubles opt into cents via moneyCols only)
+    assert(p("tiny").getAs[String]("min_repr") == "0.004")
+    assert(p("tiny").getAs[Long]("n_null") == 1)
+  }
+
+  test("incremental profile: persisted partials fold to the full-rescan report (q86 kernel)") {
+    import graft.operators.ProfilingQueries._
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    // three disjoint slices, any grouping — merged must equal one-shot
+    val parts = partialProfile(o.filter(col("o_orderkey") % 3 === 0))
+      .unionByName(partialProfile(o.filter(col("o_orderkey") % 3 === 1)))
+      .unionByName(partialProfile(o.filter(col("o_orderkey") % 3 === 2)))
+    val merged = mergedProfile(parts, o.schema, Set("o_totalprice")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val full = profile(o, Set("o_totalprice")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(merged.keySet == full.keySet)
+    merged.keySet.foreach { c =>
+      assert(merged(c).getAs[Long]("n_rows") == full(c).getAs[Long]("n_rows"), c)
+      assert(merged(c).getAs[Long]("n_null") == full(c).getAs[Long]("n_null"), c)
+      assert(merged(c).getAs[String]("min_repr") == full(c).getAs[String]("min_repr"), c)
+      assert(merged(c).getAs[String]("max_repr") == full(c).getAs[String]("max_repr"), c)
+      val est = merged(c).getAs[Long]("n_distinct_est")
+      val exact = full(c).getAs[Long]("n_distinct")
+      assert(math.abs(est - exact) <= exact * 0.05, s"$c: est=$est exact=$exact")
+    }
   }
 
   test("table profile agrees with directly-computed ground truth (q84)") {
@@ -555,8 +598,19 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(sizes.max <= 2 * (n / 4 + 1).toInt,
       s"shard skew: sizes=${sizes.mkString(",")}")
     // seeded determinism is parallelism-independent: recompute the
-    // assignment from a differently-partitioned input — identical rows
-    val again = SparkEntry.queries("t22_shuffle_shard")(spark, sfDir).collect()
-    assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // assignment from a GENUINELY differently-partitioned input (7-way
+    // round-robin repartition, not a re-read of the same file layout)
+    // and under a different shuffle parallelism — identical rows
+    val again = graft.analysis.QualityQueries
+      .shuffleShard(docs.repartition(7)).collect()
+    assert(r.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "shard/pos assignment depends on input partitioning")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val under3 = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      graft.analysis.QualityQueries.shuffleShard(docs.repartition(7)).collect()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(r.map(_.toString).sorted.sameElements(under3.map(_.toString).sorted),
+      "shard/pos assignment depends on shuffle parallelism")
   }
 }
