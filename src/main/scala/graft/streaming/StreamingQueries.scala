@@ -18,6 +18,90 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingQueries extends QueryPack {
 
+  /** st26 scrub, stored-index JOIN form — the past-broadcast-size path:
+    * the micro-batch's chunks are exploded with their position,
+    * anti-joined against the persisted chunk index (only batch chunks
+    * shuffle — the index side is a shuffled build at worst, never
+    * collected anywhere), and each doc is rebuilt from its surviving
+    * chunks in original order. Identical output contract to the
+    * broadcast form (spec-pinned). */
+  def chunkScrubJoinForm(batch: org.apache.spark.sql.DataFrame,
+                         index: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val chunks = batch.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("pos", "chunk")))
+    val kept = chunks.join(index.select("chunk"), Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")), " ")).as("kept_md5"))
+    batch.select(col("doc_id"), size(col("chunks")).cast(LongType).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
+  /** st26 scrub over a staged doc stream against a PERSISTED chunk
+    * index, choosing the probe form by the index artifact's on-disk
+    * size:
+    *   - index ≤ `broadcastMaxBytes` → in-memory broadcast set, pure
+    *     per-row map (zero streaming exchange — the fixture-scale and
+    *     small-index production path);
+    *   - larger → per-batch stored-index anti-join inside foreachBatch
+    *     (the d15 shape): each micro-batch joins against the index
+    *     relation, so the index never materializes on any single
+    *     executor. At 100 TB this is the live path; d08b's Bloom tier
+    *     sits between the two (false positives over-scrub — the safe
+    *     direction for decontamination-style gates).
+    * Each incoming doc is chunked ROW-LOCALLY (the shared chunkArray
+    * kernel), and re-emitted rebuilt from its surviving chunks —
+    * content REWRITE, not just a flag (st16 flags; this scrubs). Zero
+    * streaming state, append mode, no watermark. Both forms are
+    * spec-pinned identical on the same staged corpus. */
+  def chunkScrubStream(spark: org.apache.spark.sql.SparkSession, staged: String,
+                       indexDir: String, sinkName: String,
+                       broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.DedupQueries
+    val indexBytes = {
+      val fs = new java.io.File(indexDir)
+      if (fs.exists()) fs.listFiles().filter(_.isFile).map(_.length()).sum else 0L
+    }
+    val chunked = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), DedupQueries.chunkArray(col("ws")).as("chunks"))
+    if (indexBytes <= broadcastMaxBytes) {
+      val known = spark.read.parquet(indexDir)
+        .collect().map(_.getString(0)).toSet
+      val knownBc = spark.sparkContext.broadcast(known)
+      val scrub = udf((chunks: Seq[String]) =>
+        chunks.filterNot(knownBc.value.contains))
+      val out = chunked
+        .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
+        .select(col("doc_id"),
+          size(col("chunks")).cast(LongType).as("n_chunks"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("kept_md5"))
+      Streams.drainToMemory(out, sinkName, outputMode = "append")
+    } else {
+      val outDir = Streams.dataDir(s"graft_scrub_${sinkName}_")
+      Streams.withStreamShufflePartitions(spark) {
+        val q = chunked.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", Streams.scratchDir(s"graft_cp_$sinkName"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            chunkScrubJoinForm(b, spark.read.parquet(indexDir))
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        Streams.awaitDrained(q)
+        q.stop()
+      }
+      spark.read.parquet(outDir)
+    }
+  }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1125,41 +1209,28 @@ object StreamingQueries extends QueryPack {
       (spark, dir) => {
         // CHUNK-LEVEL SCRUB ON INGEST — d14's exact-substring signal as
         // a stream gate, with st21's division of labor: the existing
-        // corpus's chunk set is a STATIC artifact probed per row; the
-        // within-batch first-keep and index update between ingests are
-        // d15's batch job. Each incoming doc is chunked ROW-LOCALLY
-        // (the shared chunkRelation kernel as an array expression),
-        // known chunks are filtered out against the broadcast set, and
-        // the doc is re-emitted rebuilt from its surviving chunks —
-        // content REWRITE, not just a flag (st16 flags; this scrubs).
-        // Zero streaming state, zero exchange: pure per-row map, so
-        // append mode needs no watermark. At 100 TB the exact string
-        // set swaps for d08b's Bloom (false positives over-scrub — the
-        // safe direction for decontamination-style gates).
+        // corpus's chunk index is a STATIC persisted artifact probed per
+        // row; the within-batch first-keep and index update between
+        // ingests are d15's batch job. See [[chunkScrubStream]] for the
+        // two index forms (broadcast set vs per-batch stored-index
+        // join) — the fixture index is far below the threshold, so this
+        // carrier runs the broadcast form; the spec pins both forms
+        // identical on the same staged corpus.
         import graft.dedup.DedupQueries
         val docs = Tables(spark, dir).documents
         val splitId = Tables.incrementalSplitId(docs, "doc_id")
         val staged = Streams.dataDir("graft_docs_scrub_")
         docs.filter(col("doc_id") >= splitId)
           .repartition(2).write.mode("overwrite").parquet(staged)
-        // The known-set build is a BATCH job over the existing corpus —
-        // it runs at full session parallelism here, outside the drain's
-        // 4-partition streaming conf (drainToMemory scopes that itself).
-        val known = DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
+        // The index build is a BATCH job over the existing corpus — it
+        // runs at full session parallelism here, outside the drain's
+        // 4-partition streaming conf, and persists the index artifact
+        // the stream probes (the d15 "stored index" seam).
+        val indexDir = Streams.dataDir("graft_chunk_index_")
+        DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
           .select("chunk").distinct()
-          .collect().map(_.getString(0)).toSet
-        val knownBc = spark.sparkContext.broadcast(known)
-        val scrub = udf((chunks: Seq[String]) =>
-          chunks.filterNot(knownBc.value.contains))
-        val out = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .select(col("doc_id"), DedupQueries.chunkArray(col("ws")).as("chunks"))
-          .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
-          .select(col("doc_id"),
-            size(col("chunks")).cast(LongType).as("n_chunks"),
-            size(col("kept")).cast(LongType).as("n_kept"),
-            md5(array_join(col("kept"), " ")).as("kept_md5"))
-        Streams.drainToMemory(out, "st26_sink", outputMode = "append")
+          .write.mode("overwrite").parquet(indexDir)
+        chunkScrubStream(spark, staged, indexDir, "st26_sink")
       },
       Some("""WITH w AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,

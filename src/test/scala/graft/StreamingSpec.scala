@@ -81,6 +81,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("st26: broadcast-set and stored-index-join scrub forms are identical (past-broadcast fallback)") {
+    import graft.dedup.DedupQueries
+    import graft.streaming.StreamingQueries
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val splitId = graft.core.Tables.incrementalSplitId(docs, "doc_id")
+    val staged = Streams.dataDir("graft_scrub_spec_")
+    docs.filter(col("doc_id") >= splitId)
+      .repartition(2).write.mode("overwrite").parquet(staged)
+    val indexDir = Streams.dataDir("graft_scrub_idx_")
+    DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
+      .select("chunk").distinct().write.mode("overwrite").parquet(indexDir)
+    // threshold forced to each extreme selects each path over the SAME
+    // staged corpus and index artifact
+    val bc = StreamingQueries
+      .chunkScrubStream(spark, staged, indexDir, "st26_spec_bc",
+        broadcastMaxBytes = Long.MaxValue)
+      .collect().map(_.toSeq).toSet
+    val jn = StreamingQueries
+      .chunkScrubStream(spark, staged, indexDir, "st26_spec_jn",
+        broadcastMaxBytes = 0L)
+      .collect().map(_.toSeq).toSet
+    assert(bc.nonEmpty, "scrub emitted no rows")
+    assert(bc === jn, "join-form scrub diverges from broadcast form")
+    // the fixture really exercises the scrub: some doc lost chunks and
+    // some doc kept chunks
+    assert(bc.exists(r => r(2).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
+    assert(bc.exists(r => r(2).asInstanceOf[Long] > 0L))
+  }
+
   test("T2: rate limiting produces multiple micro-batches") {
     val stream = Streams.eventsStream(spark, sfDir, maxFilesPerTrigger = 1)
       .select(col("event_id"))
