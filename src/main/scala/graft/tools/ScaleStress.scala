@@ -47,6 +47,55 @@ object ScaleStress {
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
     "t22_shuffle_shard", "t23_corpus_drift")
 
+  /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
+    * question for streaming is not just wall time but whether the
+    * RocksDB state store grows with KEYS or with INPUT: st04 (FMGWS
+    * per-user counters — state rows must equal distinct users), st13
+    * (dropDuplicates — state rows must equal distinct dedup keys), and
+    * st21 (LSH dedup gate — the probe is stateless; only the
+    * once-per-doc emission dedup holds state, sized by the distinct
+    * banded CANDIDATE PAIRS, i.e. near-dup density, not corpus).
+    * Alongside each exponent the harness reports max state rows +
+    * bytes observed per scale; ScaleToolsSpec pins the exact
+    * state-rows = key-count equalities at fixture scale. */
+  val streamingQueryNames: Seq[String] =
+    Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate")
+
+  /** Captures per-run maxima of the state-store metrics from streaming
+    * progress events. Progress delivery is async — [[awaitQuiesced]]
+    * waits for the terminated event of every query started since
+    * reset() before the maxima are read. */
+  final class StateMetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile var maxStateRows: Long = 0L
+    @volatile var maxStateBytes: Long = 0L
+    private val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val terminated = new java.util.concurrent.atomic.AtomicInteger(0)
+    def reset(): Unit = { maxStateRows = 0L; maxStateBytes = 0L
+      started.set(0); terminated.set(0) }
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      started.incrementAndGet()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      terminated.incrementAndGet()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      e.progress.stateOperators.foreach { so =>
+        maxStateRows = math.max(maxStateRows, so.numRowsTotal)
+        // RocksDB reports through custom metrics; the HDFS-backed store
+        // through memoryUsedBytes — take whichever is populated
+        val rocks = Seq("rocksdbSstFileSize", "rocksdbTotalMemoryUsage")
+          .map(k => Option(so.customMetrics.get(k)).map(_.longValue).getOrElse(0L))
+          .sum
+        maxStateBytes = math.max(maxStateBytes, math.max(so.memoryUsedBytes, rocks))
+      }
+    def awaitQuiesced(timeoutMs: Long = 30000): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (terminated.get() < started.get() &&
+             System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(50)
+      terminated.get() >= started.get() && started.get() > 0
+    }
+  }
+
   def generate(spark: SparkSession, baseDir: String, k: Int, out: String): Unit = {
     val t = Tables(spark, baseDir)
     val ev = t.events
@@ -116,9 +165,10 @@ object ScaleStress {
     require(scales.distinct.size >= 2,
       s"need >= 2 distinct scales to fit exponents, got $scales")
     // Fail on a bad STRESS_ONLY name in milliseconds, not after the
-    // multi-minute x100 generation: only queryNames members are known
-    // to read exclusively the two scaled tables.
-    val unknown = selectedQueries.filterNot(queryNames.contains)
+    // multi-minute x100 generation: only queryNames/streamingQueryNames
+    // members are known to read exclusively the two scaled tables.
+    val unknown = selectedQueries
+      .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n))
     require(unknown.isEmpty,
       s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
         unknown.mkString(", "))
@@ -133,21 +183,56 @@ object ScaleStress {
       println(f"[scalestress] generated x$kk in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       kk -> d
     }
+    val batchSel = selectedQueries.filter(queryNames.contains)
+    val streamSel = selectedQueries.filter(streamingQueryNames.contains)
     // JIT warmup, unrecorded
-    selectedQueries.foreach(n => timeOne(spark, n, dirs.head._2))
+    batchSel.foreach(n => timeOne(spark, n, dirs.head._2))
     val times = scala.collection.mutable.Map[String, Vector[(Int, Double)]]()
       .withDefaultValue(Vector.empty)
-    for ((kk, d) <- dirs; n <- selectedQueries) {
+    for ((kk, d) <- dirs; n <- batchSel) {
       val sec = timeOne(spark, n, d)
       times(n) = times(n) :+ (kk -> sec)
       println(f"[scalestress] x$kk $n: $sec%.2f s")
     }
-    println("| query | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
-    println("|---|" + scales.map(_ => "---|").mkString + "---|")
-    selectedQueries.foreach { n =>
-      val pts = times(n)
-      println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
-        f" | ${exponent(pts)}%.2f |")
+    if (batchSel.nonEmpty) {
+      println("| query | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
+      println("|---|" + scales.map(_ => "---|").mkString + "---|")
+      batchSel.foreach { n =>
+        val pts = times(n)
+        println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
+          f" | ${exponent(pts)}%.2f |")
+      }
+    }
+    // Streaming section: time each stateful drain AND capture the state
+    // store's row/byte maxima — the claim under test is that state is
+    // O(keys), never O(input rows processed).
+    if (streamSel.nonEmpty) {
+      val listener = new StateMetricsListener
+      spark.streams.addListener(listener)
+      streamSel.foreach(n => timeOne(spark, n, dirs.head._2)) // warmup
+      val sTimes = scala.collection.mutable.Map[String, Vector[(Int, Double, Long, Long)]]()
+        .withDefaultValue(Vector.empty)
+      for ((kk, d) <- dirs; n <- streamSel) {
+        listener.reset()
+        val sec = timeOne(spark, n, d)
+        listener.awaitQuiesced()
+        sTimes(n) = sTimes(n) :+ ((kk, sec, listener.maxStateRows, listener.maxStateBytes))
+        println(f"[scalestress] x$kk $n: $sec%.2f s " +
+          s"stateRows=${listener.maxStateRows} stateBytes=${listener.maxStateBytes}")
+      }
+      spark.streams.removeListener(listener)
+      println("| query | " + scales.map(s => s"x$s (s)").mkString(" | ") +
+        " | exponent | " + scales.map(s => s"rows@x$s").mkString(" | ") +
+        " | bytes@max |")
+      println("|---|" + scales.map(_ => "---|").mkString + "---|" +
+        scales.map(_ => "---|").mkString + "---|")
+      streamSel.foreach { n =>
+        val pts = sTimes(n)
+        println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
+          f" | ${exponent(pts.map(p => (p._1, p._2)))}%.2f | " +
+          pts.map(_._3.toString).mkString(" | ") +
+          s" | ${pts.map(_._4).max} |")
+      }
     }
     spark.stop()
   }

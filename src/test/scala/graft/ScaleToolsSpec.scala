@@ -307,4 +307,58 @@ class ScaleToolsSpec extends SparkTestBase {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("streaming state is O(keys), not O(input): st04/st13 rows = key count, st21 = candidate pairs (ScaleStress listener)") {
+    // The metric claim SCALESTRESS.md's streaming section rests on,
+    // pinned at fixture scale with exact equalities: a stateful drain's
+    // state-store row count must equal its KEY cardinality (st04:
+    // distinct users; st13: distinct (user, event_type) pairs) no
+    // matter how many input rows streamed through, and the dedup gate
+    // (st21 — probe itself stateless, only the once-per-doc emission
+    // dedup holds state) must hold exactly the distinct banded
+    // CANDIDATE PAIRS — a set sized by near-dup density, not corpus.
+    val listener = new graft.tools.ScaleStress.StateMetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val ev = graft.core.Tables(spark, sfDir).events
+      val nUsers = ev.select("user_id").distinct().count()
+      val nPairs = ev.select("user_id", "event_type").distinct().count()
+      val nInput = ev.count()
+      assert(nInput > nPairs && nPairs > nUsers, "fixture must have >1 event per key")
+
+      def maxRowsOf(q: String): Long = {
+        listener.reset()
+        SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        assert(listener.awaitQuiesced(), s"$q: no terminated event observed")
+        listener.maxStateRows
+      }
+      assert(maxRowsOf("st04_stateful_counter") === nUsers,
+        "st04 state rows must equal distinct users")
+      assert(maxRowsOf("st13_stream_dedup") === nPairs,
+        "st13 state rows must equal distinct dedup keys")
+
+      // st21's expected state: batch replica of its banding — distinct
+      // (batch doc, existing doc) pairs sharing >= 1 LSH band
+      import graft.dedup.DedupQueries
+      val docs = graft.core.Tables(spark, sfDir).documents
+      val split = graft.core.Tables.incrementalSplitId(docs, "doc_id")
+      def bandsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), DedupQueries.shingles(col("text")).as("shs"))
+        .select(col("doc_id"), posexplode(array((0 until 4).map { b =>
+          concat_ws("|", (0 until 2).map { j =>
+            array_min(transform(col("shs"), s => DedupQueries.hashFn(b * 2 + j, s)))
+          }: _*)
+        }: _*)))
+        .toDF("doc_id", "band_id", "band_hash")
+      val candPairs = bandsOf(docs.filter(col("doc_id") >= split))
+        .join(bandsOf(docs.filter(col("doc_id") < split))
+          .withColumnRenamed("doc_id", "ex_id"), Seq("band_id", "band_hash"))
+        .select("doc_id", "ex_id").distinct().count()
+      val st21Rows = maxRowsOf("st21_stream_dedup_gate")
+      assert(st21Rows === candPairs,
+        "st21 state rows must equal distinct banded candidate pairs")
+      assert(st21Rows < docs.count(),
+        "st21 state must stay below the corpus size on this fixture")
+    } finally spark.streams.removeListener(listener)
+  }
 }
