@@ -102,6 +102,100 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** st21's MinHash signature columns over a `shs` shingle-array
+    * column: per-row array_min (zero exchange — st17's scan-speed
+    * argmin idea applied to MinHash), shared by the batch index build
+    * and the streaming gate so they cannot disagree. */
+  private def minhashSigCols: Seq[org.apache.spark.sql.Column] = {
+    import graft.dedup.DedupQueries
+    (0 until DedupQueries.numHashes).map { j =>
+      array_min(transform(col("shs"), s => DedupQueries.hashFn(j, s)))
+        .as(s"sig$j")
+    }
+  }
+
+  private def minhashBandArray: org.apache.spark.sql.Column = array(
+    concat_ws("|", col("sig0"), col("sig1")),
+    concat_ws("|", col("sig2"), col("sig3")),
+    concat_ws("|", col("sig4"), col("sig5")),
+    concat_ws("|", col("sig6"), col("sig7")))
+
+  private def minhashSigned(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.DedupQueries
+    df.select(col("doc_id"), DedupQueries.shingles(col("text")).as("shs"))
+      .select(col("doc_id") +: col("shs") +: minhashSigCols: _*)
+  }
+
+  /** st21's STATIC artifacts, persisted as parquet and session-cached
+    * per source dir (the stageEvents pattern): the staged batch-doc
+    * topic, the existing corpus's LSH band index, and its per-doc
+    * shingle table. In production these are d12's batch outputs — the
+    * index-update loop between ingests — so building them is corpus
+    * work, NOT gate work; ScaleStress times the drain against
+    * already-built artifacts for exactly that reason. */
+  def dedupGateArtifacts(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): (String, String, String) = {
+    val key = s"graft.staged.dedupgate.$dir"
+    Option(spark.sparkContext.getLocalProperty(key)) match {
+      case Some(v) =>
+        val Array(a, b, c) = v.split(","); (a, b, c)
+      case None =>
+        val docs = Tables(spark, dir).documents
+        val split = Tables.incrementalSplitId(docs, "doc_id")
+        val staged = Streams.dataDir("graft_docs_dedup_")
+        docs.filter(col("doc_id") >= split)
+          .repartition(2).write.mode("overwrite").parquet(staged)
+        val existing = minhashSigned(docs.filter(col("doc_id") < split))
+          .localCheckpoint() // signed once, projected twice below
+        val indexDir = Streams.dataDir("graft_dedup_bands_")
+        existing.select(col("doc_id").as("ex_id"), posexplode(minhashBandArray))
+          .toDF("ex_id", "band_id", "band_hash")
+          .write.mode("overwrite").parquet(indexDir)
+        val arrDir = Streams.dataDir("graft_dedup_shs_")
+        existing.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
+          .write.mode("overwrite").parquet(arrDir)
+        spark.sparkContext.setLocalProperty(key, s"$staged,$indexDir,$arrDir")
+        (staged, indexDir, arrDir)
+    }
+  }
+
+  /** The st21 gate: each micro-batch of incoming docs signs itself PER
+    * ROW, bands the signature, probes the broadcast band index, and
+    * exact-Jaccard verifies each candidate against the stored shingle
+    * table — candidates BROADCAST so the stored table is scanned, never
+    * shuffled (the candidates.join(exArr) shape shuffled the entire
+    * corpus's arrays every micro-batch — ScaleStress measured it
+    * super-linear). No streaming aggregation anywhere; the only state
+    * is the once-per-(pair|doc) emission dedup, sized by near-dup
+    * density (ScaleToolsSpec pins state rows = candidate pairs). At
+    * 100 TB the band index swaps broadcast for the st26-style
+    * thresholded join, and a bucketed-by-id shingle table (src05)
+    * turns the verify scan into an indexed probe. */
+  def dedupGateDrain(spark: org.apache.spark.sql.SparkSession, staged: String,
+                     indexDir: String, arrDir: String): org.apache.spark.sql.DataFrame =
+    Streams.withStreamShufflePartitions(spark) {
+      val indexBands = spark.read.parquet(indexDir)
+      val exArr = spark.read.parquet(arrDir)
+      val banded = minhashSigned(
+          Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1))
+        .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
+        .toDF("doc_id", "shs", "band_id", "band_hash")
+      val candidates = banded
+        .join(broadcast(indexBands), Seq("band_id", "band_hash"))
+        .select(col("doc_id"), col("ex_id"), col("shs"))
+        .dropDuplicates("doc_id", "ex_id")
+      val flagged = exArr
+        .join(broadcast(candidates), Seq("ex_id"))
+        .select(col("doc_id"),
+          size(col("shs")).as("n_b"), size(col("ex_shs")).as("n_a"),
+          size(array_intersect(col("shs"), col("ex_shs"))).as("n_inter"))
+        .filter(floor(col("n_inter") * 10000.0 /
+          (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
+        .select("doc_id")
+        .dropDuplicates("doc_id")
+      Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
+    }
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -965,68 +1059,13 @@ object StreamingQueries extends QueryPack {
       "st21_stream_dedup_gate",
       (spark, dir) => {
         // NEAR-DUP GATE ON INGEST — d12's incremental probe as a
-        // stream-static pipeline: the existing corpus's LSH band index
-        // and per-doc shingle arrays are STATIC artifacts (built once;
-        // the index-update loop between ingests is d12's batch job).
-        // Each micro-batch of incoming docs signs itself PER ROW with
-        // array_min over its own shingle array (zero state, zero
-        // exchange — st17's scan-speed argmin idea applied to MinHash),
-        // bands the signature, probes the broadcast index, and
-        // exact-Jaccard verifies each candidate ROW-LOCALLY via
-        // array_intersect against the static side's shingle array —
-        // no streaming aggregation anywhere, so the whole gate is
-        // stateless except the final once-per-doc emission dedup.
-        // (Batch verification explodes instead of moving arrays — d05's
-        // rule; the streaming gate makes the opposite trade to stay
-        // append-mode stateless, and only candidate rows pay it.)
-        // The oracle replays the FULL batch pipeline and selects
-        // cross-split verified pairs — the streamed gate must land on
-        // exactly that set.
-        import graft.dedup.DedupQueries
-        val docs = Tables(spark, dir).documents
-        val split = Tables.incrementalSplitId(docs, "doc_id")
-        val staged = Streams.dataDir("graft_docs_dedup_")
-        docs.filter(col("doc_id") >= split)
-          .repartition(2).write.mode("overwrite").parquet(staged)
-        Streams.withStreamShufflePartitions(spark) {
-          val sigCols = (0 until DedupQueries.numHashes).map { j =>
-            array_min(transform(col("shs"), s => DedupQueries.hashFn(j, s)))
-              .as(s"sig$j")
-          }
-          val bandArray = array(
-            concat_ws("|", col("sig0"), col("sig1")),
-            concat_ws("|", col("sig2"), col("sig3")),
-            concat_ws("|", col("sig4"), col("sig5")),
-            concat_ws("|", col("sig6"), col("sig7")))
-          def signed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
-            .select(col("doc_id"), DedupQueries.shingles(col("text")).as("shs"))
-            .select(col("doc_id") +: col("shs") +: sigCols: _*)
-          // static artifacts (parquet tables in production)
-          val existing = signed(docs.filter(col("doc_id") < split))
-            .localCheckpoint()
-          val indexBands = existing
-            .select(col("doc_id").as("ex_id"), posexplode(bandArray))
-            .toDF("ex_id", "band_id", "band_hash")
-          val exArr = existing
-            .select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
-          val banded = signed(
-              Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1))
-            .select(col("doc_id"), col("shs"), posexplode(bandArray))
-            .toDF("doc_id", "shs", "band_id", "band_hash")
-          val flagged = banded
-            .join(broadcast(indexBands), Seq("band_id", "band_hash"))
-            .select(col("doc_id"), col("ex_id"), col("shs"))
-            .dropDuplicates("doc_id", "ex_id")
-            .join(exArr, Seq("ex_id"))
-            .select(col("doc_id"),
-              size(col("shs")).as("n_b"), size(col("ex_shs")).as("n_a"),
-              size(array_intersect(col("shs"), col("ex_shs"))).as("n_inter"))
-            .filter(floor(col("n_inter") * 10000.0 /
-              (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
-            .select("doc_id")
-            .dropDuplicates("doc_id")
-          Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
-        }
+        // stream-static pipeline. See [[dedupGateArtifacts]] (the
+        // persisted batch-side artifacts) and [[dedupGateDrain]] (the
+        // gate itself); the oracle replays the FULL batch pipeline and
+        // selects cross-split verified pairs — the streamed gate must
+        // land on exactly that set.
+        val (staged, indexDir, arrDir) = dedupGateArtifacts(spark, dir)
+        dedupGateDrain(spark, staged, indexDir, arrDir)
       },
       Some(graft.dedup.DedupQueries.streamGateOracle),
       "North star/T: near-dup gate on ingest — per-row MinHash + static index probe ≡ batch d12 cross-split set"),
