@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
@@ -49,6 +50,16 @@ object Bench {
         // (r8: d08 12.1 s in-suite vs 2.6 s isolated from exactly this).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // Memory-sink temp views (streaming drains) pin every drained
+        // row in heap for the rest of the suite — 28 streaming queries
+        // × 2 passes of accumulated sinks turned into GC debt billed to
+        // whichever queries ran late (r10: st04 6.4 s in-suite vs 1.8 s
+        // isolated from exactly this). Drop each query's sinks in its
+        // own teardown so the rows are collectable immediately.
+        spark.catalog.listTables().filter(col("isTemporary"))
+          .select("name").collect().map(_.getString(0))
+          .filter(_.endsWith("_sink"))
+          .foreach(spark.catalog.dropTempView)
       }
       (System.nanoTime() - t0) / 1e9
     }
