@@ -172,9 +172,9 @@ object ProfilingQueries extends QueryPack {
       .orderBy("col_name")
   }
 
-  /** q84's oracle body, shared by q86/q87 (they re-check the same exact
-    * stats under different distinct tiers). */
-  private val ordersProfileSql =
+  /** q84's oracle body, shared by q86/q87/st29 (they re-check the same
+    * exact stats under different distinct tiers / update channels). */
+  private[graft] val ordersProfileSql =
     """WITH p AS (
       |  SELECT count(*) AS n_rows,
       |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
@@ -206,7 +206,31 @@ object ProfilingQueries extends QueryPack {
       |  UNION ALL
       |  SELECT 'o_orderpriority', n_rows, n_rows - pr_nn, pr_nd, pr_min, pr_max FROM p)""".stripMargin
 
-  private val ordersMoney = Set("o_totalprice")
+  private[graft] val ordersMoney = Set("o_totalprice")
+
+  /** Oracle for [[auditedMergedProfile]]-shaped reports (q86/st29). */
+  private[graft] val auditedProfileOracle: String =
+    """SELECT col_name, n_rows, n_null, min_repr, max_repr,
+      |  TRUE AS distinct_within_5pct
+      |FROM (""".stripMargin + ordersProfileSql.linesIterator
+      .map("  " + _).mkString("\n") + ")\nORDER BY col_name"
+
+  /** The q86/st29 report: fold partials to the q84 shape, then audit
+    * the HLL distinct estimate against the exact tier at ±5 %
+    * (lgK=14 → ~0.8 % rsd, >6σ — deterministically TRUE). The audit's
+    * full-scan exact pass is what a 100 TB deployment drops. */
+  private[graft] def auditedMergedProfile(parts: DataFrame,
+                                          full: DataFrame): DataFrame = {
+    val merged = mergedProfile(parts, full.schema, moneyCols = ordersMoney)
+    val exact = profile(full, moneyCols = ordersMoney)
+      .select(col("col_name"), col("n_distinct").as("nd_exact"))
+    merged.join(exact, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("min_repr"), col("max_repr"),
+        (abs(col("n_distinct_est") - col("nd_exact"))
+          <= col("nd_exact") * 0.05).as("distinct_within_5pct"))
+      .orderBy("col_name")
+  }
 
   val queries: Seq[GraftQuery] = Seq(
 
@@ -236,20 +260,9 @@ object ProfilingQueries extends QueryPack {
           .write.mode("overwrite").parquet(store)
         val parts = spark.read.parquet(store) // sketch bytes round-trip the artifact seam
           .unionByName(partialProfile(o.filter(col("o_orderkey") >= split)))
-        val merged = mergedProfile(parts, o.schema, moneyCols = ordersMoney)
-        val exact = profile(o, moneyCols = ordersMoney)
-          .select(col("col_name"), col("n_distinct").as("nd_exact"))
-        merged.join(exact, "col_name")
-          .select(col("col_name"), col("n_rows"), col("n_null"),
-            col("min_repr"), col("max_repr"),
-            (abs(col("n_distinct_est") - col("nd_exact"))
-              <= col("nd_exact") * 0.05).as("distinct_within_5pct"))
-          .orderBy("col_name")
+        auditedMergedProfile(parts, o)
       },
-      Some("""SELECT col_name, n_rows, n_null, min_repr, max_repr,
-             |  TRUE AS distinct_within_5pct
-             |FROM (""".stripMargin + ordersProfileSql.linesIterator
-               .map("  " + _).mkString("\n") + ")\nORDER BY col_name"),
+      Some(auditedProfileOracle),
       "North star: incremental profile — persisted mergeable partials fold to the full-rescan report, HLL distinct tier audited"),
 
     GraftQuery(

@@ -1244,6 +1244,46 @@ object StreamingQueries extends QueryPack {
       "K1+S-maintenance: streaming append then in-place compaction — live table stays batch-exact"),
 
     GraftQuery(
+      "st29_stream_profile",
+      (spark, dir) => {
+        // LIVE PROFILE MAINTENANCE — q86's streaming twin, completing
+        // the incremental-tier symmetry (d12→st21, d15→st26, q86→here):
+        // each micro-batch of arriving rows APPENDS its one-row
+        // mergeable partial (counts, native extrema, HLL sketches) to
+        // the persisted profile store — an O(1)-rows write per batch,
+        // no read-modify-write, no streaming state — and the live
+        // report is a fold over the stored partials. Exact stats must
+        // equal the full-rescan oracle; the HLL distinct tier carries
+        // its q86 audit. At 100 TB this is how a live corpus keeps a
+        // queryable profile: the store grows one ~100 KB row per
+        // ingest batch regardless of batch size, and a periodic
+        // compaction (mergedProfile re-written as one partial) bounds
+        // even that.
+        import graft.operators.ProfilingQueries
+        val o = Tables(spark, dir).orders
+        val staged = Streams.dataDir("graft_orders_stage_")
+        o.repartition(4).write.mode("overwrite").parquet(staged)
+        val store = Streams.dataDir("graft_profile_live_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st29_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty)
+                ProfilingQueries.partialProfile(b)
+                  .write.mode("append").parquet(store)
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        ProfilingQueries.auditedMergedProfile(spark.read.parquet(store), o)
+      },
+      Some(graft.operators.ProfilingQueries.auditedProfileOracle),
+      "North star/T: live profile maintenance — per-batch mergeable partial append, report = fold over the store (q86's streaming twin)"),
+
+    GraftQuery(
       "st26_stream_chunk_scrub",
       (spark, dir) => {
         // CHUNK-LEVEL SCRUB ON INGEST — d14's exact-substring signal as

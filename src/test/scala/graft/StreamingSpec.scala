@@ -110,6 +110,40 @@ class StreamingSpec extends SparkTestBase {
     assert(bc.exists(r => r(2).asInstanceOf[Long] > 0L))
   }
 
+  test("st29: live profile store accumulates one partial per micro-batch; fold equals one-shot profile") {
+    import graft.operators.ProfilingQueries._
+    val o = graft.core.Tables(spark, sfDir).orders
+    val staged = Streams.dataDir("graft_orders_spec_")
+    o.repartition(4).write.mode("overwrite").parquet(staged)
+    val store = Streams.dataDir("graft_profile_spec_")
+    Streams.withStreamShufflePartitions(spark) {
+      val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", Streams.scratchDir("graft_cp_st29s_"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) partialProfile(b).write.mode("append").parquet(store)
+          ()
+        }
+        .start()
+      assert(Streams.awaitDrained(q))
+      q.stop()
+    }
+    val parts = spark.read.parquet(store)
+    // the stream really contributed per-micro-batch partials, and each
+    // is one row — the O(1)-rows-per-batch write the design claims
+    assert(parts.count() >= 2, "expected one partial row per micro-batch")
+    assert(parts.agg(sum(col("__p_rows"))).head().getLong(0) === o.count())
+    val merged = mergedProfile(parts, o.schema, Set("o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val full = profile(o, Set("o_totalprice")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    full.keySet.foreach { c =>
+      assert(merged(c).getAs[Long]("n_rows") == full(c).getAs[Long]("n_rows"), c)
+      assert(merged(c).getAs[String]("min_repr") == full(c).getAs[String]("min_repr"), c)
+      assert(merged(c).getAs[String]("max_repr") == full(c).getAs[String]("max_repr"), c)
+    }
+  }
+
   test("T2: rate limiting produces multiple micro-batches") {
     val stream = Streams.eventsStream(spark, sfDir, maxFilesPerTrigger = 1)
       .select(col("event_id"))
