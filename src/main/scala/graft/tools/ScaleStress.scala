@@ -59,7 +59,8 @@ object ScaleStress {
     * bytes observed per scale; ScaleToolsSpec pins the exact
     * state-rows = key-count equalities at fixture scale. */
   val streamingQueryNames: Seq[String] =
-    Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate")
+    Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
+        "st26_stream_chunk_scrub")
 
   /** Captures per-run maxima of the state-store metrics from streaming
     * progress events. Progress delivery is async — [[awaitQuiesced]]

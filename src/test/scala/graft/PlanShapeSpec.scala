@@ -339,6 +339,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q84/q87: exact profile pays one Expand; approx profile is Expand-free") {
+    // The q87 scale claim, pinned: k exact count(DISTINCT) aggregates
+    // compile to an Expand (k× multiplication of pruned pairs in the
+    // shuffle) — unavoidable for exactness — while the approx tier's
+    // HLL++ sketches remove the Expand entirely, leaving a plain
+    // two-phase aggregation over one scan.
+    val o = graft.core.Tables(spark, sfDir).orders
+    val exact = graft.operators.ProfilingQueries
+      .profile(o, Set("o_totalprice"))
+    exact.collect()
+    val pe = exact.queryExecution.executedPlan.toString
+    assert(pe.contains("Expand"), s"exact profile lost its Expand shape:\n$pe")
+    val approx = graft.operators.ProfilingQueries
+      .profile(o, Set("o_totalprice"), approx = true)
+    approx.collect()
+    val pa = approx.queryExecution.executedPlan.toString
+    assert(!pa.contains("Expand"),
+      s"approx profile still plans an Expand — the 100 TB claim is false:\n$pa")
+    // the sketches still aggregate two-phase (map-side partials) — the
+    // shape that scales; the operator is SortAggregate because the HLL
+    // buffer is not a mutable-row type
+    assert(pa.contains("partial_approx_count_distinct"),
+      s"approx profile lost its map-side partial sketches:\n$pa")
+  }
+
   test("mm10: fire-struct kernel plans as one deliberate spread + map-only stage") {
     // AQE plans print Final AND Initial sections — count nodes in the
     // final one only (same split as the skew test)
