@@ -48,6 +48,8 @@ object PlanAudit {
     "d15_incremental_chunk_dedup" -> "incremental chunk dedup: stored-index hash anti-join, O(batch) text movement",
     "s19_ivf_rebalance" -> "IVF rebalance: broadcast centroids, linear (cid, pos) update — no vector×vector join",
     "q84_table_profile" -> "one-pass profile: single scan, one Expand of pruned (gid, value) pairs",
+    "q87_approx_profile" -> "approx profile tier: Expand-free, map-side partial HLL sketches (plus the exact audit pass)",
+    "q86_incremental_profile" -> "incremental profile: stored-partial scan + batch partial, fold is O(partials)",
     "q85_quality_constraints" -> "constraint report: one conditional agg + broadcast-key FK anti-join",
     "t22_shuffle_shard" -> "training-order shuffle-shard: ONE hash exchange + per-shard sort",
     "t23_corpus_drift" -> "drift monitor: one conditional agg per source, totals broadcast back")
