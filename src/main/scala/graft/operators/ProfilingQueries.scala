@@ -254,8 +254,9 @@ object ProfilingQueries extends QueryPack {
         // against a full-scan exact at ±5 % (lgK=14 → ~0.8 % rsd, >6σ)
         // — the audit pass is what the 100 TB deployment drops.
         val split = Tables.incrementalSplitId(o, "o_orderkey")
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_profile_store_").toString
+        // dataDir registers shutdown-hook deletion (a raw temp dir would
+        // strand one store per invocation across a bench's 400 runs)
+        val store = graft.streaming.Streams.dataDir("graft_profile_store_")
         partialProfile(o.filter(col("o_orderkey") < split))
           .write.mode("overwrite").parquet(store)
         val parts = spark.read.parquet(store) // sketch bytes round-trip the artifact seam
