@@ -140,6 +140,26 @@ object ProfilingQueries extends QueryPack {
     positional(df).agg(count(lit(1)).as("__p_rows"), aggs: _*)
   }
 
+  /** Fold any number of [[partialProfile]] rows into ONE equivalent
+    * partial row — the store-compaction step of the live profile
+    * (st29): counts add, native extrema fold, and the HLL sketches
+    * union to a SKETCH (not an estimate), so the output is itself a
+    * valid partial that [[mergedProfile]] or a later compaction can
+    * consume. A live store appends one row per ingest batch and
+    * periodically rewrites itself through this fold, keeping the store
+    * O(1) rows over any ingest history (spec-pinned: report over the
+    * compacted store ≡ report over the original partials). */
+  def compactPartials(parts: DataFrame, schema: StructType): DataFrame = {
+    val fields = schema.fields.toSeq
+    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (_, i) =>
+      Seq(sum(col(alias(i, "nn"))).as(alias(i, "nn")),
+          min(col(alias(i, "min"))).as(alias(i, "min")),
+          max(col(alias(i, "max"))).as(alias(i, "max")),
+          hll_union_agg(col(alias(i, "sk")), lit(true)).as(alias(i, "sk")))
+    }
+    parts.agg(sum(col("__p_rows")).as("__p_rows"), aggs: _*)
+  }
+
   /** Fold any number of [[partialProfile]] rows into the q84 report
     * shape: counts add, native min/max fold then render, HLL sketches
     * union → `n_distinct_est`. The fold's input is O(partials), never

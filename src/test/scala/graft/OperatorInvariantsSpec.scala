@@ -567,6 +567,16 @@ class OperatorInvariantsSpec extends SparkTestBase {
       val exact = full(c).getAs[Long]("n_distinct")
       assert(math.abs(est - exact) <= exact * 0.05, s"$c: est=$est exact=$exact")
     }
+    // store compaction: folding the partials into ONE partial row must
+    // leave the report unchanged — the O(1)-store rewrite st29 promises
+    val compacted = compactPartials(parts, o.schema)
+    assert(compacted.count() == 1, "compaction must yield one partial row")
+    val viaCompact = mergedProfile(compacted, o.schema, Set("o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    merged.keySet.foreach { c =>
+      assert(viaCompact(c).toSeq == merged(c).toSeq,
+        s"$c: report over compacted store diverges from original partials")
+    }
   }
 
   test("table profile agrees with directly-computed ground truth (q84)") {
