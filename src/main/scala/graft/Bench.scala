@@ -55,10 +55,11 @@ object Bench {
         // × 2 passes of accumulated sinks turned into GC debt billed to
         // whichever queries ran late (r10: st04 6.4 s in-suite vs 1.8 s
         // isolated from exactly this). Drop each query's sinks in its
-        // own teardown so the rows are collectable immediately.
-        spark.catalog.listTables().filter(col("isTemporary"))
-          .select("name").collect().map(_.getString(0))
-          .filter(_.endsWith("_sink"))
+        // own teardown so the rows are collectable immediately. The
+        // names come from the Streams registry every sink-creating site
+        // feeds — not a naming-convention scrape of the catalog, which
+        // a future non-"_sink" queryName would silently slip past.
+        graft.streaming.Streams.drainRegisteredMemorySinks()
           .foreach(spark.catalog.dropTempView)
       }
       (System.nanoTime() - t0) / 1e9

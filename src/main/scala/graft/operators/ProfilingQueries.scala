@@ -48,6 +48,34 @@ object ProfilingQueries extends QueryPack {
 
   private def alias(i: Int, kind: String) = s"__p_${i}_$kind"
 
+  /** Schema fingerprint carried by every partial row (md5 over the
+    * ordered name:dtype pairs). Partials are addressed POSITIONALLY, so
+    * if the profiled table's schema evolved between appended partials,
+    * parquet schema-union would null-fill the missing alias columns and
+    * the fold would silently skip them — a wrong report instead of a
+    * loud failure. [[mergedProfile]]/[[compactPartials]] require every
+    * stored partial to carry the fingerprint of the schema they are
+    * folding under. */
+  private[graft] def schemaHash(schema: StructType): String = {
+    val canon = schema.fields
+      .map(f => s"${f.name}:${f.dataType.catalogString}").mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Fail loudly if any stored partial row was produced under a schema
+    * other than `schema`. O(partials) — the store is O(ingest batches)
+    * rows by contract (and O(1) once compacted). */
+  private def requireUniformSchema(parts: DataFrame, schema: StructType): Unit = {
+    val expect = schemaHash(schema)
+    val seen = parts.select(col("__p_schema")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(seen.sameElements(Array(expect)),
+      s"profile partials carry schema fingerprint(s) ${seen.mkString(",")} " +
+        s"but the fold schema hashes to $expect — the profiled table's " +
+        "schema evolved between appended partials; rebuild the store")
+  }
+
   /** Positional input rename: source columns are addressed as
     * `__p_in_<i>`, so duplicate or dotted source names can never
     * collide or parse as nested-field paths. */
@@ -138,6 +166,7 @@ object ProfilingQueries extends QueryPack {
           hll_sketch_agg(c.cast(StringType), lit(14)).as(alias(i, "sk")))
     }
     positional(df).agg(count(lit(1)).as("__p_rows"), aggs: _*)
+      .withColumn("__p_schema", lit(schemaHash(df.schema)))
   }
 
   /** Fold any number of [[partialProfile]] rows into ONE equivalent
@@ -150,6 +179,7 @@ object ProfilingQueries extends QueryPack {
     * O(1) rows over any ingest history (spec-pinned: report over the
     * compacted store ≡ report over the original partials). */
   def compactPartials(parts: DataFrame, schema: StructType): DataFrame = {
+    requireUniformSchema(parts, schema)
     val fields = schema.fields.toSeq
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (_, i) =>
       Seq(sum(col(alias(i, "nn"))).as(alias(i, "nn")),
@@ -158,6 +188,23 @@ object ProfilingQueries extends QueryPack {
           hll_union_agg(col(alias(i, "sk")), lit(true)).as(alias(i, "sk")))
     }
     parts.agg(sum(col("__p_rows")).as("__p_rows"), aggs: _*)
+      .withColumn("__p_schema", lit(schemaHash(schema)))
+  }
+
+  /** Rewrite a persisted partial store in place through
+    * [[compactPartials]] — the periodic maintenance step of the live
+    * profile (st29 runs it inside its foreachBatch every few batches).
+    * The compacted result is ONE O(~100 KB) row by construction, so it
+    * is collected before the overwrite (a direct overwrite would read
+    * its own input); the rewrite keeps the store O(1) rows over any
+    * ingest history. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   store: String, schema: StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    val compacted = compactPartials(spark.read.parquet(store), schema)
+    val rows = compacted.collect().toSeq
+    spark.createDataFrame(rows.asJava, compacted.schema)
+      .coalesce(1).write.mode("overwrite").parquet(store)
   }
 
   /** Fold any number of [[partialProfile]] rows into the q84 report
@@ -167,6 +214,7 @@ object ProfilingQueries extends QueryPack {
     * profile: one stored partial per ingest batch, re-folded on read. */
   def mergedProfile(parts: DataFrame, schema: StructType,
                     moneyCols: Set[String] = Set.empty): DataFrame = {
+    requireUniformSchema(parts, schema)
     val fields = schema.fields.toSeq
     val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
       Seq(sum(col(alias(i, "nn"))).as(alias(i, "nn")),
@@ -190,6 +238,115 @@ object ProfilingQueries extends QueryPack {
         col("m.n_null").as("n_null"), col("m.n_distinct_est").as("n_distinct_est"),
         col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"))
       .orderBy("col_name")
+  }
+
+  /** Dtypes whose observed [min, max] is a meaningful suggested range
+    * constraint: numerics and time points. Strings are excluded — a
+    * lexicographic range over e.g. status codes asserts nothing a user
+    * would want; low-cardinality strings get a domain rule instead. */
+  private def rangeable(dt: DataType): Boolean = dt match {
+    case _: NumericType                              => true
+    case DateType | TimestampType | TimestampNTZType => true
+    case _                                           => false
+  }
+
+  /** CONSTRAINT SUGGESTION (q88) — the automated loop-closer between
+    * the profile (q84) and the constraint evaluator (q85), the Deequ
+    * ConstraintSuggestion shape engine-native: derive declarative
+    * rules FROM the stored corpus's profile output, then evaluate them
+    * against the new ingest batch and emit the q85-style report
+    * (constraint, n_checked, n_violations, passed).
+    *
+    * Rules, all DETERMINISTIC functions of the profile (so a SQL
+    * oracle replays suggestion AND evaluation):
+    *   - `not_null:c`  — suggested when train has zero nulls in c;
+    *     violations = eval nulls.
+    *   - `unique:c`    — suggested when train n_distinct = n_rows;
+    *     violations = eval non-null duplicates (count - countDistinct).
+    *   - `range:c`     — numeric/date/timestamp c with ≥1 train value;
+    *     violations = eval values outside train's native [min, max]
+    *     (native comparison — no repr round-trip, no FP arithmetic).
+    *   - `domain:c`    — string c with 1 ≤ n_distinct ≤ `maxDomain`;
+    *     violations = eval values not in train's distinct value set.
+    *
+    * Scale shape: suggestion is one q84 profile pass + ONE grouped
+    * scan for the domain value lists + one tiny extrema agg (all over
+    * the stored corpus, offline); evaluation is ONE conditional
+    * aggregate over the ingest batch with the single-row bounds
+    * cross-joined broadcast and the ≤ maxDomain·|string cols| domain
+    * values as literals. Nothing joins row-to-row. */
+  def suggestedConstraintReport(train: DataFrame, eval: DataFrame,
+                                maxDomain: Int = 8): DataFrame = {
+    val fields = train.schema.fields.toSeq
+    require(fields.map(_.name).distinct.size == fields.size,
+      "constraint suggestion addresses columns by name — names must be unique")
+    val prof = profile(train).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    case class Rule(kind: String, name: String, dt: DataType)
+    val rules: Seq[Rule] = fields.flatMap { f =>
+      if (!statable(f.dataType)) Seq.empty
+      else {
+        val p = prof(f.name)
+        val n = p.getAs[Long]("n_rows")
+        val nNull = p.getAs[Long]("n_null")
+        val nd = p.getAs[Long]("n_distinct")
+        Seq(
+          if (nNull == 0 && n > 0) Some(Rule("not_null", f.name, f.dataType)) else None,
+          if (nd == n && n > 0) Some(Rule("unique", f.name, f.dataType)) else None,
+          if (rangeable(f.dataType) && nNull < n)
+            Some(Rule("range", f.name, f.dataType)) else None,
+          if (f.dataType == StringType && nd >= 1 && nd <= maxDomain)
+            Some(Rule("domain", f.name, f.dataType)) else None
+        ).flatten
+      }
+    }
+    // domain value lists: one grouped scan over train for ALL domain
+    // columns together (≤ maxDomain values each by the guard)
+    val domCols = rules.filter(_.kind == "domain").map(_.name)
+    val domVals: Map[String, Seq[String]] =
+      if (domCols.isEmpty) Map.empty
+      else train
+        .select(explode(array(domCols.map(c =>
+          struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("s"))
+        .select(col("s.cn").as("cn"), col("s.v").as("v"))
+        .filter(col("v").isNotNull).distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    // native train extrema for the range rules: one tiny agg, emitted
+    // as a single row and cross-joined broadcast into the evaluation —
+    // bounds never round-trip through a string repr or a driver literal
+    val rangeRules = rules.filter(_.kind == "range")
+    val boundsAggs = rangeRules.flatMap(r =>
+      Seq(min(col(r.name)).as(s"__lo_${r.name}"),
+          max(col(r.name)).as(s"__hi_${r.name}")))
+    val evalIn =
+      if (rangeRules.isEmpty) eval
+      else eval.crossJoin(broadcast(train.agg(boundsAggs.head, boundsAggs.tail: _*)))
+    // ONE conditional aggregate evaluates every suggested rule
+    def vAlias(r: Rule) = s"__v_${r.kind}_${r.name}"
+    val vAggs: Seq[Column] = rules.map { r =>
+      val c = col(r.name)
+      (r.kind match {
+        case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
+        case "unique"   => count(c) - countDistinct(c)
+        case "range"    => sum(when(c.isNotNull &&
+          (c < col(s"__lo_${r.name}") || c > col(s"__hi_${r.name}")), 1L)
+          .otherwise(0L))
+        case "domain"   => sum(when(c.isNotNull &&
+          !c.isin(domVals(r.name): _*), 1L).otherwise(0L))
+      }).as(vAlias(r))
+    }
+    evalIn.agg(count(lit(1)).as("__n"), vAggs: _*)
+      .select(explode(array(rules.map { r =>
+        struct(lit(s"${r.kind}:${r.name}").as("constraint"),
+          col("__n").as("n_checked"),
+          coalesce(col(vAlias(r)), lit(0L)).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.constraint").as("constraint"),
+        col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        (col("r.n_violations") === 0L).as("passed"))
+      .orderBy("constraint")
   }
 
   /** q84's oracle body, shared by q86/q87/st29 (they re-check the same
@@ -310,6 +467,84 @@ object ProfilingQueries extends QueryPack {
              |FROM (""".stripMargin + ordersProfileSql.linesIterator
                .map("  " + _).mkString("\n") + ")\nORDER BY col_name"),
       "North star: approx profile tier — HLL++ distincts, Expand-free one-pass, error bound oracle-checked"),
+
+    GraftQuery(
+      "q88_constraint_suggestion",
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        // The automated form of the dashboards' ad-hoc sanity SQL
+        // (VEHICLE_COUNTING_GUIDE.md:84-96), closing the observability
+        // loop Deequ-style: the STORED corpus's profile suggests the
+        // rules (not_null/unique/range/domain — deterministic functions
+        // of q84's output), and the NEW ingest batch is what gets
+        // evaluated — so the report is a real gate, not a tautology
+        // (range:o_orderkey fails by construction: every new key lies
+        // above the stored corpus's max, exactly the drift a bounds
+        // rule is for).
+        val split = Tables.incrementalSplitId(o, "o_orderkey")
+        suggestedConstraintReport(
+          o.filter(col("o_orderkey") < split),
+          o.filter(col("o_orderkey") >= split))
+      },
+      Some("""WITH split AS (
+             |  SELECT CAST(floor(max(o_orderkey) * 0.8) AS BIGINT) AS sv FROM orders),
+             |tr AS (SELECT * FROM orders WHERE o_orderkey < (SELECT sv FROM split)),
+             |ev AS (SELECT * FROM orders WHERE o_orderkey >= (SELECT sv FROM split)),
+             |tp AS (
+             |  SELECT count(*) AS n,
+             |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+             |      min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+             |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+             |      min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+             |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+             |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
+             |      min(o_totalprice) AS t_lo, max(o_totalprice) AS t_hi,
+             |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+             |      min(o_orderdate) AS d_lo, max(o_orderdate) AS d_hi,
+             |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
+             |  FROM tr),
+             |em AS (
+             |  SELECT count(*) AS n,
+             |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+             |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+             |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+             |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
+             |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+             |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
+             |  FROM ev),
+             |rv AS (
+             |  SELECT
+             |    CAST(coalesce(sum(CASE WHEN e.o_orderkey IS NOT NULL AND (e.o_orderkey < t.k_lo OR e.o_orderkey > t.k_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_rv,
+             |    CAST(coalesce(sum(CASE WHEN e.o_custkey IS NOT NULL AND (e.o_custkey < t.c_lo OR e.o_custkey > t.c_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_rv,
+             |    CAST(coalesce(sum(CASE WHEN e.o_totalprice IS NOT NULL AND (e.o_totalprice < t.t_lo OR e.o_totalprice > t.t_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_rv,
+             |    CAST(coalesce(sum(CASE WHEN e.o_orderdate IS NOT NULL AND (e.o_orderdate < t.d_lo OR e.o_orderdate > t.d_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_rv
+             |  FROM ev e CROSS JOIN tp t),
+             |dv AS (
+             |  SELECT
+             |    CAST(coalesce(sum(CASE WHEN e.o_orderstatus IS NOT NULL AND e.o_orderstatus NOT IN (SELECT o_orderstatus FROM tr WHERE o_orderstatus IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_dv,
+             |    CAST(coalesce(sum(CASE WHEN e.o_orderpriority IS NOT NULL AND e.o_orderpriority NOT IN (SELECT o_orderpriority FROM tr WHERE o_orderpriority IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_dv
+             |  FROM ev e)
+             |SELECT "constraint", n_checked, n_violations, n_violations = 0 AS passed FROM (
+             |  SELECT 'not_null:o_orderkey' AS "constraint", em.n AS n_checked, CAST(em.n - em.k_nn AS BIGINT) AS n_violations FROM em, tp WHERE tp.k_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'not_null:o_custkey', em.n, CAST(em.n - em.c_nn AS BIGINT) FROM em, tp WHERE tp.c_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'not_null:o_orderstatus', em.n, CAST(em.n - em.s_nn AS BIGINT) FROM em, tp WHERE tp.s_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'not_null:o_totalprice', em.n, CAST(em.n - em.t_nn AS BIGINT) FROM em, tp WHERE tp.t_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'not_null:o_orderdate', em.n, CAST(em.n - em.d_nn AS BIGINT) FROM em, tp WHERE tp.d_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'not_null:o_orderpriority', em.n, CAST(em.n - em.p_nn AS BIGINT) FROM em, tp WHERE tp.p_nn = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_orderkey', em.n, CAST(em.k_nn - em.k_nd AS BIGINT) FROM em, tp WHERE tp.k_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_custkey', em.n, CAST(em.c_nn - em.c_nd AS BIGINT) FROM em, tp WHERE tp.c_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_orderstatus', em.n, CAST(em.s_nn - em.s_nd AS BIGINT) FROM em, tp WHERE tp.s_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_totalprice', em.n, CAST(em.t_nn - em.t_nd AS BIGINT) FROM em, tp WHERE tp.t_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_orderdate', em.n, CAST(em.d_nn - em.d_nd AS BIGINT) FROM em, tp WHERE tp.d_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'unique:o_orderpriority', em.n, CAST(em.p_nn - em.p_nd AS BIGINT) FROM em, tp WHERE tp.p_nd = tp.n AND tp.n > 0
+             |  UNION ALL SELECT 'range:o_orderkey', em.n, rv.k_rv FROM em, tp, rv WHERE tp.k_nn > 0
+             |  UNION ALL SELECT 'range:o_custkey', em.n, rv.c_rv FROM em, tp, rv WHERE tp.c_nn > 0
+             |  UNION ALL SELECT 'range:o_totalprice', em.n, rv.t_rv FROM em, tp, rv WHERE tp.t_nn > 0
+             |  UNION ALL SELECT 'range:o_orderdate', em.n, rv.d_rv FROM em, tp, rv WHERE tp.d_nn > 0
+             |  UNION ALL SELECT 'domain:o_orderstatus', em.n, dv.s_dv FROM em, tp, dv WHERE tp.s_nd BETWEEN 1 AND 8
+             |  UNION ALL SELECT 'domain:o_orderpriority', em.n, dv.p_dv FROM em, tp, dv WHERE tp.p_nd BETWEEN 1 AND 8)
+             |ORDER BY "constraint"""".stripMargin),
+      "North star: constraint suggestion — profile-derived rules from the stored corpus, evaluated against the new ingest batch"),
 
     GraftQuery(
       "q85_quality_constraints",

@@ -18,6 +18,25 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingQueries extends QueryPack {
 
+  /** Conservative in-memory estimate of a persisted parquet artifact's
+    * broadcast footprint. On-disk parquet bytes are dictionary+snappy
+    * compressed; re-materialized as a driver-collected Scala Set (or a
+    * broadcast hash relation) the same strings expand several-fold —
+    * JVM object headers, 2-byte chars, hash-table load factor — so
+    * comparing raw disk bytes against a memory budget under-estimates
+    * and an index "just under the threshold" could pressure the
+    * driver. ×8 is deliberately pessimistic: past-threshold the only
+    * cost is switching to the stored-index join path, which is
+    * output-identical (spec-pinned) and scale-safe. */
+  private[streaming] val ParquetExpansionFactor = 8L
+
+  private[streaming] def estBroadcastBytes(dir: String): Long = {
+    val f = new java.io.File(dir)
+    val disk =
+      if (f.exists()) f.listFiles().filter(_.isFile).map(_.length()).sum else 0L
+    disk * ParquetExpansionFactor
+  }
+
   /** st26's STATIC artifacts, persisted and session-cached per source
     * dir (the stageEvents/dedupGateArtifacts pattern): the staged
     * batch-doc topic and the existing corpus's distinct chunk index.
@@ -73,8 +92,9 @@ object StreamingQueries extends QueryPack {
   }
 
   /** st26 scrub over a staged doc stream against a PERSISTED chunk
-    * index, choosing the probe form by the index artifact's on-disk
-    * size:
+    * index, choosing the probe form by the index artifact's ESTIMATED
+    * IN-MEMORY size ([[estBroadcastBytes]] — on-disk bytes × a
+    * conservative decompression/JVM expansion factor):
     *   - index ≤ `broadcastMaxBytes` → in-memory broadcast set, pure
     *     per-row map (zero streaming exchange — the fixture-scale and
     *     small-index production path);
@@ -93,10 +113,7 @@ object StreamingQueries extends QueryPack {
                        indexDir: String, sinkName: String,
                        broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame = {
     import graft.dedup.DedupQueries
-    val indexBytes = {
-      val fs = new java.io.File(indexDir)
-      if (fs.exists()) fs.listFiles().filter(_.isFile).map(_.length()).sum else 0L
-    }
+    val indexBytes = estBroadcastBytes(indexDir)
     val chunked = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), DedupQueries.chunkArray(col("ws")).as("chunks"))
@@ -189,41 +206,123 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** The st21 gate kernel, shared VERBATIM by both index-probe forms so
+    * they cannot drift: band-probe the index for candidates, then
+    * exact-Jaccard verify each candidate against the stored shingle
+    * table — candidates BROADCAST (they are micro-batch-sized in both
+    * forms) so the stored table is scanned, never shuffled (the
+    * candidates.join(exArr) shape shuffled the entire corpus's arrays
+    * every micro-batch — ScaleStress measured it super-linear).
+    * `idx` arrives already hinted: broadcast(indexBands) on the
+    * small-index path, the bare parquet relation on the stored-index
+    * path. */
+  private def dedupGateFlagged(banded: org.apache.spark.sql.DataFrame,
+                               idx: org.apache.spark.sql.DataFrame,
+                               exArr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val candidates = banded
+      .join(idx, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("ex_id"), col("shs"))
+      .dropDuplicates("doc_id", "ex_id")
+    exArr
+      .join(broadcast(candidates), Seq("ex_id"))
+      .select(col("doc_id"),
+        size(col("shs")).as("n_b"), size(col("ex_shs")).as("n_a"),
+        size(array_intersect(col("shs"), col("ex_shs"))).as("n_inter"))
+      .filter(floor(col("n_inter") * 10000.0 /
+        (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
+  /** Per-row MinHash sign + band of a doc relation (stream or batch). */
+  private def dedupGateBanded(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashSigned(docs)
+      .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
+      .toDF("doc_id", "shs", "band_id", "band_hash")
+
   /** The st21 gate: each micro-batch of incoming docs signs itself PER
-    * ROW, bands the signature, probes the broadcast band index, and
-    * exact-Jaccard verifies each candidate against the stored shingle
-    * table — candidates BROADCAST so the stored table is scanned, never
-    * shuffled (the candidates.join(exArr) shape shuffled the entire
-    * corpus's arrays every micro-batch — ScaleStress measured it
-    * super-linear). No streaming aggregation anywhere; the only state
-    * is the once-per-(pair|doc) emission dedup, sized by near-dup
-    * density (ScaleToolsSpec pins state rows = candidate pairs). At
-    * 100 TB the band index swaps broadcast for the st26-style
-    * thresholded join, and a bucketed-by-id shingle table (src05)
-    * turns the verify scan into an indexed probe. */
+    * ROW, bands the signature, probes the band index for candidates,
+    * and exact-Jaccard verifies against the stored shingle table
+    * ([[dedupGateFlagged]] — one kernel, both paths). The index-probe
+    * form is chosen by the index artifact's estimated in-memory size
+    * ([[estBroadcastBytes]], the st26 discipline):
+    *   - ≤ `broadcastMaxBytes` → the index is BROADCAST into a
+    *     stream-static join; the only streaming state is the
+    *     once-per-(pair|doc) emission dedup, sized by near-dup density
+    *     (ScaleToolsSpec pins state rows = candidate pairs);
+    *   - larger → per-batch STORED-INDEX join inside foreachBatch (the
+    *     d12 probe shape): each micro-batch's banded rows join the
+    *     persisted index relation, so the ~O(corpus) index never
+    *     materializes on any single executor or rebroadcasts per
+    *     batch. Zero streaming state — each doc lives in exactly one
+    *     micro-batch, so the within-batch emission dedup is complete.
+    * Both forms are spec-pinned identical on the same staged corpus.
+    * At 100 TB a bucketed-by-(band_id, band_hash) index layout (src05)
+    * turns the per-batch join's index side into a pruned probe. */
   def dedupGateDrain(spark: org.apache.spark.sql.SparkSession, staged: String,
-                     indexDir: String, arrDir: String): org.apache.spark.sql.DataFrame =
+                     indexDir: String, arrDir: String,
+                     broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame =
     Streams.withStreamShufflePartitions(spark) {
-      val indexBands = spark.read.parquet(indexDir)
       val exArr = spark.read.parquet(arrDir)
-      val banded = minhashSigned(
-          Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1))
-        .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
-        .toDF("doc_id", "shs", "band_id", "band_hash")
-      val candidates = banded
-        .join(broadcast(indexBands), Seq("band_id", "band_hash"))
-        .select(col("doc_id"), col("ex_id"), col("shs"))
-        .dropDuplicates("doc_id", "ex_id")
-      val flagged = exArr
-        .join(broadcast(candidates), Seq("ex_id"))
-        .select(col("doc_id"),
-          size(col("shs")).as("n_b"), size(col("ex_shs")).as("n_a"),
-          size(array_intersect(col("shs"), col("ex_shs"))).as("n_inter"))
-        .filter(floor(col("n_inter") * 10000.0 /
-          (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
-        .select("doc_id")
-        .dropDuplicates("doc_id")
-      Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
+      val stream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+      if (estBroadcastBytes(indexDir) <= broadcastMaxBytes) {
+        val flagged = dedupGateFlagged(dedupGateBanded(stream),
+          broadcast(spark.read.parquet(indexDir)), exArr)
+        Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
+      } else {
+        val outDir = Streams.dataDir("graft_dedupgate_out_")
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", Streams.scratchDir("graft_cp_st21_join"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            dedupGateFlagged(dedupGateBanded(b),
+              spark.read.parquet(indexDir), exArr)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .start()
+        Streams.awaitDrained(q)
+        q.stop()
+        spark.read.parquet(outDir)
+      }
+    }
+
+  /** st29's drain: each micro-batch appends its one-row mergeable
+    * partial ([[graft.operators.ProfilingQueries.partialProfile]]) to
+    * the persisted store, and every `compactEvery` non-empty batches
+    * the store is rewritten in place through
+    * [[graft.operators.ProfilingQueries.compactStore]] — the periodic
+    * compaction that bounds the store to O(1) rows over any ingest
+    * history (never more than `compactEvery` rows at any instant;
+    * spec-pinned report-identical to the uncompacted run).
+    * `compactEvery = 0` disables compaction (the spec's control arm).
+    * `onBatch` is a test seam: called after each non-empty batch with
+    * (batches-so-far, store row count at that instant). */
+  def liveProfileDrain(spark: org.apache.spark.sql.SparkSession,
+                       staged: String, store: String,
+                       schema: org.apache.spark.sql.types.StructType,
+                       compactEvery: Int = 0,
+                       onBatch: Option[(Int, Long) => Unit] = None): Unit =
+    Streams.withStreamShufflePartitions(spark) {
+      import graft.operators.ProfilingQueries
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", Streams.scratchDir("graft_cp_st29_"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            ProfilingQueries.partialProfile(b)
+              .write.mode("append").parquet(store)
+            val n = seen.incrementAndGet()
+            if (compactEvery > 0 && n % compactEvery == 0)
+              ProfilingQueries.compactStore(spark, store, schema)
+            onBatch.foreach(f => f(n, spark.read.parquet(store).count()))
+          }
+          ()
+        }
+        .start()
+      Streams.awaitDrained(q)
+      q.stop()
     }
 
   val queries: Seq[GraftQuery] = Seq(
@@ -353,6 +452,7 @@ object StreamingQueries extends QueryPack {
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 day"), col("event_type"))
           .agg(count(lit(1)).as("n_events"))
+        Streams.registerMemorySink("st05_sink")
         val cp = Streams.scratchDir("graft_cp_st05")
         val q = agg.writeStream
           .outputMode("append")
@@ -409,6 +509,7 @@ object StreamingQueries extends QueryPack {
             col("p_user") === col("c_user") &&
               col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
               col("c_ts") <= col("p_ts"))
+          Streams.registerMemorySink("st06_sink")
           val cp = Streams.scratchDir("graft_cp_st06")
           val q = joined.writeStream
             .outputMode("append")
@@ -692,6 +793,7 @@ object StreamingQueries extends QueryPack {
               col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
               col("c_ts") <= col("p_ts"),
             "leftOuter")
+          Streams.registerMemorySink("st14_sink")
           val cp = Streams.scratchDir("graft_cp_st14")
           val q = joined.writeStream
             .outputMode("append")
@@ -1286,28 +1388,19 @@ object StreamingQueries extends QueryPack {
         // equal the full-rescan oracle; the HLL distinct tier carries
         // its q86 audit. At 100 TB this is how a live corpus keeps a
         // queryable profile: the store grows one ~100 KB row per
-        // ingest batch regardless of batch size, and a periodic
-        // compaction (mergedProfile re-written as one partial) bounds
-        // even that.
+        // ingest batch regardless of batch size, and the in-loop
+        // periodic compaction (every 3rd batch the store is rewritten
+        // through compactStore as ONE equivalent partial) bounds even
+        // that — the store never holds more than 3 rows at any
+        // instant, over any ingest history (spec-pinned
+        // report-identical to an uncompacted run, with the mid-stream
+        // row-count bound asserted).
         import graft.operators.ProfilingQueries
         val o = Tables(spark, dir).orders
         val staged = Streams.dataDir("graft_orders_stage_")
         o.repartition(4).write.mode("overwrite").parquet(staged)
         val store = Streams.dataDir("graft_profile_live_")
-        Streams.withStreamShufflePartitions(spark) {
-          val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-            .writeStream.outputMode("append")
-            .option("checkpointLocation", Streams.scratchDir("graft_cp_st29_"))
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              if (!b.isEmpty)
-                ProfilingQueries.partialProfile(b)
-                  .write.mode("append").parquet(store)
-              ()
-            }
-            .start()
-          Streams.awaitDrained(q)
-          q.stop()
-        }
+        liveProfileDrain(spark, staged, store, o.schema, compactEvery = 3)
         ProfilingQueries.auditedMergedProfile(spark.read.parquet(store), o)
       },
       Some(graft.operators.ProfilingQueries.auditedProfileOracle),

@@ -39,6 +39,28 @@ object Streams {
     }
   }
 
+  /** Registry of memory-sink temp view names created by streaming
+    * drains. Memory sinks pin every drained row in heap until their
+    * temp view is dropped; a long bench suite that never drops them
+    * bills the accumulated GC debt to whichever queries run late.
+    * Every sink-creating site registers here, so teardown
+    * ([[drainRegisteredMemorySinks]]) cannot be defeated by a sink
+    * name that misses a naming convention. */
+  private val memorySinks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def registerMemorySink(name: String): Unit =
+    memorySinks.add(name)
+
+  /** Snapshot-and-clear the registered memory-sink names (the caller
+    * drops the temp views). */
+  private[graft] def drainRegisteredMemorySinks(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val names = memorySinks.asScala.toSeq
+    names.foreach(memorySinks.remove)
+    names
+  }
+
   def scratchDir(prefix: String): String = {
     val d = scratchRoot.map(r => Files.createTempDirectory(r, prefix))
       .getOrElse(Files.createTempDirectory(prefix))
@@ -191,6 +213,7 @@ object Streams {
                                availableNow: Boolean): DataFrame = {
     val spark = df.sparkSession
     val cp = scratchDir(s"graft_cp_$name")
+    registerMemorySink(name)
     val q = df.writeStream
       .outputMode(outputMode)
       .format("memory")

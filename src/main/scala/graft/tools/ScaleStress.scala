@@ -219,6 +219,12 @@ object ScaleStress {
         // pattern) — in production those are already-landed topics and
         // batch-job outputs, so the timed second run measures the DRAIN.
         timeOne(spark, n, d)
+        // Quiesce the UNTIMED run before reset(): listener-bus delivery
+        // is async, so its QueryTerminated event can otherwise land
+        // after reset() and inflate `terminated` — awaitQuiesced() would
+        // then return before the timed run's final progress event
+        // arrives, silently under-reporting maxStateRows/Bytes.
+        listener.awaitQuiesced()
         listener.reset()
         val sec = timeOne(spark, n, d)
         listener.awaitQuiesced()

@@ -110,24 +110,33 @@ class StreamingSpec extends SparkTestBase {
     assert(bc.exists(r => r(2).asInstanceOf[Long] > 0L))
   }
 
+  test("st21: broadcast and stored-index-join gate forms are identical (past-broadcast fallback)") {
+    import graft.streaming.StreamingQueries
+    val (staged, indexDir, arrDir) =
+      StreamingQueries.dedupGateArtifacts(spark, sfDir)
+    // threshold forced to each extreme selects each path over the SAME
+    // staged corpus and index artifacts
+    val bc = StreamingQueries
+      .dedupGateDrain(spark, staged, indexDir, arrDir,
+        broadcastMaxBytes = Long.MaxValue)
+      .collect().map(_.getLong(0)).toSet
+    val jn = StreamingQueries
+      .dedupGateDrain(spark, staged, indexDir, arrDir,
+        broadcastMaxBytes = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(bc.nonEmpty, "gate flagged no docs — fixture exercises nothing")
+    assert(bc === jn, "stored-index-join gate diverges from broadcast form")
+  }
+
   test("st29: live profile store accumulates one partial per micro-batch; fold equals one-shot profile") {
     import graft.operators.ProfilingQueries._
     val o = graft.core.Tables(spark, sfDir).orders
     val staged = Streams.dataDir("graft_orders_spec_")
     o.repartition(4).write.mode("overwrite").parquet(staged)
+    import graft.streaming.StreamingQueries
+    // control arm: no compaction — one partial row per micro-batch
     val store = Streams.dataDir("graft_profile_spec_")
-    Streams.withStreamShufflePartitions(spark) {
-      val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", Streams.scratchDir("graft_cp_st29s_"))
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!b.isEmpty) partialProfile(b).write.mode("append").parquet(store)
-          ()
-        }
-        .start()
-      assert(Streams.awaitDrained(q))
-      q.stop()
-    }
+    StreamingQueries.liveProfileDrain(spark, staged, store, o.schema)
     val parts = spark.read.parquet(store)
     // the stream really contributed per-micro-batch partials, and each
     // is one row — the O(1)-rows-per-batch write the design claims
@@ -141,6 +150,29 @@ class StreamingSpec extends SparkTestBase {
       assert(merged(c).getAs[Long]("n_rows") == full(c).getAs[Long]("n_rows"), c)
       assert(merged(c).getAs[String]("min_repr") == full(c).getAs[String]("min_repr"), c)
       assert(merged(c).getAs[String]("max_repr") == full(c).getAs[String]("max_repr"), c)
+    }
+    // compacting arm over the SAME staged ingest: every 3rd batch the
+    // loop rewrites the store through compactStore, so the store's row
+    // count is bounded at 3 AT EVERY MID-STREAM INSTANT (observed via
+    // the onBatch seam, not just at the end), compaction demonstrably
+    // ran (some observation returned to 1 row after batch 3), and the
+    // final report is identical to the uncompacted control arm.
+    val storeC = Streams.dataDir("graft_profile_spec_c_")
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    StreamingQueries.liveProfileDrain(spark, staged, storeC, o.schema,
+      compactEvery = 3,
+      onBatch = Some((n, rows) => observed.synchronized { observed += ((n, rows)) }))
+    assert(observed.size >= 4, "expected at least 4 micro-batches")
+    observed.foreach { case (n, rows) =>
+      assert(rows <= 3L, s"store held $rows rows after batch $n — compaction bound broken")
+    }
+    assert(observed.exists { case (n, rows) => n >= 3 && rows == 1L },
+      "no observation shows the store compacted back to one row")
+    val mergedC = mergedProfile(spark.read.parquet(storeC), o.schema, Set("o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    full.keySet.foreach { c =>
+      assert(mergedC(c).toSeq == merged(c).toSeq,
+        s"$c: compacted-store report diverges from uncompacted run")
     }
   }
 
