@@ -94,6 +94,95 @@ object QualityQueries extends QueryPack {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** t23/st30 shared report kernel: fold per-source old/new counts
+    * (docs, tokens, Gopher passes) into the drift report — shares,
+    * tokens/doc, pass rates, and the |Δshare| > 5 pp flag, all integer
+    * fixed-point with -1 sentinels where a side is empty. t23 feeds it
+    * from one batch corpus pass; st30 feeds the SAME fold from the
+    * stored-corpus baseline plus streamed per-batch partials, so the
+    * batch monitor and the live monitor cannot disagree on semantics.
+    * `per` must carry (source, n_old, n_new, tok_old, tok_new,
+    * pass_old, pass_new). */
+  private[graft] def driftReport(per: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = per.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    def safeE4(num: Column, den: Column): Column =
+      when(den > 0, e4(num / den)).otherwise(lit(-1L))
+    def safeE2(num: Column, den: Column): Column =
+      when(den > 0, floor(num / den * 100 + 0.5).cast(LongType)).otherwise(lit(-1L))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_old"), col("n_new"),
+        safeE4(col("n_old"), col("t_old")).as("share_old_e4"),
+        safeE4(col("n_new"), col("t_new")).as("share_new_e4"),
+        safeE2(col("tok_old"), col("n_old")).as("toks_doc_old_e2"),
+        safeE2(col("tok_new"), col("n_new")).as("toks_doc_new_e2"),
+        safeE4(col("pass_old"), col("n_old")).as("pass_old_e4"),
+        safeE4(col("pass_new"), col("n_new")).as("pass_new_e4"))
+      .withColumn("share_drift",
+        abs(col("share_new_e4") - col("share_old_e4")) > 500 &&
+          col("share_old_e4") >= 0 && col("share_new_e4") >= 0)
+      .orderBy("source")
+  }
+
+  /** Per-source drift COUNTS of a doc slice — the mergeable unit both
+    * monitor tiers aggregate: (n, toks, pass) per source, suffixed
+    * `_old`/`_new` to feed [[driftReport]]'s respective side. One
+    * conditional-aggregate pass; the SHARED [[gopherKeep]] gate. */
+  private[graft] def driftCounts(docs: org.apache.spark.sql.DataFrame,
+                                 side: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+        gopherKeep.as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as(s"n_$side"),
+        sum(col("n_toks")).as(s"tok_$side"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as(s"pass_$side"))
+
+  /** t23/st30 shared oracle: the full-corpus SQL replay of the drift
+    * report — the streamed monitor must land on exactly this table. */
+  private[graft] val corpusDriftOracle: String =
+    """WITH s AS (
+               |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS sv FROM documents),
+               |g AS (
+               |  SELECT source, doc_id >= (SELECT sv FROM s) AS is_new,
+               |    n_words AS n_toks,
+               |    (n_words >= 50 AND n_words <= 100000
+               |     AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
+               |     AND n_uniq * 5 >= n_words AND n_stop >= 2) AS keep
+               |  FROM (
+               |    SELECT source, doc_id,
+               |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               |      CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+               |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+               |      CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+               |         + (length(t) - length(replace(t, ' a ', ''))) / 3
+               |         + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+               |    FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))),
+               |per AS (
+               |  SELECT source,
+               |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+               |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               |    CAST(sum(CASE WHEN NOT is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_old,
+               |    CAST(sum(CASE WHEN is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_new,
+               |    CAST(sum(CASE WHEN NOT is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_old,
+               |    CAST(sum(CASE WHEN is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_new
+               |  FROM g GROUP BY source),
+               |tot AS (
+               |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+               |         CAST(sum(n_new) AS BIGINT) AS t_new FROM per)
+               |SELECT source, n_old, n_new,
+               |  CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_old_e4,
+               |  CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_new_e4,
+               |  CASE WHEN n_old > 0 THEN CAST(floor(tok_old * 1.0 / n_old * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_old_e2,
+               |  CASE WHEN n_new > 0 THEN CAST(floor(tok_new * 1.0 / n_new * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_new_e2,
+               |  CASE WHEN n_old > 0 THEN CAST(floor(pass_old * 1.0 / n_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_old_e4,
+               |  CASE WHEN n_new > 0 THEN CAST(floor(pass_new * 1.0 / n_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_new_e4,
+               |  (abs((CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END)
+               |     - (CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END)) > 500
+               |   AND t_old > 0 AND t_new > 0) AS share_drift
+               |FROM per CROSS JOIN tot
+               |ORDER BY source""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -588,65 +677,9 @@ object QualityQueries extends QueryPack {
             sum(when(col("is_new"), col("n_toks")).otherwise(0L)).as("tok_new"),
             sum(when(!col("is_new") && col("keep"), 1L).otherwise(0L)).as("pass_old"),
             sum(when(col("is_new") && col("keep"), 1L).otherwise(0L)).as("pass_new"))
-        val tot = per.agg(sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
-        def safeE4(num: Column, den: Column): Column =
-          when(den > 0, e4(num / den)).otherwise(lit(-1L))
-        def safeE2(num: Column, den: Column): Column =
-          when(den > 0, floor(num / den * 100 + 0.5).cast(LongType)).otherwise(lit(-1L))
-        per.crossJoin(broadcast(tot))
-          .select(col("source"), col("n_old"), col("n_new"),
-            safeE4(col("n_old"), col("t_old")).as("share_old_e4"),
-            safeE4(col("n_new"), col("t_new")).as("share_new_e4"),
-            safeE2(col("tok_old"), col("n_old")).as("toks_doc_old_e2"),
-            safeE2(col("tok_new"), col("n_new")).as("toks_doc_new_e2"),
-            safeE4(col("pass_old"), col("n_old")).as("pass_old_e4"),
-            safeE4(col("pass_new"), col("n_new")).as("pass_new_e4"))
-          .withColumn("share_drift",
-            abs(col("share_new_e4") - col("share_old_e4")) > 500 &&
-              col("share_old_e4") >= 0 && col("share_new_e4") >= 0)
-          .orderBy("source")
+        driftReport(per)
       },
-      Some("""WITH s AS (
-             |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS sv FROM documents),
-             |g AS (
-             |  SELECT source, doc_id >= (SELECT sv FROM s) AS is_new,
-             |    n_words AS n_toks,
-             |    (n_words >= 50 AND n_words <= 100000
-             |     AND chars_ns >= n_words * 3 AND chars_ns <= n_words * 10
-             |     AND n_uniq * 5 >= n_words AND n_stop >= 2) AS keep
-             |  FROM (
-             |    SELECT source, doc_id,
-             |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             |      CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
-             |      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-             |      CAST((length(t) - length(replace(t, ' the ', ''))) / 5
-             |         + (length(t) - length(replace(t, ' a ', ''))) / 3
-             |         + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
-             |    FROM (SELECT *, ' ' || text || ' ' AS t FROM documents))),
-             |per AS (
-             |  SELECT source,
-             |    CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
-             |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-             |    CAST(sum(CASE WHEN NOT is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_old,
-             |    CAST(sum(CASE WHEN is_new THEN n_toks ELSE 0 END) AS BIGINT) AS tok_new,
-             |    CAST(sum(CASE WHEN NOT is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_old,
-             |    CAST(sum(CASE WHEN is_new AND keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_new
-             |  FROM g GROUP BY source),
-             |tot AS (
-             |  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
-             |         CAST(sum(n_new) AS BIGINT) AS t_new FROM per)
-             |SELECT source, n_old, n_new,
-             |  CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_old_e4,
-             |  CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS share_new_e4,
-             |  CASE WHEN n_old > 0 THEN CAST(floor(tok_old * 1.0 / n_old * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_old_e2,
-             |  CASE WHEN n_new > 0 THEN CAST(floor(tok_new * 1.0 / n_new * 100 + 0.5) AS BIGINT) ELSE -1 END AS toks_doc_new_e2,
-             |  CASE WHEN n_old > 0 THEN CAST(floor(pass_old * 1.0 / n_old * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_old_e4,
-             |  CASE WHEN n_new > 0 THEN CAST(floor(pass_new * 1.0 / n_new * 10000 + 0.5) AS BIGINT) ELSE -1 END AS pass_new_e4,
-             |  (abs((CASE WHEN t_new > 0 THEN CAST(floor(n_new * 1.0 / t_new * 10000 + 0.5) AS BIGINT) ELSE -1 END)
-             |     - (CASE WHEN t_old > 0 THEN CAST(floor(n_old * 1.0 / t_old * 10000 + 0.5) AS BIGINT) ELSE -1 END)) > 500
-             |   AND t_old > 0 AND t_new > 0) AS share_drift
-             |FROM per CROSS JOIN tot
-             |ORDER BY source""".stripMargin),
+      Some(corpusDriftOracle),
       "North star: per-source corpus drift monitor — new batch vs stored corpus, shared Gopher gate, fixed-point share-shift flag"),
 
     GraftQuery(

@@ -1041,7 +1041,108 @@ object SimilarityQueries extends QueryPack {
              |  GROUP BY ca.vec_id, ca.cid)
              |SELECT vec_id, cid, adc_e6
              |FROM adc ORDER BY adc_e6 ASC, vec_id ASC LIMIT 5""".stripMargin),
-      "North star: canonical residual IVF-PQ — per-cell residual LUT, pruned codes-only scan"))
+      "North star: canonical residual IVF-PQ — per-cell residual LUT, pruned codes-only scan"),
+
+    GraftQuery(
+      "s20_pq_codebook_refresh",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // INDEX MAINTENANCE, part 3 — the refresh s19 leaves undone:
+        // s19 retrains the COARSE quantizer, but the PQ codebooks (s10)
+        // stay frozen from the day the index was built, so their
+        // reconstruction error only drifts upward as the corpus
+        // evolves. One k-means (Lloyd) refinement PER SUBSPACE
+        // codebook: each codeword moves to the mean of the subvectors
+        // currently assigned to it (integer-exact e9 means — s19's
+        // cross-engine determinism discipline), unassigned codewords
+        // hold position, then the corpus re-encodes. Per-cell
+        // membership and e6-floored error mass are reported
+        // before/after; one Lloyd step provably never increases the
+        // total error (assignment and update are both non-increasing —
+        // spec-pinned alongside the artifact-seam serve equivalence).
+        // Scale shape: the codebooks are tiny and broadcast at every
+        // use; assignment is one narrow pass; the update is one
+        // (m, cid, pos) groupBy — the s04 build's linear shape, never
+        // a vector×vector join.
+        val emb = doubled(t)
+        val svs = subspaced(emb)
+        val cb0 = pqSubCodebook(centroids(emb)).localCheckpoint()
+        val codes0 = pqCodesSub(svs, cb0).localCheckpoint()
+        val cb1 = pqRefineCodebook(svs, codes0, cb0).localCheckpoint()
+        val codes1 = pqCodesSub(svs, cb1)
+        val before = codes0.groupBy("m", "code")
+          .agg(count(lit(1)).as("n_before"),
+            sum(col("d_e6")).as("err_before_e6"))
+        val after = codes1.groupBy("m", "code")
+          .agg(count(lit(1)).as("n_after"),
+            sum(col("d_e6")).as("err_after_e6"))
+        before.join(after, Seq("m", "code"), "full")
+          .select(col("m").cast(LongType).as("m"), col("code"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("err_before_e6"), lit(0L)).as("err_before_e6"),
+            coalesce(col("err_after_e6"), lit(0L)).as("err_after_e6"))
+          .orderBy("m", "code")
+      },
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |sv AS (
+             |  SELECT vec_id, s.m,
+             |    list_transform(range(1, 17), i -> v[s.m*16 + i]) AS sv
+             |  FROM v, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |cb0 AS (
+             |  SELECT s.m, cid,
+             |    list_transform(range(1, 17), i -> cv[s.m*16 + i]) AS w
+             |  FROM cent, (SELECT unnest([0, 1, 2, 3]) AS m) s),
+             |d0 AS (
+             |  SELECT e.vec_id, e.m, c.cid,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.sv[i] - c.w[i]) * (e.sv[i] - c.w[i]))) AS d
+             |  FROM sv e JOIN cb0 c ON c.m = e.m),
+             |a0 AS (
+             |  SELECT vec_id, m, cid, CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS d_e6
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |        FROM d0) WHERE rn = 1),
+             |mean1 AS (
+             |  SELECT a0.m, a0.cid, i AS pos,
+             |    CAST(sum(CAST(floor(e.sv[i] * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / count(*) / 1000000000 AS c
+             |  FROM a0 JOIN sv e ON e.vec_id = a0.vec_id AND e.m = a0.m,
+             |       range(1, 17) t(i)
+             |  GROUP BY 1, 2, 3),
+             |cb1n AS (SELECT m, cid, list(c ORDER BY pos) AS w FROM mean1 GROUP BY m, cid),
+             |cb1 AS (
+             |  SELECT c0.m, c0.cid, coalesce(c1.w, c0.w) AS w
+             |  FROM cb0 c0 LEFT JOIN cb1n c1 ON c1.m = c0.m AND c1.cid = c0.cid),
+             |d1 AS (
+             |  SELECT e.vec_id, e.m, c.cid,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (e.sv[i] - c.w[i]) * (e.sv[i] - c.w[i]))) AS d
+             |  FROM sv e JOIN cb1 c ON c.m = e.m),
+             |a1 AS (
+             |  SELECT vec_id, m, cid, CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS d_e6
+             |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |        FROM d1) WHERE rn = 1),
+             |nb AS (
+             |  SELECT m, cid, count(*) AS n_before,
+             |    CAST(sum(d_e6) AS BIGINT) AS err_before_e6
+             |  FROM a0 GROUP BY 1, 2),
+             |na AS (
+             |  SELECT m, cid, count(*) AS n_after,
+             |    CAST(sum(d_e6) AS BIGINT) AS err_after_e6
+             |  FROM a1 GROUP BY 1, 2)
+             |SELECT CAST(coalesce(nb.m, na.m) AS BIGINT) AS m,
+             |  coalesce(nb.cid, na.cid) AS code,
+             |  coalesce(n_before, 0) AS n_before,
+             |  coalesce(n_after, 0) AS n_after,
+             |  coalesce(err_before_e6, 0) AS err_before_e6,
+             |  coalesce(err_after_e6, 0) AS err_after_e6
+             |FROM nb FULL JOIN na ON na.m = nb.m AND na.cid = nb.cid
+             |ORDER BY m, code""".stripMargin),
+      "North star: PQ codebook refresh — one per-subspace Lloyd step, integer-exact means, error mass non-increasing"))
 
   /** PQ sub-vector m (16 dims) of a 64-dim column. */
   private def subVec(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)
@@ -1082,6 +1183,63 @@ object SimilarityQueries extends QueryPack {
       .toDF("cid", "m", "ld")
       .select(col("cid").as("code"), col("m"),
         floor(col("ld") * 1000000 + 0.5).cast(LongType).as("ld_e6"))
+  }
+
+  /** s20: per-subspace explode of the vectors — (vec_id, m, sv[16]),
+    * one narrow generate pass. */
+  private[graft] def subspaced(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      posexplode(array((0 until 4).map(m => subVec(col("v"), m)): _*)))
+      .toDF("vec_id", "m", "sv")
+
+  /** s20: the s10 codebook in explicit per-subspace form (m, cid,
+    * w[16]) — each codeword starts as the matching 16-dim slice of a
+    * coarse centroid (the mean of a subvector is the subvector of the
+    * mean), and the refresh then moves codewords independently per
+    * subspace, which the shared-slice form cannot express. */
+  private[graft] def pqSubCodebook(cent: DataFrame): DataFrame =
+    cent.select(col("cid"),
+      posexplode(array((0 until 4).map(m => subVec(col("cv"), m)): _*)))
+      .toDF("cid", "m", "w")
+      .select(col("m"), col("cid"), col("w"))
+
+  /** s20: PQ encode against an arbitrary per-subspace codebook — s10's
+    * argmin math generalized off the shared-slice codebook. Emits the
+    * e6-floored subspace error next to each code so the refresh can
+    * account error mass without a second distance pass. */
+  private[graft] def pqCodesSub(svs: DataFrame, cb: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("d").asc, col("cid").asc)
+    svs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        aggregate(zip_with(col("sv"), col("w"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"),
+        floor(col("d") * 1000000 + 0.5).cast(LongType).as("d_e6"))
+  }
+
+  /** s20: ONE Lloyd refinement of the per-subspace codebooks — each
+    * codeword moves to the integer-exact mean (member coords quantized
+    * to e9 BIGINTs, summed order-independently, divided in a fixed
+    * chain — s19's cross-engine determinism discipline) of its
+    * currently-assigned subvectors; codewords with no members hold
+    * their old position (the k-means empty-cell convention, which
+    * keeps the update non-increasing). */
+  private[graft] def pqRefineCodebook(svs: DataFrame, codes: DataFrame,
+                                      cb: DataFrame): DataFrame = {
+    val means = codes.join(svs, Seq("vec_id", "m"))
+      .select(col("m"), col("code").as("cid"), posexplode(col("sv")))
+      .toDF("m", "cid", "pos", "x")
+      .groupBy("m", "cid", "pos")
+      .agg((sum(floor(col("x") * 1e9 + 0.5)).cast("double")
+        / count(lit(1)) / 1e9).as("c"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("w1"))
+    cb.join(means, Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"), coalesce(col("w1"), col("w")).as("w"))
   }
 
   /** Shared oracle CTE prefix for the composed IVF+PQ path: centroids,

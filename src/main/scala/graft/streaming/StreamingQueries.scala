@@ -287,6 +287,26 @@ object StreamingQueries extends QueryPack {
       }
     }
 
+  /** st30's STATIC artifact: the staged new-docs topic (docs ≥ the
+    * incremental split), session-cached per source dir (the
+    * stageEvents pattern) — staging is corpus work, not monitor work;
+    * ScaleStress times the drain against an already-staged topic. */
+  def driftMonitorStaged(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val key = s"graft.staged.driftmon.$dir"
+    Option(spark.sparkContext.getLocalProperty(key)) match {
+      case Some(v) => v
+      case None =>
+        val docs = Tables(spark, dir).documents
+        val sv = Tables.incrementalSplitId(docs, "doc_id")
+        val staged = Streams.dataDir("graft_docs_drift_")
+        docs.filter(col("doc_id") >= sv)
+          .repartition(2).write.mode("overwrite").parquet(staged)
+        spark.sparkContext.setLocalProperty(key, staged)
+        staged
+    }
+  }
+
   /** st29's drain: each micro-batch appends its one-row mergeable
     * partial ([[graft.operators.ProfilingQueries.partialProfile]]) to
     * the persisted store, and every `compactEvery` non-empty batches
@@ -1405,6 +1425,59 @@ object StreamingQueries extends QueryPack {
       },
       Some(graft.operators.ProfilingQueries.auditedProfileOracle),
       "North star/T: live profile maintenance — per-batch mergeable partial append, report = fold over the store (q86's streaming twin)"),
+
+    GraftQuery(
+      "st30_stream_drift_monitor",
+      (spark, dir) => {
+        // LIVE DRIFT MONITOR — t23's streaming twin, composing the
+        // st29 store mechanics with the t23 report kernel: the stored
+        // corpus's per-source baseline counts are one batch pass; each
+        // arriving micro-batch APPENDS its per-source drift partial
+        // (docs, tokens, Gopher passes — mergeable counts, O(sources)
+        // rows per batch, no streaming state, no read-modify-write);
+        // the live report = fold over the store joined to the
+        // baseline, through the SHARED driftReport/driftCounts/
+        // gopherKeep kernels — so this monitor, the batch monitor
+        // (t23), and the quality gate (t09/st15) cannot disagree. The
+        // oracle is t23's full-corpus SQL VERBATIM: the streamed
+        // monitor must land on exactly the batch monitor's table.
+        import graft.analysis.QualityQueries
+        val docs = Tables(spark, dir).documents
+        val sv = Tables.incrementalSplitId(docs, "doc_id")
+        val staged = driftMonitorStaged(spark, dir)
+        val store = Streams.dataDir("graft_drift_store_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st30_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              if (!b.isEmpty)
+                QualityQueries.driftCounts(b, "new")
+                  .write.mode("append").parquet(store)
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        val baseline = QualityQueries
+          .driftCounts(docs.filter(col("doc_id") < sv), "old")
+        val newSide = spark.read.parquet(store).groupBy("source")
+          .agg(sum(col("n_new")).as("n_new"),
+            sum(col("tok_new")).as("tok_new"),
+            sum(col("pass_new")).as("pass_new"))
+        val per = baseline.join(newSide, Seq("source"), "full")
+          .select(col("source"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            coalesce(col("tok_old"), lit(0L)).as("tok_old"),
+            coalesce(col("tok_new"), lit(0L)).as("tok_new"),
+            coalesce(col("pass_old"), lit(0L)).as("pass_old"),
+            coalesce(col("pass_new"), lit(0L)).as("pass_new"))
+        QualityQueries.driftReport(per)
+      },
+      Some(graft.analysis.QualityQueries.corpusDriftOracle),
+      "North star/T: live drift monitor — per-batch mergeable drift partials vs stored-corpus baseline ≡ batch t23"),
 
     GraftQuery(
       "st26_stream_chunk_scrub",

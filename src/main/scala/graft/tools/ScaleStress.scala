@@ -60,7 +60,11 @@ object ScaleStress {
     * state-rows = key-count equalities at fixture scale. */
   val streamingQueryNames: Seq[String] =
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
-        "st26_stream_chunk_scrub")
+        "st26_stream_chunk_scrub", "st30_stream_drift_monitor")
+
+  /** Pseudo-name selecting the profile-tier section (round-11 verdict
+    * item 3) in SPARK_GRAFT_STRESS_ONLY. */
+  val profileTierName = "profile_tier"
 
   /** Captures per-run maxima of the state-store metrics from streaming
     * progress events. Progress delivery is async — [[awaitQuiesced]]
@@ -112,6 +116,23 @@ object ScaleStress {
         col("event_type"), col("value"), col("props"))
       .repartition(math.max(8, 2 * k))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // orders scales for the profile tier (q84/q86/q87/st29): keys and
+    // customers offset per copy so DISTINCT CARDINALITIES grow with the
+    // data (frozen keys would make the HLL/distinct work underscale),
+    // dates shift by copy·year so the date space grows too.
+    val o = t.orders
+    val oStats = o.agg(max("o_orderkey"), max("o_custkey")).head()
+    val (maxOk, maxCk) = (oStats.getLong(0), oStats.getLong(1))
+    o.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(
+        (col("o_orderkey") + col("copy") * lit(maxOk + 1)).as("o_orderkey"),
+        (col("o_custkey") + col("copy") * lit(maxCk + 1)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        expr("o_orderdate + make_interval(0, 0, 0, 0, 0, 0, copy * 31536000L)")
+          .as("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(math.max(8, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     val docs = t.documents
     val maxDoc = docs.agg(max("doc_id")).head().getLong(0)
     docs.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
@@ -169,7 +190,8 @@ object ScaleStress {
     // multi-minute x100 generation: only queryNames/streamingQueryNames
     // members are known to read exclusively the two scaled tables.
     val unknown = selectedQueries
-      .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n))
+      .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n) ||
+        n == profileTierName)
     require(unknown.isEmpty,
       s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
         unknown.mkString(", "))
@@ -245,6 +267,90 @@ object ScaleStress {
           pts.map(_._3.toString).mkString(" | ") +
           s" | ${pts.map(_._4).max} |")
       }
+    }
+    // Profile-tier section (round-11 verdict item 3). The carriers
+    // (q86/q87/st29) deliberately bundle full-rescan oracle AUDITS, so
+    // their wall times measure the audit, not the tier — this times the
+    // PRODUCTION forms directly:
+    //   - q84 exact one-pass (Expand) vs q87 approx one-pass
+    //     (Expand-free HLL): both ~linear; the approx pass should hold
+    //     a decisive constant-factor lead that WIDENS as the Expand's
+    //     k× row multiplication meets bigger shuffles;
+    //   - q86 partial build (the per-ingest cost — linear) vs the
+    //     REPORT FOLD over a fixed number of stored partials (O(partials)
+    //     rows, so near-FLAT in corpus size — the whole point of the
+    //     incremental tier);
+    //   - st29 live drain with in-loop compaction: wall ~linear in
+    //     input, but the STORE stays ≤ compactEvery rows and ~constant
+    //     bytes at every scale (the O(1)-store claim, printed per scale).
+    if (selectedQueries.contains(profileTierName)) {
+      import graft.operators.ProfilingQueries
+      val metrics = Seq("q84_exact_pass", "q87_approx_pass",
+        "q86_partial_build8", "q86_report_fold8", "st29_live_drain")
+      val times = scala.collection.mutable.Map[String, Vector[(Int, Double)]]()
+        .withDefaultValue(Vector.empty)
+      val storeStats = scala.collection.mutable.Map[Int, (Long, Long)]()
+      def timed(name: String, kk: Int)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = times(name) :+ (kk -> sec)
+        println(f"[scalestress] x$kk $name: $sec%.2f s")
+      }
+      // JIT warmup on the smallest scale, unrecorded
+      ProfilingQueries.profile(Tables(spark, dirs.head._2).orders,
+        moneyCols = Set("o_totalprice")).collect()
+      for ((kk, d) <- dirs) {
+        val o = Tables(spark, d).orders
+        timed("q84_exact_pass", kk) {
+          ProfilingQueries.profile(o, moneyCols = Set("o_totalprice")).collect()
+          ()
+        }
+        timed("q87_approx_pass", kk) {
+          ProfilingQueries.profile(o, moneyCols = Set("o_totalprice"),
+            approx = true).collect()
+          ()
+        }
+        // q86: build a store of EIGHT partials at every scale (each
+        // partial summarizes k× more rows), then fold the report
+        val store = graft.streaming.Streams.dataDir(s"graft_stress_prof_x$kk")
+        timed("q86_partial_build8", kk) {
+          (0 until 8).foreach { s =>
+            ProfilingQueries.partialProfile(o.filter(col("o_orderkey") % 8 === s))
+              .write.mode("append").parquet(store)
+          }
+        }
+        timed("q86_report_fold8", kk) {
+          ProfilingQueries.mergedProfile(spark.read.parquet(store), o.schema,
+            moneyCols = Set("o_totalprice")).collect()
+          ()
+        }
+        // st29: stage once (untimed ingest-side work), time the drain
+        // with in-loop compaction, then record the store's size
+        val staged = graft.streaming.Streams.dataDir(s"graft_stress_st29s_x$kk")
+        o.repartition(4).write.mode("overwrite").parquet(staged)
+        val live = graft.streaming.Streams.dataDir(s"graft_stress_st29l_x$kk")
+        timed("st29_live_drain", kk) {
+          graft.streaming.StreamingQueries.liveProfileDrain(
+            spark, staged, live, o.schema, compactEvery = 3)
+        }
+        val rows = spark.read.parquet(live).count()
+        val bytes = new java.io.File(live).listFiles()
+          .filter(_.isFile).map(_.length()).sum
+        storeStats(kk) = (rows, bytes)
+        println(s"[scalestress] x$kk st29_store: rows=$rows bytes=$bytes")
+      }
+      println("| metric | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
+      println("|---|" + scales.map(_ => "---|").mkString + "---|")
+      metrics.foreach { n =>
+        val pts = times(n)
+        println(s"| $n | " + pts.map(p => f"${p._2}%.2f").mkString(" | ") +
+          f" | ${exponent(pts)}%.2f |")
+      }
+      println("| st29_store_rows | " +
+        scales.map(s => storeStats(s)._1.toString).mkString(" | ") + " | — |")
+      println("| st29_store_bytes | " +
+        scales.map(s => storeStats(s)._2.toString).mkString(" | ") + " | — |")
     }
     spark.stop()
   }

@@ -193,6 +193,73 @@ class JdbcSinkSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("K1: two pipelines write ONE Derby database concurrently — both tables read back exact") {
+    // The reference runs its vehicle, fire, and ABSA consumers into a
+    // single Postgres instance at the same time. Local Derby can
+    // express that pattern: drive the st25 and st27 sinks as two LIVE
+    // streaming queries into the SAME embedded database (distinct
+    // tables, interleaving per-batch transactions over concurrent
+    // connections), then require each table to equal its solo
+    // single-writer run — concurrency must not lose, duplicate, or
+    // cross-wire a row.
+    import spark.implicits._
+    import graft.streaming.{FirePipeline, JdbcBatchSink, VehiclePipeline}
+    val staged = VehiclePipeline.stageFrames(spark, sfDir)
+    val url = s"jdbc:derby:${Streams.dataDir("graft_derby_conc_")}/db;create=true"
+    val vehSink = JdbcBatchSink(url, "vehicle_counts",
+      Map("driver" -> driver,
+        "createTableColumnTypes" ->
+          "camera_id VARCHAR(32), vehicle_type VARCHAR(16)"),
+      Streams.scratchDir("graft_cp_conc_v_"), idempotent = true)
+    val fireSink = JdbcBatchSink(url, "fire_detections",
+      Map("driver" -> driver,
+        "createTableColumnTypes" -> "camera_id VARCHAR(32)"),
+      Streams.scratchDir("graft_cp_conc_f_"), idempotent = true)
+    Streams.withStreamShufflePartitions(spark) {
+      val q1 = vehSink.start(VehiclePipeline.windowedCounts(
+        VehiclePipeline.detectFrames(
+          Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1))))
+      val q2 = fireSink.start(FirePipeline.detectFires(
+        Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)))
+      assert(Streams.awaitDrained(q1) && Streams.awaitDrained(q2))
+      // vehicle's watermark flush protocol (the fire side has no
+      // watermark; it just processes the sentinels as frames)
+      Seq(1000000000L, 2000000000L).foreach { off =>
+        Seq(("__flush__",
+          VehiclePipeline.sentinelJson(VehiclePipeline.baseEpoch + off)))
+          .toDF("key", "value")
+          .coalesce(1).write.mode("append").parquet(staged)
+        assert(Streams.awaitDrained(q1) && Streams.awaitDrained(q2))
+      }
+      q1.stop(); q2.stop()
+    }
+    def readback(table: String) = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", driver).load()
+    // batch_id dropped: the two runs legitimately differ in micro-batch
+    // provenance (the fire side sees the sentinel files as extra
+    // batches here but not solo); CONTENTS must be identical
+    val vehCols = Seq("window_start_epoch", "camera_id", "vehicle_type",
+      "n_frames", "n_vehicles", "sum_conf_e4")
+    val veh = readback("vehicle_counts")
+      .filter(col("camera_id") =!= "__flush__")
+      .select(vehCols.head, vehCols.tail: _*).collect().map(_.toSeq).toSet
+    val fireCols = Seq("camera_id", "frame_number", "detection_ts_epoch",
+      "fire_detected", "fire_pct_e4", "conf_e4", "image_emitted", "overlay_sum_r")
+    val fire = readback("fire_detections")
+      .filter(col("camera_id") =!= "__flush__")
+      .select(fireCols.head, fireCols.tail: _*).collect().map(_.toSeq).toSet
+    assert(veh.nonEmpty && fire.nonEmpty, "a concurrent writer wrote nothing")
+    val (vehSoloT, _) = VehiclePipeline.runPipeline(spark, sfDir)
+    val vehSolo = vehSoloT.filter(col("camera_id") =!= "__flush__")
+      .select(vehCols.head, vehCols.tail: _*).collect().map(_.toSeq).toSet
+    val (fireSoloT, _, _) = FirePipeline.runPipeline(spark, sfDir)
+    val fireSolo = fireSoloT.filter(col("camera_id") =!= "__flush__")
+      .select(fireCols.head, fireCols.tail: _*).collect().map(_.toSeq).toSet
+    assert(veh === vehSolo, "concurrent vehicle table != solo-writer table")
+    assert(fire === fireSolo, "concurrent fire table != solo-writer table")
+  }
+
   test("K1: repair-connection props delegate to Spark's filter — writer options stripped, credentials kept") {
     // jdbcProps builds on the internal JDBCOptions.asConnectionProperties
     // (no compatibility guarantee) — pin the contract so a Spark bump

@@ -473,6 +473,57 @@ class OperatorInvariantsSpec extends SparkTestBase {
       s"objective decreased: $objBefore -> $objAfter over $nAfter vectors")
   }
 
+  test("PQ codebook refresh: error mass non-increasing; persisted re-encoded index serves identically (s20)") {
+    import graft.similarity.SimilarityQueries._
+    import org.apache.spark.sql.DataFrame
+    val r = run("s20_pq_codebook_refresh").collect()
+    val na = r.map(_.getAs[Long]("n_after")).sum
+    assert(r.map(_.getAs[Long]("n_before")).sum == na, "refresh lost vectors")
+    val eb = r.map(_.getAs[Long]("err_before_e6")).sum
+    val ea = r.map(_.getAs[Long]("err_after_e6")).sum
+    // one Lloyd step (update to member means + reassignment) never
+    // increases the total squared error in exact arithmetic; the e9
+    // mean quantization and per-term e6 floors stay far inside the
+    // fixture's decrease
+    assert(ea <= eb, s"Lloyd step increased error mass: $eb -> $ea")
+    assert(ea < eb, "refresh was a no-op on the fixture — no codeword moved")
+    // artifact seam: the refreshed codebook and re-encoded codes
+    // round-trip parquet, re-encoding against the PERSISTED codebook
+    // reproduces the persisted codes, and an ADC serve from the
+    // persisted artifacts ranks identically to the in-memory index
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val svs = subspaced(emb)
+    val cb0 = pqSubCodebook(centroids(emb))
+    val codes0 = pqCodesSub(svs, cb0)
+    val cb1 = pqRefineCodebook(svs, codes0, cb0)
+    val codes1 = pqCodesSub(svs, cb1)
+    val cbDir = java.nio.file.Files.createTempDirectory("graft_s20_cb_").toString
+    val cdDir = java.nio.file.Files.createTempDirectory("graft_s20_cd_").toString
+    cb1.write.mode("overwrite").parquet(cbDir)
+    codes1.write.mode("overwrite").parquet(cdDir)
+    val cbBack = spark.read.parquet(cbDir)
+    val cdBack = spark.read.parquet(cdDir)
+    val reenc = pqCodesSub(svs, cbBack).select("vec_id", "m", "code")
+    assert(reenc.except(cdBack.select("vec_id", "m", "code")).isEmpty &&
+      cdBack.select("vec_id", "m", "code").except(reenc).isEmpty,
+      "re-encode against the persisted codebook diverges from the persisted codes")
+    def adcTop5(codes: DataFrame, cb: DataFrame): Seq[(Long, Long)] = {
+      val q = svs.filter(col("vec_id") === 0).select(col("m"), col("sv").as("qv"))
+      val lut = cb.join(q, Seq("m"))
+        .select(col("m"), col("cid").as("code"),
+          floor(aggregate(zip_with(col("w"), col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x) * 1000000 + 0.5).cast("long").as("ld_e6"))
+      codes.filter(col("vec_id") =!= 0).join(broadcast(lut), Seq("m", "code"))
+        .groupBy("vec_id").agg(sum(col("ld_e6")).as("adc_e6"))
+        .orderBy(col("adc_e6").asc, col("vec_id").asc).limit(5)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    }
+    assert(adcTop5(cdBack, cbBack) == adcTop5(codes1, cb1),
+      "ADC serve from persisted artifacts diverges from the in-memory index")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()
