@@ -216,13 +216,14 @@ object StreamingQueries extends QueryPack {
     * `idx` arrives already hinted: broadcast(indexBands) on the
     * small-index path, the bare parquet relation on the stored-index
     * path. */
-  private def dedupGateFlagged(banded: org.apache.spark.sql.DataFrame,
-                               idx: org.apache.spark.sql.DataFrame,
-                               exArr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val candidates = banded
-      .join(idx, Seq("band_id", "band_hash"))
-      .select(col("doc_id"), col("ex_id"), col("shs"))
-      .dropDuplicates("doc_id", "ex_id")
+  /** The exact-Jaccard VERIFY stage shared verbatim by both st21 index
+    * forms so they cannot drift: candidates (micro-batch-sized in both
+    * forms) BROADCAST against the stored shingle table, which is
+    * scanned, never shuffled (the candidates.join(exArr) shape shuffled
+    * the entire corpus's arrays every micro-batch — ScaleStress
+    * measured it super-linear). */
+  private def dedupGateVerify(candidates: org.apache.spark.sql.DataFrame,
+                              exArr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     exArr
       .join(broadcast(candidates), Seq("ex_id"))
       .select(col("doc_id"),
@@ -232,18 +233,11 @@ object StreamingQueries extends QueryPack {
         (col("n_a") + col("n_b") - col("n_inter")) + 0.5) >= 2000)
       .select("doc_id")
       .dropDuplicates("doc_id")
-  }
-
-  /** Per-row MinHash sign + band of a doc relation (stream or batch). */
-  private def dedupGateBanded(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    minhashSigned(docs)
-      .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
-      .toDF("doc_id", "shs", "band_id", "band_hash")
 
   /** The st21 gate: each micro-batch of incoming docs signs itself PER
     * ROW, bands the signature, probes the band index for candidates,
     * and exact-Jaccard verifies against the stored shingle table
-    * ([[dedupGateFlagged]] — one kernel, both paths). The index-probe
+    * ([[dedupGateVerify]] — one verify kernel, both paths). The index-probe
     * form is chosen by the index artifact's estimated in-memory size
     * ([[estBroadcastBytes]], the st26 discipline):
     *   - ≤ `broadcastMaxBytes` → the index is BROADCAST into a
@@ -263,22 +257,48 @@ object StreamingQueries extends QueryPack {
                      indexDir: String, arrDir: String,
                      broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame =
     Streams.withStreamShufflePartitions(spark) {
+      import graft.dedup.DedupQueries
       val exArr = spark.read.parquet(arrDir)
       val stream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
-      if (estBroadcastBytes(indexDir) <= broadcastMaxBytes) {
-        val flagged = dedupGateFlagged(dedupGateBanded(stream),
-          broadcast(spark.read.parquet(indexDir)), exArr)
-        Streams.drainToMemory(flagged, "st21_sink", outputMode = "append")
+      val est = estBroadcastBytes(indexDir)
+      if (est <= broadcastMaxBytes) {
+        println(s"[st21] index est ${est >> 20} MB <= ${broadcastMaxBytes >> 20} MB: broadcast path")
+        // under a broadcast index the banded rows never shuffle, so
+        // carrying the shingle array alongside the bands is free
+        val candidates = minhashSigned(stream)
+          .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
+          .toDF("doc_id", "shs", "band_id", "band_hash")
+          .join(broadcast(spark.read.parquet(indexDir)), Seq("band_id", "band_hash"))
+          .select(col("doc_id"), col("ex_id"), col("shs"))
+          .dropDuplicates("doc_id", "ex_id")
+        Streams.drainToMemory(dedupGateVerify(candidates, exArr),
+          "st21_sink", outputMode = "append")
       } else {
+        println(s"[st21] index est ${est >> 20} MB > ${broadcastMaxBytes >> 20} MB: stored-index join path")
         val outDir = Streams.dataDir("graft_dedupgate_out_")
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation", Streams.scratchDir("graft_cp_st21_join"))
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            dedupGateFlagged(dedupGateBanded(b),
-              spark.read.parquet(indexDir), exArr)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            val t0 = System.nanoTime()
+            // the band-index join is a real shuffle here, so the probe
+            // moves NARROW rows only — (doc_id, band_id, band_hash),
+            // never the shingle arrays; the survivors re-attach their
+            // shingles batch-side (candIds and the batch are both
+            // micro-batch-sized) before the shared verify stage
+            val candIds = minhashSigned(b)
+              .select(col("doc_id"), posexplode(minhashBandArray))
+              .toDF("doc_id", "band_id", "band_hash")
+              .join(spark.read.parquet(indexDir), Seq("band_id", "band_hash"))
+              .select(col("doc_id"), col("ex_id"))
+              .dropDuplicates("doc_id", "ex_id")
+            val shingled = b.select(col("doc_id"),
+              DedupQueries.shingles(col("text")).as("shs"))
+            val candidates = candIds.join(shingled, Seq("doc_id"))
+              .select(col("doc_id"), col("ex_id"), col("shs"))
+            dedupGateVerify(candidates, exArr)
               .write.mode("append").parquet(outDir)
-            ()
+            println(f"[st21] batch $bid: ${(System.nanoTime() - t0) / 1e9}%.2f s")
           }
           .start()
         Streams.awaitDrained(q)
