@@ -31,11 +31,22 @@ object StreamingQueries extends QueryPack {
   private[streaming] val ParquetExpansionFactor = 8L
 
   private[streaming] def estBroadcastBytes(dir: String): Long = {
-    val f = new java.io.File(dir)
-    val disk =
-      if (f.exists()) f.listFiles().filter(_.isFile).map(_.length()).sum else 0L
-    disk * ParquetExpansionFactor
+    // recursive walk: a partitioned/bucketed index layout (the shape
+    // src05 recommends at 100 TB) nests its files in subdirectories —
+    // summing only top-level files would measure ~0 bytes and always
+    // select the broadcast path, defeating the threshold
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(dir)) * ParquetExpansionFactor
   }
+
+  /** Default size threshold for broadcasting a persisted index
+    * artifact, overridable via `SPARK_GRAFT_BROADCAST_MAX` (bytes) so
+    * the stress harness can force the stored-index join paths (st21 /
+    * st26) without staging a multi-GB fixture index. */
+  private[graft] def broadcastMaxDefault: Long =
+    sys.env.get("SPARK_GRAFT_BROADCAST_MAX").map(_.toLong).getOrElse(32L << 20)
 
   /** st26's STATIC artifacts, persisted and session-cached per source
     * dir (the stageEvents/dedupGateArtifacts pattern): the staged
@@ -92,18 +103,22 @@ object StreamingQueries extends QueryPack {
   }
 
   /** st26 scrub over a staged doc stream against a PERSISTED chunk
-    * index, choosing the probe form by the index artifact's ESTIMATED
-    * IN-MEMORY size ([[estBroadcastBytes]] — on-disk bytes × a
-    * conservative decompression/JVM expansion factor):
-    *   - index ≤ `broadcastMaxBytes` → in-memory broadcast set, pure
-    *     per-row map (zero streaming exchange — the fixture-scale and
-    *     small-index production path);
-    *   - larger → per-batch stored-index anti-join inside foreachBatch
-    *     (the d15 shape): each micro-batch joins against the index
-    *     relation, so the index never materializes on any single
-    *     executor. At 100 TB this is the live path; d08b's Bloom tier
-    *     sits between the two (false positives over-scrub — the safe
-    *     direction for decontamination-style gates).
+    * index: ONE per-batch anti-join code shape ([[chunkScrubJoinForm]],
+    * the d15 probe) for both index sizes, with the probe's join
+    * strategy chosen by the artifact's ESTIMATED IN-MEMORY size
+    * ([[estBroadcastBytes]] — on-disk bytes × a conservative
+    * decompression/JVM expansion factor):
+    *   - index ≤ `broadcastMaxBytes` → the index side carries a
+    *     `broadcast()` hint, so the anti-join is a broadcast hash join
+    *     and the micro-batch's chunks never shuffle for the probe
+    *     (st21's small-index discipline — no driver-side
+    *     `collect()`/closure materialization anywhere);
+    *   - larger → the bare index relation: a shuffled anti-join whose
+    *     stream side is micro-batch-sized, so the ~O(corpus) index
+    *     never materializes on any single executor. At 100 TB this is
+    *     the live path; d08b's Bloom tier sits between the two (false
+    *     positives over-scrub — the safe direction for
+    *     decontamination-style gates).
     * Each incoming doc is chunked ROW-LOCALLY (the shared chunkArray
     * kernel), and re-emitted rebuilt from its surviving chunks —
     * content REWRITE, not just a flag (st16 flags; this scrubs). Zero
@@ -111,42 +126,32 @@ object StreamingQueries extends QueryPack {
     * spec-pinned identical on the same staged corpus. */
   def chunkScrubStream(spark: org.apache.spark.sql.SparkSession, staged: String,
                        indexDir: String, sinkName: String,
-                       broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame = {
+                       broadcastMaxBytes: Long = broadcastMaxDefault): org.apache.spark.sql.DataFrame = {
     import graft.dedup.DedupQueries
     val indexBytes = estBroadcastBytes(indexDir)
+    val small = indexBytes <= broadcastMaxBytes
+    println(s"[st26] index est ${indexBytes >> 20} MB " +
+      (if (small) s"<= ${broadcastMaxBytes >> 20} MB: broadcast-join path"
+       else s"> ${broadcastMaxBytes >> 20} MB: stored-index join path"))
     val chunked = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), DedupQueries.chunkArray(col("ws")).as("chunks"))
-    if (indexBytes <= broadcastMaxBytes) {
-      val known = spark.read.parquet(indexDir)
-        .collect().map(_.getString(0)).toSet
-      val knownBc = spark.sparkContext.broadcast(known)
-      val scrub = udf((chunks: Seq[String]) =>
-        chunks.filterNot(knownBc.value.contains))
-      val out = chunked
-        .select(col("doc_id"), col("chunks"), scrub(col("chunks")).as("kept"))
-        .select(col("doc_id"),
-          size(col("chunks")).cast(LongType).as("n_chunks"),
-          size(col("kept")).cast(LongType).as("n_kept"),
-          md5(array_join(col("kept"), " ")).as("kept_md5"))
-      Streams.drainToMemory(out, sinkName, outputMode = "append")
-    } else {
-      val outDir = Streams.dataDir(s"graft_scrub_${sinkName}_")
-      Streams.withStreamShufflePartitions(spark) {
-        val q = chunked.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", Streams.scratchDir(s"graft_cp_$sinkName"))
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-            chunkScrubJoinForm(b, spark.read.parquet(indexDir))
-              .write.mode("append").parquet(outDir)
-            ()
-          }
-          .start()
-        Streams.awaitDrained(q)
-        q.stop()
-      }
-      spark.read.parquet(outDir)
+    val outDir = Streams.dataDir(s"graft_scrub_${sinkName}_")
+    Streams.withStreamShufflePartitions(spark) {
+      val q = chunked.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", Streams.scratchDir(s"graft_cp_$sinkName"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val idx = spark.read.parquet(indexDir)
+          chunkScrubJoinForm(b, if (small) broadcast(idx) else idx)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      Streams.awaitDrained(q)
+      q.stop()
     }
+    spark.read.parquet(outDir)
   }
 
   /** st21's MinHash signature columns over a `shs` shingle-array
@@ -206,16 +211,6 @@ object StreamingQueries extends QueryPack {
     }
   }
 
-  /** The st21 gate kernel, shared VERBATIM by both index-probe forms so
-    * they cannot drift: band-probe the index for candidates, then
-    * exact-Jaccard verify each candidate against the stored shingle
-    * table — candidates BROADCAST (they are micro-batch-sized in both
-    * forms) so the stored table is scanned, never shuffled (the
-    * candidates.join(exArr) shape shuffled the entire corpus's arrays
-    * every micro-batch — ScaleStress measured it super-linear).
-    * `idx` arrives already hinted: broadcast(indexBands) on the
-    * small-index path, the bare parquet relation on the stored-index
-    * path. */
   /** The exact-Jaccard VERIFY stage shared verbatim by both st21 index
     * forms so they cannot drift: candidates (micro-batch-sized in both
     * forms) BROADCAST against the stored shingle table, which is
@@ -255,7 +250,7 @@ object StreamingQueries extends QueryPack {
     * turns the per-batch join's index side into a pruned probe. */
   def dedupGateDrain(spark: org.apache.spark.sql.SparkSession, staged: String,
                      indexDir: String, arrDir: String,
-                     broadcastMaxBytes: Long = 32L << 20): org.apache.spark.sql.DataFrame =
+                     broadcastMaxBytes: Long = broadcastMaxDefault): org.apache.spark.sql.DataFrame =
     Streams.withStreamShufflePartitions(spark) {
       import graft.dedup.DedupQueries
       val exArr = spark.read.parquet(arrDir)
@@ -1507,10 +1502,11 @@ object StreamingQueries extends QueryPack {
         // corpus's chunk index is a STATIC persisted artifact probed per
         // row; the within-batch first-keep and index update between
         // ingests are d15's batch job. See [[chunkScrubStream]] for the
-        // two index forms (broadcast set vs per-batch stored-index
-        // join) — the fixture index is far below the threshold, so this
-        // carrier runs the broadcast form; the spec pins both forms
-        // identical on the same staged corpus.
+        // two index forms (broadcast-hash vs shuffled per-batch
+        // anti-join — one code shape, strategy by index size) — the
+        // fixture index is far below the threshold, so this carrier
+        // runs the broadcast form; the spec pins both forms identical
+        // on the same staged corpus.
         val (staged, indexDir) = chunkScrubArtifacts(spark, dir)
         chunkScrubStream(spark, staged, indexDir, "st26_sink")
       },
