@@ -187,7 +187,14 @@ object ProfilingQueries extends QueryPack {
           max(col(alias(i, "max"))).as(alias(i, "max")),
           hll_union_agg(col(alias(i, "sk")), lit(true)).as(alias(i, "sk")))
     }
-    parts.agg(sum(col("__p_rows")).as("__p_rows"), aggs: _*)
+    // a live store's rows carry a `__bid` batch-id stamp (the replay
+    // guard of StreamingQueries.appendBatchPartial); compaction must
+    // carry the MAX forward or a batch replayed right after a
+    // compaction would look unseen and double-count
+    val carryBid: Seq[Column] =
+      if (parts.columns.contains("__bid")) Seq(max(col("__bid")).as("__bid"))
+      else Seq.empty
+    parts.agg(sum(col("__p_rows")).as("__p_rows"), aggs ++ carryBid: _*)
       .withColumn("__p_schema", lit(schemaHash(schema)))
   }
 

@@ -322,17 +322,55 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** Idempotent partial-append for the live stores (st29/st30/st31):
+    * foreachBatch delivery is AT-LEAST-ONCE — after a crash between the
+    * store append and the checkpoint commit, the same batch id is
+    * redelivered on restart, and a blind `mode("append")` would
+    * double-count that batch in every folded report forever (the JDBC
+    * edge's [[StreamSink]] repairs the same hazard with its batch_id
+    * delete-then-append). Every appended row is stamped with its batch
+    * id (`__bid`); an arriving batch is skipped when the store has
+    * already recorded an id >= its own (ids are monotonic per
+    * checkpoint; [[graft.operators.ProfilingQueries.compactPartials]]
+    * carries the max forward through compactions). The guard's read is
+    * one parquet-footer aggregate over an O(batches)-row (O(1) once
+    * compacted) store. Returns true when the batch was appended. */
+  private[graft] def appendBatchPartial(spark: org.apache.spark.sql.SparkSession,
+                                        store: String, bid: Long,
+                                        part: => org.apache.spark.sql.DataFrame): Boolean = {
+    val hasFiles = {
+      val f = new java.io.File(store)
+      f.exists() && Option(f.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    }
+    val seenMax: Long =
+      if (!hasFiles) Long.MinValue
+      else {
+        val r = spark.read.parquet(store).agg(max(col("__bid"))).head()
+        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+      }
+    if (bid <= seenMax) {
+      println(s"[livestore] skipping replayed batch $bid (store already at $seenMax)")
+      false
+    } else {
+      part.withColumn("__bid", lit(bid)).write.mode("append").parquet(store)
+      true
+    }
+  }
+
   /** st29's drain: each micro-batch appends its one-row mergeable
     * partial ([[graft.operators.ProfilingQueries.partialProfile]]) to
-    * the persisted store, and every `compactEvery` non-empty batches
-    * the store is rewritten in place through
-    * [[graft.operators.ProfilingQueries.compactStore]] — the periodic
-    * compaction that bounds the store to O(1) rows over any ingest
-    * history (never more than `compactEvery` rows at any instant;
-    * spec-pinned report-identical to the uncompacted run).
-    * `compactEvery = 0` disables compaction (the spec's control arm).
-    * `onBatch` is a test seam: called after each non-empty batch with
-    * (batches-so-far, store row count at that instant). */
+    * the persisted store — through [[appendBatchPartial]], so a batch
+    * replayed after a crash cannot double-count — and whenever the
+    * append brings the store to `compactEvery` rows it is rewritten in
+    * place through [[graft.operators.ProfilingQueries.compactStore]].
+    * Compacting on the OBSERVED row count (parquet-footer metadata,
+    * not a driver counter — restart-safe) bounds the store to at most
+    * `compactEvery` rows at every instant, including the moment before
+    * compaction fires; spec-pinned report-identical to the uncompacted
+    * run. `compactEvery = 0` disables compaction (the spec's control
+    * arm). `onBatch` is a test seam: called after each non-empty
+    * appended batch with (batches-so-far, store row count at that
+    * instant). */
   def liveProfileDrain(spark: org.apache.spark.sql.SparkSession,
                        staged: String, store: String,
                        schema: org.apache.spark.sql.types.StructType,
@@ -344,12 +382,13 @@ object StreamingQueries extends QueryPack {
       val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
         .writeStream.outputMode("append")
         .option("checkpointLocation", Streams.scratchDir("graft_cp_st29_"))
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!b.isEmpty) {
-            ProfilingQueries.partialProfile(b)
-              .write.mode("append").parquet(store)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (!b.isEmpty &&
+              appendBatchPartial(spark, store, bid,
+                ProfilingQueries.partialProfile(b))) {
             val n = seen.incrementAndGet()
-            if (compactEvery > 0 && n % compactEvery == 0)
+            if (compactEvery > 0 &&
+                spark.read.parquet(store).count() >= compactEvery)
               ProfilingQueries.compactStore(spark, store, schema)
             onBatch.foreach(f => f(n, spark.read.parquet(store).count()))
           }
@@ -1465,10 +1504,12 @@ object StreamingQueries extends QueryPack {
           val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
             .writeStream.outputMode("append")
             .option("checkpointLocation", Streams.scratchDir("graft_cp_st30_"))
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              // appendBatchPartial: replayed batch ids must not
+              // double-count their drift partials in the fold below
               if (!b.isEmpty)
-                QualityQueries.driftCounts(b, "new")
-                  .write.mode("append").parquet(store)
+                appendBatchPartial(spark, store, bid,
+                  QualityQueries.driftCounts(b, "new"))
               ()
             }
             .start()

@@ -176,6 +176,38 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("st29/st30: live-store appends are replay-idempotent; compaction carries the batch-id watermark") {
+    import graft.operators.ProfilingQueries._
+    import graft.streaming.StreamingQueries
+    val o = graft.core.Tables(spark, sfDir).orders
+    val store = Streams.dataDir("graft_idem_store_")
+    val p0 = o.filter(col("o_orderkey") % 2 === 0)
+    val p1 = o.filter(col("o_orderkey") % 2 === 1)
+    assert(StreamingQueries.appendBatchPartial(spark, store, 0L, partialProfile(p0)))
+    // foreachBatch is at-least-once: the redelivered batch id must be
+    // refused, not appended a second time
+    assert(!StreamingQueries.appendBatchPartial(spark, store, 0L, partialProfile(p0)))
+    assert(StreamingQueries.appendBatchPartial(spark, store, 1L, partialProfile(p1)))
+    assert(spark.read.parquet(store).count() === 2L)
+    // despite the replay the folded report equals the one-shot profile
+    val merged = mergedProfile(spark.read.parquet(store), o.schema, Set("o_totalprice"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    val full = profile(o, Set("o_totalprice")).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    full.keySet.foreach { c =>
+      assert(merged(c).getAs[Long]("n_rows") === full(c).getAs[Long]("n_rows"), c)
+      assert(merged(c).getAs[String]("min_repr") === full(c).getAs[String]("min_repr"), c)
+      assert(merged(c).getAs[String]("max_repr") === full(c).getAs[String]("max_repr"), c)
+    }
+    // compaction folds the store to one row AND carries max __bid
+    // forward — a replay of the last pre-compaction batch is still
+    // refused afterwards, and the next real batch is admitted
+    compactStore(spark, store, o.schema)
+    assert(spark.read.parquet(store).count() === 1L)
+    assert(!StreamingQueries.appendBatchPartial(spark, store, 1L, partialProfile(p1)))
+    assert(StreamingQueries.appendBatchPartial(spark, store, 2L, partialProfile(p1)))
+  }
+
   test("T2: rate limiting produces multiple micro-batches") {
     val stream = Streams.eventsStream(spark, sfDir, maxFilesPerTrigger = 1)
       .select(col("event_id"))
