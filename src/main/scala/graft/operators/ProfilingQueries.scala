@@ -282,15 +282,42 @@ object ProfilingQueries extends QueryPack {
     * aggregate over the ingest batch with the single-row bounds
     * cross-joined broadcast and the ≤ maxDomain·|string cols| domain
     * values as literals. Nothing joins row-to-row. */
-  def suggestedConstraintReport(train: DataFrame, eval: DataFrame,
-                                maxDomain: Int = 8): DataFrame = {
+  /** A suggested rule. `idx` is the column's POSITION in the profiled
+    * schema: all evaluation addresses `__p_in_<idx>` (profile()'s
+    * positional discipline), so dotted/special-character names can
+    * never parse as nested-field paths; `name` is display-only. */
+  private[graft] case class SuggestedRule(kind: String, idx: Int, name: String)
+
+  /** The persistable suggestion artifact: the rules, the ≤ maxDomain
+    * per-column domain value lists (keyed by column position), and the
+    * native-typed train extrema as ONE materialized row
+    * (localCheckpoint'd, so a live gate re-evaluating per micro-batch
+    * never re-scans the training corpus). */
+  private[graft] case class SuggestedConstraints(
+      rules: Seq[SuggestedRule],
+      domVals: Map[Int, Seq[String]],
+      bounds: Option[DataFrame])
+
+  /** All rule kinds; the ROW-LOCAL subset (everything but `unique`) is
+    * what a per-micro-batch gate can evaluate mergeably — per-batch
+    * violation counts sum to exactly the whole-slice evaluation.
+    * Cross-batch uniqueness needs distinct state (the sketch tier's
+    * job) and is deliberately not in the streaming subset. */
+  private[graft] val allRuleKinds = Set("not_null", "unique", "range", "domain")
+  private[graft] val rowLocalRuleKinds = allRuleKinds - "unique"
+
+  /** Derive the suggested rules from the training corpus: one q84
+    * profile pass, one grouped scan for ALL domain value lists
+    * together, one tiny extrema agg (native-typed — bounds never
+    * round-trip through a string repr). */
+  private[graft] def suggestConstraints(train: DataFrame, maxDomain: Int = 8,
+                                        kinds: Set[String] = allRuleKinds): SuggestedConstraints = {
     val fields = train.schema.fields.toSeq
     require(fields.map(_.name).distinct.size == fields.size,
-      "constraint suggestion addresses columns by name — names must be unique")
+      "constraint suggestion reports rules by column name — names must be unique")
     val prof = profile(train).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
-    case class Rule(kind: String, name: String, dt: DataType)
-    val rules: Seq[Rule] = fields.flatMap { f =>
+    val rules: Seq[SuggestedRule] = fields.zipWithIndex.flatMap { case (f, i) =>
       if (!statable(f.dataType)) Seq.empty
       else {
         val p = prof(f.name)
@@ -298,53 +325,72 @@ object ProfilingQueries extends QueryPack {
         val nNull = p.getAs[Long]("n_null")
         val nd = p.getAs[Long]("n_distinct")
         Seq(
-          if (nNull == 0 && n > 0) Some(Rule("not_null", f.name, f.dataType)) else None,
-          if (nd == n && n > 0) Some(Rule("unique", f.name, f.dataType)) else None,
+          if (nNull == 0 && n > 0) Some(SuggestedRule("not_null", i, f.name)) else None,
+          if (nd == n && n > 0) Some(SuggestedRule("unique", i, f.name)) else None,
           if (rangeable(f.dataType) && nNull < n)
-            Some(Rule("range", f.name, f.dataType)) else None,
+            Some(SuggestedRule("range", i, f.name)) else None,
           if (f.dataType == StringType && nd >= 1 && nd <= maxDomain)
-            Some(Rule("domain", f.name, f.dataType)) else None
-        ).flatten
+            Some(SuggestedRule("domain", i, f.name)) else None
+        ).flatten.filter(r => kinds(r.kind))
       }
     }
-    // domain value lists: one grouped scan over train for ALL domain
-    // columns together (≤ maxDomain values each by the guard)
-    val domCols = rules.filter(_.kind == "domain").map(_.name)
-    val domVals: Map[String, Seq[String]] =
-      if (domCols.isEmpty) Map.empty
-      else train
-        .select(explode(array(domCols.map(c =>
-          struct(lit(c).as("cn"), col(c).as("v"))): _*)).as("s"))
-        .select(col("s.cn").as("cn"), col("s.v").as("v"))
+    val trainP = positional(train)
+    val domIdx = rules.filter(_.kind == "domain").map(_.idx)
+    val domVals: Map[Int, Seq[String]] =
+      if (domIdx.isEmpty) Map.empty
+      else trainP
+        .select(explode(array(domIdx.map(i =>
+          struct(lit(i).as("ci"), col(s"__p_in_$i").as("v"))): _*)).as("s"))
+        .select(col("s.ci").as("ci"), col("s.v").as("v"))
         .filter(col("v").isNotNull).distinct()
-        .collect().map(r => r.getString(0) -> r.getString(1))
+        .collect().map(r => r.getInt(0) -> r.getString(1))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
-    // native train extrema for the range rules: one tiny agg, emitted
-    // as a single row and cross-joined broadcast into the evaluation —
-    // bounds never round-trip through a string repr or a driver literal
     val rangeRules = rules.filter(_.kind == "range")
-    val boundsAggs = rangeRules.flatMap(r =>
-      Seq(min(col(r.name)).as(s"__lo_${r.name}"),
-          max(col(r.name)).as(s"__hi_${r.name}")))
-    val evalIn =
-      if (rangeRules.isEmpty) eval
-      else eval.crossJoin(broadcast(train.agg(boundsAggs.head, boundsAggs.tail: _*)))
-    // ONE conditional aggregate evaluates every suggested rule
-    def vAlias(r: Rule) = s"__v_${r.kind}_${r.name}"
-    val vAggs: Seq[Column] = rules.map { r =>
-      val c = col(r.name)
+    val bounds =
+      if (rangeRules.isEmpty) None
+      else {
+        val aggs = rangeRules.flatMap(r =>
+          Seq(min(col(s"__p_in_${r.idx}")).as(s"__lo_${r.idx}"),
+              max(col(s"__p_in_${r.idx}")).as(s"__hi_${r.idx}")))
+        // localCheckpoint: ONE materialized row — per-batch re-use in a
+        // live gate must not re-scan the training corpus
+        Some(trainP.agg(aggs.head, aggs.tail: _*).localCheckpoint())
+      }
+    SuggestedConstraints(rules, domVals, bounds)
+  }
+
+  /** Evaluate suggested rules against a batch: ONE conditional
+    * aggregate over one scan, the single-row native bounds cross-joined
+    * broadcast, domain values as literals. Empty rule sets produce an
+    * empty report (not an analysis error). */
+  private[graft] def evaluateConstraints(eval: DataFrame,
+                                         sc: SuggestedConstraints): DataFrame = {
+    import org.apache.spark.sql.types.StructField
+    if (sc.rules.isEmpty)
+      return eval.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("constraint", StringType, nullable = false),
+          StructField("n_checked", LongType, nullable = false),
+          StructField("n_violations", LongType, nullable = false),
+          StructField("passed", org.apache.spark.sql.types.BooleanType, nullable = false))))
+    val evalIn = sc.bounds.foldLeft(positional(eval))(
+      (e, b) => e.crossJoin(broadcast(b)))
+    def vAlias(r: SuggestedRule) = s"__v_${r.kind}_${r.idx}"
+    val vAggs: Seq[Column] = sc.rules.map { r =>
+      val c = col(s"__p_in_${r.idx}")
       (r.kind match {
         case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
         case "unique"   => count(c) - countDistinct(c)
         case "range"    => sum(when(c.isNotNull &&
-          (c < col(s"__lo_${r.name}") || c > col(s"__hi_${r.name}")), 1L)
+          (c < col(s"__lo_${r.idx}") || c > col(s"__hi_${r.idx}")), 1L)
           .otherwise(0L))
         case "domain"   => sum(when(c.isNotNull &&
-          !c.isin(domVals(r.name): _*), 1L).otherwise(0L))
+          !c.isin(sc.domVals(r.idx): _*), 1L).otherwise(0L))
       }).as(vAlias(r))
     }
     evalIn.agg(count(lit(1)).as("__n"), vAggs: _*)
-      .select(explode(array(rules.map { r =>
+      .select(explode(array(sc.rules.map { r =>
         struct(lit(s"${r.kind}:${r.name}").as("constraint"),
           col("__n").as("n_checked"),
           coalesce(col(vAlias(r)), lit(0L)).as("n_violations"))
@@ -354,6 +400,82 @@ object ProfilingQueries extends QueryPack {
         col("r.n_violations").as("n_violations"),
         (col("r.n_violations") === 0L).as("passed"))
       .orderBy("constraint")
+  }
+
+  def suggestedConstraintReport(train: DataFrame, eval: DataFrame,
+                                maxDomain: Int = 8): DataFrame =
+    evaluateConstraints(eval, suggestConstraints(train, maxDomain))
+
+  /** Oracle for the suggestion+evaluation loop over the orders split
+    * (q88, and — with `includeUnique = false` — st31's streaming twin,
+    * which evaluates only the row-local mergeable rule kinds): DuckDB
+    * replays rule derivation from the train slice's stats AND the
+    * per-rule evaluation over the eval slice. */
+  private[graft] def constraintOracleSql(includeUnique: Boolean): String = {
+    val prefix =
+      """WITH split AS (
+        |  SELECT CAST(floor(max(o_orderkey) * 0.8) AS BIGINT) AS sv FROM orders),
+        |tr AS (SELECT * FROM orders WHERE o_orderkey < (SELECT sv FROM split)),
+        |ev AS (SELECT * FROM orders WHERE o_orderkey >= (SELECT sv FROM split)),
+        |tp AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+        |      min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
+        |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+        |      min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+        |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+        |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
+        |      min(o_totalprice) AS t_lo, max(o_totalprice) AS t_hi,
+        |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+        |      min(o_orderdate) AS d_lo, max(o_orderdate) AS d_hi,
+        |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
+        |  FROM tr),
+        |em AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+        |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+        |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
+        |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
+        |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
+        |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
+        |  FROM ev),
+        |rv AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN e.o_orderkey IS NOT NULL AND (e.o_orderkey < t.k_lo OR e.o_orderkey > t.k_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_rv,
+        |    CAST(coalesce(sum(CASE WHEN e.o_custkey IS NOT NULL AND (e.o_custkey < t.c_lo OR e.o_custkey > t.c_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_rv,
+        |    CAST(coalesce(sum(CASE WHEN e.o_totalprice IS NOT NULL AND (e.o_totalprice < t.t_lo OR e.o_totalprice > t.t_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_rv,
+        |    CAST(coalesce(sum(CASE WHEN e.o_orderdate IS NOT NULL AND (e.o_orderdate < t.d_lo OR e.o_orderdate > t.d_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_rv
+        |  FROM ev e CROSS JOIN tp t),
+        |dv AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN e.o_orderstatus IS NOT NULL AND e.o_orderstatus NOT IN (SELECT o_orderstatus FROM tr WHERE o_orderstatus IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_dv,
+        |    CAST(coalesce(sum(CASE WHEN e.o_orderpriority IS NOT NULL AND e.o_orderpriority NOT IN (SELECT o_orderpriority FROM tr WHERE o_orderpriority IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_dv
+        |  FROM ev e)
+        |SELECT "constraint", n_checked, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'not_null:o_orderkey' AS "constraint", em.n AS n_checked, CAST(em.n - em.k_nn AS BIGINT) AS n_violations FROM em, tp WHERE tp.k_nn = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'not_null:o_custkey', em.n, CAST(em.n - em.c_nn AS BIGINT) FROM em, tp WHERE tp.c_nn = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'not_null:o_orderstatus', em.n, CAST(em.n - em.s_nn AS BIGINT) FROM em, tp WHERE tp.s_nn = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'not_null:o_totalprice', em.n, CAST(em.n - em.t_nn AS BIGINT) FROM em, tp WHERE tp.t_nn = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'not_null:o_orderdate', em.n, CAST(em.n - em.d_nn AS BIGINT) FROM em, tp WHERE tp.d_nn = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'not_null:o_orderpriority', em.n, CAST(em.n - em.p_nn AS BIGINT) FROM em, tp WHERE tp.p_nn = tp.n AND tp.n > 0""".stripMargin
+    val uniqueRows =
+      """
+        |  UNION ALL SELECT 'unique:o_orderkey', em.n, CAST(em.k_nn - em.k_nd AS BIGINT) FROM em, tp WHERE tp.k_nd = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'unique:o_custkey', em.n, CAST(em.c_nn - em.c_nd AS BIGINT) FROM em, tp WHERE tp.c_nd = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'unique:o_orderstatus', em.n, CAST(em.s_nn - em.s_nd AS BIGINT) FROM em, tp WHERE tp.s_nd = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'unique:o_totalprice', em.n, CAST(em.t_nn - em.t_nd AS BIGINT) FROM em, tp WHERE tp.t_nd = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'unique:o_orderdate', em.n, CAST(em.d_nn - em.d_nd AS BIGINT) FROM em, tp WHERE tp.d_nd = tp.n AND tp.n > 0
+        |  UNION ALL SELECT 'unique:o_orderpriority', em.n, CAST(em.p_nn - em.p_nd AS BIGINT) FROM em, tp WHERE tp.p_nd = tp.n AND tp.n > 0""".stripMargin
+    val suffix =
+      """
+        |  UNION ALL SELECT 'range:o_orderkey', em.n, rv.k_rv FROM em, tp, rv WHERE tp.k_nn > 0
+        |  UNION ALL SELECT 'range:o_custkey', em.n, rv.c_rv FROM em, tp, rv WHERE tp.c_nn > 0
+        |  UNION ALL SELECT 'range:o_totalprice', em.n, rv.t_rv FROM em, tp, rv WHERE tp.t_nn > 0
+        |  UNION ALL SELECT 'range:o_orderdate', em.n, rv.d_rv FROM em, tp, rv WHERE tp.d_nn > 0
+        |  UNION ALL SELECT 'domain:o_orderstatus', em.n, dv.s_dv FROM em, tp, dv WHERE tp.s_nd BETWEEN 1 AND 8
+        |  UNION ALL SELECT 'domain:o_orderpriority', em.n, dv.p_dv FROM em, tp, dv WHERE tp.p_nd BETWEEN 1 AND 8)
+        |ORDER BY "constraint"""".stripMargin
+    prefix + (if (includeUnique) uniqueRows else "") + suffix
   }
 
   /** q84's oracle body, shared by q86/q87/st29 (they re-check the same
@@ -493,64 +615,7 @@ object ProfilingQueries extends QueryPack {
           o.filter(col("o_orderkey") < split),
           o.filter(col("o_orderkey") >= split))
       },
-      Some("""WITH split AS (
-             |  SELECT CAST(floor(max(o_orderkey) * 0.8) AS BIGINT) AS sv FROM orders),
-             |tr AS (SELECT * FROM orders WHERE o_orderkey < (SELECT sv FROM split)),
-             |ev AS (SELECT * FROM orders WHERE o_orderkey >= (SELECT sv FROM split)),
-             |tp AS (
-             |  SELECT count(*) AS n,
-             |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
-             |      min(o_orderkey) AS k_lo, max(o_orderkey) AS k_hi,
-             |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
-             |      min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
-             |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
-             |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
-             |      min(o_totalprice) AS t_lo, max(o_totalprice) AS t_hi,
-             |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
-             |      min(o_orderdate) AS d_lo, max(o_orderdate) AS d_hi,
-             |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
-             |  FROM tr),
-             |em AS (
-             |  SELECT count(*) AS n,
-             |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
-             |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
-             |    count(o_orderstatus) AS s_nn, count(DISTINCT o_orderstatus) AS s_nd,
-             |    count(o_totalprice) AS t_nn, count(DISTINCT o_totalprice) AS t_nd,
-             |    count(o_orderdate) AS d_nn, count(DISTINCT o_orderdate) AS d_nd,
-             |    count(o_orderpriority) AS p_nn, count(DISTINCT o_orderpriority) AS p_nd
-             |  FROM ev),
-             |rv AS (
-             |  SELECT
-             |    CAST(coalesce(sum(CASE WHEN e.o_orderkey IS NOT NULL AND (e.o_orderkey < t.k_lo OR e.o_orderkey > t.k_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS k_rv,
-             |    CAST(coalesce(sum(CASE WHEN e.o_custkey IS NOT NULL AND (e.o_custkey < t.c_lo OR e.o_custkey > t.c_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_rv,
-             |    CAST(coalesce(sum(CASE WHEN e.o_totalprice IS NOT NULL AND (e.o_totalprice < t.t_lo OR e.o_totalprice > t.t_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS t_rv,
-             |    CAST(coalesce(sum(CASE WHEN e.o_orderdate IS NOT NULL AND (e.o_orderdate < t.d_lo OR e.o_orderdate > t.d_hi) THEN 1 ELSE 0 END), 0) AS BIGINT) AS d_rv
-             |  FROM ev e CROSS JOIN tp t),
-             |dv AS (
-             |  SELECT
-             |    CAST(coalesce(sum(CASE WHEN e.o_orderstatus IS NOT NULL AND e.o_orderstatus NOT IN (SELECT o_orderstatus FROM tr WHERE o_orderstatus IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS s_dv,
-             |    CAST(coalesce(sum(CASE WHEN e.o_orderpriority IS NOT NULL AND e.o_orderpriority NOT IN (SELECT o_orderpriority FROM tr WHERE o_orderpriority IS NOT NULL) THEN 1 ELSE 0 END), 0) AS BIGINT) AS p_dv
-             |  FROM ev e)
-             |SELECT "constraint", n_checked, n_violations, n_violations = 0 AS passed FROM (
-             |  SELECT 'not_null:o_orderkey' AS "constraint", em.n AS n_checked, CAST(em.n - em.k_nn AS BIGINT) AS n_violations FROM em, tp WHERE tp.k_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'not_null:o_custkey', em.n, CAST(em.n - em.c_nn AS BIGINT) FROM em, tp WHERE tp.c_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'not_null:o_orderstatus', em.n, CAST(em.n - em.s_nn AS BIGINT) FROM em, tp WHERE tp.s_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'not_null:o_totalprice', em.n, CAST(em.n - em.t_nn AS BIGINT) FROM em, tp WHERE tp.t_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'not_null:o_orderdate', em.n, CAST(em.n - em.d_nn AS BIGINT) FROM em, tp WHERE tp.d_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'not_null:o_orderpriority', em.n, CAST(em.n - em.p_nn AS BIGINT) FROM em, tp WHERE tp.p_nn = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_orderkey', em.n, CAST(em.k_nn - em.k_nd AS BIGINT) FROM em, tp WHERE tp.k_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_custkey', em.n, CAST(em.c_nn - em.c_nd AS BIGINT) FROM em, tp WHERE tp.c_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_orderstatus', em.n, CAST(em.s_nn - em.s_nd AS BIGINT) FROM em, tp WHERE tp.s_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_totalprice', em.n, CAST(em.t_nn - em.t_nd AS BIGINT) FROM em, tp WHERE tp.t_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_orderdate', em.n, CAST(em.d_nn - em.d_nd AS BIGINT) FROM em, tp WHERE tp.d_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'unique:o_orderpriority', em.n, CAST(em.p_nn - em.p_nd AS BIGINT) FROM em, tp WHERE tp.p_nd = tp.n AND tp.n > 0
-             |  UNION ALL SELECT 'range:o_orderkey', em.n, rv.k_rv FROM em, tp, rv WHERE tp.k_nn > 0
-             |  UNION ALL SELECT 'range:o_custkey', em.n, rv.c_rv FROM em, tp, rv WHERE tp.c_nn > 0
-             |  UNION ALL SELECT 'range:o_totalprice', em.n, rv.t_rv FROM em, tp, rv WHERE tp.t_nn > 0
-             |  UNION ALL SELECT 'range:o_orderdate', em.n, rv.d_rv FROM em, tp, rv WHERE tp.d_nn > 0
-             |  UNION ALL SELECT 'domain:o_orderstatus', em.n, dv.s_dv FROM em, tp, dv WHERE tp.s_nd BETWEEN 1 AND 8
-             |  UNION ALL SELECT 'domain:o_orderpriority', em.n, dv.p_dv FROM em, tp, dv WHERE tp.p_nd BETWEEN 1 AND 8)
-             |ORDER BY "constraint"""".stripMargin),
+      Some(constraintOracleSql(includeUnique = true)),
       "North star: constraint suggestion — profile-derived rules from the stored corpus, evaluated against the new ingest batch"),
 
     GraftQuery(

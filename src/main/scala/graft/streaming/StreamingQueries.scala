@@ -1536,6 +1536,61 @@ object StreamingQueries extends QueryPack {
       "North star/T: live drift monitor — per-batch mergeable drift partials vs stored-corpus baseline ≡ batch t23"),
 
     GraftQuery(
+      "st31_stream_constraint_gate",
+      (spark, dir) => {
+        // LIVE CONSTRAINT GATE — q88 composed with the st29/st30 store
+        // mechanics: the STORED corpus's profile suggests the rules
+        // once, offline (suggestConstraints — the q88 suggest step,
+        // restricted to the ROW-LOCAL kinds: not_null/range/domain,
+        // whose per-batch violation counts sum to exactly the
+        // whole-slice evaluation; cross-batch `unique` needs distinct
+        // state, the sketch tier's job, and is deliberately excluded).
+        // Each arriving micro-batch is evaluated in ONE conditional
+        // aggregate against the suggested rules (native bounds
+        // materialized once — no per-batch train rescans) and appends
+        // its per-constraint violation partial idempotently
+        // ([[appendBatchPartial]]); the live report is a sum-fold over
+        // the store. The reference tie-in is the dashboards' ad-hoc
+        // live sanity SQL (fire_detection_app.py:64-74), here derived
+        // and maintained automatically. The oracle replays suggestion
+        // AND evaluation over the full new slice — the streamed gate
+        // must land on exactly that table.
+        import graft.operators.ProfilingQueries
+        val o = Tables(spark, dir).orders
+        val split = Tables.incrementalSplitId(o, "o_orderkey")
+        val sc = ProfilingQueries.suggestConstraints(
+          o.filter(col("o_orderkey") < split),
+          kinds = ProfilingQueries.rowLocalRuleKinds)
+        val staged = Streams.dataDir("graft_orders_gate_")
+        o.filter(col("o_orderkey") >= split)
+          .repartition(4).write.mode("overwrite").parquet(staged)
+        val store = Streams.dataDir("graft_constraint_store_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st31_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty)
+                appendBatchPartial(spark, store, bid,
+                  ProfilingQueries.evaluateConstraints(b, sc))
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        spark.read.parquet(store).groupBy("constraint")
+          .agg(sum(col("n_checked")).as("n_checked"),
+               sum(col("n_violations")).as("n_violations"))
+          .select(col("constraint"), col("n_checked"), col("n_violations"),
+            (col("n_violations") === 0L).as("passed"))
+          .orderBy("constraint")
+      },
+      Some(graft.operators.ProfilingQueries
+        .constraintOracleSql(includeUnique = false)),
+      "North star/T: live constraint gate — q88's row-local suggested rules evaluated per micro-batch, violation partials fold to the whole-slice report"),
+
+    GraftQuery(
       "st26_stream_chunk_scrub",
       (spark, dir) => {
         // CHUNK-LEVEL SCRUB ON INGEST — d14's exact-substring signal as

@@ -597,6 +597,50 @@ class OperatorInvariantsSpec extends SparkTestBase {
     assert(p("tiny").getAs[Long]("n_null") == 1)
   }
 
+  test("constraint suggestion is schema-generic: dotted names, empty rule sets, row-local subset (q88 kernel)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.operators.ProfilingQueries
+    // dotted/special names: positional addressing must not parse them
+    // as nested-field paths (the failure mode profile() already pins)
+    val schema = StructType(Seq(
+      StructField("a.b", LongType), StructField("st at us", StringType)))
+    val train = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "ok"), Row(2L, "ok"), Row(3L, "bad")), schema)
+    val eval = spark.createDataFrame(java.util.Arrays.asList(
+      Row(2L, "ok"), Row(9L, "novel"), Row(null, "bad")), schema)
+    val rep = ProfilingQueries.suggestedConstraintReport(train, eval)
+      .collect().map(r => r.getAs[String]("constraint") -> r).toMap
+    assert(rep.keySet == Set("not_null:a.b", "unique:a.b", "range:a.b",
+      "not_null:st at us", "domain:st at us"))
+    assert(rep("not_null:a.b").getAs[Long]("n_violations") == 1L)
+    assert(rep("range:a.b").getAs[Long]("n_violations") == 1L, "9 lies above train max 3")
+    assert(rep("domain:st at us").getAs[Long]("n_violations") == 1L, "'novel' not in train domain")
+    assert(rep("unique:a.b").getAs[Long]("n_violations") == 0L)
+    // empty train → no rules suggested → EMPTY report, not an
+    // explode(array()) analysis error
+    val emptyTrain = train.filter(col("`a.b`") < 0L)
+    val emptyRep = ProfilingQueries.suggestedConstraintReport(emptyTrain, eval)
+    assert(emptyRep.columns.toSeq ==
+      Seq("constraint", "n_checked", "n_violations", "passed"))
+    assert(emptyRep.count() == 0L)
+    // row-local subset (the live gate's kinds): per-slice evaluations
+    // SUM to exactly the whole-slice report — the mergeability st31
+    // relies on; `unique` is excluded because it does not merge
+    val sc = ProfilingQueries.suggestConstraints(train,
+      kinds = ProfilingQueries.rowLocalRuleKinds)
+    assert(sc.rules.forall(_.kind != "unique"))
+    val whole = ProfilingQueries.evaluateConstraints(eval, sc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val slices = Seq(eval.filter(col("`a.b`").isNull || col("`a.b`") <= 2L),
+                     eval.filter(col("`a.b`") > 2L))
+      .map(s => ProfilingQueries.evaluateConstraints(s, sc)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val summed = slices.flatten.groupBy(_._1).map { case (k, vs) =>
+      (k, vs.map(_._2).sum, vs.map(_._3).sum) }.toSeq.sortBy(_._1)
+    assert(summed == whole.toSeq, "row-local rule evaluation must merge by summation")
+  }
+
   test("incremental profile: persisted partials fold to the full-rescan report (q86 kernel)") {
     import graft.operators.ProfilingQueries._
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
