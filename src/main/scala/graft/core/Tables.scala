@@ -130,8 +130,15 @@ object Tables {
     * oracle's matching split CTE) depends on all consumers agreeing on
     * what "the batch" is, so no query derives its own. */
   def incrementalSplitId(df: DataFrame, idCol: String): Long =
+    incrementalSplitId(df, idCol, 0.8)
+
+  /** Fraction-parameterized split for the queries that need MORE than
+    * one ingest boundary (d16's gate → admit → update → gate lifecycle
+    * slices the corpus at 0.6 AND 0.8). Same floor(max*frac) rule — the
+    * oracle CTEs replay the identical double arithmetic. */
+  def incrementalSplitId(df: DataFrame, idCol: String, frac: Double): Long =
     df.agg(org.apache.spark.sql.functions.floor(
-        org.apache.spark.sql.functions.max(col(idCol)) * 0.8).cast(LongType))
+        org.apache.spark.sql.functions.max(col(idCol)) * frac).cast(LongType))
       .head().getLong(0)
 
   /** Canonicalize an events-style timestamp column to TimestampType,

@@ -166,6 +166,116 @@ object DedupQueries extends QueryPack {
     }
   }
 
+  // ---- LSH band-index MAINTENANCE (d16) ------------------------------
+  // The d12 loop's missing half: d12 PROBES a persisted band index at
+  // O(batch), but nothing ever wrote admitted docs back — a near-dup of
+  // a previously-admitted doc would sail through every later gate. These
+  // four functions close the lifecycle: build → gate → append → compact,
+  // the same shape as the ANN side's s15 append / s19-s20 retrain.
+  // Artifacts are two parquet tables: the band index
+  // (doc_id, band_id, band_hash) and the exploded shingle table
+  // (doc_id, sh) the verify stage fetches candidate shingles from.
+  // At 100 TB both live bucketed by their join keys (src05), so a gate's
+  // probe join prunes to matching buckets and the append is a partition-
+  // local write; compaction is the per-partition-dir src09 rewrite.
+
+  private def writeIndex(docs: DataFrame, indexDir: String, shDir: String,
+                         mode: String): Unit = {
+    val sh = shingleRelation(docs).persist()
+    try {
+      // ONE text pass: bands derive from the persisted shingle relation
+      bandRows(signaturesFromShingles(sh)).write.mode(mode).parquet(indexDir)
+      sh.write.mode(mode).parquet(shDir)
+    } finally sh.unpersist(blocking = false)
+  }
+
+  /** Builds the persisted LSH artifacts for an already-deduped corpus. */
+  def buildBandIndex(docs: DataFrame, indexDir: String, shDir: String): Unit =
+    writeIndex(docs, indexDir, shDir, "overwrite")
+
+  /** Appends an ADMITTED batch's band + shingle rows to the persisted
+    * artifacts — the index-update job that runs between ingests. Only
+    * gate SURVIVORS may be appended: a dropped doc's bands must never
+    * enter the index, or the doc it duplicated would stop being the
+    * cluster's sole representative. */
+  def appendBandIndex(admitted: DataFrame, indexDir: String, shDir: String): Unit =
+    writeIndex(admitted, indexDir, shDir, "append")
+
+  /** src09's compaction recipe applied to the index artifacts: each
+    * append leaves a litter of small files, and the gate's probe join
+    * pays per-file open cost on every micro-batch. Rewrites each table
+    * range-clustered by its join keys into ≤ `targetFiles` files via a
+    * tmp-dir + swap (a parquet dir can't be overwritten while it is the
+    * read source; production swaps a metastore pointer instead of
+    * renaming). Content-neutral — spec-pinned by DedupIndexSpec. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, shDir: String,
+                       targetFiles: Int = 4): Unit = {
+    def compactDir(dir: String, keys: Seq[String]): Unit = {
+      val tmp = dir + "__compact"
+      spark.read.parquet(dir)
+        .repartitionByRange(targetFiles, keys.map(col): _*)
+        .sortWithinPartitions(keys.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
+        s"compaction swap failed for $dir")
+    }
+    compactDir(indexDir, Seq("band_id", "band_hash", "doc_id"))
+    compactDir(shDir, Seq("doc_id", "sh"))
+  }
+
+  /** Gates a new batch against the PERSISTED artifacts — d12's probe
+    * shape reading the index from parquet instead of rebuilding it:
+    * only the batch is shingled/signed; its band rows probe the stored
+    * index (plus themselves, for within-batch dups); the verify stage
+    * fetches stored shingles for CANDIDATE ids only (semi-join pushes
+    * the id set into the shingle-table scan). Returns keep-first
+    * verdicts (doc_id, dropped), MATERIALIZED before returning so a
+    * caller may mutate the index afterwards without corrupting them. */
+  def gateBatch(spark: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                indexDir: String, shDir: String,
+                minJaccardE4: Long = 2000): DataFrame = {
+    val shNew = shingleRelation(batch).persist()
+    try {
+      val newBands = bandRows(signaturesFromShingles(shNew))
+        .localCheckpoint() // consumed twice: as probe AND probe-target
+      val cand = spark.read.parquet(indexDir).union(newBands).as("a")
+        .join(newBands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // tiny; its ids gate the shingle fetch below
+      val candStoredIds = cand.select(col("doc_a").as("doc_id")).distinct()
+      val shStored = spark.read.parquet(shDir)
+        .join(candStoredIds, Seq("doc_id"), "left_semi")
+      val sh = shStored.union(shNew).persist()
+      try {
+        val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val ver = cand
+          .join(sh.toDF("doc_a", "sh"), "doc_a")
+          .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_inter"))
+          .join(scnt.toDF("doc_a", "n_a"), "doc_a")
+          .join(scnt.toDF("doc_b", "n_b"), "doc_b")
+          .filter(floor(col("n_inter") * 10000.0 /
+              (col("n_a") + col("n_b") - col("n_inter")) + 0.5)
+            .cast(LongType) >= minJaccardE4)
+        val dropped = ver.select(col("doc_b").as("doc_id")).distinct()
+        batch.join(dropped.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+          .localCheckpoint()
+      } finally sh.unpersist(blocking = false)
+    } finally shNew.unpersist(blocking = false)
+  }
+
   /** 16-bit SimHash signatures (doc_id, simhash16 bit-string): per
     * distinct token, md5 nibble j votes ±1 on bit j; signature bit =
     * sign of the vote sum. Near-dups differ in few bits (Hamming). */
@@ -978,7 +1088,55 @@ object DedupQueries extends QueryPack {
              |  coalesce(r.kept_md5, md5('')) AS kept_md5
              |FROM tot t LEFT JOIN rec r USING (doc_id)
              |WHERE t.doc_id >= (SELECT sv FROM split)""".stripMargin),
-      "North star: incremental chunk dedup — batch probes the stored chunk-hash index at O(batch), verdicts ≡ full rerun"))
+      "North star: incremental chunk dedup — batch probes the stored chunk-hash index at O(batch), verdicts ≡ full rerun"),
+
+    GraftQuery(
+      "d16_index_maintenance",
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        // TWO ingest boundaries: existing corpus < v1, batch1 in
+        // [v1, v2), batch2 ≥ v2 — the full maintenance lifecycle runs
+        // end-to-end: build(existing) → gate(batch1) → append the
+        // ADMITTED survivors → compact → gate(batch2). The stage-2
+        // verdicts are the observable: a batch2 doc is dropped iff it
+        // verifies against existing ∪ admitted(batch1) ∪ batch2 — NOT
+        // against batch1 docs the stage-1 gate dropped, whose bands
+        // never entered the index. The oracle replays exactly that
+        // surviving-set keep-first rule from the full-corpus verified
+        // pair list (candidate generation is per-doc-pair band
+        // collision, identical whether bands are read from the stored
+        // index or recomputed — d12's equivalence argument, twice).
+        val v1 = Tables.incrementalSplitId(docs, "doc_id", 0.6)
+        val v2 = Tables.incrementalSplitId(docs, "doc_id", 0.8)
+        val indexDir = graft.streaming.Streams.dataDir("graft_d16_bands_")
+        val shDir = graft.streaming.Streams.dataDir("graft_d16_shs_")
+        buildBandIndex(docs.filter(col("doc_id") < v1), indexDir, shDir)
+        val batch1 = docs.filter(col("doc_id") >= v1 && col("doc_id") < v2)
+        val verdict1 = gateBatch(spark, batch1, indexDir, shDir)
+        val admitted = batch1.join(verdict1.filter(!col("dropped")),
+          Seq("doc_id"), "left_semi")
+        appendBandIndex(admitted, indexDir, shDir)
+        compactBandIndex(spark, indexDir, shDir)
+        gateBatch(spark, docs.filter(col("doc_id") >= v2), indexDir, shDir)
+      },
+      Some(verifiedPairsCte +
+        """, s AS (
+          |  SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v1,
+          |         CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v2
+          |  FROM documents),
+          |drop1 AS (
+          |  SELECT DISTINCT v.doc_b AS doc_id FROM ver v, s
+          |  WHERE v.doc_b >= s.v1 AND v.doc_b < s.v2 AND v.doc_a < s.v2),
+          |drop2 AS (
+          |  SELECT DISTINCT v.doc_b AS doc_id FROM ver v, s
+          |  WHERE v.doc_b >= s.v2
+          |    AND (v.doc_a < s.v1 OR v.doc_a >= s.v2
+          |         OR v.doc_a NOT IN (SELECT doc_id FROM drop1)))
+          |SELECT d.doc_id, (dr.doc_id IS NOT NULL) AS dropped
+          |FROM documents d
+          |LEFT JOIN drop2 dr ON dr.doc_id = d.doc_id
+          |WHERE d.doc_id >= (SELECT v2 FROM s)""".stripMargin),
+      "North star: LSH index maintenance — gate → admit → append+compact → gate; stage-2 verdicts ≡ surviving-set keep-first"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).

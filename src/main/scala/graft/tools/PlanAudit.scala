@@ -52,7 +52,10 @@ object PlanAudit {
     "q86_incremental_profile" -> "incremental profile: stored-partial scan + batch partial, fold is O(partials)",
     "q85_quality_constraints" -> "constraint report: one conditional agg + broadcast-key FK anti-join",
     "t22_shuffle_shard" -> "training-order shuffle-shard: ONE hash exchange + per-shard sort",
-    "t23_corpus_drift" -> "drift monitor: one conditional agg per source, totals broadcast back")
+    "t23_corpus_drift" -> "drift monitor: one conditional agg per source, totals broadcast back",
+    "q88_constraint_suggestion" -> "constraint suggestion: profile-derived rules, ONE conditional agg evaluates the batch, domain lists broadcast",
+    "s20_pq_codebook_refresh" -> "PQ codebook refresh: one Lloyd step from grouped code means, then a single re-encode scan",
+    "d16_index_maintenance" -> "LSH index maintenance: stage-2 gate probes the updated stored index at O(batch)")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at
@@ -116,9 +119,35 @@ object PlanAudit {
       sb.append("\n## st25_vehicle_pipeline (batch twin) — decode/detect/explode map-side; ONE shuffle of counts\n\n")
       sb.append(s"```\n$plan\n```\n")
     }
+    // st30/st31's registry entries return FOLDS over a live store the
+    // streaming drain wrote — the plan worth auditing is each drain's
+    // per-batch kernel plus the fold, built here as batch twins over
+    // the same slices (identical functions, minus foreachBatch).
+    locally {
+      import graft.analysis.QualityQueries
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables(spark, sfDir).documents
+      val sv = graft.core.Tables.incrementalSplitId(docs, "doc_id")
+      val newSlice = docs.filter(col("doc_id") >= sv)
+      sb.append("\n## st30_stream_drift_monitor (batch twin) — per-batch drift partial: ONE conditional agg, O(sources) rows out\n\n")
+      sb.append(s"```\n${capturePlan(QualityQueries.driftCounts(newSlice, "new"))}\n```\n")
+    }
+    locally {
+      import graft.operators.ProfilingQueries
+      import org.apache.spark.sql.functions._
+      val o = graft.core.Tables(spark, sfDir).orders
+      val split = graft.core.Tables.incrementalSplitId(o, "o_orderkey")
+      val sc = ProfilingQueries.suggestConstraints(
+        o.filter(col("o_orderkey") < split),
+        kinds = ProfilingQueries.rowLocalRuleKinds)
+      val plan = capturePlan(ProfilingQueries.evaluateConstraints(
+        o.filter(col("o_orderkey") >= split), sc))
+      sb.append("\n## st31_stream_constraint_gate (batch twin) — per-batch evaluation: ONE conditional agg over pre-materialized rules, no train rescan\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[planaudit] wrote $outFile (${headline.length + 1} plans)")
+    println(s"[planaudit] wrote $outFile (${headline.length + 3} plans)")
     spark.stop()
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.dedup.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** The LSH band-index MAINTENANCE lifecycle (d16): build → gate →
+  * append admitted → compact → gate. Synthetic corpus with known
+  * near-dup structure so every verdict is forced, including the one the
+  * pre-d16 engine got wrong by omission: a near-dup of a PREVIOUSLY
+  * ADMITTED doc must be flagged by the next gate (the index-update job
+  * is what makes that happen), while a near-dup of a DROPPED doc must
+  * NOT be (dropped docs' bands never enter the index — their cluster
+  * representative already stands for them). */
+class DedupIndexSpec extends SparkTestBase {
+
+  private def words(p: String, n: Int): String =
+    (0 until n).map(i => s"$p$i").mkString(" ")
+
+  // existing corpus: doc 1 = A. batch1: doc 10 = A++B (near-dup of 1 →
+  // dropped), doc 11 = C (unique → admitted). batch2: doc 20 ≈ C (near-
+  // dup of ADMITTED 11 → must be flagged), doc 21 = B (near-dup ONLY of
+  // DROPPED 10 → must pass: J(21,1)=0, so even a band collision with
+  // doc 1 dies at the exact-Jaccard verify).
+  private val A = words("alpha", 40)
+  private val B = words("beta", 40)
+  private val C = words("gamma", 40)
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, A),
+      (10L, A + " " + B),
+      (11L, C),
+      (20L, C + " omega"),
+      (21L, B + " tail")
+    ).toDF("doc_id", "text")
+  }
+
+  test("d16 lifecycle: admitted docs gate the next batch; dropped docs don't") {
+    val docs = fixture
+    val indexDir = graft.streaming.Streams.dataDir("graft_d16spec_bands_")
+    val shDir = graft.streaming.Streams.dataDir("graft_d16spec_shs_")
+    DedupQueries.buildBandIndex(docs.filter(col("doc_id") < 10), indexDir, shDir)
+
+    val batch1 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    val v1 = DedupQueries.gateBatch(spark, batch1, indexDir, shDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1 == Map(10L -> true, 11L -> false),
+      s"stage-1 verdicts wrong: $v1 (doc 10 must drop as a near-dup of doc 1; doc 11 is unique)")
+
+    val admittedIds = {
+      import spark.implicits._
+      v1.filter(!_._2).keys.toSeq.toDF("doc_id")
+    }
+    val admitted = batch1.join(admittedIds, Seq("doc_id"), "left_semi")
+    DedupQueries.appendBandIndex(admitted, indexDir, shDir)
+    DedupQueries.compactBandIndex(spark, indexDir, shDir)
+
+    val batch2 = docs.filter(col("doc_id") >= 20)
+    val v2 = DedupQueries.gateBatch(spark, batch2, indexDir, shDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2(20L), "doc 20 near-dups the ADMITTED doc 11 — the index update must make the gate flag it")
+    assert(!v2(21L), "doc 21 near-dups only the DROPPED doc 10, whose bands must not be in the index")
+  }
+
+  test("compaction is content-neutral and collapses the append litter") {
+    val docs = fixture
+    val indexDir = graft.streaming.Streams.dataDir("graft_d16spec_c_bands_")
+    val shDir = graft.streaming.Streams.dataDir("graft_d16spec_c_shs_")
+    DedupQueries.buildBandIndex(docs.filter(col("doc_id") < 10), indexDir, shDir)
+    DedupQueries.appendBandIndex(docs.filter(col("doc_id") === 11), indexDir, shDir)
+
+    def snapshot(dir: String): Set[String] =
+      spark.read.parquet(dir).collect().map(_.mkString("|")).toSet
+    val (idxBefore, shBefore) = (snapshot(indexDir), snapshot(shDir))
+    DedupQueries.compactBandIndex(spark, indexDir, shDir, targetFiles = 2)
+    assert(snapshot(indexDir) == idxBefore, "compaction changed index content")
+    assert(snapshot(shDir) == shBefore, "compaction changed shingle-table content")
+    def nFiles(p: String): Int = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(nFiles(indexDir) <= 2, s"index not compacted: ${nFiles(indexDir)} files")
+    assert(nFiles(shDir) <= 2, s"shingle table not compacted: ${nFiles(shDir)} files")
+  }
+}
