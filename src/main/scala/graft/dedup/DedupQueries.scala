@@ -220,9 +220,18 @@ object DedupQueries extends QueryPack {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(dir))
+      // swap order keeps a readable index at every crash point: the
+      // original moves ASIDE (one rename) before the compacted dir
+      // takes its name, and is deleted only after the swap succeeded —
+      // a crash in between leaves either the original under __old or
+      // the compacted table in place, never no index at all
+      val old = new java.io.File(dir + "__old")
+      rm(old)
+      require(new java.io.File(dir).renameTo(old),
+        s"compaction swap failed moving $dir aside")
       require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
         s"compaction swap failed for $dir")
+      rm(old)
     }
     compactDir(indexDir, Seq("band_id", "band_hash", "doc_id"))
     compactDir(shDir, Seq("doc_id", "sh"))

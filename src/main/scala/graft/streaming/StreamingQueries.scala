@@ -197,15 +197,12 @@ object StreamingQueries extends QueryPack {
         val staged = Streams.dataDir("graft_docs_dedup_")
         docs.filter(col("doc_id") >= split)
           .repartition(2).write.mode("overwrite").parquet(staged)
-        val existing = minhashSigned(docs.filter(col("doc_id") < split))
-          .localCheckpoint() // signed once, projected twice below
         val indexDir = Streams.dataDir("graft_dedup_bands_")
-        existing.select(col("doc_id").as("ex_id"), posexplode(minhashBandArray))
-          .toDF("ex_id", "band_id", "band_hash")
-          .write.mode("overwrite").parquet(indexDir)
         val arrDir = Streams.dataDir("graft_dedup_shs_")
-        existing.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
-          .write.mode("overwrite").parquet(arrDir)
+        // build through the SAME kernel the index-update job appends
+        // with ([[writeGateArtifacts]]), so build and update can't drift
+        writeGateArtifacts(docs.filter(col("doc_id") < split),
+          indexDir, arrDir, mode = "overwrite")
         spark.sparkContext.setLocalProperty(key, s"$staged,$indexDir,$arrDir")
         (staged, indexDir, arrDir)
     }
@@ -248,6 +245,28 @@ object StreamingQueries extends QueryPack {
     * Both forms are spec-pinned identical on the same staged corpus.
     * At 100 TB a bucketed-by-(band_id, band_hash) index layout (src05)
     * turns the per-batch join's index side into a pruned probe. */
+  /** The between-ingests INDEX-UPDATE job for the st21 gate artifacts —
+    * d16's append step in the streaming artifacts' shape (ex_id band
+    * rows + ex_shs shingle arrays, both derived from ONE signing pass).
+    * Only gate SURVIVORS may be appended (the d16 rule: a dropped doc's
+    * bands must never enter the index — the doc it duplicated already
+    * stands for its cluster). `mode` "overwrite" builds fresh artifacts,
+    * "append" is the update job; compaction of the append litter is
+    * [[graft.dedup.DedupQueries.compactBandIndex]]'s src09 rewrite
+    * applied to these dirs. Spec-pinned in DedupIndexSpec: after the
+    * update, a drained gate flags near-dups of admitted docs and still
+    * passes near-dups of dropped ones. */
+  def writeGateArtifacts(admitted: org.apache.spark.sql.DataFrame,
+                         indexDir: String, arrDir: String,
+                         mode: String = "append"): Unit = {
+    val signed = minhashSigned(admitted).localCheckpoint() // consumed twice
+    signed.select(col("doc_id").as("ex_id"), posexplode(minhashBandArray))
+      .toDF("ex_id", "band_id", "band_hash")
+      .write.mode(mode).parquet(indexDir)
+    signed.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
+      .write.mode(mode).parquet(arrDir)
+  }
+
   def dedupGateDrain(spark: org.apache.spark.sql.SparkSession, staged: String,
                      indexDir: String, arrDir: String,
                      broadcastMaxBytes: Long = broadcastMaxDefault): org.apache.spark.sql.DataFrame =

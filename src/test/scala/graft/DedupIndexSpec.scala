@@ -63,6 +63,39 @@ class DedupIndexSpec extends SparkTestBase {
     assert(!v2(21L), "doc 21 near-dups only the DROPPED doc 10, whose bands must not be in the index")
   }
 
+  test("st21 streaming lifecycle: gate drain -> artifact update -> next drain flags admitted-doc near-dups") {
+    import graft.streaming.{StreamingQueries, Streams}
+    val docs = fixture
+    val indexDir = Streams.dataDir("graft_st21b_bands_")
+    val arrDir = Streams.dataDir("graft_st21b_shs_")
+    StreamingQueries.writeGateArtifacts(
+      docs.filter(col("doc_id") < 10), indexDir, arrDir, mode = "overwrite")
+
+    def stage(batch: org.apache.spark.sql.DataFrame): String = {
+      val d = Streams.dataDir("graft_st21b_topic_")
+      batch.repartition(1).write.mode("overwrite").parquet(d)
+      d
+    }
+    def drainFlagged(batch: org.apache.spark.sql.DataFrame): Set[Long] =
+      StreamingQueries.dedupGateDrain(spark, stage(batch), indexDir, arrDir)
+        .collect().map(_.getLong(0)).toSet
+
+    val batch1 = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    val flagged1 = drainFlagged(batch1)
+    assert(flagged1 == Set(10L),
+      s"stage-1 drain must flag exactly the near-dup of the stored corpus, saw $flagged1")
+
+    // the index-update job between ingests: append gate SURVIVORS only
+    StreamingQueries.writeGateArtifacts(
+      batch1.filter(!col("doc_id").isin(flagged1.toSeq: _*)), indexDir, arrDir)
+
+    val flagged2 = drainFlagged(docs.filter(col("doc_id") >= 20))
+    assert(flagged2.contains(20L),
+      "doc 20 near-dups the ADMITTED doc 11 — the artifact update must make the drained gate flag it")
+    assert(!flagged2.contains(21L),
+      "doc 21 near-dups only the DROPPED doc 10, whose bands must not be in the updated artifacts")
+  }
+
   test("compaction is content-neutral and collapses the append litter") {
     val docs = fixture
     val indexDir = graft.streaming.Streams.dataDir("graft_d16spec_c_bands_")

@@ -377,4 +377,32 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
       !p.contains("HashAggregate"), s"unexpected relational ops in a pure kernel:\n$p")
   }
+
+  test("st31/q88 evaluation kernel: one conditional agg, no Expand, no grouped shuffle") {
+    // the per-micro-batch cost of the live constraint gate — the shape
+    // PLANS.md's st31 batch-twin section documents: pre-materialized
+    // rule bounds broadcast onto the batch scan, every row-local rule
+    // folded into ONE ungrouped conditional aggregate. A hashpartitioning
+    // exchange here would mean a per-batch grouped shuffle (the unique
+    // rule's cost, excluded from the streaming tier by construction);
+    // an Expand would mean q84's exact-profile row multiplication crept
+    // into the hot path.
+    import graft.operators.ProfilingQueries
+    import org.apache.spark.sql.functions._
+    val o = graft.core.Tables(spark, sfDir).orders
+    val split = graft.core.Tables.incrementalSplitId(o, "o_orderkey")
+    val sc = ProfilingQueries.suggestConstraints(
+      o.filter(col("o_orderkey") < split),
+      kinds = ProfilingQueries.rowLocalRuleKinds)
+    val df = ProfilingQueries.evaluateConstraints(
+      o.filter(col("o_orderkey") >= split), sc)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Exchange SinglePartition"),
+      s"expected the single global-fold exchange:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row-local evaluation must not shuffle by group:\n$p")
+    assert(!p.contains("Expand"), s"Expand leaked into the evaluation kernel:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bounds must broadcast, not sort-merge:\n$p")
+  }
 }
