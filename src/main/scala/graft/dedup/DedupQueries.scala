@@ -388,6 +388,31 @@ object DedupQueries extends QueryPack {
       |WHERE doc_b >= (SELECT v FROM split)
       |  AND doc_a < (SELECT v FROM split)""".stripMargin
 
+  /** st21b's oracle: the streaming gate -> index-update -> gate cycle.
+    * Differs from d16's batch oracle in one clause: the stream gate
+    * probes the STORED index only, so ingest-1 verdicts (drop1) admit
+    * by cross-split pairs alone (no within-ingest doc_a), and ingest-2
+    * flags (flag2) have no `doc_a >= v2` arm — within-ingest pairs are
+    * the batch job's concern, not the gate's. */
+  val gateUpdateCycleOracle: String = verifiedPairsCte +
+    """, s AS (
+      |  SELECT CAST(floor(max(doc_id) * 0.6) AS BIGINT) AS v1,
+      |         CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v2
+      |  FROM documents),
+      |drop1 AS (
+      |  SELECT DISTINCT v.doc_b AS doc_id FROM ver v, s
+      |  WHERE v.doc_b >= s.v1 AND v.doc_b < s.v2 AND v.doc_a < s.v1),
+      |flag2 AS (
+      |  SELECT DISTINCT v.doc_b AS doc_id FROM ver v, s
+      |  WHERE v.doc_b >= s.v2
+      |    AND (v.doc_a < s.v1
+      |         OR (v.doc_a >= s.v1 AND v.doc_a < s.v2
+      |             AND v.doc_a NOT IN (SELECT doc_id FROM drop1))))
+      |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS dropped
+      |FROM documents d
+      |LEFT JOIN flag2 f ON f.doc_id = d.doc_id
+      |WHERE d.doc_id >= (SELECT v2 FROM s)""".stripMargin
+
   /** Shared decontamination CTE prefix (d08 + streaming st16): 4-gram
     * shingles split into eval (`ev`) and train (`tr`) slices. */
   val decontamCte: String =

@@ -1296,6 +1296,48 @@ object StreamingQueries extends QueryPack {
       "North star/T: near-dup gate on ingest — per-row MinHash + static index probe ≡ batch d12 cross-split set"),
 
     GraftQuery(
+      "st21b_gate_update_cycle",
+      (spark, dir) => {
+        // THE STREAMING INGEST LOOP END-TO-END — st21's gate composed
+        // with the between-ingests index-update job d16 added: drain
+        // ingest 1 against the stored corpus's artifacts, append the
+        // ADMITTED survivors' band+shingle rows ([[writeGateArtifacts]]
+        // — never the dropped docs'), then drain ingest 2 against the
+        // UPDATED artifacts. Semantics differ from d16's batch twin in
+        // exactly one way the oracle encodes: the stream gate probes
+        // the STORED index only (each doc lives in one micro-batch;
+        // within-ingest pairs are the batch job's concern), so ingest-2
+        // verdicts flag near-dups of the original corpus and of
+        // ADMITTED ingest-1 docs — not of dropped ingest-1 docs, and
+        // not of ingest-2 neighbors.
+        val docs = Tables(spark, dir).documents
+        val v1 = Tables.incrementalSplitId(docs, "doc_id", 0.6)
+        val v2 = Tables.incrementalSplitId(docs, "doc_id", 0.8)
+        val indexDir = Streams.dataDir("graft_st21b_bands_")
+        val arrDir = Streams.dataDir("graft_st21b_shs_")
+        writeGateArtifacts(docs.filter(col("doc_id") < v1),
+          indexDir, arrDir, mode = "overwrite")
+        def stage(batch: org.apache.spark.sql.DataFrame): String = {
+          val d = Streams.dataDir("graft_st21b_topic_")
+          batch.repartition(2).write.mode("overwrite").parquet(d)
+          d
+        }
+        val batch1 = docs.filter(col("doc_id") >= v1 && col("doc_id") < v2)
+        val flagged1 = dedupGateDrain(spark, stage(batch1), indexDir, arrDir)
+          .localCheckpoint() // pin before the memory sink is reused below
+        writeGateArtifacts(batch1.join(flagged1, Seq("doc_id"), "left_anti"),
+          indexDir, arrDir)
+        val batch2 = docs.filter(col("doc_id") >= v2)
+        val flagged2 = dedupGateDrain(spark, stage(batch2), indexDir, arrDir)
+        batch2.join(flagged2.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("is_dup"), lit(false)).as("dropped"))
+          .localCheckpoint()
+      },
+      Some(graft.dedup.DedupQueries.gateUpdateCycleOracle),
+      "North star/T: gate -> index update -> gate, the streaming ingest loop; ingest-2 verdicts ≡ stored-plus-admitted probe set"),
+
+    GraftQuery(
       "st22_stream_schema_drift",
       (spark, dir) => {
         // SCHEMA DRIFT TOLERANCE ON INGEST — src08's lake-history

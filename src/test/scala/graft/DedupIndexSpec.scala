@@ -96,6 +96,50 @@ class DedupIndexSpec extends SparkTestBase {
       "doc 21 near-dups only the DROPPED doc 10, whose bands must not be in the updated artifacts")
   }
 
+  test("property: stored-index gateBatch ≡ full-pipeline verdicts on random corpora") {
+    // d12/d16's central equivalence claim, exercised beyond the fixture:
+    // for ANY corpus, probing the persisted band index (plus the batch's
+    // own bands) must yield exactly the verdicts of running the full
+    // verified-pairs pipeline and restricting to batch docs — because a
+    // pair collides in a band the same way whether its bands were read
+    // from parquet or recomputed. Seeded random corpora with planted
+    // mutated near-dups across and within the split boundary.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 60).map(i => s"w$i")
+    for (trial <- 0 until 3) {
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      for (i <- 0 until 60) {
+        val text =
+          if (i > 5 && rnd.nextDouble() < 0.4) {
+            // mutated near-copy of an earlier doc (1-3 word swaps)
+            val ws = docs(rnd.nextInt(docs.length))._2.split(" ").toBuffer
+            for (_ <- 0 to rnd.nextInt(3))
+              ws(rnd.nextInt(ws.length)) = vocab(rnd.nextInt(vocab.length))
+            ws.mkString(" ")
+          } else (0 until (10 + rnd.nextInt(30)))
+            .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        docs += ((i.toLong, text))
+      }
+      val df = docs.toSeq.toDF("doc_id", "text").localCheckpoint()
+      val split = 40L
+      val indexDir = graft.streaming.Streams.dataDir(s"graft_d16prop_bands_")
+      val shDir = graft.streaming.Streams.dataDir(s"graft_d16prop_shs_")
+      DedupQueries.buildBandIndex(df.filter(col("doc_id") < split), indexDir, shDir)
+      val got = DedupQueries.gateBatch(spark, df.filter(col("doc_id") >= split),
+          indexDir, shDir)
+        .filter(col("dropped")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // full pipeline restricted to batch docs: ver pairs are (a < b),
+      // so "dropped" is simply membership as doc_b with doc_b >= split
+      val expect = DedupQueries.verifiedPairs(df)
+        .filter(col("doc_b") >= split).select("doc_b")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect,
+        s"trial $trial: gate=$got != full-pipeline=$expect")
+    }
+  }
+
   test("compaction is content-neutral and collapses the append litter") {
     val docs = fixture
     val indexDir = graft.streaming.Streams.dataDir("graft_d16spec_c_bands_")
