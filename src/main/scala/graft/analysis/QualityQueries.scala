@@ -885,5 +885,93 @@ object QualityQueries extends QueryPack {
              |  (sum_bits * 10000) // n_tri AS avg_bits_e4,
              |  (sum_bits * 10000) // n_tri > 42500 AS is_unusual
              |FROM agg""".stripMargin),
-      "North star: n-gram LM quality score — integer-exact bit-length surprisal, outlier flags"))
+      "North star: n-gram LM quality score — integer-exact bit-length surprisal, outlier flags"),
+
+    GraftQuery(
+      "t24_importance_resample",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // DSIR-style importance resampling (Xie et al. 2023, "Data
+        // Selection for Language Models via Importance Resampling"):
+        // pick raw-pool docs that look like a TARGET domain by scoring
+        // each doc under two hashed-feature bag-of-words models — here
+        // target = the curated `src0` slice, raw = everything else.
+        // Features are hashed-unigram buckets: `substring(md5(w),1,2)`
+        // gives 256 portable string buckets (the d02 md5 discipline —
+        // every engine computes the same md5, no int conversion needed).
+        // The log-likelihood-ratio weight per bucket is INTEGER-EXACT
+        // via t20's bit-length idiom:
+        //   bits_M(b) = len(bin(N_M + 256)) − len(bin(c_M(b) + 1))
+        //   w_bits(b) = bits_raw(b) − bits_target(b)   (±1-bit log2)
+        // so a positive per-doc sum means "more likely under target".
+        // The per-doc average is computed on the +64-shifted sum (w_bits
+        // ∈ [−63, 63] since each side is a bin-length in [1, 64]), so
+        // the integer division never sees a negative numerator — `div`
+        // vs `//` rounding toward zero/−∞ would diverge there.
+        // Plan shape at 100 TB: ONE tokenize pass (persisted — Catalyst
+        // doesn't share common subplans across its five consumers), two
+        // 256-row count tables + two scalar totals that broadcast into
+        // the scoring join, and the per-doc agg is map-side partial.
+        // Selection is the threshold rule sum_bits ≥ 0 — row-local,
+        // no global sort, unlike top-K resampling it needs no second
+        // pass at scale. (The paper's Gumbel-noise sampling is replaced
+        // by the deterministic threshold: transcendental log-noise is
+        // not cross-engine reproducible; the md5-seeded t22 shuffle
+        // supplies the randomization tier if sampling is wanted.)
+        val tok = t.documents
+          .select(col("doc_id"), col("source"),
+                  explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("b", substring(md5(col("w")), 1, 2))
+          .persist()
+        val isTgt = col("source") === "src0"
+        val tgtCnt = tok.filter(isTgt).groupBy("b").agg(count(lit(1)).as("ct"))
+        val rawCnt = tok.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("cr"))
+        val nT = tok.filter(isTgt).agg(count(lit(1)).as("n_t"))
+        val nR = tok.filter(!isTgt).agg(count(lit(1)).as("n_r"))
+        val wtab = rawCnt.join(tgtCnt, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+          .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+          .select(col("b"),
+            ((length(bin(col("n_r") + 256)) - length(bin(col("cr") + 1))) -
+             (length(bin(col("n_t") + 256)) - length(bin(col("ct") + 1))))
+              .cast(LongType).as("w_bits"))
+        tok.filter(!isTgt)
+          .join(broadcast(wtab), "b")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+               sum(col("w_bits")).as("sum_bits"),
+               sum(col("w_bits") + 64).as("sum_shift"))
+          .select(col("doc_id"), col("n_tok"),
+            col("sum_bits").cast(LongType).as("sum_bits"),
+            (expr("(sum_shift * 10000) div n_tok") - 640000L)
+              .cast(LongType).as("avg_bits_e4"),
+            (col("sum_bits") >= 0).as("selected"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, substr(md5(w), 1, 2) AS b
+             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             |        FROM documents)
+             |  WHERE length(w) > 0),
+             |tgtc AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY b),
+             |rawc AS (SELECT b, count(*) AS cr FROM tok WHERE source <> 'src0' GROUP BY b),
+             |nt AS (SELECT count(*) AS n_t FROM tok WHERE source = 'src0'),
+             |nr AS (SELECT count(*) AS n_r FROM tok WHERE source <> 'src0'),
+             |wtab AS (
+             |  SELECT r.b,
+             |    (length(bin(nr.n_r + 256)) - length(bin(r.cr + 1)))
+             |    - (length(bin(nt.n_t + 256)) - length(bin(coalesce(t.ct, 0) + 1))) AS w_bits
+             |  FROM rawc r LEFT JOIN tgtc t USING (b), nt, nr),
+             |scored AS (
+             |  SELECT k.doc_id, count(*) AS n_tok,
+             |    CAST(sum(w.w_bits) AS BIGINT) AS sum_bits,
+             |    CAST(sum(w.w_bits + 64) AS BIGINT) AS sum_shift
+             |  FROM tok k JOIN wtab w USING (b)
+             |  WHERE k.source <> 'src0'
+             |  GROUP BY k.doc_id)
+             |SELECT doc_id, n_tok, sum_bits,
+             |  CAST((sum_shift * 10000) // n_tok - 640000 AS BIGINT) AS avg_bits_e4,
+             |  sum_bits >= 0 AS selected
+             |FROM scored""".stripMargin),
+      "North star: DSIR importance resampling — hashed-feature LLR weights, integer-exact, threshold select"))
 }

@@ -1692,7 +1692,56 @@ object StreamingQueries extends QueryPack {
              |  coalesce(r.n_kept, 0) AS n_kept,
              |  coalesce(r.kept_md5, md5('')) AS kept_md5
              |FROM tot t LEFT JOIN rec r USING (doc_id)""".stripMargin),
-      "North star/T: chunk scrub on ingest — row-local chunking + broadcast known-set filter, content rewritten stateless"))
+      "North star/T: chunk scrub on ingest — row-local chunking + broadcast known-set filter, content rewritten stateless"),
+
+    GraftQuery(
+      "st32_state_reader",
+      (spark, dir) => {
+        // STREAMING-STATE OBSERVABILITY — Spark 4's State Data Source
+        // reader: run a complete-mode grouped aggregation to a
+        // checkpoint (noop sink — the OUTPUT is irrelevant, the STATE
+        // is the product), stop it, then read the operator's state
+        // store back OFFLINE via `spark.read.format("statestore")`.
+        // For an aggregation operator the state IS the agg buffer
+        // (sum/count/max longs per group), so the read-back is exactly
+        // oracle-checkable against the batch aggregation — the debug
+        // loop a real cluster runs when a stateful query misbehaves
+        // ("what does partition 17's store actually hold?") without
+        // touching the live query or its checkpoint. The reference's
+        // consumers keep their running state opaque inside Postgres
+        // (consumer_postgres_streaming.py:403-450); here the engine's
+        // own state layer is a queryable table. Scale shape: the
+        // statestore source lists one snapshot per shuffle partition
+        // and scans them in parallel — O(state) read, no replay of the
+        // input stream; state-metadata / batchId time travel are
+        // pinned in StateReaderSpec.
+        Streams.withStreamShufflePartitions(spark) {
+          val cp = Streams.scratchDir("graft_cp_st32")
+          val agg = Streams.eventsStream(spark, dir)
+            .groupBy(col("event_type"))
+            .agg(sum(Canon.cents(col("value"))).as("sum_cents"),
+                 count(lit(1)).as("n_events"),
+                 max(col("user_id")).as("max_user"))
+          val q = agg.writeStream
+            .outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", cp)
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+          spark.read.format("statestore").load(cp)
+            .select(col("key.event_type").as("event_type"),
+                    col("value.sum").as("sum_value_cents"),
+                    col("value.count").as("n_events"),
+                    col("value.max").as("max_user"))
+        }
+      },
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  count(*) AS n_events,
+             |  max(user_id) AS max_user
+             |FROM events GROUP BY event_type""".stripMargin),
+      "T7/observability: offline state-store read-back ≡ batch aggregate (Spark 4 state data source)"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

@@ -55,7 +55,9 @@ object PlanAudit {
     "t23_corpus_drift" -> "drift monitor: one conditional agg per source, totals broadcast back",
     "q88_constraint_suggestion" -> "constraint suggestion: profile-derived rules, ONE conditional agg evaluates the batch, domain lists broadcast",
     "s20_pq_codebook_refresh" -> "PQ codebook refresh: one Lloyd step from grouped code means, then a single re-encode scan",
-    "d16_index_maintenance" -> "LSH index maintenance: stage-2 gate probes the updated stored index at O(batch)")
+    "d16_index_maintenance" -> "LSH index maintenance: stage-2 gate probes the updated stored index at O(batch)",
+    "t24_importance_resample" -> "DSIR resampling: one tokenize pass, 256-row weight table broadcasts into map-side-partial scoring agg",
+    "st32_state_reader" -> "offline state read-back: parallel statestore snapshot scan, no input-stream replay")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at

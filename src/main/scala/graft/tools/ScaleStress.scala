@@ -45,7 +45,7 @@ object ScaleStress {
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
     "d14_chunk_dedup", "d16_index_maintenance", "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
-    "t22_shuffle_shard", "t23_corpus_drift")
+    "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
