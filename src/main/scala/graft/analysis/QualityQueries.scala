@@ -29,6 +29,39 @@ object QualityQueries extends QueryPack {
 
   private def e4(c: Column): Column = floor(c * 10000 + 0.5).cast(LongType)
 
+  /** t24/st33 shared DSIR kernel, tokenize half: hashed-unigram feature
+    * stream over `documents`-shaped rows. `substring(md5(w),1,2)` gives
+    * 256 portable string buckets (the d02 md5 discipline — every engine
+    * computes the same md5, no int conversion needed). */
+  def dsirTokens(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("b", substring(md5(col("w")), 1, 2))
+
+  /** t24/st33 shared DSIR kernel, weight half: per-bucket
+    * log-likelihood-ratio weights between the `src0` TARGET slice and
+    * the raw pool, integer-exact via t20's bit-length idiom:
+    *   bits_M(b) = len(bin(N_M + 256)) − len(bin(c_M(b) + 1))
+    *   w_bits(b) = bits_raw(b) − bits_target(b)     (±1-bit log2)
+    * so a positive per-doc sum means "more likely under target".
+    * Returns ≤256 `(b, w_bits)` rows — broadcast-sized (t24) or
+    * collect-and-bake-sized (st33's artifact seam) by construction. */
+  def dsirWeights(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val isTgt = col("source") === "src0"
+    val tgtCnt = tok.filter(isTgt).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawCnt = tok.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("cr"))
+    val nT = tok.filter(isTgt).agg(count(lit(1)).as("n_t"))
+    val nR = tok.filter(!isTgt).agg(count(lit(1)).as("n_r"))
+    rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("b"),
+        ((length(bin(col("n_r") + 256)) - length(bin(col("cr") + 1))) -
+         (length(bin(col("n_t") + 256)) - length(bin(col("ct") + 1))))
+          .cast(LongType).as("w_bits"))
+  }
+
   /** The t09 keep gate as a reusable column over `text` — also applied
     * on ingest by the streaming tier (st15). */
   def gopherKeep: Column = {
@@ -896,14 +929,11 @@ object QualityQueries extends QueryPack {
         // pick raw-pool docs that look like a TARGET domain by scoring
         // each doc under two hashed-feature bag-of-words models — here
         // target = the curated `src0` slice, raw = everything else.
-        // Features are hashed-unigram buckets: `substring(md5(w),1,2)`
-        // gives 256 portable string buckets (the d02 md5 discipline —
-        // every engine computes the same md5, no int conversion needed).
-        // The log-likelihood-ratio weight per bucket is INTEGER-EXACT
-        // via t20's bit-length idiom:
-        //   bits_M(b) = len(bin(N_M + 256)) − len(bin(c_M(b) + 1))
-        //   w_bits(b) = bits_raw(b) − bits_target(b)   (±1-bit log2)
-        // so a positive per-doc sum means "more likely under target".
+        // Feature buckets + per-bucket LLR weights come from the
+        // [[dsirTokens]]/[[dsirWeights]] kernels (shared with st33's
+        // ingest gate, so batch selection and the live gate can't
+        // drift). A positive per-doc weight sum means "more likely
+        // under target".
         // The per-doc average is computed on the +64-shifted sum (w_bits
         // ∈ [−63, 63] since each side is a bin-length in [1, 64]), so
         // the integer division never sees a negative numerator — `div`
@@ -918,25 +948,9 @@ object QualityQueries extends QueryPack {
         // by the deterministic threshold: transcendental log-noise is
         // not cross-engine reproducible; the md5-seeded t22 shuffle
         // supplies the randomization tier if sampling is wanted.)
-        val tok = t.documents
-          .select(col("doc_id"), col("source"),
-                  explode(split(col("text"), " ")).as("w"))
-          .filter(length(col("w")) > 0)
-          .withColumn("b", substring(md5(col("w")), 1, 2))
-          .persist()
-        val isTgt = col("source") === "src0"
-        val tgtCnt = tok.filter(isTgt).groupBy("b").agg(count(lit(1)).as("ct"))
-        val rawCnt = tok.filter(!isTgt).groupBy("b").agg(count(lit(1)).as("cr"))
-        val nT = tok.filter(isTgt).agg(count(lit(1)).as("n_t"))
-        val nR = tok.filter(!isTgt).agg(count(lit(1)).as("n_r"))
-        val wtab = rawCnt.join(tgtCnt, Seq("b"), "left")
-          .na.fill(0L, Seq("ct"))
-          .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
-          .select(col("b"),
-            ((length(bin(col("n_r") + 256)) - length(bin(col("cr") + 1))) -
-             (length(bin(col("n_t") + 256)) - length(bin(col("ct") + 1))))
-              .cast(LongType).as("w_bits"))
-        tok.filter(!isTgt)
+        val tok = dsirTokens(t.documents).persist()
+        val wtab = dsirWeights(tok)
+        tok.filter(!(col("source") === "src0"))
           .join(broadcast(wtab), "b")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tok"),

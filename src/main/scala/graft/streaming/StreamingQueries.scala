@@ -1741,7 +1741,84 @@ object StreamingQueries extends QueryPack {
              |  count(*) AS n_events,
              |  max(user_id) AS max_user
              |FROM events GROUP BY event_type""".stripMargin),
-      "T7/observability: offline state-store read-back ≡ batch aggregate (Spark 4 state data source)"))
+      "T7/observability: offline state-store read-back ≡ batch aggregate (Spark 4 state data source)"),
+
+    GraftQuery(
+      "st33_stream_importance_gate",
+      (spark, dir) => {
+        // IMPORTANCE-RESAMPLING GATE ON INGEST — t24's DSIR weights as
+        // a streaming admission rule, completing the ingest-gate family
+        // (quality st15, decontamination st16, dedup st21, chunk scrub
+        // st26, constraint st31). The 256-bucket weight table is a
+        // MODEL ARTIFACT: built once offline from the STORED corpus
+        // (target = its src0 slice vs the raw rest — the SHARED
+        // QualityQueries.dsirTokens/dsirWeights kernels, so the batch
+        // selector and the live gate cannot drift), collected (≤256
+        // rows, O(1) driver by construction) and baked into the per-row
+        // scoring expression as a map literal — the st17 codebook seam.
+        // Each incoming doc then scores ROW-LOCALLY: aggregate() over
+        // its own token array, element_at into the map literal,
+        // admitted = sum_bits ≥ 0. ZERO streaming state and zero
+        // exchanges — a 100 TB firehose scores at scan speed;
+        // refreshing the artifact is a between-ingests batch job, like
+        // d16's index update. Buckets unseen when the artifact was
+        // built weight 0 (no evidence either way — the oracle replays
+        // this as coalesce over its left join).
+        val t = Tables(spark, dir)
+        val docs = t.documents
+        val splitId = Tables.incrementalSplitId(docs, "doc_id")
+        val wmap = typedLit(
+          graft.analysis.QualityQueries.dsirWeights(
+            graft.analysis.QualityQueries.dsirTokens(
+              docs.filter(col("doc_id") < splitId)))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        val staged = Streams.dataDir("graft_docs_ig_")
+        docs.filter(col("doc_id") >= splitId).repartition(2)
+          .write.mode("overwrite").parquet(staged)
+        Streams.withStreamShufflePartitions(spark) {
+          val toks = filter(split(col("text"), " "),
+            w => length(w) > 0)
+          val scored = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .select(col("doc_id"),
+              size(toks).cast(LongType).as("n_tok"),
+              aggregate(toks, lit(0L), (acc, w) =>
+                acc + coalesce(
+                  element_at(wmap, substring(md5(w), 1, 2)), lit(0L)))
+                .as("sum_bits"))
+            .filter(col("n_tok") > 0)
+            .withColumn("admitted", col("sum_bits") >= 0)
+          Streams.drainToMemory(scored, "st33_sink", outputMode = "append")
+        }
+      },
+      Some("""WITH sp AS (
+             |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v FROM documents),
+             |tok AS (
+             |  SELECT doc_id, source, substr(md5(w), 1, 2) AS b
+             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+             |        FROM documents, sp WHERE doc_id < sp.v)
+             |  WHERE length(w) > 0),
+             |tgtc AS (SELECT b, count(*) AS ct FROM tok WHERE source = 'src0' GROUP BY b),
+             |rawc AS (SELECT b, count(*) AS cr FROM tok WHERE source <> 'src0' GROUP BY b),
+             |nt AS (SELECT count(*) AS n_t FROM tok WHERE source = 'src0'),
+             |nr AS (SELECT count(*) AS n_r FROM tok WHERE source <> 'src0'),
+             |wtab AS (
+             |  SELECT r.b,
+             |    (length(bin(nr.n_r + 256)) - length(bin(r.cr + 1)))
+             |    - (length(bin(nt.n_t + 256)) - length(bin(coalesce(t.ct, 0) + 1))) AS w_bits
+             |  FROM rawc r LEFT JOIN tgtc t USING (b), nt, nr),
+             |newtok AS (
+             |  SELECT doc_id, substr(md5(w), 1, 2) AS b
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |        FROM documents, sp WHERE doc_id >= sp.v)
+             |  WHERE length(w) > 0),
+             |scored AS (
+             |  SELECT n.doc_id, count(*) AS n_tok,
+             |    CAST(sum(coalesce(w.w_bits, 0)) AS BIGINT) AS sum_bits
+             |  FROM newtok n LEFT JOIN wtab w USING (b)
+             |  GROUP BY n.doc_id)
+             |SELECT doc_id, n_tok, sum_bits, sum_bits >= 0 AS admitted
+             |FROM scored""".stripMargin),
+      "North star/T: importance gate on ingest — baked DSIR weight map, row-local scoring, zero state"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

@@ -134,6 +134,33 @@ object PlanAudit {
       sb.append("\n## st30_stream_drift_monitor (batch twin) — per-batch drift partial: ONE conditional agg, O(sources) rows out\n\n")
       sb.append(s"```\n${capturePlan(QualityQueries.driftCounts(newSlice, "new"))}\n```\n")
     }
+    // st33's registry entry returns a memory-sink readback; the kernel
+    // worth auditing is the per-row scoring expression — built here as
+    // its batch twin: the baked weight-map literal applied via
+    // aggregate() over each doc's own token array. The plan must show a
+    // single map-only projection over the scan (zero exchanges, zero
+    // state) — the property that lets the gate run at scan speed.
+    locally {
+      import graft.analysis.QualityQueries
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables(spark, sfDir).documents
+      val sv = graft.core.Tables.incrementalSplitId(docs, "doc_id")
+      val wmap = typedLit(
+        QualityQueries.dsirWeights(
+          QualityQueries.dsirTokens(docs.filter(col("doc_id") < sv)))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val toks = filter(split(col("text"), " "), w => length(w) > 0)
+      val plan = capturePlan(docs.filter(col("doc_id") >= sv)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          aggregate(toks, lit(0L), (acc, w) =>
+            acc + coalesce(element_at(wmap, substring(md5(w), 1, 2)), lit(0L)))
+            .as("sum_bits"))
+        .filter(col("n_tok") > 0)
+        .withColumn("admitted", col("sum_bits") >= 0))
+      sb.append("\n## st33_stream_importance_gate (batch twin) — baked weight-map scoring: one map-only projection, zero exchanges\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     locally {
       import graft.operators.ProfilingQueries
       import org.apache.spark.sql.functions._
@@ -149,7 +176,7 @@ object PlanAudit {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[planaudit] wrote $outFile (${headline.length + 3} plans)")
+    println(s"[planaudit] wrote $outFile (${headline.length + 4} plans)")
     spark.stop()
   }
 }
