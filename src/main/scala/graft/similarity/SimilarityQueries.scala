@@ -3,7 +3,7 @@ package graft.similarity
 import graft.{GraftQuery, QueryPack}
 import graft.core.Tables
 import graft.functions.CosineSim.cosineFast
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -1142,7 +1142,103 @@ object SimilarityQueries extends QueryPack {
              |  coalesce(err_after_e6, 0) AS err_after_e6
              |FROM nb FULL JOIN na ON na.m = nb.m AND na.cid = nb.cid
              |ORDER BY m, code""".stripMargin),
-      "North star: PQ codebook refresh — one per-subspace Lloyd step, integer-exact means, error mass non-increasing"))
+      "North star: PQ codebook refresh — one per-subspace Lloyd step, integer-exact means, error mass non-increasing"),
+
+    GraftQuery(
+      "s21_ivf_delete",
+      (spark, dir) => s21Serves(spark, dir)._2,
+      Some("""WITH dim AS (
+             |  SELECT label AS cid, i AS pos, avg(CAST(embedding[i] AS DOUBLE)) AS c
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |cent AS (SELECT cid, list(c ORDER BY pos) AS cv FROM dim GROUP BY cid),
+             |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid,
+             |      list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i])) /
+             |      sqrt(list_sum(list_transform(cv, x -> x * x)) *
+             |           list_sum(list_transform(qv, x -> x * x))) AS csim
+             |    FROM cent c, q)
+             |  ORDER BY csim DESC, cid LIMIT 2),
+             |sims AS (
+             |  SELECT e.vec_id, c.cid,
+             |    list_sum(list_transform(range(1, 65), i -> v[i] * cv[i])) /
+             |    sqrt(list_sum(list_transform(v, x -> x * x)) *
+             |         list_sum(list_transform(cv, x -> x * x))) AS sim
+             |  FROM v e, cent c WHERE e.vec_id <> 0 AND e.vec_id % 10 <> 3),
+             |best AS (
+             |  SELECT vec_id, cid,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+             |  FROM sims),
+             |cand AS (
+             |  SELECT b.vec_id, b.cid FROM best b JOIN probe p ON p.cid = b.cid
+             |  WHERE b.rn = 1),
+             |scored AS (
+             |  SELECT ca.vec_id, ca.cid,
+             |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+             |         list_sum(list_transform(qv, x -> x * x))) AS sim
+             |  FROM cand ca JOIN v e ON e.vec_id = ca.vec_id, q)
+             |SELECT vec_id, cid,
+             |  CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS sim_e6
+             |FROM scored ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin),
+      "North star: ANN deletion — O(deletes) tombstones at ingest, compaction folds them in, serve ≡ rebuild-without-deleted"))
+
+  /** s21: DELETION closes the ANN maintenance lifecycle (s15 append /
+    * s19 coarse retrain / s20 codebook refresh had no retract edge —
+    * takedowns, TTL expiry, and upstream dedup all need one). A delete
+    * batch writes TOMBSTONES — O(deletes) ids, the ingest path never
+    * rewrites posting lists — the serve anti-joins its probe-pruned
+    * scan against the broadcast tombstone set, and a background
+    * COMPACTION (src09's rewrite) folds tombstones into the cid
+    * layout, after which serve needs no filter at all. The coarse
+    * quantizer stays FROZEN under deletes (the s15 discipline;
+    * retraining is s19's separate offline job), so the oracle replays
+    * full-corpus centroids over a deleted-excluded search. Returns
+    * (tombstone-filtered serve over the LIVE layout, unfiltered serve
+    * over the COMPACTED layout) — pinned identical in
+    * OperatorInvariantsSpec; the registry entry exposes the compacted
+    * form. */
+  private[graft] def s21Serves(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(spark, dir)
+    val emb = doubled(t)
+    val cent = centroids(emb).localCheckpoint()
+    val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val layout = graft.streaming.Streams.dataDir("graft_ivf_del_")
+    nearestCentroid(emb.filter(col("vec_id") =!= 0), cent)
+      .select(col("vec_id"), col("cid"))
+      .join(emb.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cid").parquet(layout)
+    val tombDir = graft.streaming.Streams.dataDir("graft_ivf_tomb_")
+    emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+      .write.mode("overwrite").parquet(tombDir)
+    val probeIds = cent.crossJoin(broadcast(qv))
+      .select(col("cid"), cosineFast(col("cv"), col("qv")).as("csim"))
+      .orderBy(col("csim").desc, col("cid").asc)
+      .limit(2).collect().map(_.getInt(0))
+    def serve(src: DataFrame): DataFrame =
+      src.crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("cid"), cosineFast(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(5)
+        .select(col("vec_id"), col("cid"),
+                floor(col("sim") * 1000000 + 0.5).cast(LongType).as("sim_e6"))
+    val tomb = spark.read.parquet(tombDir)
+    val tombServe = serve(spark.read.parquet(layout)
+      .filter(col("cid").isin(probeIds.toIndexedSeq: _*)) // partition-pruned
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+    // the maintenance job: rewrite the layout minus tombstones (all k
+    // dirs — a real job may compact only dirs past a tombstone-density
+    // threshold, the src09 small-file criterion applied to deletes)
+    val compacted = graft.streaming.Streams.dataDir("graft_ivf_delc_")
+    spark.read.parquet(layout)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cid").parquet(compacted)
+    val compServe = serve(spark.read.parquet(compacted)
+      .filter(col("cid").isin(probeIds.toIndexedSeq: _*)))
+    (tombServe, compServe)
+  }
 
   /** PQ sub-vector m (16 dims) of a 64-dim column. */
   private def subVec(c: Column, m: Int): Column = slice(c, m * 16 + 1, 16)

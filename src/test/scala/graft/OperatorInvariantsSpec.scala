@@ -524,6 +524,18 @@ class OperatorInvariantsSpec extends SparkTestBase {
       "ADC serve from persisted artifacts diverges from the in-memory index")
   }
 
+  test("ANN delete: tombstone-filtered serve ≡ compacted-layout serve; deleted ids gone (s21)") {
+    val (tombServe, compServe) =
+      graft.similarity.SimilarityQueries.s21Serves(spark, sfDir)
+    val a = tombServe.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = compServe.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a.nonEmpty, "serve returned no rows")
+    assert(a == b,
+      s"tombstone serve and compacted serve diverge:\n  tomb=$a\n  comp=$b")
+    assert(a.forall { case (vid, _, _) => vid % 10 != 3 },
+      "a deleted vec_id surfaced in the serve")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()
