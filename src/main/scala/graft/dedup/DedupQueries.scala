@@ -211,30 +211,57 @@ object DedupQueries extends QueryPack {
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, shDir: String,
                        targetFiles: Int = 4): Unit = {
-    def compactDir(dir: String, keys: Seq[String]): Unit = {
-      val tmp = dir + "__compact"
-      spark.read.parquet(dir)
-        .repartitionByRange(targetFiles, keys.map(col): _*)
-        .sortWithinPartitions(keys.map(col): _*)
-        .write.mode("overwrite").parquet(tmp)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    def compactDir(dir: String, keys: Seq[String]): Unit =
+      rewriteInPlace(spark, dir, dir + "__compact") { df =>
+        df.repartitionByRange(targetFiles, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
       }
-      // swap order keeps a readable index at every crash point: the
-      // original moves ASIDE (one rename) before the compacted dir
-      // takes its name, and is deleted only after the swap succeeded —
-      // a crash in between leaves either the original under __old or
-      // the compacted table in place, never no index at all
-      val old = new java.io.File(dir + "__old")
-      rm(old)
-      require(new java.io.File(dir).renameTo(old),
-        s"compaction swap failed moving $dir aside")
-      require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
-        s"compaction swap failed for $dir")
-      rm(old)
-    }
     compactDir(indexDir, Seq("band_id", "band_hash", "doc_id"))
     compactDir(shDir, Seq("doc_id", "sh"))
+  }
+
+  /** Rewrite a parquet dir through `f` via tmp-dir + swap. The swap
+    * order keeps a readable table at every crash point: the original
+    * moves ASIDE (one rename) before the rewrite takes its name, and
+    * is deleted only after the swap succeeded — a crash in between
+    * leaves either the original under __old or the rewritten table in
+    * place, never no table at all (production swaps a metastore
+    * pointer instead of renaming). */
+  private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tmp: String)(
+                             f: DataFrame => DataFrame): Unit = {
+    f(spark.read.parquet(dir)).write.mode("overwrite").parquet(tmp)
+    def rm(file: java.io.File): Unit = {
+      Option(file.listFiles()).foreach(_.foreach(rm)); file.delete(); ()
+    }
+    val old = new java.io.File(dir + "__old")
+    rm(old)
+    require(new java.io.File(dir).renameTo(old),
+      s"rewrite swap failed moving $dir aside")
+    require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
+      s"rewrite swap failed for $dir")
+    rm(old)
+  }
+
+  /** d17: RETRACTION — the DELETE edge of the index lifecycle (s21's
+    * discipline on the LSH side): remove a deleted doc set's band and
+    * shingle rows so the gate stops flagging new docs against ghosts —
+    * a near-dup of a deleted doc must be ADMITTED (its cluster
+    * representative is gone; the corpus would otherwise silently lose
+    * the content forever). Anti-join rewrite through the same
+    * tmp-dir + swap as compaction. The deleted id set broadcasts
+    * (takedown batches are small); at 100 TB the rewrite prunes to the
+    * buckets holding deleted ids under the src05 bucketed layout, the
+    * same way compaction batches per partition dir. */
+  def retractBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       deleted: DataFrame,
+                       indexDir: String, shDir: String): Unit = {
+    val del = deleted.select(col("doc_id")).localCheckpoint()
+    Seq(indexDir, shDir).foreach { dir =>
+      rewriteInPlace(spark, dir, dir + "__retract") { df =>
+        df.join(broadcast(del), Seq("doc_id"), "left_anti")
+      }
+    }
   }
 
   /** Gates a new batch against the PERSISTED artifacts — d12's probe
@@ -1170,7 +1197,46 @@ object DedupQueries extends QueryPack {
           |FROM documents d
           |LEFT JOIN drop2 dr ON dr.doc_id = d.doc_id
           |WHERE d.doc_id >= (SELECT v2 FROM s)""".stripMargin),
-      "North star: LSH index maintenance — gate → admit → append+compact → gate; stage-2 verdicts ≡ surviving-set keep-first"))
+      "North star: LSH index maintenance — gate → admit → append+compact → gate; stage-2 verdicts ≡ surviving-set keep-first"),
+
+    GraftQuery(
+      "d17_index_retraction",
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        // One ingest boundary: stored corpus < v1, ingest ≥ v1. A
+        // takedown batch (stored ids ≡ 2 mod 7) is RETRACTED from the
+        // persisted artifacts before the gate runs
+        // ([[retractBandIndex]] — s21's delete discipline on the LSH
+        // side); verdicts must then equal keep-first against
+        // (stored \ deleted) ∪ the batch itself: a near-dup of a
+        // DELETED doc is admitted (its cluster representative is gone —
+        // flagging it against a ghost would silently lose the content
+        // forever), a near-dup of a surviving doc still drops. The
+        // oracle replays that rule over the full-corpus verified-pair
+        // list; the ghost-admit direction is ALSO forced with a
+        // synthetic corpus in DedupIndexSpec (the sf fixture need not
+        // contain a deleted-partner pair at every scale).
+        val v1 = Tables.incrementalSplitId(docs, "doc_id")
+        val indexDir = graft.streaming.Streams.dataDir("graft_d17_bands_")
+        val shDir = graft.streaming.Streams.dataDir("graft_d17_shs_")
+        val stored = docs.filter(col("doc_id") < v1)
+        buildBandIndex(stored, indexDir, shDir)
+        retractBandIndex(spark, stored.filter(col("doc_id") % 7 === 2),
+          indexDir, shDir)
+        gateBatch(spark, docs.filter(col("doc_id") >= v1), indexDir, shDir)
+      },
+      Some(verifiedPairsCte +
+        """, s AS (
+          |  SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT) AS v1 FROM documents),
+          |drop1 AS (
+          |  SELECT DISTINCT v.doc_b AS doc_id FROM ver v, s
+          |  WHERE v.doc_b >= s.v1
+          |    AND (v.doc_a >= s.v1 OR v.doc_a % 7 <> 2))
+          |SELECT d.doc_id, (dr.doc_id IS NOT NULL) AS dropped
+          |FROM documents d
+          |LEFT JOIN drop1 dr ON dr.doc_id = d.doc_id
+          |WHERE d.doc_id >= (SELECT v1 FROM s)""".stripMargin),
+      "North star: LSH index retraction — takedown rows anti-joined out; the gate goes ghost-free"))
 
   /** Connected-component labels for an undirected pair graph:
     * (doc_id, label = min doc_id reachable).

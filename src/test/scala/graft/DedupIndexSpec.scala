@@ -63,6 +63,42 @@ class DedupIndexSpec extends SparkTestBase {
     assert(!v2(21L), "doc 21 near-dups only the DROPPED doc 10, whose bands must not be in the index")
   }
 
+  test("d17 retraction: near-dup of a DELETED doc is admitted; of a survivor still drops") {
+    // stored corpus: doc 1 = A, doc 2 = C. Takedown deletes doc 1.
+    // Ingest: doc 30 ≈ A (its only match was deleted → must be
+    // ADMITTED, the ghost-free direction) and doc 31 ≈ C (matches the
+    // SURVIVING doc 2 → must still drop).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, A),
+      (2L, C),
+      (30L, A + " omega"),
+      (31L, C + " tail")
+    ).toDF("doc_id", "text")
+    val indexDir = graft.streaming.Streams.dataDir("graft_d17spec_bands_")
+    val shDir = graft.streaming.Streams.dataDir("graft_d17spec_shs_")
+    DedupQueries.buildBandIndex(docs.filter(col("doc_id") < 10), indexDir, shDir)
+
+    // control: BEFORE retraction both ingest docs drop
+    val pre = DedupQueries.gateBatch(spark, docs.filter(col("doc_id") >= 10),
+        indexDir, shDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(pre == Map(30L -> true, 31L -> true),
+      s"pre-retraction control wrong: $pre (both ingest docs near-dup stored docs)")
+
+    DedupQueries.retractBandIndex(spark, Seq(1L).toDF("doc_id"), indexDir, shDir)
+    val post = DedupQueries.gateBatch(spark, docs.filter(col("doc_id") >= 10),
+        indexDir, shDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(post == Map(30L -> false, 31L -> true),
+      s"post-retraction verdicts wrong: $post (doc 30's only partner was deleted; doc 31 still matches doc 2)")
+
+    // the retraction rewrote BOTH artifacts: no doc-1 rows anywhere
+    assert(spark.read.parquet(indexDir).filter(col("doc_id") === 1L).isEmpty &&
+           spark.read.parquet(shDir).filter(col("doc_id") === 1L).isEmpty,
+      "retraction left ghost rows for the deleted doc")
+  }
+
   test("st21 streaming lifecycle: gate drain -> artifact update -> next drain flags admitted-doc near-dups") {
     import graft.streaming.{StreamingQueries, Streams}
     val docs = fixture
