@@ -404,5 +404,50 @@ object SourceQueries extends QueryPack {
              |  CAST(64 AS BIGINT) AS files_before,
              |  TRUE AS compacted_ok
              |FROM events""".stripMargin),
-      "S-maintenance: small-files compaction — content-neutral 64→4 range-clustered rewrite"))
+      "S-maintenance: small-files compaction — content-neutral 64→4 range-clustered rewrite"),
+
+    GraftQuery(
+      "src10_dynamic_partition_overwrite",
+      (spark, dir) => {
+        // PARTITION CORRECTION — dynamic partition overwrite, the
+        // warehouse maintenance op src03's static layout lacks: a
+        // correction batch for ONE day replaces exactly that day's
+        // directory and leaves every other partition's files untouched.
+        // Static overwrite mode would TRUNCATE THE WHOLE TABLE to the
+        // correction batch — the classic silent-data-loss trap — so the
+        // write runs under partitionOverwriteMode=dynamic (restored
+        // after; at 100 TB this is how backfills and late-data
+        // corrections land without rewriting years of history, and
+        // without the read-modify-write cycle q59's MERGE pays). The
+        // correction here re-lands 2024-01-05 with its 'view' rows
+        // scrubbed; the read-back per-day report proves day 5 changed
+        // and all other days survived byte-identical row sets.
+        val out = graft.streaming.Streams.dataDir("graft_dynpart_")
+        val events = graft.core.Tables(spark, dir).events
+          .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        events.write.mode("overwrite").partitionBy("day").parquet(out)
+        val correction = events
+          .filter(col("day") === "2024-01-05" && col("event_type") =!= "view")
+        graft.core.GraftSession.withConf(spark,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          correction.write.mode("overwrite").partitionBy("day").parquet(out)
+        }
+        spark.read.parquet(out)
+          // partition-column inference reads `day` back as DATE;
+          // normalize to the oracle's string form
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+               countDistinct(col("event_type")).as("n_types"),
+               graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+          .orderBy(col("day"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |  count(*) AS n_events,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events
+             |WHERE NOT (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
+             |           AND event_type = 'view')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "S-maintenance: dynamic partition overwrite — one day re-lands corrected, every other partition untouched"))
 }

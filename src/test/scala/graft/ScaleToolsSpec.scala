@@ -98,6 +98,43 @@ class ScaleToolsSpec extends SparkTestBase {
       s"pruning scanned $scanned of $allFiles files")
   }
 
+  test("dynamic partition overwrite replaces only touched partitions; static truncates (src10)") {
+    val out = Files.createTempDirectory("graft_dynpart").toString
+    val events = graft.core.Tables(spark, sfDir).events
+      .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+    events.write.mode("overwrite").partitionBy("day").parquet(out)
+    // partition-column inference reads `day` back as DATE — normalize
+    val days = spark.read.parquet(out)
+      .select(col("day").cast("string")).distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(days.length > 1, "fixture must span multiple days")
+    val (corrected, untouched) = (days.head, days.last)
+    def files(day: String): Set[(String, Long)] =
+      new java.io.File(s"$out/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = files(untouched)
+    val correction = events.filter(col("day") === corrected).limit(3)
+    graft.core.GraftSession.withConf(spark,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      correction.write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    // untouched partition: exact same files, not rewritten copies
+    assert(files(untouched) === before,
+      "dynamic overwrite rewrote files in an untouched partition")
+    assert(spark.read.parquet(out).filter(col("day") === corrected).count() === 3L)
+    assert(spark.read.parquet(out).select("day").distinct().count() === days.length.toLong,
+      "dynamic overwrite dropped partitions it did not touch")
+    // the negative control — STATIC mode truncates the whole table to
+    // the correction batch (the silent-data-loss trap src10 avoids)
+    graft.core.GraftSession.withConf(spark,
+      "spark.sql.sources.partitionOverwriteMode" -> "static") {
+      correction.write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    assert(spark.read.parquet(out).select("day").distinct().count() === 1L,
+      "static overwrite was expected to truncate to the written partitions")
+  }
+
   test("sorted layout skips row groups on the sort-key predicate") {
     // The src04 claim: a fact written sortWithinPartitions(l_shipdate)
     // with small row groups answers a date-range scan from footer
