@@ -645,6 +645,57 @@ object DedupQueries extends QueryPack {
       "North star: benchmark decontamination — train/eval 4-gram overlap, broadcast eval set"),
 
     GraftQuery(
+      "d18_leakage_report",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // d08's REVERSE direction — the eval-side leakage report an LM
+        // eval team publishes: for each BENCHMARK doc, what fraction of
+        // its 4-gram shingles appears anywhere in the train corpus
+        // ("this eval item is compromised"), not which train docs to
+        // scrub. Scale shape differs from d08 in the decisive way: here
+        // the TRAIN side is the 100 TB corpus and must never shuffle —
+        // the eval shingle set broadcasts INTO the train stream
+        // (left-semi) to surface the hit shingles, the hit set (≤ eval
+        // size by construction) broadcasts BACK onto the per-doc eval
+        // rows, and the train corpus streams through exactly one
+        // explode + semi-join. The compromised flag trips at ≥20 % of
+        // a doc's shingles leaked (integer-form threshold).
+        val docs = t.documents
+        val evSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+          .distinct().persist()
+        val hitSh = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(explode(shingles(col("text"), 4)).as("sh"))
+          .join(broadcast(evSh.select("sh").distinct()), Seq("sh"), "left_semi")
+          .distinct()
+        val nSh = evSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        evSh.join(broadcast(hitSh), Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_leaked"))
+          .join(nSh, Seq("doc_id"), "right")
+          .select(col("doc_id"),
+            coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+            col("n_shingles"),
+            floor(coalesce(col("n_leaked"), lit(0L)) * 10000.0
+              / col("n_shingles") + 0.5).cast(LongType).as("leak_frac_e4"))
+          .withColumn("compromised",
+            col("n_leaked") * 5 >= col("n_shingles"))
+      },
+      Some(decontamCte +
+        """evd AS (SELECT DISTINCT doc_id, sh FROM sh4 WHERE doc_id % 50 = 0),
+          |trs AS (SELECT DISTINCT sh FROM tr),
+          |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM evd GROUP BY 1),
+          |hit AS (
+          |  SELECT e.doc_id, count(*) AS n_leaked
+          |  FROM evd e JOIN trs USING (sh) GROUP BY 1)
+          |SELECT c.doc_id,
+          |  CAST(coalesce(h.n_leaked, 0) AS BIGINT) AS n_leaked,
+          |  CAST(c.n_shingles AS BIGINT) AS n_shingles,
+          |  CAST(floor(coalesce(h.n_leaked, 0) * 10000.0 / c.n_shingles + 0.5) AS BIGINT) AS leak_frac_e4,
+          |  coalesce(h.n_leaked, 0) * 5 >= c.n_shingles AS compromised
+          |FROM cnt c LEFT JOIN hit h USING (doc_id)""".stripMargin),
+      "North star: eval-side leakage report — which benchmark items are compromised; train corpus never shuffles"),
+
+    GraftQuery(
       "d08b_decontaminate_bloom",
       (spark, dir) => {
         val t = Tables(spark, dir)

@@ -43,7 +43,8 @@ object ScaleStress {
   val queryNames: Seq[String] = Seq(
     "q03_time_bucket", "q29_unixtime", "q60_sessionize", "q64_histogram",
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
-    "d14_chunk_dedup", "d16_index_maintenance", "q81_salted_skew_join",
+    "d14_chunk_dedup", "d16_index_maintenance", "d17_index_retraction",
+    "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
     "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample")
 
