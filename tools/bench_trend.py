@@ -34,7 +34,13 @@ with open("BENCH_TREND.md", "w") as f:
     f.write("`round N:` snapshot commit's BENCH_FULL.json (driver-measured); the\n")
     f.write("last row is the CURRENT working-tree artifact (this round, in\n")
     f.write("progress). Totals are comparable only at equal query counts — read\n")
-    f.write("the per-query ratio analysis in VERDICT.md for regressions.\n\n")
+    f.write("the per-query ratio analysis in VERDICT.md for regressions.\n")
+    f.write("Totals also carry HOST-SPEED variance across rounds: the r12\n")
+    f.write("working-tree refresh measured a UNIFORM ~1.65x median per-query\n")
+    f.write("ratio vs the r11-era artifact on identical code+data (verified by\n")
+    f.write("isolated single-query re-runs, e.g. q01 0.35->1.33 s; load/clock\n")
+    f.write("nominal) — read cross-round totals as (machine x board), and only\n")
+    f.write("same-session isolated A/B runs as regressions.\n\n")
     f.write("| round | total_s | n_queries | s/query |\n|---|---|---|---|\n")
     for r, v, n in rows:
         flag = " (broken artifact)" if n <= 1 else ""
