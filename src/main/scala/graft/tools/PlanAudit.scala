@@ -57,7 +57,9 @@ object PlanAudit {
     "s20_pq_codebook_refresh" -> "PQ codebook refresh: one Lloyd step from grouped code means, then a single re-encode scan",
     "d16_index_maintenance" -> "LSH index maintenance: stage-2 gate probes the updated stored index at O(batch)",
     "t24_importance_resample" -> "DSIR resampling: one tokenize pass, 256-row weight table broadcasts into map-side-partial scoring agg",
-    "st32_state_reader" -> "offline state read-back: parallel statestore snapshot scan, no input-stream replay")
+    "st32_state_reader" -> "offline state read-back: parallel statestore snapshot scan, no input-stream replay",
+    "d18_leakage_report" -> "eval-side leakage: train corpus streams one semi-join, eval/hit sets broadcast both ways",
+    "src10_dynamic_partition_overwrite" -> "partition correction readback: full-table scan groups per day after a dynamic overwrite")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at
@@ -134,6 +136,19 @@ object PlanAudit {
       sb.append("\n## st30_stream_drift_monitor (batch twin) — per-batch drift partial: ONE conditional agg, O(sources) rows out\n\n")
       sb.append(s"```\n${capturePlan(QualityQueries.driftCounts(newSlice, "new"))}\n```\n")
     }
+    // s21's registry entry serves from the COMPACTED layout; the plan
+    // worth auditing is the PRE-compaction tombstone serve — the shape
+    // a query runs between a delete batch and the next maintenance
+    // window: partition-pruned probe scan, broadcast tombstone
+    // anti-join, TakeOrdered. No full-layout scan, no shuffle of the
+    // posting lists.
+    locally {
+      val plan = capturePlan(
+        graft.similarity.SimilarityQueries.s21Serves(spark, sfDir)._1)
+      sb.append("\n## s21_ivf_delete (tombstone serve) — pruned probe scan + broadcast tombstone anti-join, before compaction\n\n")
+      sb.append(s"```\n$plan\n```\n")
+      spark.catalog.clearCache()
+    }
     // st33's registry entry returns a memory-sink readback; the kernel
     // worth auditing is the per-row scoring expression — built here as
     // its batch twin: the baked weight-map literal applied via
@@ -176,7 +191,7 @@ object PlanAudit {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[planaudit] wrote $outFile (${headline.length + 4} plans)")
+    println(s"[planaudit] wrote $outFile (${headline.length + 5} plans)")
     spark.stop()
   }
 }

@@ -64,4 +64,50 @@ class StateReaderSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect()
     assert(md.toSeq === Seq(("stateStoreSave", 0L, 2L)))
   }
+
+  test("statestore source reads a transformWithState ValueState by name") {
+    // st11's API tier: user-defined state variables read back via
+    // option("stateVarName", ...) — the engine's own RunningTotalsProcessor
+    // keeps (n, cents) per user; the offline read must surface exactly
+    // the totals the drain computed, and state-metadata must list the
+    // named variable in the processor's registry.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val src = MemoryStream[(Long, Long)]
+    val cp = Streams.scratchDir("graft_cp_stws_")
+    Streams.withStreamShufflePartitions(spark) {
+      val updated = src.toDS().groupByKey(_._1)
+        .transformWithState(new graft.streaming.RunningTotalsProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(Long, Long, Long)])
+        .toDF("user_id", "n", "cents")
+      val q = updated.writeStream
+        .outputMode("update").format("noop")
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        src.addData((7L, 100L), (8L, 50L)); q.processAllAvailable()
+        src.addData((7L, 25L)); q.processAllAvailable()
+      } finally q.stop()
+    }
+
+    val st = spark.read.format("statestore")
+      .option("stateVarName", "totals").load(cp)
+      .select(col("key.value").as("user_id"),
+              col("value._1").as("n"),
+              col("value._2").as("cents"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(st === Map(7L -> (2L, 125L), 8L -> (1L, 50L)),
+      s"transformWithState read-back diverges: $st")
+
+    val props = spark.read.format("state-metadata").load(cp)
+      .select("operatorName", "operatorProperties")
+      .as[(String, String)].collect()
+    assert(props.length == 1 && props(0)._1 == "transformWithStateExec")
+    assert(props(0)._2.contains("\"stateName\":\"totals\"") &&
+           props(0)._2.contains("ValueState"),
+      s"metadata must list the named state variable: ${props(0)._2}")
+  }
 }
