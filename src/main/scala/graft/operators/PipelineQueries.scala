@@ -185,5 +185,57 @@ object PipelineQueries extends QueryPack {
              |  CAST(sum(sess_events) AS BIGINT) AS n_events,
              |  CAST(max(sess_events) AS BIGINT) AS max_session_events
              |FROM s GROUP BY 1""".stripMargin),
-      "Pipeline: gap-based sessionization — lag flag + running sum in one Window pass"))
+      "Pipeline: gap-based sessionization — lag flag + running sum in one Window pass"),
+
+    GraftQuery(
+      "q77_incremental_agg",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // INCREMENTAL VIEW MAINTENANCE — keep a per-user aggregate
+        // table current from a CDC changelog (inserts AND deletes)
+        // without rescanning the base fact. The stored aggregate is
+        // built once from the base slice (event_id < split); the
+        // changelog carries op 'I' for the new slice and op 'D'
+        // retracting every base event with event_id ≡ 5 (mod 13). IVM
+        // for distributive aggregates is delta arithmetic: each log
+        // row contributes (±1, ±cents), the delta GROUPS BY key
+        // (O(changelog) — the only pass over new data), and one FULL
+        // OUTER join merges delta into the stored table; keys whose
+        // count reaches 0 drop out (the retraction-completeness case a
+        // naive upsert misses). At 100 TB the aggregate table ≪ fact
+        // and lives bucketed by user_id (src05), so the merge is
+        // exchange-free; the base fact is NEVER read again — the whole
+        // point vs q59's row-level merge + re-aggregation. Result ≡
+        // recompute over (base \ deleted) ∪ inserts, which the oracle
+        // replays directly.
+        val ev = t.events.select(col("event_id"), col("user_id"),
+          Canon.cents(col("value")).as("cents"))
+        val split = Tables.incrementalSplitId(ev, "event_id")
+        val base = ev.filter(col("event_id") < split)
+        val stored = base.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        val log = base.filter(col("event_id") % 13 === 5)
+            .select(col("user_id"), col("cents"), lit(-1L).as("sgn"))
+          .unionByName(ev.filter(col("event_id") >= split)
+            .select(col("user_id"), col("cents"), lit(1L).as("sgn")))
+        val delta = log.groupBy("user_id")
+          .agg(sum(col("sgn")).as("dn"),
+               sum(col("sgn") * col("cents")).as("dsum"))
+        stored.join(delta, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+            (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+              .as("sum_value_cents"))
+          .filter(col("n_events") > 0)
+      },
+      Some("""WITH sp AS (
+             |  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS v FROM events),
+             |live AS (
+             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events, sp
+             |  WHERE (event_id < sp.v AND event_id % 13 <> 5) OR event_id >= sp.v)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+             |FROM live GROUP BY user_id""".stripMargin),
+      "Pipeline: incremental view maintenance — CDC deltas merged into the stored aggregate, base never rescanned"))
 }

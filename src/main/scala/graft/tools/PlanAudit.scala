@@ -59,7 +59,8 @@ object PlanAudit {
     "t24_importance_resample" -> "DSIR resampling: one tokenize pass, 256-row weight table broadcasts into map-side-partial scoring agg",
     "st32_state_reader" -> "offline state read-back: parallel statestore snapshot scan, no input-stream replay",
     "d18_leakage_report" -> "eval-side leakage: train corpus streams one semi-join, eval/hit sets broadcast both ways",
-    "src10_dynamic_partition_overwrite" -> "partition correction readback: full-table scan groups per day after a dynamic overwrite")
+    "src10_dynamic_partition_overwrite" -> "partition correction readback: full-table scan groups per day after a dynamic overwrite",
+    "q77_incremental_agg" -> "IVM merge: O(changelog) delta agg + ONE full-outer join on the stored aggregate, base never rescanned")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at
