@@ -15,6 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries extends QueryPack {
 
+  /** q77/st34 shared IVM kernel, delta half: a CDC changelog slice
+    * (user_id, cents, sgn ∈ {+1, −1}) grouped into signed per-key
+    * (count, cents) deltas — O(slice), distributive, so per-batch
+    * deltas fold to the whole-log delta in any order. */
+  def ivmDelta(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    log.groupBy("user_id")
+      .agg(sum(col("sgn")).as("dn"),
+           sum(col("sgn") * col("cents")).as("dsum"))
+
+  /** q77/st34 shared IVM kernel, merge half: stored per-key aggregate
+    * ⊕ signed delta via ONE full-outer join; keys retracted to zero
+    * drop out. The base fact never appears here — that's the tier's
+    * whole point. */
+  def ivmMerge(stored: org.apache.spark.sql.DataFrame,
+               delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
+          .as("sum_value_cents"))
+      .filter(col("n_events") > 0)
+
+  /** The IVM tier's oracle — recompute over (base \ deleted) ∪ inserts;
+    * shared verbatim by q77 and its live twin st34. */
+  val ivmOracle: String =
+    """WITH sp AS (
+      |  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS v FROM events),
+      |live AS (
+      |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events, sp
+      |  WHERE (event_id < sp.v AND event_id % 13 <> 5) OR event_id >= sp.v)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
+      |FROM live GROUP BY user_id""".stripMargin
+
   val queries: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -218,24 +253,8 @@ object PipelineQueries extends QueryPack {
             .select(col("user_id"), col("cents"), lit(-1L).as("sgn"))
           .unionByName(ev.filter(col("event_id") >= split)
             .select(col("user_id"), col("cents"), lit(1L).as("sgn")))
-        val delta = log.groupBy("user_id")
-          .agg(sum(col("sgn")).as("dn"),
-               sum(col("sgn") * col("cents")).as("dsum"))
-        stored.join(delta, Seq("user_id"), "full_outer")
-          .select(col("user_id"),
-            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_events"),
-            (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L)))
-              .as("sum_value_cents"))
-          .filter(col("n_events") > 0)
+        ivmMerge(stored, ivmDelta(log))
       },
-      Some("""WITH sp AS (
-             |  SELECT CAST(floor(max(event_id) * 0.8) AS BIGINT) AS v FROM events),
-             |live AS (
-             |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-             |  FROM events, sp
-             |  WHERE (event_id < sp.v AND event_id % 13 <> 5) OR event_id >= sp.v)
-             |SELECT user_id, count(*) AS n_events,
-             |  CAST(sum(cents) AS BIGINT) AS sum_value_cents
-             |FROM live GROUP BY user_id""".stripMargin),
+      Some(ivmOracle),
       "Pipeline: incremental view maintenance — CDC deltas merged into the stored aggregate, base never rescanned"))
 }

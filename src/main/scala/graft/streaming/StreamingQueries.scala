@@ -1818,7 +1818,60 @@ object StreamingQueries extends QueryPack {
              |  GROUP BY n.doc_id)
              |SELECT doc_id, n_tok, sum_bits, sum_bits >= 0 AS admitted
              |FROM scored""".stripMargin),
-      "North star/T: importance gate on ingest — baked DSIR weight map, row-local scoring, zero state"))
+      "North star/T: importance gate on ingest — baked DSIR weight map, row-local scoring, zero state"),
+
+    GraftQuery(
+      "st34_stream_ivm",
+      (spark, dir) => {
+        // LIVE INCREMENTAL VIEW MAINTENANCE — q77's CDC fold run ON
+        // INGEST, completing the live symmetry every other maintenance
+        // tier already has (profile q86/st29, drift t23/st30,
+        // constraints q88/st31): a changelog stream carrying inserts
+        // AND retractions drains through foreachBatch, each micro-batch
+        // appends its signed per-key delta partial (the SHARED
+        // PipelineQueries.ivmDelta kernel) to a persisted store through
+        // [[appendBatchPartial]] — so a batch replayed after a crash
+        // cannot double-apply — and the serving report is the stored
+        // base aggregate ⊕ the folded deltas through the SHARED
+        // ivmMerge. Per-batch work is O(batch); the fold is O(store);
+        // the base fact is never rescanned. The oracle is q77's
+        // verbatim — live and batch IVM must land on the same table.
+        val t = Tables(spark, dir)
+        val ev = t.events.select(col("event_id"), col("user_id"),
+          Canon.cents(col("value")).as("cents"))
+        val split = Tables.incrementalSplitId(ev, "event_id")
+        val base = ev.filter(col("event_id") < split)
+        val stored = base.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .localCheckpoint() // the stored aggregate-table artifact
+        val log = base.filter(col("event_id") % 13 === 5)
+            .select(col("user_id"), col("cents"), lit(-1L).as("sgn"))
+          .unionByName(ev.filter(col("event_id") >= split)
+            .select(col("user_id"), col("cents"), lit(1L).as("sgn")))
+        val staged = Streams.dataDir("graft_st34_log_")
+        log.repartition(3).write.mode("overwrite").parquet(staged)
+        val store = Streams.dataDir("graft_st34_deltas_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st34_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty)
+                appendBatchPartial(spark, store, bid,
+                  graft.operators.PipelineQueries.ivmDelta(b))
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        val folded = spark.read.parquet(store)
+          .groupBy("user_id")
+          .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
+        graft.operators.PipelineQueries.ivmMerge(stored, folded)
+      },
+      Some(graft.operators.PipelineQueries.ivmOracle),
+      "North star/T: live IVM — replay-idempotent per-batch delta partials, fold ≡ batch q77"))
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
