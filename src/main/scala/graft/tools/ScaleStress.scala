@@ -42,6 +42,7 @@ object ScaleStress {
     * kernel, salted skew join, shuffle-shard. */
   val queryNames: Seq[String] = Seq(
     "q03_time_bucket", "q29_unixtime", "q60_sessionize", "q64_histogram",
+    "q77_incremental_agg",
     "d01_dedup_exact", "d05_ngram_jaccard_pairs", "d09_simhash_neardup",
     "d14_chunk_dedup", "d16_index_maintenance", "d17_index_retraction",
     "q81_salted_skew_join",
@@ -61,7 +62,8 @@ object ScaleStress {
     * state-rows = key-count equalities at fixture scale. */
   val streamingQueryNames: Seq[String] =
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
-        "st26_stream_chunk_scrub", "st30_stream_drift_monitor")
+        "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
+        "st34_stream_ivm")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
