@@ -47,7 +47,8 @@ object ScaleStress {
     "d14_chunk_dedup", "d16_index_maintenance", "d17_index_retraction",
     "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
-    "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample")
+    "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample",
+    "d18_leakage_report")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -63,7 +64,7 @@ object ScaleStress {
   val streamingQueryNames: Seq[String] =
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
         "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
-        "st34_stream_ivm")
+        "st33_stream_importance_gate", "st34_stream_ivm")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
