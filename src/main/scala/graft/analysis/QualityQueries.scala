@@ -987,5 +987,66 @@ object QualityQueries extends QueryPack {
              |  CAST((sum_shift * 10000) // n_tok - 640000 AS BIGINT) AS avg_bits_e4,
              |  sum_bits >= 0 AS selected
              |FROM scored""".stripMargin),
-      "North star: DSIR importance resampling — hashed-feature LLR weights, integer-exact, threshold select"))
+      "North star: DSIR importance resampling — hashed-feature LLR weights, integer-exact, threshold select"),
+
+    GraftQuery(
+      "t25_token_pack",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // TOKEN-LEVEL sequence packing — the concat-and-chunk shape a
+        // GPT-style pipeline actually emits: the shard-local document
+        // stream concatenates into one token axis and splits into
+        // FIXED-LENGTH training sequences, docs crossing boundaries
+        // (t08 bins whole docs by a token budget and never splits;
+        // t21 picks WHICH docs; this op decides where every token
+        // lands). Each doc owns interval [start, end) of its shard's
+        // token axis (one exclusive-prefix window per shard — the
+        // scale-correct distributed form, shards pack independently on
+        // 1000 executors) and emits one row per training sequence it
+        // overlaps: explode over `sequence(start div L, (end-1) div L)`
+        // — row-local, ~n_tokens/L + 1 rows per doc — with in-sequence
+        // [tok_start, tok_end) offsets. Integer `div` end to end; the
+        // output IS the attention-boundary metadata sequence builders
+        // consume.
+        val L = 128L
+        val toks = t.documents.select(col("doc_id"),
+            (col("doc_id") % 8).as("shard"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+          .filter(col("n_tokens") > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        toks
+          .withColumn("st", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("en", col("st") + col("n_tokens"))
+          .withColumn("seq_id",
+            explode(sequence(expr(s"st div $L"), expr(s"(en - 1) div $L"))))
+          .select(col("shard"), col("seq_id").cast(LongType).as("seq_id"),
+            col("doc_id"),
+            greatest(col("st") - col("seq_id") * L, lit(0L)).as("tok_start"),
+            least(col("en") - col("seq_id") * L, lit(L)).as("tok_end"))
+          .withColumn("n_tok_in_seq", col("tok_end") - col("tok_start"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+             |off AS (
+             |  SELECT doc_id, shard, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS st
+             |  FROM nz),
+             |sp AS (
+             |  SELECT doc_id, shard, st, st + n_tokens AS en,
+             |    unnest(range(st // 128, (st + n_tokens - 1) // 128 + 1)) AS seq_id
+             |  FROM off)
+             |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             |  CAST(greatest(st - seq_id * 128, 0) AS BIGINT) AS tok_start,
+             |  CAST(least(en - seq_id * 128, 128) AS BIGINT) AS tok_end,
+             |  CAST(least(en - seq_id * 128, 128)
+             |     - greatest(st - seq_id * 128, 0) AS BIGINT) AS n_tok_in_seq
+             |FROM sp""".stripMargin),
+      "North star: token-level sequence packing — docs split across fixed-length sequences, span table out"))
 }

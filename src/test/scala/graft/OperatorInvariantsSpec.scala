@@ -536,6 +536,35 @@ class OperatorInvariantsSpec extends SparkTestBase {
       "a deleted vec_id surfaced in the serve")
   }
 
+  test("token packing: spans tile each shard's token axis exactly (t25)") {
+    val r = run("t25_token_pack").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // within a (shard, seq): spans are disjoint and ordered by doc id;
+    // every sequence except the shard's last holds exactly 128 tokens
+    r.groupBy(s => (s._1, s._2)).foreach { case ((shard, seq), spans) =>
+      val sorted = spans.sortBy(_._3)
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5 == b._4,
+          s"gap/overlap in shard $shard seq $seq: ${a._5} vs ${b._4}")
+      }
+      val lastSeq = r.filter(_._1 == shard).map(_._2).max
+      val total = sorted.map(s => s._5 - s._4).sum
+      if (seq < lastSeq)
+        assert(total == 128L, s"shard $shard seq $seq holds $total tokens, not 128")
+      else assert(total <= 128L)
+      assert(sorted.head._4 == 0L,
+        s"shard $shard seq $seq does not start at offset 0 (coverage gap)")
+      assert(sorted.forall(s => s._4 >= 0 && s._5 <= 128 && s._4 < s._5))
+    }
+    // global conservation: span lengths sum to the corpus token count
+    val corpusTokens = graft.core.Tables(spark, sfDir).documents
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") > 0).agg(sum("n")).head().getLong(0)
+    assert(r.map(s => s._5 - s._4).sum == corpusTokens,
+      "packed spans lost or duplicated tokens")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()
