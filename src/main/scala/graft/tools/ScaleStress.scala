@@ -48,7 +48,7 @@ object ScaleStress {
     "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
     "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample",
-    "d18_leakage_report")
+    "d18_leakage_report", "t25_token_pack")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
