@@ -1048,5 +1048,57 @@ object QualityQueries extends QueryPack {
              |  CAST(least(en - seq_id * 128, 128)
              |     - greatest(st - seq_id * 128, 0) AS BIGINT) AS n_tok_in_seq
              |FROM sp""".stripMargin),
-      "North star: token-level sequence packing — docs split across fixed-length sequences, span table out"))
+      "North star: token-level sequence packing — docs split across fixed-length sequences, span table out"),
+
+    GraftQuery(
+      "t26_chunk_overlap",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // Sliding-window passage chunking — the retrieval/embedding prep
+        // twin of t25's packer: where t25 decides which SEQUENCE each
+        // token trains in, t26 cuts each document into overlapping
+        // fixed-width passages (window W=64 tokens, stride S=48 → 16
+        // tokens of overlap) so no sentence straddling a cut is lost to
+        // the embedder. Chunk k of a doc with n tokens covers
+        // [k·S, min(k·S+W, n)); chunk count is
+        // (max(n−W,0)+S−1) div S + 1, so every token is covered and the
+        // last chunk always reaches n (W > S ⇒ the final start is < n).
+        // Scale shape: PURELY row-local — split, one explode over
+        // `sequence`, slice + array_join; zero shuffles, whole-stage
+        // codegen end to end, output rows ≈ n_tokens/S per doc. At
+        // 100 TB this is a streaming map over the corpus: no state, no
+        // exchange, embarrassingly parallel at any executor count.
+        val W = 64L; val S = 48L
+        t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("l"))
+          .withColumn("n", size(col("l")).cast(LongType))
+          .filter(col("n") > 0)
+          .withColumn("k", explode(sequence(lit(0L),
+            expr(s"(greatest(n - $W, 0L) + ${S - 1}L) div ${S}L"))))
+          .select(col("doc_id"),
+            col("k").cast(LongType).as("chunk_id"),
+            (col("k") * S).cast(LongType).as("tok_start"),
+            least(col("k") * S + W, col("n")).cast(LongType).as("tok_end"),
+            (least(col("k") * S + W, col("n")) - col("k") * S)
+              .cast(LongType).as("n_tok"),
+            array_join(slice(col("l"), (col("k") * S + 1).cast("int"),
+              (least(col("k") * S + W, col("n")) - col("k") * S).cast("int")),
+              " ").as("chunk_text"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, l, n,
+             |    unnest(range(0, (greatest(n - 64, 0) + 47) // 48 + 1)) AS k
+             |  FROM d WHERE n > 0)
+             |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+             |  CAST(k * 48 AS BIGINT) AS tok_start,
+             |  CAST(least(k * 48 + 64, n) AS BIGINT) AS tok_end,
+             |  CAST(least(k * 48 + 64, n) - k * 48 AS BIGINT) AS n_tok,
+             |  array_to_string(list_slice(l, k * 48 + 1, least(k * 48 + 64, n)), ' ')
+             |    AS chunk_text
+             |FROM c""".stripMargin),
+      "North star: overlapping passage chunking — row-local window/stride explode, zero shuffles"))
 }

@@ -696,6 +696,50 @@ object DedupQueries extends QueryPack {
       "North star: eval-side leakage report — which benchmark items are compromised; train corpus never shuffles"),
 
     GraftQuery(
+      "d19_cluster_safe_split",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // The FIX for what d18 measures: a train/val split drawn at
+        // NEAR-DUP-CLUSTER granularity, so two near-duplicate documents
+        // can never land on opposite sides of the boundary (ml04's
+        // per-doc modulo split leaks exactly that way — a val doc's
+        // near-twin trains, and the eval is compromised before any
+        // n-gram check runs). Assignment unit = the d07 connected
+        // component: every doc takes its cluster representative (the
+        // component's min doc_id; singletons represent themselves via
+        // one left join + coalesce), and ml04's deterministic 80/20
+        // modulo rule is applied to the REP, not the doc. Scale shape:
+        // the cluster-label table is O(near-dup docs) — orders of
+        // magnitude smaller than the corpus — so the label join
+        // broadcasts; everything else is one narrow row-local pass.
+        // By construction every cluster is monochromatic (spec-pinned);
+        // the oracle replays d07's recursive CC + the same rule.
+        val docs = t.documents
+        val labels = clusterLabels(
+          verifiedPairs(docs).select(col("doc_a"), col("doc_b")))
+        docs.select(col("doc_id"))
+          .join(broadcast(labels), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+          .withColumn("split",
+            when(col("cluster_rep") % 5 < 4, "train").otherwise("val"))
+      },
+      Some(verifiedPairsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS s, doc_b AS d FROM ver
+          |  UNION SELECT doc_b, doc_a FROM ver),
+          |reach(doc_id, r) AS (
+          |  SELECT s, s FROM edges
+          |  UNION
+          |  SELECT e.s, r.r FROM edges e JOIN reach r ON r.doc_id = e.d),
+          |cl AS (SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS cluster_rep,
+          |  CASE WHEN coalesce(cl.rep, d.doc_id) % 5 < 4
+          |       THEN 'train' ELSE 'val' END AS split
+          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id""".stripMargin),
+      "North star: leakage-safe train/val split — ml04's rule at near-dup-cluster granularity"),
+
+    GraftQuery(
       "d08b_decontaminate_bloom",
       (spark, dir) => {
         val t = Tables(spark, dir)

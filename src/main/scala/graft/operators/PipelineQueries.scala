@@ -37,6 +37,39 @@ object PipelineQueries extends QueryPack {
           .as("sum_value_cents"))
       .filter(col("n_events") > 0)
 
+  /** q76/st35 shared CDC-compaction kernel: latest record per `user_id`
+    * under the total order (ts desc, event_id desc) — one keyed window,
+    * all input columns preserved. Last-writer-wins is ASSOCIATIVE and
+    * REPLAY-ABSORBING: compacting per-slice then compacting the slice
+    * winners equals compacting the whole log, and re-presenting an
+    * already-absorbed slice changes nothing — the two properties the
+    * live twin's per-batch prereduction and at-least-once replay
+    * tolerance both rest on (spec-pinned in StreamingSpec). */
+  def latestByKey(log: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** q76/st35 shared serve: compacted per-key records rolled up per
+    * event_type (row count + cents sum of the surviving values). */
+  def latestRollup(compacted: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    compacted.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+           Canon.sumCents(col("value")).as("sum_latest_cents"))
+
+  /** The CDC-compaction tier's oracle — q76 verbatim, shared by st35. */
+  val latestOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_users,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_latest_cents
+      |FROM ranked WHERE rn = 1 GROUP BY 1""".stripMargin
+
   /** The IVM tier's oracle — recompute over (base \ deleted) ∪ inserts;
     * shared verbatim by q77 and its live twin st34. */
   val ivmOracle: String =
@@ -146,30 +179,17 @@ object PipelineQueries extends QueryPack {
       (spark, dir) => {
         val t = Tables(spark, dir)
         // CDC log compaction: a change stream lands as append-only rows;
-        // reads want the LATEST record per key. One row_number window
+        // reads want the LATEST record per key ([[latestByKey]] — ONE
+        // kernel shared with the live twin st35, so batch compaction
+        // and the streaming store cannot drift). One row_number window
         // over (key, ts desc) — a single shuffle on the key, and at
         // 100 TB the log is bucketed by key so even that exchange
         // disappears. Tie-break on event_id so the pick is total-ordered
         // (two updates in the same microsecond must compact identically
         // on every engine and every run).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        t.events
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy("event_type")
-          .agg(count(lit(1)).as("n_users"),
-               Canon.sumCents(col("value")).as("sum_latest_cents"))
+        latestRollup(latestByKey(t.events))
       },
-      Some("""WITH ranked AS (
-             |  SELECT event_type, value,
-             |    row_number() OVER (PARTITION BY user_id
-             |                       ORDER BY ts DESC, event_id DESC) AS rn
-             |  FROM events)
-             |SELECT event_type, count(*) AS n_users,
-             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_latest_cents
-             |FROM ranked WHERE rn = 1 GROUP BY 1""".stripMargin),
+      Some(latestOracle),
       "Pipeline: CDC log compaction — latest record per key via one keyed window"),
 
     GraftQuery(

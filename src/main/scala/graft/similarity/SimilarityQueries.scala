@@ -1686,5 +1686,109 @@ object SimilarityQueries extends QueryPack {
              |FROM counts""".stripMargin),
       "North star: filtered-ANN recall audit — nprobe=2 vs over-probed 4 against exact filtered top-k"))
 
-  val queries: Seq[GraftQuery] = exactAndLsh ++ ivf ++ ivfpq ++ filtered
+  /** JL projection of `v` onto the seeded hyperplanes: a k-dim array of
+    * dot products, one narrow row-local pass (planes are literals baked
+    * into the plan — broadcast-free, shuffle-free). */
+  def projectJl(v: Column, planes: Seq[Array[Double]]): Column =
+    array(planes.map { p =>
+      val lp = array(p.toIndexedSeq.map(lit(_)): _*)
+      dot(v, lp)
+    }: _*)
+
+  /** Oracle-side twin of [[projectJl]]: the seeded planes embedded as
+    * double literals (Double.toString round-trips exactly) so the SQL
+    * engine computes the identical projected vectors. */
+  private def projSql(planes: Seq[Array[Double]], v: String): String =
+    planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"list_sum(list_transform(range(1, ${p.length + 1}), i -> $v[i] * $lit[i]))"
+    }.mkString("[", ", ", "]")
+
+  private val projection: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "s22_jl_projection",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // Johnson–Lindenstrauss random projection — the dimensionality
+        // lever a 100 TB embedding corpus pulls FIRST, before any index:
+        // 64-dim vectors project onto 16 seeded gaussian hyperplanes
+        // (4× fewer bytes per vector, 4× cheaper every downstream dot
+        // product), and the audit publishes recall@{1,3,5} of the
+        // projected-space cosine top-k against the exact 64-dim top-k
+        // (s01), the same contract as the index audits s09/s14/s18.
+        // Scale shape: the projection is row-local with the plane
+        // matrix baked into the plan as literals (zero shuffles, zero
+        // broadcasts, whole-stage codegen); the audit reduces every
+        // candidate set with TakeOrderedAndProject to ≤5 rows before
+        // the tiny driver-side window ranking. s02's LSH is the 1-bit
+        // extreme of this projection; s22 keeps the magnitudes, so it
+        // composes with every downstream index (IVF/PQ train equally
+        // well in the projected space).
+        val planes = hyperplanes(16, 64, seed = 7L)
+        val emb = doubled(t).withColumn("pv", projectJl(col("v"), planes))
+        val qrow = emb.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"), col("pv").as("pq"))
+        val base = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qrow))
+        val w5 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        def top5(c: DataFrame): DataFrame =
+          c.orderBy(col("sim").desc, col("vec_id").asc).limit(5)
+            .withColumn("rn", row_number().over(w5))
+            .select(col("vec_id"), col("rn"))
+        val exact = top5(base.select(col("vec_id"),
+          cosineFast(col("v"), col("qv")).as("sim"))).toDF("vec_id", "rn_e")
+        val jlTop = top5(base.select(col("vec_id"),
+          cosineFast(col("pv"), col("pq")).as("sim")))
+        val ks = Seq(1, 3, 5).toDF("k")
+        val hits = jlTop.withColumnRenamed("rn", "rn_a")
+          .join(exact, Seq("vec_id"))
+          .crossJoin(broadcast(ks))
+          .filter(col("rn_a") <= col("k") && col("rn_e") <= col("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("n"))
+        ks.join(hits, Seq("k"), "left")
+          .select(col("k"),
+            coalesce(col("n"), lit(0L)).as("n_hits"),
+            floor(coalesce(col("n"), lit(0L)) * 10000.0 / col("k") + 0.5)
+              .cast(LongType).as("recall_e4"))
+          .orderBy(col("k"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |p AS (SELECT vec_id, v, ${projSql(hyperplanes(16, 64, seed = 7L), "v")} AS pv FROM v),
+              |q AS (SELECT v AS qv, pv AS pq FROM p WHERE vec_id = 0),
+              |cos AS (
+              |  SELECT e.vec_id,
+              |    list_sum(list_transform(range(1, 65), i -> e.v[i] * qv[i])) /
+              |    sqrt(list_sum(list_transform(e.v, x -> x * x)) *
+              |         list_sum(list_transform(qv, x -> x * x))) AS sim
+              |  FROM p e, q WHERE e.vec_id <> 0),
+              |exact AS (
+              |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn_e
+              |  FROM cos ORDER BY sim DESC, vec_id LIMIT 5),
+              |pcos AS (
+              |  SELECT e.vec_id,
+              |    list_sum(list_transform(range(1, 17), i -> e.pv[i] * pq[i])) /
+              |    sqrt(list_sum(list_transform(e.pv, x -> x * x)) *
+              |         list_sum(list_transform(pq, x -> x * x))) AS sim
+              |  FROM p e, q WHERE e.vec_id <> 0),
+              |jl AS (
+              |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rn_a
+              |  FROM pcos ORDER BY sim DESC, vec_id LIMIT 5),
+              |ks AS (SELECT unnest([1, 3, 5]) AS k),
+              |hits AS (
+              |  SELECT ks.k, count(*) AS n
+              |  FROM jl j JOIN exact e ON e.vec_id = j.vec_id, ks
+              |  WHERE j.rn_a <= ks.k AND e.rn_e <= ks.k
+              |  GROUP BY ks.k)
+              |SELECT ks.k AS k, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+              |  CAST(floor(coalesce(h.n, 0) * 10000.0 / ks.k + 0.5) AS BIGINT) AS recall_e4
+              |FROM ks LEFT JOIN hits h ON h.k = ks.k
+              |ORDER BY ks.k""".stripMargin),
+      "North star: JL random projection 64→16 dims — row-local literal-matrix map, recall@k audit vs exact"))
+
+  val queries: Seq[GraftQuery] =
+    exactAndLsh ++ ivf ++ ivfpq ++ filtered ++ projection
 }

@@ -1871,7 +1871,78 @@ object StreamingQueries extends QueryPack {
         graft.operators.PipelineQueries.ivmMerge(stored, folded)
       },
       Some(graft.operators.PipelineQueries.ivmOracle),
-      "North star/T: live IVM — replay-idempotent per-batch delta partials, fold ≡ batch q77"))
+      "North star/T: live IVM — replay-idempotent per-batch delta partials, fold ≡ batch q77"),
+
+    GraftQuery(
+      "st35_stream_cdc_compact",
+      (spark, dir) => {
+        // LIVE CDC LOG COMPACTION — q76's streaming twin, closing the
+        // CDC tier's live symmetry (snapshot upsert q59, SCD2 q75, log
+        // compaction q76, IVM q77/st34): the change stream drains
+        // through foreachBatch and each micro-batch appends its OWN
+        // last-writer-wins prereduction (the SHARED
+        // PipelineQueries.latestByKey kernel — O(batch) rows in,
+        // O(batch keys) rows stored) through [[appendBatchPartial]],
+        // so a replayed batch is skipped by batch-id; even without
+        // that guard LWW absorbs replays (kernel associativity is
+        // spec-pinned). Every 3rd batch the store compacts through
+        // [[compactLwwStore]]: fold to one row per key, write the new
+        // generation NEXT TO the live one, swap — the snapshot-swap
+        // shape a table format runs at 100 TB (never rewrite a dir
+        // being read; never collect keys to the driver — the fold is
+        // a distributed window, store size is O(distinct keys)). The
+        // serve is the same kernel + rollup over the store; the oracle
+        // is q76's SQL verbatim — live and batch compaction must land
+        // on the same table.
+        val store = Streams.dataDir("graft_st35_lww_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st35_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty) {
+                val appended = appendBatchPartial(spark, store, bid,
+                  graft.operators.PipelineQueries.latestByKey(b))
+                if (appended && bid % 3 == 2) compactLwwStore(spark, store)
+              }
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        graft.operators.PipelineQueries.latestRollup(
+          graft.operators.PipelineQueries.latestByKey(
+            spark.read.parquet(store).drop("__bid")))
+      },
+      Some(graft.operators.PipelineQueries.latestOracle),
+      "North star/T: live CDC compaction — per-batch LWW prereduction, snapshot-swap store, serve ≡ q76"))
+
+  /** Fold the LWW store to one row per key and swap in the compacted
+    * generation. The fold is the shared latestByKey kernel (a
+    * distributed window — never a driver collect; the store is
+    * O(distinct keys), not O(columns) like the profile store, so
+    * st29's collect-based compactStore idiom would not scale here).
+    * The rewrite never overwrites the directory it is reading:
+    * the new generation lands in a sibling dir, then the dirs swap —
+    * locally a rename; on a real object store the same shape is a
+    * manifest/pointer swap. The surviving max batch-id is carried so
+    * [[appendBatchPartial]]'s replay guard keeps working afterwards. */
+  private[graft] def compactLwwStore(spark: org.apache.spark.sql.SparkSession,
+                                     store: String): Unit = {
+    val cur = spark.read.parquet(store)
+    val maxBid = cur.agg(max(col("__bid"))).head().getLong(0)
+    val folded = graft.operators.PipelineQueries.latestByKey(cur.drop("__bid"))
+      .withColumn("__bid", lit(maxBid))
+    val next = store.stripSuffix("/") + "__next"
+    folded.write.mode("overwrite").parquet(next)
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(store))
+    require(new java.io.File(next).renameTo(new java.io.File(store)),
+      s"LWW store generation swap failed: $next -> $store")
+  }
 }
 
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:

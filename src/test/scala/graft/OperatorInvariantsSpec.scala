@@ -565,6 +565,63 @@ class OperatorInvariantsSpec extends SparkTestBase {
       "packed spans lost or duplicated tokens")
   }
 
+  test("chunking: windows cover every token, overlap by stride, reconstruct the doc (t26)") {
+    val r = run("t26_chunk_overlap").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+                 x.getLong(4), x.getString(5)))
+    val docs = graft.core.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.nonEmpty)
+    r.groupBy(_._1).foreach { case (docId, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      val toks = docs(docId).split(" ", -1)
+      // contiguous ids; starts step by the stride; first covers 0, last reaches n
+      assert(sorted.map(_._2) sameElements sorted.indices.map(_.toLong))
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._4 == toks.length.toLong,
+        s"doc $docId: last chunk ends ${sorted.last._4}, doc has ${toks.length} tokens")
+      sorted.foreach { case (_, k, st, en, nTok, textChunk) =>
+        assert(st == k * 48 && en == math.min(k * 48 + 64, toks.length.toLong))
+        assert(nTok == en - st && nTok >= 1 && nTok <= 64)
+        // the chunk text IS the token slice — reconstruction-exact
+        assert(textChunk == toks.slice(st.toInt, en.toInt).mkString(" "),
+          s"doc $docId chunk $k text does not match its token span")
+      }
+      // consecutive windows overlap (W=64 > S=48) — no token falls in a seam
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1)._3 < p(0)._4, s"doc $docId: gap between chunks ${p(0)._2}/${p(1)._2}")
+      }
+    }
+  }
+
+  test("cluster-safe split: near-dup pairs never straddle the train/val boundary (d19)") {
+    val r = run("d19_cluster_safe_split").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val docs = graft.core.Tables(spark, sfDir).documents
+    assert(r.length == docs.count(), "split must assign every document exactly once")
+    val splitOf = r.map(x => x._1 -> x._3).toMap
+    // clusters are monochromatic, and the rule applied to the rep is ml04's
+    r.groupBy(_._2).foreach { case (rep, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $rep spans both sides of the split")
+      assert(rows.head._3 == (if (rep % 5 < 4) "train" else "val"))
+    }
+    // the leakage pin itself: every VERIFIED near-dup pair lands same-side
+    val pairs = graft.dedup.DedupQueries.verifiedPairs(docs)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — the spec is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"near-dups $a/$b straddle the split: ${splitOf(a)} vs ${splitOf(b)}")
+    }
+    // and the per-doc rule WOULD have leaked on this fixture (non-vacuity)
+    assert(pairs.exists { case (a, b) =>
+      (if (a % 5 < 4) "train" else "val") != (if (b % 5 < 4) "train" else "val")
+    }, "fixture never exercises the cluster-vs-doc rule difference")
+  }
+
   test("SCD2 history conserves keys and versions correctly (q75)") {
     val r = run("q75_scd2_dim").collect()
     val nCustomers = spark.read.parquet(s"$sfDir/customer.parquet").count()

@@ -216,4 +216,28 @@ class StreamingSpec extends SparkTestBase {
     assert(sink.select("event_id").distinct().count() ==
       graft.core.Tables(spark, sfDir).events.count())
   }
+
+  test("st35: live CDC compaction lands on q76's table; LWW kernel is associative and replay-absorbing") {
+    import graft.operators.PipelineQueries.latestByKey
+    // live twin ≡ batch compaction, row for row
+    val live = SparkEntry.queries("st35_stream_cdc_compact")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q76_latest_by_key")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live.nonEmpty && live == batch,
+      s"live CDC compaction diverges from q76:\n live=$live\n batch=$batch")
+    // kernel properties the drain relies on: compact(compact(A) ∪ compact(B))
+    // = compact(A ∪ B), and re-presenting an absorbed slice is a no-op
+    val ev = graft.core.Tables(spark, sfDir).events
+    val a = ev.filter(col("event_id") % 2 === 0)
+    val b = ev.filter(col("event_id") % 2 === 1)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = key(latestByKey(ev))
+    assert(key(latestByKey(latestByKey(a).unionByName(latestByKey(b)))) == whole,
+      "LWW kernel is not associative over slices")
+    assert(key(latestByKey(latestByKey(ev).unionByName(latestByKey(a)))) == whole,
+      "LWW kernel does not absorb a replayed slice")
+  }
 }
