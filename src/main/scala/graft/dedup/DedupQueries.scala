@@ -127,7 +127,8 @@ object DedupQueries extends QueryPack {
     * Verification works on exploded (doc, shingle) rows — never whole
     * arrays (see d05's scaladoc). Persists the signature table; callers
     * run under Verify/Bench which clear cache per query. */
-  def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000): DataFrame = {
+  def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000,
+                    checkpoint: Boolean = true): DataFrame = {
     // ONE pass over the corpus text: the exploded shingle relation is
     // persisted, and signatures, band rows, intersection counts AND
     // per-doc shingle counts all derive from that cache — at 100 TB the
@@ -139,14 +140,24 @@ object DedupQueries extends QueryPack {
     try {
       val cand = candidatePairs(bandRows(sig))
       val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // The verify joins are EXPLICITLY shuffled (merge hints): at
+      // 100 TB neither the candidate list nor the per-doc count table
+      // fits one executor's broadcast build, and the static
+      // auto-broadcast threshold decides on plan ESTIMATES — a ×100
+      // stress corpus's candidate table estimated just under the
+      // session threshold while the actual hashed-relation build
+      // (several × the payload, under a block manager already holding
+      // the persisted shingle cache) OOM'd the driver. The shuffled
+      // form is SCALE.md's documented plan for this stage — linear,
+      // AQE-skew-splittable (d03's pinned behavior).
       val inter = cand
-        .join(sh.toDF("doc_a", "sh"), "doc_a")
-        .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+        .join(sh.toDF("doc_a", "sh").hint("merge"), "doc_a")
+        .join(sh.toDF("doc_b", "sh").hint("merge"), Seq("doc_b", "sh"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(scnt.toDF("doc_a", "n_a"), "doc_a")
-        .join(scnt.toDF("doc_b", "n_b"), "doc_b")
+        .join(scnt.toDF("doc_a", "n_a").hint("merge"), "doc_a")
+        .join(scnt.toDF("doc_b", "n_b").hint("merge"), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
         .withColumn("jaccard_e4",
@@ -158,8 +169,10 @@ object DedupQueries extends QueryPack {
         // harness clears the cache, and downstream consumers (d06's
         // keep-first anti-join build side) see a small materialized
         // table rather than a deep multi-stage plan re-planned under
-        // their join.
-        .localCheckpoint()
+        // their join. `checkpoint = false` is the plan-audit probe: the
+        // checkpointed form's executed plan is one ExistingRDD scan,
+        // which would hide the verify-stage join shapes from the specs.
+        .transform(d => if (checkpoint) d.localCheckpoint() else d)
     } finally {
       sig.unpersist(blocking = false)
       sh.unpersist(blocking = false)
@@ -709,16 +722,29 @@ object DedupQueries extends QueryPack {
         // component's min doc_id; singletons represent themselves via
         // one left join + coalesce), and ml04's deterministic 80/20
         // modulo rule is applied to the REP, not the doc. Scale shape:
-        // the cluster-label table is O(near-dup docs) — orders of
-        // magnitude smaller than the corpus — so the label join
-        // broadcasts; everything else is one narrow row-local pass.
-        // By construction every cluster is monochromatic (spec-pinned);
-        // the oracle replays d07's recursive CC + the same rule.
+        // the cluster-label table is O(near-dup docs) — usually orders
+        // of magnitude smaller than the corpus — so the label join is
+        // EXPLICITLY size-gated on the materialized label count (the
+        // st21/st26 discipline): broadcast while provably small, MERGE
+        // join past the gate. The gate must be explicit, not left to
+        // the optimizer's estimate: a ×100 stress corpus's dense
+        // near-dup graph produced a label table whose plan ESTIMATE
+        // sat under the session's auto-broadcast threshold while the
+        // actual hashed-relation build blew the driver — the exact
+        // estimate-vs-actual trap artifact-size gates exist to close.
+        // At 100 TB the merge path runs exchange-free on a
+        // doc_id-bucketed corpus (src05). Everything else is one
+        // narrow row-local pass. By construction every cluster is
+        // monochromatic (spec-pinned); the oracle replays d07's
+        // recursive CC + the same rule.
         val docs = t.documents
         val labels = clusterLabels(
           verifiedPairs(docs).select(col("doc_a"), col("doc_b")))
+        val labelJoin =
+          if (labels.count() <= 500000L) broadcast(labels)
+          else labels.hint("merge")
         docs.select(col("doc_id"))
-          .join(broadcast(labels), Seq("doc_id"), "left")
+          .join(labelJoin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("cluster_rep"))
           .withColumn("split",

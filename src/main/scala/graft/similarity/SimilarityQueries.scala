@@ -1787,7 +1787,104 @@ object SimilarityQueries extends QueryPack {
               |  CAST(floor(coalesce(h.n, 0) * 10000.0 / ks.k + 0.5) AS BIGINT) AS recall_e4
               |FROM ks LEFT JOIN hits h ON h.k = ks.k
               |ORDER BY ks.k""".stripMargin),
-      "North star: JL random projection 64→16 dims — row-local literal-matrix map, recall@k audit vs exact"))
+      "North star: JL random projection 64→16 dims — row-local literal-matrix map, recall@k audit vs exact"),
+
+    GraftQuery(
+      "s23_hybrid_rrf",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // HYBRID RETRIEVAL — the serving query every RAG/search stack
+        // runs in front of a training corpus: a lexical ranker and a
+        // vector ranker fused by reciprocal-rank fusion (Cormack et al.
+        // 2009, k=60). Corpus = docs carrying BOTH text and an
+        // embedding (documents ⋈ embeddings on id); query = doc 0.
+        //   - lexical: matched-term IDF sum, integer-exact via the t20
+        //     bit-length idiom (idf_bits = len(bin(N+1)) − len(bin(df)))
+        //     over DISTINCT (doc, term) — no transcendentals, so the
+        //     ranking is bitwise-reproducible cross-engine;
+        //   - vector: exact cosine vs the query embedding (s01's path);
+        //   - fusion: rrf_e6 = Σ 1e6 div (60 + rank) over both top-10
+        //     lists — integer division, rank-only (RRF's whole point:
+        //     score scales never need calibrating).
+        // Scale shape: df is ONE token shuffle; the query-term df slice
+        // and the query vector broadcast; lexical scoring is a
+        // broadcast semi-join + map-side-partial per-doc sum; both
+        // candidate lists are cut by TakeOrderedAndProject to 10 rows
+        // before the (driver-sized) ranking windows and fusion join.
+        // At 100 TB the lexical side sits on an inverted-index layout
+        // (src05 bucketing by term) but the fusion contract is
+        // unchanged — ranks in, fused ranks out.
+        val emb = doubled(t).select(col("vec_id").as("doc_id"), col("v"))
+        val corpus = t.documents.select(col("doc_id"), col("text"))
+          .join(emb, Seq("doc_id"))
+        val tok = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+          .filter(length(col("tk")) > 0).distinct()
+        val df = tok.groupBy("tk").agg(count(lit(1)).as("df"))
+        val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+        val qterms = tok.filter(col("doc_id") === 0).select("tk")
+        val qdf = df.join(broadcast(qterms), Seq("tk"))
+        val lex = tok.filter(col("doc_id") =!= 0)
+          .join(broadcast(qdf), Seq("tk"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("doc_id"),
+            (length(bin(col("n_docs") + 1)) - length(bin(col("df")))).as("w"))
+          .groupBy("doc_id").agg(sum(col("w")).as("score"))
+        val qv = emb.filter(col("doc_id") === 0).select(col("v").as("qv"))
+        val vec = corpus.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("doc_id"), cosineFast(col("v"), col("qv")).as("score"))
+        def top10(c: DataFrame, rname: String): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id").asc)
+          c.orderBy(col("score").desc, col("doc_id").asc).limit(10)
+            .withColumn(rname, row_number().over(w))
+            .select(col("doc_id"), col(rname))
+        }
+        top10(lex, "lex_rank").join(top10(vec, "vec_rank"), Seq("doc_id"), "full_outer")
+          .withColumn("rrf_e6",
+            coalesce(expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000 div (60 + vec_rank) AS BIGINT)"), lit(0L)))
+          .select(col("doc_id"),
+            coalesce(col("lex_rank"), lit(0)).cast(LongType).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(0)).cast(LongType).as("vec_rank"),
+            col("rrf_e6"))
+          .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+          .limit(5)
+      },
+      Some("""WITH emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |corpus AS (SELECT d.doc_id, d.text, e.v FROM documents d JOIN emb e USING (doc_id)),
+             |tok AS (SELECT DISTINCT doc_id, tk FROM (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM corpus)
+             |  WHERE length(tk) > 0),
+             |n AS (SELECT count(*) AS n_docs FROM corpus),
+             |df AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+             |qt AS (SELECT tk FROM tok WHERE doc_id = 0),
+             |lex AS (
+             |  SELECT t.doc_id,
+             |    CAST(sum(length(bin(n.n_docs + 1)) - length(bin(d.df))) AS BIGINT) AS score
+             |  FROM tok t JOIN qt USING (tk) JOIN df d USING (tk), n
+             |  WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+             |lr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+             |       FROM lex ORDER BY score DESC, doc_id LIMIT 10),
+             |q AS (SELECT v AS qv FROM corpus WHERE doc_id = 0),
+             |vec AS (SELECT c.doc_id,
+             |  list_sum(list_transform(range(1, 65), i -> c.v[i] * qv[i])) /
+             |  sqrt(list_sum(list_transform(c.v, x -> x * x)) *
+             |       list_sum(list_transform(qv, x -> x * x))) AS score
+             |  FROM corpus c, q WHERE c.doc_id <> 0),
+             |vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS vec_rank
+             |       FROM vec ORDER BY score DESC, doc_id LIMIT 10),
+             |fused AS (
+             |  SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+             |    CAST(coalesce(lr.lex_rank, 0) AS BIGINT) AS lex_rank,
+             |    CAST(coalesce(vr.vec_rank, 0) AS BIGINT) AS vec_rank,
+             |    CAST(coalesce(1000000 // (60 + lr.lex_rank), 0)
+             |       + coalesce(1000000 // (60 + vr.vec_rank), 0) AS BIGINT) AS rrf_e6
+             |  FROM lr FULL OUTER JOIN vr ON vr.doc_id = lr.doc_id)
+             |SELECT doc_id, lex_rank, vec_rank, rrf_e6
+             |FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 5""".stripMargin),
+      "North star: hybrid retrieval — integer-exact lexical IDF + exact cosine, fused by RRF(k=60)"))
 
   val queries: Seq[GraftQuery] =
     exactAndLsh ++ ivf ++ ivfpq ++ filtered ++ projection

@@ -449,5 +449,55 @@ object SourceQueries extends QueryPack {
              |WHERE NOT (strftime(date_trunc('day', ts), '%Y-%m-%d') = '2024-01-05'
              |           AND event_type = 'view')
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      "S-maintenance: dynamic partition overwrite — one day re-lands corrected, every other partition untouched"))
+      "S-maintenance: dynamic partition overwrite — one day re-lands corrected, every other partition untouched"),
+
+    GraftQuery(
+      "src11_manifest_snapshot",
+      (spark, dir) => {
+        // SNAPSHOT-ISOLATED PUBLISH + TIME TRAVEL — the table-format
+        // seam ([[SnapshotCatalog]]): src09 compacts, src10 corrects,
+        // st24 appends, but all three assume a quiesced window on plain
+        // parquet; this op implements what a table format actually adds
+        // — versioned manifests with atomic pointer swaps — and proves
+        // the three reader-visible guarantees: (1) ATOMIC PUBLISH
+        // (commit = manifest rename + pointer rename; readers never see
+        // a partial file list), (2) TIME TRAVEL (v1 read back after the
+        // v2 commit is row-identical to what v1 served before it), and
+        // (3) FILE-LEVEL REUSE (v2's manifest lists v1's data files
+        // verbatim + the new batch — 100 TB of history is never
+        // rewritten to add a day; audited here by set inclusion). The
+        // output reads BOTH versions through their manifests; the
+        // oracle recomputes each version's slice from the source table.
+        val root = graft.streaming.Streams.dataDir("graft_snapshot_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val v1Files = SnapshotCatalog.writeData(
+          ev.filter(col("event_id") % 10 =!= 3), root, "batch1")
+        SnapshotCatalog.commit(root, 1, v1Files)
+        val v2New = SnapshotCatalog.writeData(
+          ev.filter(col("event_id") % 10 === 3), root, "batch2")
+        SnapshotCatalog.commit(root, 2, v1Files ++ v2New)
+        val reused = SnapshotCatalog.manifestFiles(root, 2).toSet
+          .intersect(v1Files.toSet) == v1Files.toSet
+        def report(v: Int): org.apache.spark.sql.DataFrame =
+          SnapshotCatalog.readSnapshot(spark, root, Some(v)).agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("event_type")).as("n_types"),
+              graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+            .select(lit(v.toLong).as("version"), col("n_rows"),
+              col("n_types"), col("sum_value_cents"),
+              lit(reused).as("v2_reuses_v1_files"))
+        report(1).unionByName(report(2))
+      },
+      Some("""SELECT 1 AS version, count(*) AS n_rows,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS v2_reuses_v1_files
+             |FROM events WHERE event_id % 10 <> 3
+             |UNION ALL
+             |SELECT 2, count(*), count(DISTINCT event_type),
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM events""".stripMargin),
+      "S-maintenance: snapshot-isolated publish — atomic manifest/pointer commit, time travel, file reuse"))
 }

@@ -60,7 +60,12 @@ object PlanAudit {
     "st32_state_reader" -> "offline state read-back: parallel statestore snapshot scan, no input-stream replay",
     "d18_leakage_report" -> "eval-side leakage: train corpus streams one semi-join, eval/hit sets broadcast both ways",
     "src10_dynamic_partition_overwrite" -> "partition correction readback: full-table scan groups per day after a dynamic overwrite",
-    "q77_incremental_agg" -> "IVM merge: O(changelog) delta agg + ONE full-outer join on the stored aggregate, base never rescanned")
+    "q77_incremental_agg" -> "IVM merge: O(changelog) delta agg + ONE full-outer join on the stored aggregate, base never rescanned",
+    "t26_chunk_overlap" -> "overlapping passage chunking: row-local explode/slice, ZERO exchanges in the plan",
+    "d19_cluster_safe_split" -> "cluster-safe split: O(near-dup) label table broadcasts onto a narrow corpus pass",
+    "s22_jl_projection" -> "JL projection: literal plane matrix in-plan, TakeOrdered candidate cuts before ranking",
+    "s23_hybrid_rrf" -> "hybrid RRF: broadcast query-term/vector sides, both rank lists TakeOrdered-cut before fusion",
+    "d05_ngram_jaccard_pairs" -> "LSH verify stage: explicitly shuffled candidate/count joins (no estimate-gated broadcast)")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at

@@ -48,7 +48,9 @@ object ScaleStress {
     "q81_salted_skew_join",
     "t07_top_terms", "t19_bpe_train", "mm03_decode_features",
     "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample",
-    "d18_leakage_report", "t25_token_pack")
+    "d18_leakage_report", "t25_token_pack", "t26_chunk_overlap",
+    "d19_cluster_safe_split", "s22_jl_projection", "s23_hybrid_rrf",
+    "src11_manifest_snapshot")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -64,7 +66,8 @@ object ScaleStress {
   val streamingQueryNames: Seq[String] =
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
         "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
-        "st33_stream_importance_gate", "st34_stream_ivm")
+        "st33_stream_importance_gate", "st34_stream_ivm",
+        "st35_stream_cdc_compact")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
@@ -148,6 +151,19 @@ object ScaleStress {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(math.max(8, 2 * k))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // embeddings scales for the projection/ANN tier (s22): vec_ids
+    // offset per copy; the vectors themselves replicate verbatim —
+    // copies tie in any top-k and the (sim DESC, vec_id ASC) total
+    // order resolves them deterministically, so recall stays
+    // well-defined while candidate volume scales with k.
+    val emb = Tables(spark, baseDir).embeddings
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0)
+    emb.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
+      .select(
+        (col("vec_id") + col("copy") * lit(maxVid + 1)).as("vec_id"),
+        col("label"), col("embedding"))
+      .repartition(math.max(8, 2 * k))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {

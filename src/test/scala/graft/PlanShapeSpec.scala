@@ -378,6 +378,48 @@ class PlanShapeSpec extends SparkTestBase {
       !p.contains("HashAggregate"), s"unexpected relational ops in a pure kernel:\n$p")
   }
 
+  test("t26: passage chunking plans with ZERO exchanges — pure row-local map") {
+    val p = plan("t26_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking introduced a shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected a Generate (explode) stage:\n$p")
+  }
+
+  test("d19: cluster labels broadcast — the corpus never shuffles for the split") {
+    val p = plan("d19_cluster_safe_split")
+    assert(p.contains("BroadcastHashJoin"), s"label join did not broadcast:\n$p")
+  }
+
+  test("s22: both candidate sets cut by TakeOrdered before any ranking window") {
+    val p = plan("s22_jl_projection")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"expected TakeOrdered on both the exact and projected candidate sets:\n$p")
+    assert(!p.contains("CartesianProduct"), s"projection audit went cartesian:\n$p")
+  }
+
+  test("s23: both rank lists TakeOrdered-cut before the fusion join") {
+    val p = plan("s23_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"expected TakeOrdered on both the lexical and vector lists:\n$p")
+    assert(!p.contains("CartesianProduct"), s"hybrid retrieval went cartesian:\n$p")
+  }
+
+  test("d05: verify-stage joins are shuffled, never estimate-gated broadcasts") {
+    // the ×100 lesson: candidate/count tables estimate under the session
+    // broadcast threshold while their actual build OOMs a loaded driver —
+    // the verify stage must plan its joins as exchanges at every scale.
+    // Probe the UN-checkpointed form: the registry query's executed plan
+    // is one ExistingRDD scan of the materialized pair list.
+    val docs = graft.core.Tables(spark, sfDir).documents
+    val df = graft.dedup.DedupQueries.verifiedPairs(docs, checkpoint = false)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the verify stage is 4 joins (cand⋈sh ×2, inter⋈scnt ×2) — all must
+    // plan as exchanges; upstream stages (band self-join) are pinned
+    // separately (d03's skew test)
+    assert("SortMergeJoin".r.findAllIn(p).length >= 4,
+      s"expected all four verify-stage joins shuffled:\n$p")
+  }
+
   test("st31/q88 evaluation kernel: one conditional agg, no Expand, no grouped shuffle") {
     // the per-micro-batch cost of the live constraint gate — the shape
     // PLANS.md's st31 batch-twin section documents: pre-materialized

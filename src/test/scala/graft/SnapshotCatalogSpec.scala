@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.SnapshotCatalog
+import org.apache.spark.sql.functions._
+
+/** The three reader-visible guarantees of the snapshot seam (src11):
+  * atomic publish, time travel, file-level reuse across versions. */
+class SnapshotCatalogSpec extends SparkTestBase {
+
+  test("src11: commits are atomic, v1 survives the v2 commit, v2 reuses v1's files") {
+    val root = graft.streaming.Streams.dataDir("graft_snapspec_")
+    val spark2 = spark
+    import spark2.implicits._
+
+    val v1Files = SnapshotCatalog.writeData(
+      (1L to 100L).toDF("id"), root, "batch1")
+    SnapshotCatalog.commit(root, 1, v1Files)
+    val v1Before = SnapshotCatalog.readSnapshot(spark, root, Some(1))
+      .agg(count(lit(1)), sum("id")).head()
+
+    val v2New = SnapshotCatalog.writeData(
+      (101L to 150L).toDF("id"), root, "batch2")
+    SnapshotCatalog.commit(root, 2, v1Files ++ v2New)
+
+    // time travel: v1 is row-identical after the v2 commit
+    val v1After = SnapshotCatalog.readSnapshot(spark, root, Some(1))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(v1Before == v1After, "v1 snapshot changed under a v2 commit")
+    assert(v1After.getLong(0) == 100L && v1After.getLong(1) == 5050L)
+
+    // pointer resolves to v2; v2 = v1 ∪ batch2
+    assert(SnapshotCatalog.latestVersion(root) == 2)
+    val v2 = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)), sum("id")).head()
+    assert(v2.getLong(0) == 150L && v2.getLong(1) == 150L * 151L / 2)
+
+    // file-level reuse: v2's manifest lists every v1 data file verbatim
+    val m2 = SnapshotCatalog.manifestFiles(root, 2).toSet
+    assert(v1Files.toSet.subsetOf(m2), "v2 manifest dropped v1 data files")
+    assert(m2.size == v1Files.size + v2New.size)
+
+    // atomicity residue: no tmp files survive a commit
+    val leftovers = Option(new java.io.File(s"$root/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp files leaked: ${leftovers.mkString(", ")}")
+
+    // v1's data files themselves were never rewritten by the v2 commit
+    assert(SnapshotCatalog.listDataFiles(s"$root/data/batch1") == v1Files,
+      "batch1's immutable data files changed")
+  }
+
+  test("s23: RRF fusion arithmetic, ordering, and candidate hygiene") {
+    val r = SparkEntry.queries("s23_hybrid_rrf")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty && r.length <= 5)
+    // the query doc never retrieves itself
+    assert(r.forall(_._1 != 0L), "query doc surfaced in its own results")
+    // rrf_e6 is exactly the integer fusion of the emitted ranks
+    r.foreach { case (id, lr, vr, rrf) =>
+      assert(lr >= 0 && lr <= 10 && vr >= 0 && vr <= 10)
+      assert(lr > 0 || vr > 0, s"doc $id in the fused list with no rank")
+      val expected = (if (lr > 0) 1000000L / (60 + lr) else 0L) +
+                     (if (vr > 0) 1000000L / (60 + vr) else 0L)
+      assert(rrf == expected, s"doc $id rrf=$rrf expected=$expected")
+    }
+    // emitted in fused order with the doc_id tie-break
+    assert(r.map(x => (-x._4, x._1)).sameElements(r.map(x => (-x._4, x._1)).sorted),
+      "fused list is not ordered by (rrf desc, doc_id)")
+  }
+}
