@@ -679,5 +679,83 @@ object ProfilingQueries extends QueryPack {
              |  UNION ALL
              |  SELECT 'range:o_totalprice>0', n, nonpos_price FROM b)
              |ORDER BY "constraint"""".stripMargin),
-      "North star: declarative constraint report — one conditional agg + dim anti-join, counts not throws"))
+      "North star: declarative constraint report — one conditional agg + dim anti-join, counts not throws"),
+
+    GraftQuery(
+      "q89_iqr_outliers",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // ROBUST ANOMALY BOUNDS — the observability tier's outlier
+        // member (q84 profiles, q85/q88 constrain, t23/st30 drift;
+        // this flags VALUES): per-group Tukey fences from EXACT
+        // nearest-rank quartiles, integer end to end — q1 is the
+        // cents value at rank ⌈n/4⌉ = (n+3) div 4, q3 at ⌈3n/4⌉ =
+        // (3n+3) div 4 (rank ties broken by event_id, but ties share
+        // a cents value so the quartile is order-independent), fences
+        // at q1 − 3·IQR / q3 + 3·IQR. No variance, no floats: a mean/
+        // stddev z-score needs Σx² (BIGINT-overflow-prone at corpus
+        // scale) and FP division; rank fences need ONE keyed sort.
+        // Scale shape: one shuffle by group for the rank window, one
+        // broadcast of the per-group fences (O(groups) rows) back
+        // onto the stream for the flag pass. The exact ranks are the
+        // audit tier — at 100 TB the serving form is approx_percentile
+        // (q17's sketch contract) with these fences as its oracle.
+        val ev = t.events.select(col("event_type"),
+          Canon.cents(col("value")).as("cents"), col("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("cents").asc, col("event_id").asc)
+        val ranked = ev
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        val qs = ranked
+          .filter(col("rn") === expr("(n + 3) div 4") ||
+                  col("rn") === expr("(3 * n + 3) div 4"))
+          .groupBy("event_type")
+          .agg(min(when(col("rn") === expr("(n + 3) div 4"), col("cents")))
+                 .as("q1_cents"),
+               min(when(col("rn") === expr("(3 * n + 3) div 4"), col("cents")))
+                 .as("q3_cents"))
+          .withColumn("lo", col("q1_cents") - (col("q3_cents") - col("q1_cents")) * 3)
+          .withColumn("hi", col("q3_cents") + (col("q3_cents") - col("q1_cents")) * 3)
+        ev.join(broadcast(qs), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+               min(col("q1_cents")).as("q1_cents"),
+               min(col("q3_cents")).as("q3_cents"),
+               sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+                 .otherwise(0L)).as("n_outliers"),
+               max(when(col("cents") > col("hi"), col("cents"))).as("max_outlier_cents"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, event_id
+             |  FROM events),
+             |ranked AS (
+             |  SELECT event_type, cents,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY cents, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM ev),
+             |qs AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS q1_cents,
+             |    min(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+             |  FROM ranked
+             |  WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+             |  GROUP BY event_type),
+             |f AS (
+             |  SELECT event_type, q1_cents, q3_cents,
+             |    q1_cents - 3 * (q3_cents - q1_cents) AS lo,
+             |    q3_cents + 3 * (q3_cents - q1_cents) AS hi
+             |  FROM qs)
+             |SELECT e.event_type, count(*) AS n,
+             |  min(f.q1_cents) AS q1_cents, min(f.q3_cents) AS q3_cents,
+             |  CAST(sum(CASE WHEN e.cents < f.lo OR e.cents > f.hi
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  max(CASE WHEN e.cents > f.hi THEN e.cents END) AS max_outlier_cents
+             |FROM ev e JOIN f USING (event_type)
+             |GROUP BY e.event_type""".stripMargin),
+      "North star: robust outlier fences — exact nearest-rank quartiles, integer Tukey bounds, no floats"))
 }

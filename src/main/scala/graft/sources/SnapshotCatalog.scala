@@ -69,6 +69,12 @@ object SnapshotCatalog {
     new String(java.nio.file.Files.readAllBytes(
       new java.io.File(s"$root/manifests/latest").toPath), "UTF-8").trim.toInt
 
+  /** Latest version, or None before the first commit. */
+  def latestVersionOption(root: String): Option[Int] =
+    if (new java.io.File(s"$root/manifests/latest").exists())
+      Some(latestVersion(root))
+    else None
+
   def manifestFiles(root: String, v: Int): Seq[String] =
     new String(java.nio.file.Files.readAllBytes(
       new java.io.File(s"$root/manifests/manifest-v$v.txt").toPath), "UTF-8")

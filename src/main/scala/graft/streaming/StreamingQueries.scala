@@ -1916,7 +1916,70 @@ object StreamingQueries extends QueryPack {
             spark.read.parquet(store).drop("__bid")))
       },
       Some(graft.operators.PipelineQueries.latestOracle),
-      "North star/T: live CDC compaction — per-batch LWW prereduction, snapshot-swap store, serve ≡ q76"))
+      "North star/T: live CDC compaction — per-batch LWW prereduction, snapshot-swap store, serve ≡ q76"),
+
+    GraftQuery(
+      "st36_stream_snapshot_publish",
+      (spark, dir) => {
+        // STREAMING INGEST UNDER SNAPSHOT ISOLATION — src11's live
+        // twin: every micro-batch lands as an immutable data batch and
+        // COMMITS a new catalog version (manifest = previous version's
+        // files ∪ the new batch's — set union, so a replayed batch
+        // re-commits the same list and the catalog is replay-
+        // idempotent). A reader racing the stream resolves a COMPLETE
+        // version — never a half-written batch — which is what lets
+        // downstream consumers (training jobs, dashboards) read a
+        // table that is being appended to live; plain-parquet
+        // streaming sinks (st02/st24) expose in-flight part files
+        // instead. The output reads the LATEST version (whole staged
+        // table — SQL-expressible) plus catalog audits: one version
+        // per batch, every manifest a superset of its predecessor
+        // (file-level reuse at every step), v1 still readable after
+        // the stream ends (time travel under live ingest).
+        import graft.sources.SnapshotCatalog
+        val root = Streams.dataDir("graft_st36_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st36_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty) {
+                val newFiles = SnapshotCatalog.writeData(b, root, s"batch$bid")
+                val prev = SnapshotCatalog.latestVersionOption(root)
+                  .map(v => SnapshotCatalog.manifestFiles(root, v))
+                  .getOrElse(Seq.empty)
+                val next = SnapshotCatalog.latestVersionOption(root).getOrElse(0) + 1
+                SnapshotCatalog.commit(root, next,
+                  (prev ++ newFiles).distinct.sorted)
+              }
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        val nV = SnapshotCatalog.latestVersion(root)
+        val monotone = (2 to nV).forall { v =>
+          SnapshotCatalog.manifestFiles(root, v - 1).toSet
+            .subsetOf(SnapshotCatalog.manifestFiles(root, v).toSet)
+        }
+        val v1Readable = SnapshotCatalog
+          .readSnapshot(spark, root, Some(1)).count() > 0
+        SnapshotCatalog.readSnapshot(spark, root).agg(
+            count(lit(1)).as("n_rows"),
+            Canon.sumCents(col("value")).as("sum_value_cents"))
+          .select(col("n_rows"), col("sum_value_cents"),
+            lit(nV.toLong).as("n_versions"),
+            lit(monotone).as("manifests_monotone"),
+            lit(v1Readable).as("v1_time_travel_ok"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(4 AS BIGINT) AS n_versions,
+             |  TRUE AS manifests_monotone,
+             |  TRUE AS v1_time_travel_ok
+             |FROM events""".stripMargin),
+      "North star/T: streaming ingest under snapshot isolation — one committed version per batch, time travel live"))
 
   /** Fold the LWW store to one row per key and swap in the compacted
     * generation. The fold is the shared latestByKey kernel (a

@@ -65,7 +65,8 @@ object PlanAudit {
     "d19_cluster_safe_split" -> "cluster-safe split: O(near-dup) label table broadcasts onto a narrow corpus pass",
     "s22_jl_projection" -> "JL projection: literal plane matrix in-plan, TakeOrdered candidate cuts before ranking",
     "s23_hybrid_rrf" -> "hybrid RRF: broadcast query-term/vector sides, both rank lists TakeOrdered-cut before fusion",
-    "d05_ngram_jaccard_pairs" -> "LSH verify stage: explicitly shuffled candidate/count joins (no estimate-gated broadcast)")
+    "d05_ngram_jaccard_pairs" -> "LSH verify stage: explicitly shuffled candidate/count joins (no estimate-gated broadcast)",
+    "q89_iqr_outliers" -> "robust fences: one keyed rank window, O(groups) fence table broadcast back over the stream")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at

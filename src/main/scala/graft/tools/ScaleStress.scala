@@ -50,7 +50,7 @@ object ScaleStress {
     "t22_shuffle_shard", "t23_corpus_drift", "t24_importance_resample",
     "d18_leakage_report", "t25_token_pack", "t26_chunk_overlap",
     "d19_cluster_safe_split", "s22_jl_projection", "s23_hybrid_rrf",
-    "src11_manifest_snapshot")
+    "src11_manifest_snapshot", "q89_iqr_outliers")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -67,7 +67,7 @@ object ScaleStress {
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
         "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
         "st33_stream_importance_gate", "st34_stream_ivm",
-        "st35_stream_cdc_compact")
+        "st35_stream_cdc_compact", "st36_stream_snapshot_publish")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */

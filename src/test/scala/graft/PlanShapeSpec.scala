@@ -420,6 +420,12 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected all four verify-stage joins shuffled:\n$p")
   }
 
+  test("q89: fence table broadcasts back over the stream; the rank window is the only group exchange") {
+    val p = plan("q89_iqr_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"fence join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fence join went cartesian:\n$p")
+  }
+
   test("st31/q88 evaluation kernel: one conditional agg, no Expand, no grouped shuffle") {
     // the per-micro-batch cost of the live constraint gate — the shape
     // PLANS.md's st31 batch-twin section documents: pre-materialized

@@ -49,6 +49,36 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "batch1's immutable data files changed")
   }
 
+  test("st36: one committed version per batch; audits hold; latest ≡ staged table") {
+    val r = SparkEntry.queries("st36_stream_snapshot_publish")(spark, sfDir).head()
+    assert(r.getLong(2) == 4L, s"expected 4 versions (4 staged files), got ${r.getLong(2)}")
+    assert(r.getBoolean(3), "a manifest dropped its predecessor's files")
+    assert(r.getBoolean(4), "v1 unreadable after the stream ended")
+    val ev = graft.core.Tables(spark, sfDir).events
+    assert(r.getLong(0) == ev.count(), "latest snapshot lost or duplicated rows")
+  }
+
+  test("q89: fences derive from the emitted quartiles; outlier counts recount exactly") {
+    val r = SparkEntry.queries("q89_iqr_outliers")(spark, sfDir).collect()
+    val ev = graft.core.Tables(spark, sfDir).events
+      .select(col("event_type"),
+        graft.functions.Canon.cents(col("value")).as("cents"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (tpe, n, q1, q3) =
+        (row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      val vals = ev.filter(_._1 == tpe).map(_._2).sorted
+      assert(n == vals.length)
+      // nearest-rank quartiles, recomputed independently
+      assert(q1 == vals(((vals.length + 3) / 4 - 1).toInt), s"$tpe q1 mismatch")
+      assert(q3 == vals(((3 * vals.length + 3) / 4 - 1).toInt), s"$tpe q3 mismatch")
+      val (lo, hi) = (q1 - 3 * (q3 - q1), q3 + 3 * (q3 - q1))
+      assert(row.getLong(4) == vals.count(v => v < lo || v > hi).toLong,
+        s"$tpe outlier count mismatch")
+    }
+  }
+
   test("s23: RRF fusion arithmetic, ordering, and candidate hygiene") {
     val r = SparkEntry.queries("s23_hybrid_rrf")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
