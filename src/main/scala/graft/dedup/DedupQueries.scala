@@ -128,7 +128,8 @@ object DedupQueries extends QueryPack {
     * arrays (see d05's scaladoc). Persists the signature table; callers
     * run under Verify/Bench which clear cache per query. */
   def verifiedPairs(docs: DataFrame, minJaccardE4: Long = 2000,
-                    checkpoint: Boolean = true): DataFrame = {
+                    checkpoint: Boolean = true,
+                    broadcastVerifyMaxDocs: Long = 100000L): DataFrame = {
     // ONE pass over the corpus text: the exploded shingle relation is
     // persisted, and signatures, band rows, intersection counts AND
     // per-doc shingle counts all derive from that cache — at 100 TB the
@@ -140,24 +141,32 @@ object DedupQueries extends QueryPack {
     try {
       val cand = candidatePairs(bandRows(sig))
       val scnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // The verify joins are EXPLICITLY shuffled (merge hints): at
-      // 100 TB neither the candidate list nor the per-doc count table
-      // fits one executor's broadcast build, and the static
-      // auto-broadcast threshold decides on plan ESTIMATES — a ×100
-      // stress corpus's candidate table estimated just under the
-      // session threshold while the actual hashed-relation build
-      // (several × the payload, under a block manager already holding
-      // the persisted shingle cache) OOM'd the driver. The shuffled
-      // form is SCALE.md's documented plan for this stage — linear,
-      // AQE-skew-splittable (d03's pinned behavior).
+      // The verify joins are size-gated on the MATERIALIZED corpus row
+      // count (a metadata-only count — parquet footers, no scan), never
+      // on optimizer estimates: past `broadcastVerifyMaxDocs` they are
+      // EXPLICITLY shuffled (merge hints), because at 100 TB neither
+      // the candidate list nor the per-doc count table fits one
+      // executor's broadcast build — and the static auto-broadcast
+      // threshold decides on plan ESTIMATES, which a ×100 stress
+      // corpus put just under the session threshold while the actual
+      // hashed-relation build (several × the payload, under a block
+      // manager already holding the persisted shingle cache) OOM'd
+      // the driver, three runs out of three. The shuffled form is
+      // SCALE.md's documented plan for this stage — linear,
+      // AQE-skew-splittable (d03's pinned behavior); below the gate
+      // the planner's broadcast keeps fixture-scale runs fast.
+      // PlanShapeSpec pins the large form via broadcastVerifyMaxDocs=0.
+      val shuffleVerify = docs.count() > broadcastVerifyMaxDocs
+      def shaped(df: DataFrame): DataFrame =
+        if (shuffleVerify) df.hint("merge") else df
       val inter = cand
-        .join(sh.toDF("doc_a", "sh").hint("merge"), "doc_a")
-        .join(sh.toDF("doc_b", "sh").hint("merge"), Seq("doc_b", "sh"))
+        .join(shaped(sh.toDF("doc_a", "sh")), "doc_a")
+        .join(shaped(sh.toDF("doc_b", "sh")), Seq("doc_b", "sh"))
         .groupBy("doc_a", "doc_b")
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(scnt.toDF("doc_a", "n_a").hint("merge"), "doc_a")
-        .join(scnt.toDF("doc_b", "n_b").hint("merge"), "doc_b")
+        .join(shaped(scnt.toDF("doc_a", "n_a")), "doc_a")
+        .join(shaped(scnt.toDF("doc_b", "n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("n_a") + col("n_b") - col("n_inter")).as("n_union"))
         .withColumn("jaccard_e4",

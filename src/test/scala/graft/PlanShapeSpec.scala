@@ -406,11 +406,13 @@ class PlanShapeSpec extends SparkTestBase {
   test("d05: verify-stage joins are shuffled, never estimate-gated broadcasts") {
     // the ×100 lesson: candidate/count tables estimate under the session
     // broadcast threshold while their actual build OOMs a loaded driver —
-    // the verify stage must plan its joins as exchanges at every scale.
-    // Probe the UN-checkpointed form: the registry query's executed plan
-    // is one ExistingRDD scan of the materialized pair list.
+    // past the corpus-count gate the verify stage must plan its joins as
+    // exchanges. Probe the UN-checkpointed form with the gate forced
+    // (the registry query's executed plan is one ExistingRDD scan of the
+    // materialized pair list, and the fixture sits under the gate).
     val docs = graft.core.Tables(spark, sfDir).documents
-    val df = graft.dedup.DedupQueries.verifiedPairs(docs, checkpoint = false)
+    val df = graft.dedup.DedupQueries.verifiedPairs(docs,
+      checkpoint = false, broadcastVerifyMaxDocs = 0L)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // the verify stage is 4 joins (cand⋈sh ×2, inter⋈scnt ×2) — all must
