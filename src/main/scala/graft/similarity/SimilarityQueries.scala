@@ -1884,7 +1884,97 @@ object SimilarityQueries extends QueryPack {
              |  FROM lr FULL OUTER JOIN vr ON vr.doc_id = lr.doc_id)
              |SELECT doc_id, lex_rank, vec_rank, rrf_e6
              |FROM fused ORDER BY rrf_e6 DESC, doc_id LIMIT 5""".stripMargin),
-      "North star: hybrid retrieval — integer-exact lexical IDF + exact cosine, fused by RRF(k=60)"))
+      "North star: hybrid retrieval — integer-exact lexical IDF + exact cosine, fused by RRF(k=60)"),
+
+    GraftQuery(
+      "s24_mmr_diversify",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // DIVERSIFIED SERVING — maximal marginal relevance (Carbonell &
+        // Goldstein 1998) over the exact top-20 candidates: greedily
+        // pick 5 results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S}
+        // sim(d,s) with λ=0.7, so near-duplicate hits can't crowd the
+        // result list (the serving-side mirror of what d01–d19 scrub
+        // from the corpus). Scale shape: the DISTRIBUTED part is s01's
+        // narrow scan + TakeOrderedAndProject to 20 rows; the greedy
+        // rerank is O(k²) on a k=20 list — bounded like the IVF probe
+        // lists, the sanctioned driver-side size class. Cross-engine
+        // determinism: all sims come from the same sequential-fold
+        // cosine both engines compute bit-identically (the s01/s09
+        // contract), the MMR arithmetic is sums/products of those
+        // doubles with literal λ, and every argmax tie-breaks on
+        // vec_id — so the greedy trajectory is replayed EXACTLY by the
+        // oracle's 5 unrolled selection CTEs.
+        val emb = doubled(t)
+        val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+        val cand = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("v"), cosineFast(col("v"), col("qv")).as("s"))
+          .orderBy(col("s").desc, col("vec_id").asc)
+          .limit(20)
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < math.min(a.length, b.length)) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / math.sqrt(na * nb)
+        }
+        val selected = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]()
+        val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        (1 to 5).foreach { rank =>
+          val scored = remaining.map { case (id, v, s) =>
+            val pen = if (selected.isEmpty) 0.0
+                      else selected.map(sl => cos(v, sl._2)).max
+            (id, v, s, 0.7 * s - 0.3 * pen)
+          }
+          val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+          selected += ((best._1, best._2, best._3))
+          remaining -= ((best._1, best._2, best._3))
+          out += ((rank.toLong, best._1,
+            math.floor(best._4 * 1000000 + 0.5).toLong))
+        }
+        val spark2 = spark
+        import spark2.implicits._
+        out.toSeq.toDF("rank", "vec_id", "mmr_e6")
+      },
+      Some {
+        val cosSql = (a: String, b: String) =>
+          s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) /
+             |  sqrt(list_sum(list_transform($a, x -> x * x)) *
+             |       list_sum(list_transform($b, x -> x * x)))""".stripMargin
+        val steps = (2 to 5).map { i =>
+          val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+          s"""m$i AS (
+             |  SELECT c.vec_id, 0.7 * c.s - 0.3 * max(p.ps) AS mmr
+             |  FROM cand c JOIN p ON p.ai = c.vec_id AND p.bi IN ($prev)
+             |  WHERE c.vec_id NOT IN ($prev)
+             |  GROUP BY c.vec_id, c.s),
+             |sel$i AS (
+             |  SELECT vec_id, CAST($i AS BIGINT) AS rank, mmr
+             |  FROM m$i ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+           |simq AS (
+           |  SELECT e.vec_id, e.v, ${cosSql("e.v", "qv")} AS s
+           |  FROM v e, q WHERE e.vec_id <> 0),
+           |cand AS (SELECT * FROM simq ORDER BY s DESC, vec_id LIMIT 20),
+           |p AS (
+           |  SELECT a.vec_id AS ai, b.vec_id AS bi, ${cosSql("a.v", "b.v")} AS ps
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |sel1 AS (
+           |  SELECT vec_id, CAST(1 AS BIGINT) AS rank, 0.7 * s AS mmr
+           |  FROM cand ORDER BY s DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT rank, vec_id, CAST(floor(mmr * 1000000 + 0.5) AS BIGINT) AS mmr_e6
+           |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+           |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+           |      UNION ALL SELECT * FROM sel5)""".stripMargin
+      },
+      "North star: MMR-diversified top-k serving — TakeOrdered candidates, greedy rerank replayed by unrolled oracle"))
 
   val queries: Seq[GraftQuery] =
     exactAndLsh ++ ivf ++ ivfpq ++ filtered ++ projection

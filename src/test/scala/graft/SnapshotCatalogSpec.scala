@@ -79,6 +79,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("s24: MMR greedy invariants — top-1 first, monotone scores, picks from the candidate pool") {
+    val r = SparkEntry.queries("s24_mmr_diversify")(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_._2).distinct.length == 5, "a result id repeated")
+    // the first pick is the exact top-1 (empty selected set → pure relevance)
+    val emb = graft.core.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val top1 = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        graft.functions.CosineSim.cosineFast(col("v"), col("qv")).as("s"))
+      .orderBy(col("s").desc, col("vec_id").asc).limit(1)
+      .head().getLong(0)
+    assert(r.head._2 == top1, "MMR's first pick is not the exact top-1")
+    // greedy MMR scores are monotone non-increasing (each round's winner
+    // beat the next round's winner at the earlier, lower-penalty state)
+    r.map(_._3).sliding(2).foreach { p =>
+      assert(p(0) >= p(1), s"MMR scores not monotone: ${r.map(_._3).toSeq}")
+    }
+  }
+
   test("s23: RRF fusion arithmetic, ordering, and candidate hygiene") {
     val r = SparkEntry.queries("s23_hybrid_rrf")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
