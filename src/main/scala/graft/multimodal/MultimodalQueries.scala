@@ -296,6 +296,57 @@ object MultimodalQueries extends QueryPack {
       "North star: video container parse + every-Nth frame sample + REAL frame decode"),
 
     GraftQuery(
+      "mm11_keyframes",
+      (spark, dir) => {
+        val spark2 = spark
+        import spark2.implicits._
+        val t = Tables(spark, dir)
+        // SCENE-CHANGE KEYFRAME SELECTION — the frame-level dedup a
+        // video training pipeline runs before captioning/embedding:
+        // near-identical consecutive frames carry no new signal, so
+        // only frames whose features MOVED survive (first frame +
+        // >10 % relative red-sum change, integer-form). Same container
+        // and REAL decode as mm07; the fixture frames' channel sums
+        // are closed-form in doc_id, so the oracle replays selection —
+        // including the lag comparison down each doc's frame axis —
+        // from arithmetic alone. Scale shape: embarrassingly parallel
+        // per container (mapPartitions, no shuffle at all); the decode
+        // is the honest per-frame cost, shared with mm03/mm07.
+        val payloads = t.documents
+          .select(col("doc_id"))
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .as[Long]
+          .map(id => (id, ImageCodec.encodeVideo(id)))
+          .toDF("doc_id", "container")
+          .as[(Long, Array[Byte])]
+        payloads.mapPartitions(_.map { case (id, container) =>
+          ImageCodec.keyframes(id, container)
+        }).toDF()
+      },
+      Some("""WITH fr AS (
+             |  SELECT d.doc_id, t.k,
+             |    (16 + (d.doc_id*8 + t.k) % 32) *
+             |    ((16 + (d.doc_id*8 + t.k) % 48) * ((d.doc_id*8 + t.k) % 97)
+             |      + ((16 + (d.doc_id*8 + t.k) % 48) * (16 + (d.doc_id*8 + t.k) % 48 - 1)) // 2)
+             |    AS r
+             |  FROM documents d, range(0, 8) t(k)
+             |  WHERE t.k < 4 + d.doc_id % 4),
+             |lagged AS (
+             |  SELECT doc_id, k, r,
+             |    lag(r) OVER (PARTITION BY doc_id ORDER BY k) AS pr
+             |  FROM fr),
+             |flagged AS (
+             |  SELECT doc_id, r,
+             |    (pr IS NULL OR abs(r - pr) * 10 > pr) AS is_key
+             |  FROM lagged)
+             |SELECT doc_id,
+             |  CAST(count(*) AS INTEGER) AS n_frames,
+             |  CAST(sum(CASE WHEN is_key THEN 1 ELSE 0 END) AS INTEGER) AS n_keyframes,
+             |  CAST(sum(CASE WHEN is_key THEN r ELSE 0 END) AS BIGINT) AS sum_r_key
+             |FROM flagged GROUP BY doc_id""".stripMargin),
+      "North star: scene-change keyframe selection — every frame REAL-decoded, lag-threshold pick, closed-form oracle"),
+
+    GraftQuery(
       "mm08_image_neardup",
       (spark, dir) => {
         val spark2 = spark
@@ -501,6 +552,10 @@ final case class FireDetection(doc_id: Long, fire_detected: Boolean,
 /** Frame-sampling features from a parsed video container (mm07). */
 final case class VideoSample(doc_id: Long, n_frames: Int, n_sampled: Int,
                              sum_r_sampled: Long)
+
+/** Scene-change keyframe selection over a parsed container (mm11). */
+final case class VideoKeyframes(doc_id: Long, n_frames: Int,
+                                n_keyframes: Int, sum_r_key: Long)
 
 /** Audio metadata recovered by the REAL WAV decoder (mm06). */
 final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
@@ -845,6 +900,35 @@ object ImageCodec {
       k += 1
     }
     VideoSample(id, k, sampled, sumR)
+  }
+
+  /** mm11 kernel: scene-change keyframe selection. Every frame is
+    * REAL-decoded (unlike mm07's skip — scene detection needs each
+    * frame's features) and reduced to its red-channel sum; frame k is
+    * a keyframe iff it is the first frame or its sum moved >10 %
+    * relative to the previous frame (integer-form comparison
+    * `|r_k − r_{k−1}|·10 > r_{k−1}` — no FP ratio, the t09 threshold
+    * discipline). At scale the per-frame feature would be a thumbnail
+    * decode; the selection logic — a lag comparison down the frame
+    * axis — is the same. */
+  def keyframes(id: Long, container: Array[Byte]): VideoKeyframes = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(container))
+    var k = 0
+    var prev = 0L
+    var nKey = 0
+    var sumKey = 0L
+    while (in.available() > 0) {
+      val len = in.readInt()
+      val frame = new Array[Byte](len)
+      in.readFully(frame)
+      val (sr, _, _, _) = channelSums(decode(frame))
+      if (k == 0 || math.abs(sr - prev) * 10 > prev) {
+        nKey += 1; sumKey += sr
+      }
+      prev = sr
+      k += 1
+    }
+    VideoKeyframes(id, k, nKey, sumKey)
   }
 
   /** mm08 fixture: closed-form block gray value (MUST stay in lockstep

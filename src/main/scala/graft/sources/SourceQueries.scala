@@ -499,5 +499,82 @@ object SourceQueries extends QueryPack {
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
              |  TRUE
              |FROM events""".stripMargin),
-      "S-maintenance: snapshot-isolated publish — atomic manifest/pointer commit, time travel, file reuse"))
+      "S-maintenance: snapshot-isolated publish — atomic manifest/pointer commit, time travel, file reuse"),
+
+    GraftQuery(
+      "src12_snapshot_merge",
+      (spark, dir) => {
+        // COPY-ON-WRITE MERGE UNDER SNAPSHOT ISOLATION — the composition
+        // that makes src10's partition correction safe under concurrent
+        // readers: the table lands as one immutable batch per day
+        // (src03's layout expressed as catalog data batches), and a
+        // correction touching ONE day commits a new version whose
+        // manifest swaps ONLY that day's files for the rewritten ones —
+        // every other day's files are reused verbatim (copy-on-write at
+        // file granularity, the Iceberg/Delta MERGE shape), the old
+        // version still reads exactly what it always did (src10's
+        // plain-parquet form destroys it), and a reader racing the
+        // commit resolves one version or the other, never a torn mix.
+        // The audit column pins the file accounting: |v2| = |v1| −
+        // |day-5 files| + |rewritten files| with every non-day-5 file
+        // common to both manifests. The oracle recomputes both versions
+        // from the source table.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snapmerge_")
+        val ev = graft.core.Tables(spark, dir).events
+          .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+          .select(col("day"), col("event_id"), col("event_type"), col("value"))
+        // ONE partitioned write lands every day's immutable files (a
+        // per-day driver loop would rescan the table once per day —
+        // O(days × table), and the day count SCALES with the data; a
+        // ×10 stress run measured that quadratic at 17× wall clock
+        // before this shape replaced it). `day` is duplicated into the
+        // partition column so the data files keep carrying it.
+        val base = s"$root/data/base"
+        ev.withColumn("pday", col("day"))
+          .write.partitionBy("pday").mode("overwrite").parquet(base)
+        val days = ev.select("day").distinct().orderBy("day")
+          .collect().map(_.getString(0)).toSeq
+        val byDay: Map[String, Seq[String]] = days.map { d =>
+          d -> SnapshotCatalog.listDataFiles(s"$base/pday=$d")
+        }.toMap
+        SnapshotCatalog.commit(root, 1, days.flatMap(byDay).sorted)
+        // the correction: 2024-01-05 re-lands with its 'view' rows scrubbed
+        val target = "2024-01-05"
+        val rewritten = SnapshotCatalog.writeData(
+          ev.filter(col("day") === target && col("event_type") =!= "view"),
+          root, s"day_${target}_v2")
+        val v2Files =
+          (days.filterNot(_ == target).flatMap(byDay) ++ rewritten).sorted
+        SnapshotCatalog.commit(root, 2, v2Files)
+        val m1 = SnapshotCatalog.manifestFiles(root, 1).toSet
+        val m2 = SnapshotCatalog.manifestFiles(root, 2).toSet
+        val untouched = days.filterNot(_ == target).flatMap(byDay).toSet
+        val cowOk = untouched.subsetOf(m1) && untouched.subsetOf(m2) &&
+          byDay(target).toSet.subsetOf(m1) && byDay(target).toSet.intersect(m2).isEmpty &&
+          rewritten.toSet.subsetOf(m2)
+        def report(v: Int): org.apache.spark.sql.DataFrame =
+          SnapshotCatalog.readSnapshot(spark, root, Some(v)).agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("day")).as("n_days"),
+              graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+            .select(lit(v.toLong).as("version"), col("n_rows"), col("n_days"),
+              col("sum_value_cents"), lit(cowOk).as("cow_file_accounting_ok"))
+        report(1).unionByName(report(2))
+      },
+      Some("""WITH d AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             |         event_type, value
+             |  FROM events)
+             |SELECT 1 AS version, count(*) AS n_rows,
+             |  count(DISTINCT day) AS n_days,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS cow_file_accounting_ok
+             |FROM d
+             |UNION ALL
+             |SELECT 2, count(*), count(DISTINCT day),
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
+             |  TRUE
+             |FROM d WHERE NOT (day = '2024-01-05' AND event_type = 'view')""".stripMargin),
+      "S-maintenance: copy-on-write MERGE under snapshots — one day's files swap, the rest reused, v1 intact"))
 }

@@ -79,6 +79,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("src12: COW merge removes rows in v2 while v1 stays intact; file accounting holds") {
+    val r = SparkEntry.queries("src12_snapshot_merge")(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(r.length == 2)
+    val (v1, v2) = (r(0), r(1))
+    assert(v1.getLong(1) > v2.getLong(1), "the correction removed no rows")
+    assert(v1.getLong(2) == v2.getLong(2), "the correction dropped a whole day")
+    assert(v1.getBoolean(4) && v2.getBoolean(4),
+      "copy-on-write file accounting violated")
+  }
+
   test("s24: MMR greedy invariants — top-1 first, monotone scores, picks from the candidate pool") {
     val r = SparkEntry.queries("s24_mmr_diversify")(spark, sfDir).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
