@@ -60,9 +60,14 @@ object SnapshotCatalog {
     require(tmp.renameTo(fin), s"manifest publish failed: $tmp -> $fin")
     val ptmp = new java.io.File(mdir, ".latest.tmp")
     java.nio.file.Files.write(ptmp.toPath, v.toString.getBytes("UTF-8"))
-    val ptr = new java.io.File(mdir, "latest")
-    if (ptr.exists()) ptr.delete()
-    require(ptmp.renameTo(ptr), s"pointer swap failed: $ptmp -> $ptr")
+    // ATOMIC pointer replace — delete-then-rename would leave a crash
+    // window with no pointer at all (and a later commit would then
+    // restart the version numbering over existing manifests)
+    java.nio.file.Files.move(ptmp.toPath,
+      new java.io.File(mdir, "latest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   def latestVersion(root: String): Int =

@@ -1986,11 +1986,16 @@ object StreamingQueries extends QueryPack {
     * distributed window — never a driver collect; the store is
     * O(distinct keys), not O(columns) like the profile store, so
     * st29's collect-based compactStore idiom would not scale here).
-    * The rewrite never overwrites the directory it is reading:
-    * the new generation lands in a sibling dir, then the dirs swap —
-    * locally a rename; on a real object store the same shape is a
-    * manifest/pointer swap. The surviving max batch-id is carried so
-    * [[appendBatchPartial]]'s replay guard keeps working afterwards. */
+    * The rewrite never overwrites the directory it is reading: the new
+    * generation lands in a sibling dir, then the dirs swap in the
+    * crash-safe order the index lifecycle uses (d17's rewriteInPlace):
+    * the live store moves ASIDE first, the new generation takes its
+    * name, and the aside copy is deleted last — every crash point
+    * leaves a readable store under one of the two names (delete-then-
+    * rename would leave a window with NO table). On a real object
+    * store the same shape is a manifest/pointer swap. The surviving
+    * max batch-id is carried so [[appendBatchPartial]]'s replay guard
+    * keeps working afterwards. */
   private[graft] def compactLwwStore(spark: org.apache.spark.sql.SparkSession,
                                      store: String): Unit = {
     val cur = spark.read.parquet(store)
@@ -2002,9 +2007,13 @@ object StreamingQueries extends QueryPack {
     def rmrf(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
     }
-    rmrf(new java.io.File(store))
+    val aside = new java.io.File(store.stripSuffix("/") + "__old")
+    rmrf(aside) // clear any stale aside from a prior crash
+    require(new java.io.File(store).renameTo(aside),
+      s"LWW store swap failed moving $store aside")
     require(new java.io.File(next).renameTo(new java.io.File(store)),
       s"LWW store generation swap failed: $next -> $store")
+    rmrf(aside)
   }
 }
 
