@@ -201,13 +201,28 @@ object DedupQueries extends QueryPack {
   // probe join prunes to matching buckets and the append is a partition-
   // local write; compaction is the per-partition-dir src09 rewrite.
 
+  /** The index artifacts commit through [[graft.sources.SnapshotCatalog]]
+    * — every mutation (build, append, compact, retract) publishes a new
+    * immutable snapshot version, so a gate probing the index while a
+    * maintenance job rewrites it always resolves a COMPLETE version:
+    * the directory-swap this replaced left a no-table window between
+    * its two renames that a concurrent reader could land in. */
   private def writeIndex(docs: DataFrame, indexDir: String, shDir: String,
                          mode: String): Unit = {
+    import graft.sources.SnapshotCatalog
     val sh = shingleRelation(docs).persist()
     try {
       // ONE text pass: bands derive from the persisted shingle relation
-      bandRows(signaturesFromShingles(sh)).write.mode(mode).parquet(indexDir)
-      sh.write.mode(mode).parquet(shDir)
+      val batch = "b" + java.util.UUID.randomUUID().toString.take(8)
+      val bands = bandRows(signaturesFromShingles(sh))
+      if (mode == "overwrite") {
+        SnapshotCatalog.replace(bands, indexDir, batch)
+        SnapshotCatalog.replace(sh, shDir, batch)
+      } else {
+        SnapshotCatalog.append(bands, indexDir, batch)
+        SnapshotCatalog.append(sh, shDir, batch)
+      }
+      ()
     } finally sh.unpersist(blocking = false)
   }
 
@@ -226,15 +241,16 @@ object DedupQueries extends QueryPack {
   /** src09's compaction recipe applied to the index artifacts: each
     * append leaves a litter of small files, and the gate's probe join
     * pays per-file open cost on every micro-batch. Rewrites each table
-    * range-clustered by its join keys into ≤ `targetFiles` files via a
-    * tmp-dir + swap (a parquet dir can't be overwritten while it is the
-    * read source; production swaps a metastore pointer instead of
-    * renaming). Content-neutral — spec-pinned by DedupIndexSpec. */
+    * range-clustered by its join keys into ≤ `targetFiles` files,
+    * committed as a new catalog snapshot ([[rewriteSnapshot]]) — a
+    * gate probing mid-compaction reads the pre- or post-compaction
+    * version, never a partial or missing table. Content-neutral —
+    * spec-pinned by DedupIndexSpec. */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, shDir: String,
                        targetFiles: Int = 4): Unit = {
     def compactDir(dir: String, keys: Seq[String]): Unit =
-      rewriteInPlace(spark, dir, dir + "__compact") { df =>
+      rewriteSnapshot(spark, dir) { df =>
         df.repartitionByRange(targetFiles, keys.map(col): _*)
           .sortWithinPartitions(keys.map(col): _*)
       }
@@ -242,27 +258,23 @@ object DedupQueries extends QueryPack {
     compactDir(shDir, Seq("doc_id", "sh"))
   }
 
-  /** Rewrite a parquet dir through `f` via tmp-dir + swap. The swap
-    * order keeps a readable table at every crash point: the original
-    * moves ASIDE (one rename) before the rewrite takes its name, and
-    * is deleted only after the swap succeeded — a crash in between
-    * leaves either the original under __old or the rewritten table in
-    * place, never no table at all (production swaps a metastore
-    * pointer instead of renaming). */
-  private def rewriteInPlace(spark: org.apache.spark.sql.SparkSession,
-                             dir: String, tmp: String)(
-                             f: DataFrame => DataFrame): Unit = {
-    f(spark.read.parquet(dir)).write.mode("overwrite").parquet(tmp)
-    def rm(file: java.io.File): Unit = {
-      Option(file.listFiles()).foreach(_.foreach(rm)); file.delete(); ()
-    }
-    val old = new java.io.File(dir + "__old")
-    rm(old)
-    require(new java.io.File(dir).renameTo(old),
-      s"rewrite swap failed moving $dir aside")
-    require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
-      s"rewrite swap failed for $dir")
-    rm(old)
+  /** Rewrite a catalog table's LIVE content through `f` — the new
+    * generation lands as an immutable batch and a manifest referencing
+    * ONLY it commits ([[graft.sources.SnapshotCatalog.replace]]); the
+    * superseded generation keeps serving in-flight readers and is
+    * GC'd by the trailing [[graft.sources.SnapshotCatalog.expire]]
+    * (keepLast = 2: the new version plus one covering readers that
+    * resolved the old one just before the commit). The directory swap
+    * this replaced had a window with NO table between its renames. */
+  private def rewriteSnapshot(spark: org.apache.spark.sql.SparkSession,
+                              dir: String)(
+                              f: DataFrame => DataFrame): Unit = {
+    import graft.sources.SnapshotCatalog
+    val rewritten = f(SnapshotCatalog.readTableOrDir(spark, dir))
+    SnapshotCatalog.replace(rewritten, dir,
+      "rw" + java.util.UUID.randomUUID().toString.take(8))
+    SnapshotCatalog.expire(dir, keepLast = 2)
+    ()
   }
 
   /** d17: RETRACTION — the DELETE edge of the index lifecycle (s21's
@@ -280,7 +292,7 @@ object DedupQueries extends QueryPack {
                        indexDir: String, shDir: String): Unit = {
     val del = deleted.select(col("doc_id")).localCheckpoint()
     Seq(indexDir, shDir).foreach { dir =>
-      rewriteInPlace(spark, dir, dir + "__retract") { df =>
+      rewriteSnapshot(spark, dir) { df =>
         df.join(broadcast(del), Seq("doc_id"), "left_anti")
       }
     }
@@ -301,7 +313,8 @@ object DedupQueries extends QueryPack {
     try {
       val newBands = bandRows(signaturesFromShingles(shNew))
         .localCheckpoint() // consumed twice: as probe AND probe-target
-      val cand = spark.read.parquet(indexDir).union(newBands).as("a")
+      val cand = graft.sources.SnapshotCatalog.readTableOrDir(spark, indexDir)
+        .union(newBands).as("a")
         .join(newBands.as("b"),
           col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -310,7 +323,7 @@ object DedupQueries extends QueryPack {
         .distinct()
         .localCheckpoint() // tiny; its ids gate the shingle fetch below
       val candStoredIds = cand.select(col("doc_a").as("doc_id")).distinct()
-      val shStored = spark.read.parquet(shDir)
+      val shStored = graft.sources.SnapshotCatalog.readTableOrDir(spark, shDir)
         .join(candStoredIds, Seq("doc_id"), "left_semi")
       val sh = shStored.union(shNew).persist()
       try {

@@ -198,20 +198,26 @@ object ProfilingQueries extends QueryPack {
       .withColumn("__p_schema", lit(schemaHash(schema)))
   }
 
-  /** Rewrite a persisted partial store in place through
-    * [[compactPartials]] — the periodic maintenance step of the live
-    * profile (st29 runs it inside its foreachBatch every few batches).
-    * The compacted result is ONE O(~100 KB) row by construction, so it
-    * is collected before the overwrite (a direct overwrite would read
-    * its own input); the rewrite keeps the store O(1) rows over any
-    * ingest history. */
+  /** Rewrite a persisted partial store through [[compactPartials]] —
+    * the periodic maintenance step of the live profile (st29 runs it
+    * inside its foreachBatch every few batches). The compacted ONE-row
+    * generation commits as a new catalog snapshot
+    * ([[graft.sources.SnapshotCatalog.replace]] + a trailing expire),
+    * so a dashboard polling the store mid-compaction resolves a
+    * complete version — the `mode("overwrite")` this replaced tore the
+    * directory out from under a concurrent reader — and because the
+    * new generation lands in its OWN immutable batch dir, the fold can
+    * write while its input files still serve reads (the collect-then-
+    * recreate detour the in-place overwrite forced is gone). */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
                    store: String, schema: StructType): Unit = {
-    import scala.jdk.CollectionConverters._
-    val compacted = compactPartials(spark.read.parquet(store), schema)
-    val rows = compacted.collect().toSeq
-    spark.createDataFrame(rows.asJava, compacted.schema)
-      .coalesce(1).write.mode("overwrite").parquet(store)
+    import graft.sources.SnapshotCatalog
+    val compacted =
+      compactPartials(SnapshotCatalog.readSnapshot(spark, store), schema)
+    SnapshotCatalog.replace(compacted.coalesce(1), store,
+      "compact" + java.util.UUID.randomUUID().toString.take(8))
+    SnapshotCatalog.expire(store, keepLast = 2)
+    ()
   }
 
   /** Fold any number of [[partialProfile]] rows into the q84 report

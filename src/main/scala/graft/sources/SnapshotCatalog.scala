@@ -1,95 +1,299 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal snapshot-isolated table catalog over plain parquet — the
   * table-format seam (Iceberg/Delta-style) expressed with nothing but
-  * files and atomic renames, so the ENGINE-side semantics (atomic
-  * publish, snapshot isolation, time travel, file-level reuse across
-  * versions) are implemented and testable without a format dependency.
+  * files and atomic manifest publishes, so the ENGINE-side semantics
+  * (atomic publish, snapshot isolation, time travel, file-level reuse
+  * across versions, optimistic concurrency, snapshot expiry) are
+  * implemented and testable without a format dependency.
   *
   * Layout under a table root:
   * {{{
   *   <root>/data/<batch>/part-*.parquet    immutable data files
   *   <root>/manifests/manifest-v<N>.txt    one absolute file path per line
-  *   <root>/manifests/latest               current version number
   * }}}
+  *
+  * The CURRENT version is the highest manifest number present — there
+  * is no mutable `latest` pointer file, so a commit is ONE atomic
+  * publish (tmp manifest → `manifest-v<N>.txt`) and there is no crash
+  * window in which the table has a manifest but no pointer, or a
+  * pointer to a manifest that does not exist yet.
   *
   * Contract:
   *   - data files are IMMUTABLE once a manifest references them — a new
   *     version adds new files and a new manifest, never rewrites old
-  *     files (so an in-flight reader of v1 is never torn by a v2 commit);
-  *   - a commit is two atomic renames (manifest, then pointer): readers
-  *     resolve either the old or the new version, never a partial list;
-  *   - time travel = reading an old manifest, which stays valid until an
-  *     explicit expire/GC (not implemented — the reference point is the
-  *     snapshot-expiry job every table format ships separately).
+  *     files (so an in-flight reader of v1 is never torn by a v2
+  *     commit). [[writeData]] enforces this against at-least-once
+  *     replays: a batch dir any surviving manifest references is never
+  *     rewritten — the already-committed file list is returned instead;
+  *   - a commit publishes version N exclusively: two racing committers
+  *     cannot both land on N. [[commitRetry]] is the optimistic
+  *     transaction loop — on collision it re-reads the new latest
+  *     manifest and re-applies its delta at N+1, so concurrent
+  *     appenders both succeed and neither's files are lost;
+  *   - time travel = reading an old manifest, which stays valid until
+  *     an explicit [[expire]], which removes old manifests FIRST and
+  *     only then the data files no surviving manifest references.
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] API
+  * resolved from the active session's configuration: on a local run it
+  * binds to the local FS, on a cluster to HDFS — where `rename` is an
+  * atomic namespace operation, making the exclusive manifest publish a
+  * true compare-and-swap. The local FS's `rename` overwrites an
+  * existing destination (POSIX), so the publish additionally holds a
+  * per-root JVM lock around an existence check — exact for any number
+  * of committers in one driver, and documentation-honest about the
+  * object-store translation (a conditional PUT / If-None-Match, same
+  * reader-visible semantics).
   *
   * At 100 TB this is the shape that makes compaction (src09), partition
-  * corrections (src10), and streaming appends (st24) safe under
-  * concurrent readers: writers stage files, then swap a pointer; on an
-  * object store the rename pair becomes a conditional PUT, with the same
-  * reader-visible semantics.
+  * corrections (src10), streaming appends (st36), and the engine's own
+  * mutable stores (the LSH band index, the LWW store, the profile
+  * partial stores) safe under concurrent readers: writers stage
+  * immutable files, then publish a manifest; a reader always resolves
+  * a COMPLETE version — never a half-written directory, and never the
+  * "no table at all" window a rename-based directory swap leaves.
   */
 object SnapshotCatalog {
 
-  /** Write `df` as an immutable data batch under the table root;
-    * returns the batch's data-file paths (sorted, absolute). */
-  def writeData(df: DataFrame, root: String, batch: String): Seq[String] = {
-    val path = s"$root/data/$batch"
-    df.write.mode("overwrite").parquet(path)
-    listDataFiles(path)
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+
+  private val ManifestName = """manifest-v(\d+)\.txt""".r
+
+  private def manifestDir(root: String) = new Path(s"$root/manifests")
+  private def manifestPath(root: String, v: Int) =
+    new Path(manifestDir(root), s"manifest-v$v.txt")
+
+  /** All committed versions, ascending (empty before the first commit). */
+  def versions(root: String): Seq[Int] = {
+    val mdir = manifestDir(root)
+    val fs = fsFor(mdir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .collect { case ManifestName(n) => n.toInt }.sorted
   }
 
-  def listDataFiles(path: String): Seq[String] =
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(_.getAbsolutePath).sorted.toSeq
-
-  /** Atomically publish version `v` with exactly `files`: manifest lands
-    * via tmp-write + rename, then the `latest` pointer swaps. A reader
-    * that raced the commit sees either v−1's manifest+pointer or v's —
-    * never a partially written file list. */
-  def commit(root: String, v: Int, files: Seq[String]): Unit = {
-    val mdir = new java.io.File(s"$root/manifests")
-    require(mdir.isDirectory || mdir.mkdirs(), s"cannot create $mdir")
-    val tmp = new java.io.File(mdir, s".manifest-v$v.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      (files.mkString("\n") + "\n").getBytes("UTF-8"))
-    val fin = new java.io.File(mdir, s"manifest-v$v.txt")
-    require(tmp.renameTo(fin), s"manifest publish failed: $tmp -> $fin")
-    val ptmp = new java.io.File(mdir, ".latest.tmp")
-    java.nio.file.Files.write(ptmp.toPath, v.toString.getBytes("UTF-8"))
-    // ATOMIC pointer replace — delete-then-rename would leave a crash
-    // window with no pointer at all (and a later commit would then
-    // restart the version numbering over existing manifests)
-    java.nio.file.Files.move(ptmp.toPath,
-      new java.io.File(mdir, "latest").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def latestVersionOption(root: String): Option[Int] = versions(root).lastOption
 
   def latestVersion(root: String): Int =
-    new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$root/manifests/latest").toPath), "UTF-8").trim.toInt
+    latestVersionOption(root).getOrElse(
+      sys.error(s"no committed version under $root"))
 
-  /** Latest version, or None before the first commit. */
-  def latestVersionOption(root: String): Option[Int] =
-    if (new java.io.File(s"$root/manifests/latest").exists())
-      Some(latestVersion(root))
-    else None
+  /** True once the root has at least one committed version. */
+  def isTable(root: String): Boolean = latestVersionOption(root).isDefined
 
-  def manifestFiles(root: String, v: Int): Seq[String] =
-    new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$root/manifests/manifest-v$v.txt").toPath), "UTF-8")
-      .linesIterator.filter(_.nonEmpty).toSeq
+  def manifestFiles(root: String, v: Int): Seq[String] = {
+    val p = manifestPath(root, v)
+    readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The files a replayed batch already committed (via ANY surviving
+    * manifest — not just the latest: a compaction may have dropped the
+    * batch from the live version while an older manifest still time-
+    * travels to it, and rewriting the dir would tear that snapshot). */
+  private def committedBatchFiles(root: String, batch: String): Seq[String] = {
+    val marker = s"/data/$batch/"
+    versions(root).reverseIterator
+      .map(v => manifestFiles(root, v).filter(_.contains(marker)))
+      .collectFirst { case fsFound if fsFound.nonEmpty => fsFound }
+      .getOrElse(Seq.empty)
+  }
+
+  /** True when any surviving manifest references the batch's data dir. */
+  def isBatchCommitted(root: String, batch: String): Boolean =
+    committedBatchFiles(root, batch).nonEmpty
+
+  /** Write `df` as an immutable data batch under the table root;
+    * returns the batch's data-file paths (sorted, absolute). If the
+    * batch is already referenced by a surviving manifest (an
+    * at-least-once replay after a crash between commit and checkpoint),
+    * the data is NOT rewritten — the committed file list is returned —
+    * because committed files are immutable: a rewrite would replace
+    * them with new part names and break every manifest (including time
+    * travel) that lists the old ones. An UNcommitted leftover dir (a
+    * crash mid-write, before any manifest referenced it) is rewritten. */
+  def writeData(df: DataFrame, root: String, batch: String): Seq[String] = {
+    val already = committedBatchFiles(root, batch)
+    if (already.nonEmpty) already
+    else {
+      val path = s"$root/data/$batch"
+      df.write.mode("overwrite").parquet(path)
+      listDataFiles(path)
+    }
+  }
+
+  def listDataFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(_.toString).sorted
+  }
+
+  /** Total on-disk bytes of the LIVE snapshot's data files — exactly
+    * the manifest-listed files, so expired/superseded generations don't
+    * inflate size-gated decisions (broadcast-vs-join thresholds). */
+  def liveDataBytes(root: String): Long =
+    latestVersionOption(root).map { v =>
+      manifestFiles(root, v).map { f =>
+        val p = new Path(f); fsFor(p).getFileStatus(p).getLen
+      }.sum
+    }.getOrElse(0L)
+
+  // one commit lock per root: the local FS's rename overwrites an
+  // existing destination (POSIX), so exclusivity inside one JVM needs
+  // the exists-check + rename to be mutually exclusive; on HDFS the
+  // rename itself fails when the destination exists and the lock is
+  // merely redundant serialization of same-driver committers
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Try to publish exactly version `v` with file list `files`.
+    * Returns false (leaving no residue) when `v` is already taken —
+    * the caller's cue to re-read the latest state and retry at the
+    * next version ([[commitRetry]]). The publish is tmp-write + an
+    * exclusive rename, so a reader never observes a partially written
+    * manifest and two committers never both land on `v`. */
+  def tryCommit(root: String, v: Int, files: Seq[String]): Boolean = {
+    val mdir = manifestDir(root)
+    val fs = fsFor(mdir)
+    if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    val tmp = new Path(mdir,
+      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    writeUtf8(fs, tmp, files.mkString("\n") + "\n")
+    val fin = manifestPath(root, v)
+    val lock = commitLocks.computeIfAbsent(root, _ => new Object)
+    val won = lock.synchronized {
+      !fs.exists(fin) && fs.rename(tmp, fin)
+    }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Commit `files` as the complete next snapshot, CAS-retrying past
+    * version collisions (two racing committers both succeed, on
+    * consecutive versions). Returns the committed version. Use
+    * [[commitRetry]] instead when the new snapshot DERIVES from the
+    * previous one (append/replace) — a plain retry of a stale file
+    * list would silently drop the racing committer's files. */
+  def commit(root: String, files: Seq[String]): Int =
+    commitRetry(root)(_ => files)
+
+  /** The optimistic transaction loop: compute the next snapshot's file
+    * list FROM the current latest (`delta(prevFiles)`), publish it
+    * exclusively at latest+1, and on collision re-read the new latest
+    * and re-apply the delta — so concurrent appenders serialize without
+    * losing each other's files. Returns the committed version. */
+  def commitRetry(root: String, maxAttempts: Int = 100)(
+      delta: Seq[String] => Seq[String]): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val pv = latestVersionOption(root).getOrElse(0)
+      val prev = if (pv == 0) Seq.empty else manifestFiles(root, pv)
+      if (tryCommit(root, pv + 1, delta(prev))) return pv + 1
+      attempt += 1
+    }
+    sys.error(s"commit on $root lost $maxAttempts consecutive CAS races")
+  }
+
+  /** Append `df` as a new batch: its files join the previous snapshot's
+    * (set union — file-level reuse). Replay-idempotent: a batch name a
+    * surviving manifest already references commits nothing and returns
+    * the current latest version. Returns the (possibly new) version. */
+  def append(df: DataFrame, root: String, batch: String): Int = {
+    if (isBatchCommitted(root, batch)) latestVersion(root)
+    else {
+      val files = writeData(df, root, batch)
+      commitRetry(root)(prev => (prev ++ files).distinct.sorted)
+    }
+  }
+
+  /** Replace the table's LIVE content with `df` (compaction, retraction,
+    * fold-rewrite): the new version references ONLY the new batch's
+    * files; prior versions keep time-traveling to the old files until
+    * [[expire]]. Replay-idempotent like [[append]]. Returns the version. */
+  def replace(df: DataFrame, root: String, batch: String): Int = {
+    if (isBatchCommitted(root, batch)) latestVersion(root)
+    else {
+      val files = writeData(df, root, batch)
+      commitRetry(root)(_ => files.distinct.sorted)
+    }
+  }
+
+  /** Snapshot expiry / GC — the maintenance job every table format
+    * ships separately. Keeps the newest `keepLast` versions (covering
+    * in-flight readers of recent snapshots) and removes, IN THIS ORDER:
+    * (1) the expired manifests — after which no new reader can resolve
+    * those versions; (2) the data files referenced by no surviving
+    * manifest; (3) batch dirs left empty. A crash between (1) and (2)
+    * leaves only unreferenced-but-present files — re-running expire
+    * collects them; the reverse order would leave surviving manifests
+    * pointing at deleted files. Returns
+    * (expired manifest count, deleted data file count). */
+  def expire(root: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val vs = versions(root)
+    val drop = vs.dropRight(keepLast)
+    if (drop.isEmpty) (0, 0)
+    else {
+      val keep = vs.takeRight(keepLast)
+      val live = keep.flatMap(manifestFiles(root, _)).toSet
+      val dead = drop.flatMap(manifestFiles(root, _)).toSet -- live
+      drop.foreach { v =>
+        val p = manifestPath(root, v); fsFor(p).delete(p, false)
+      }
+      dead.foreach { f =>
+        val p = new Path(f); fsFor(p).delete(p, false)
+      }
+      // sweep batch dirs the GC emptied
+      dead.map(f => new Path(f).getParent).foreach { d =>
+        val fs = fsFor(d)
+        if (fs.exists(d) && fs.listStatus(d).forall(s =>
+              s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_")))
+          fs.delete(d, true)
+      }
+      (drop.size, dead.size)
+    }
+  }
 
   /** Read a snapshot: exactly the files its manifest lists (the
-    * `latest` pointer's version when none is given). */
+    * highest committed version when none is given). */
   def readSnapshot(spark: SparkSession, root: String,
                    version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(root))
     spark.read.parquet(manifestFiles(root, v): _*)
+  }
+
+  /** Read `dir` as a catalog table when it has a committed manifest,
+    * else as a plain parquet directory — the read seam that lets
+    * artifact consumers (gate probes, scrub indexes) accept both a
+    * catalog-managed index and a caller-staged plain dir. */
+  def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
+    if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
+
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeUtf8(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -458,10 +458,10 @@ object SourceQueries extends QueryPack {
         // seam ([[SnapshotCatalog]]): src09 compacts, src10 corrects,
         // st24 appends, but all three assume a quiesced window on plain
         // parquet; this op implements what a table format actually adds
-        // — versioned manifests with atomic pointer swaps — and proves
-        // the three reader-visible guarantees: (1) ATOMIC PUBLISH
-        // (commit = manifest rename + pointer rename; readers never see
-        // a partial file list), (2) TIME TRAVEL (v1 read back after the
+        // — versioned manifests with atomic exclusive publishes — and
+        // proves the three reader-visible guarantees: (1) ATOMIC
+        // PUBLISH (commit = tmp manifest + exclusive rename; readers
+        // never see a partial file list), (2) TIME TRAVEL (v1 read back after the
         // v2 commit is row-identical to what v1 served before it), and
         // (3) FILE-LEVEL REUSE (v2's manifest lists v1's data files
         // verbatim + the new batch — 100 TB of history is never
@@ -473,10 +473,10 @@ object SourceQueries extends QueryPack {
           .select(col("event_id"), col("event_type"), col("value"))
         val v1Files = SnapshotCatalog.writeData(
           ev.filter(col("event_id") % 10 =!= 3), root, "batch1")
-        SnapshotCatalog.commit(root, 1, v1Files)
+        SnapshotCatalog.commit(root, v1Files)
         val v2New = SnapshotCatalog.writeData(
           ev.filter(col("event_id") % 10 === 3), root, "batch2")
-        SnapshotCatalog.commit(root, 2, v1Files ++ v2New)
+        SnapshotCatalog.commit(root, v1Files ++ v2New)
         val reused = SnapshotCatalog.manifestFiles(root, 2).toSet
           .intersect(v1Files.toSet) == v1Files.toSet
         def report(v: Int): org.apache.spark.sql.DataFrame =
@@ -538,7 +538,7 @@ object SourceQueries extends QueryPack {
         val byDay: Map[String, Seq[String]] = days.map { d =>
           d -> SnapshotCatalog.listDataFiles(s"$base/pday=$d")
         }.toMap
-        SnapshotCatalog.commit(root, 1, days.flatMap(byDay).sorted)
+        SnapshotCatalog.commit(root, days.flatMap(byDay).sorted)
         // the correction: 2024-01-05 re-lands with its 'view' rows scrubbed
         val target = "2024-01-05"
         val rewritten = SnapshotCatalog.writeData(
@@ -546,7 +546,7 @@ object SourceQueries extends QueryPack {
           root, s"day_${target}_v2")
         val v2Files =
           (days.filterNot(_ == target).flatMap(byDay) ++ rewritten).sorted
-        SnapshotCatalog.commit(root, 2, v2Files)
+        SnapshotCatalog.commit(root, v2Files)
         val m1 = SnapshotCatalog.manifestFiles(root, 1).toSet
         val m2 = SnapshotCatalog.manifestFiles(root, 2).toSet
         val untouched = days.filterNot(_ == target).flatMap(byDay).toSet
@@ -576,5 +576,52 @@ object SourceQueries extends QueryPack {
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT),
              |  TRUE
              |FROM d WHERE NOT (day = '2024-01-05' AND event_type = 'view')""".stripMargin),
-      "S-maintenance: copy-on-write MERGE under snapshots — one day's files swap, the rest reused, v1 intact"))
+      "S-maintenance: copy-on-write MERGE under snapshots — one day's files swap, the rest reused, v1 intact"),
+
+    GraftQuery(
+      "src13_snapshot_expire",
+      (spark, dir) => {
+        // SNAPSHOT EXPIRY / GC — the maintenance job src11/src12 defer:
+        // time-travel manifests keep EVERY file ever committed alive,
+        // so a compacted table's storage is old-generations × data
+        // until expiry removes (1) the expired manifests, then (2) the
+        // data files no surviving manifest references. The lifecycle
+        // staged here is the one a 100 TB live table actually runs:
+        // ingest (v1) → ingest (v2, file-level reuse of v1) → compact
+        // (v3 = replace: all-new files; v1/v2's files now live only in
+        // time travel) → expire keepLast=1. The audit pins the census:
+        // exactly 2 manifests expire, the GC'd file count equals
+        // |m1 ∪ m2| (v3 reused nothing from them), and the live
+        // snapshot is row-identical before and after — GC must never
+        // touch a referenced file. The oracle recomputes the live
+        // content and the census constants.
+        val root = graft.streaming.Streams.dataDir("graft_snapexp_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.filter(col("event_id") % 10 =!= 3), root, "b0")
+        SnapshotCatalog.append(ev.filter(col("event_id") % 10 === 3), root, "b1")
+        val nBefore = SnapshotCatalog.versions(root).size
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshot(spark, root).repartition(2), root, "c0")
+        val dead = (SnapshotCatalog.manifestFiles(root, 1) ++
+          SnapshotCatalog.manifestFiles(root, 2)).distinct.toSet --
+          SnapshotCatalog.manifestFiles(root, 3).toSet
+        val (nManifests, nFiles) = SnapshotCatalog.expire(root, keepLast = 1)
+        val gcExact = nManifests == 2 && nFiles == dead.size &&
+          SnapshotCatalog.versions(root) == Seq(3)
+        SnapshotCatalog.readSnapshot(spark, root).agg(
+            count(lit(1)).as("n_rows"),
+            graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+          .select(col("n_rows"), col("sum_value_cents"),
+            lit(nBefore.toLong + 1L).as("n_versions_before"),
+            lit(SnapshotCatalog.versions(root).size.toLong).as("n_versions_after"),
+            lit(gcExact).as("gc_census_exact"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(3 AS BIGINT) AS n_versions_before,
+             |  CAST(1 AS BIGINT) AS n_versions_after,
+             |  TRUE AS gc_census_exact
+             |FROM events""".stripMargin),
+      "S-maintenance: snapshot expiry/GC — expired manifests first, then exactly the unreferenced files; live content untouched"))
 }

@@ -31,14 +31,23 @@ object StreamingQueries extends QueryPack {
   private[streaming] val ParquetExpansionFactor = 8L
 
   private[streaming] def estBroadcastBytes(dir: String): Long = {
-    // recursive walk: a partitioned/bucketed index layout (the shape
-    // src05 recommends at 100 TB) nests its files in subdirectories —
-    // summing only top-level files would measure ~0 bytes and always
-    // select the broadcast path, defeating the threshold
-    def walk(f: java.io.File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new java.io.File(dir)) * ParquetExpansionFactor
+    // a catalog-managed artifact is sized by its LIVE manifest's files
+    // only — a raw directory walk would also count superseded
+    // generations awaiting expiry and over-trip the broadcast gate
+    val raw =
+      if (graft.sources.SnapshotCatalog.isTable(dir))
+        graft.sources.SnapshotCatalog.liveDataBytes(dir)
+      else {
+        // recursive walk: a partitioned/bucketed index layout (the shape
+        // src05 recommends at 100 TB) nests its files in subdirectories —
+        // summing only top-level files would measure ~0 bytes and always
+        // select the broadcast path, defeating the threshold
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(dir))
+      }
+    raw * ParquetExpansionFactor
   }
 
   /** Default size threshold for broadcasting a persisted index
@@ -70,9 +79,10 @@ object StreamingQueries extends QueryPack {
         docs.filter(col("doc_id") >= splitId)
           .repartition(2).write.mode("overwrite").parquet(staged)
         val indexDir = Streams.dataDir("graft_chunk_index_")
-        DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
-          .select("chunk").distinct()
-          .write.mode("overwrite").parquet(indexDir)
+        graft.sources.SnapshotCatalog.replace(
+          DedupQueries.chunkRelation(docs.filter(col("doc_id") < splitId))
+            .select("chunk").distinct(),
+          indexDir, "b0")
         spark.sparkContext.setLocalProperty(key, s"$staged,$indexDir")
         (staged, indexDir)
     }
@@ -142,7 +152,7 @@ object StreamingQueries extends QueryPack {
         .outputMode("append")
         .option("checkpointLocation", Streams.scratchDir(s"graft_cp_$sinkName"))
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val idx = spark.read.parquet(indexDir)
+          val idx = graft.sources.SnapshotCatalog.readTableOrDir(spark, indexDir)
           chunkScrubJoinForm(b, if (small) broadcast(idx) else idx)
             .write.mode("append").parquet(outDir)
           ()
@@ -259,12 +269,24 @@ object StreamingQueries extends QueryPack {
   def writeGateArtifacts(admitted: org.apache.spark.sql.DataFrame,
                          indexDir: String, arrDir: String,
                          mode: String = "append"): Unit = {
+    import graft.sources.SnapshotCatalog
     val signed = minhashSigned(admitted).localCheckpoint() // consumed twice
-    signed.select(col("doc_id").as("ex_id"), posexplode(minhashBandArray))
+    val bands = signed
+      .select(col("doc_id").as("ex_id"), posexplode(minhashBandArray))
       .toDF("ex_id", "band_id", "band_hash")
-      .write.mode(mode).parquet(indexDir)
-    signed.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
-      .write.mode(mode).parquet(arrDir)
+    val arrs = signed.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
+    // snapshot commits, not mode(...) writes: a gate draining while the
+    // index-update job lands resolves a complete pre- or post-update
+    // version — never a torn directory
+    val batch = "b" + java.util.UUID.randomUUID().toString.take(8)
+    if (mode == "overwrite") {
+      SnapshotCatalog.replace(bands, indexDir, batch)
+      SnapshotCatalog.replace(arrs, arrDir, batch)
+    } else {
+      SnapshotCatalog.append(bands, indexDir, batch)
+      SnapshotCatalog.append(arrs, arrDir, batch)
+    }
+    ()
   }
 
   def dedupGateDrain(spark: org.apache.spark.sql.SparkSession, staged: String,
@@ -272,7 +294,7 @@ object StreamingQueries extends QueryPack {
                      broadcastMaxBytes: Long = broadcastMaxDefault): org.apache.spark.sql.DataFrame =
     Streams.withStreamShufflePartitions(spark) {
       import graft.dedup.DedupQueries
-      val exArr = spark.read.parquet(arrDir)
+      val exArr = graft.sources.SnapshotCatalog.readTableOrDir(spark, arrDir)
       val stream = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
       val est = estBroadcastBytes(indexDir)
       if (est <= broadcastMaxBytes) {
@@ -282,7 +304,8 @@ object StreamingQueries extends QueryPack {
         val candidates = minhashSigned(stream)
           .select(col("doc_id"), col("shs"), posexplode(minhashBandArray))
           .toDF("doc_id", "shs", "band_id", "band_hash")
-          .join(broadcast(spark.read.parquet(indexDir)), Seq("band_id", "band_hash"))
+          .join(broadcast(graft.sources.SnapshotCatalog.readTableOrDir(spark, indexDir)),
+            Seq("band_id", "band_hash"))
           .select(col("doc_id"), col("ex_id"), col("shs"))
           .dropDuplicates("doc_id", "ex_id")
         Streams.drainToMemory(dedupGateVerify(candidates, exArr),
@@ -303,7 +326,8 @@ object StreamingQueries extends QueryPack {
             val candIds = minhashSigned(b)
               .select(col("doc_id"), posexplode(minhashBandArray))
               .toDF("doc_id", "band_id", "band_hash")
-              .join(spark.read.parquet(indexDir), Seq("band_id", "band_hash"))
+              .join(graft.sources.SnapshotCatalog.readTableOrDir(spark, indexDir),
+                Seq("band_id", "band_hash"))
               .select(col("doc_id"), col("ex_id"))
               .dropDuplicates("doc_id", "ex_id")
             val shingled = b.select(col("doc_id"),
@@ -353,28 +377,37 @@ object StreamingQueries extends QueryPack {
     * checkpoint; [[graft.operators.ProfilingQueries.compactPartials]]
     * carries the max forward through compactions). The guard's read is
     * one parquet-footer aggregate over an O(batches)-row (O(1) once
-    * compacted) store. Returns true when the batch was appended. */
+    * compacted) store. The append itself is a catalog snapshot commit
+    * ([[graft.sources.SnapshotCatalog.append]]) so a dashboard polling
+    * the store mid-append resolves a complete version — and the
+    * catalog's own batch-id dedup (`b<bid>` batch dirs) backs the
+    * `__bid` guard up at the storage layer. Returns true when the
+    * batch was appended. */
   private[graft] def appendBatchPartial(spark: org.apache.spark.sql.SparkSession,
                                         store: String, bid: Long,
                                         part: => org.apache.spark.sql.DataFrame): Boolean = {
-    val hasFiles = {
-      val f = new java.io.File(store)
-      f.exists() && Option(f.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
-    }
+    import graft.sources.SnapshotCatalog
     val seenMax: Long =
-      if (!hasFiles) Long.MinValue
+      if (!SnapshotCatalog.isTable(store)) Long.MinValue
       else {
-        val r = spark.read.parquet(store).agg(max(col("__bid"))).head()
+        val r = SnapshotCatalog.readSnapshot(spark, store)
+          .agg(max(col("__bid"))).head()
         if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
       }
     if (bid <= seenMax) {
       println(s"[livestore] skipping replayed batch $bid (store already at $seenMax)")
       false
     } else {
-      part.withColumn("__bid", lit(bid)).write.mode("append").parquet(store)
+      SnapshotCatalog.append(part.withColumn("__bid", lit(bid)), store, s"b$bid")
       true
     }
   }
+
+  /** Read a live store's current snapshot (empty-schema-safe only once
+    * the first batch committed — callers guard on drain completion). */
+  private[graft] def readStore(spark: org.apache.spark.sql.SparkSession,
+                               store: String): org.apache.spark.sql.DataFrame =
+    graft.sources.SnapshotCatalog.readSnapshot(spark, store)
 
   /** st29's drain: each micro-batch appends its one-row mergeable
     * partial ([[graft.operators.ProfilingQueries.partialProfile]]) to
@@ -407,9 +440,9 @@ object StreamingQueries extends QueryPack {
                 ProfilingQueries.partialProfile(b))) {
             val n = seen.incrementAndGet()
             if (compactEvery > 0 &&
-                spark.read.parquet(store).count() >= compactEvery)
+                readStore(spark, store).count() >= compactEvery)
               ProfilingQueries.compactStore(spark, store, schema)
-            onBatch.foreach(f => f(n, spark.read.parquet(store).count()))
+            onBatch.foreach(f => f(n, readStore(spark, store).count()))
           }
           ()
         }
@@ -1536,7 +1569,7 @@ object StreamingQueries extends QueryPack {
         o.repartition(4).write.mode("overwrite").parquet(staged)
         val store = Streams.dataDir("graft_profile_live_")
         liveProfileDrain(spark, staged, store, o.schema, compactEvery = 3)
-        ProfilingQueries.auditedMergedProfile(spark.read.parquet(store), o)
+        ProfilingQueries.auditedMergedProfile(readStore(spark, store), o)
       },
       Some(graft.operators.ProfilingQueries.auditedProfileOracle),
       "North star/T: live profile maintenance — per-batch mergeable partial append, report = fold over the store (q86's streaming twin)"),
@@ -1579,7 +1612,7 @@ object StreamingQueries extends QueryPack {
         }
         val baseline = QualityQueries
           .driftCounts(docs.filter(col("doc_id") < sv), "old")
-        val newSide = spark.read.parquet(store).groupBy("source")
+        val newSide = readStore(spark, store).groupBy("source")
           .agg(sum(col("n_new")).as("n_new"),
             sum(col("tok_new")).as("tok_new"),
             sum(col("pass_new")).as("pass_new"))
@@ -1640,7 +1673,7 @@ object StreamingQueries extends QueryPack {
           Streams.awaitDrained(q)
           q.stop()
         }
-        spark.read.parquet(store).groupBy("constraint")
+        readStore(spark, store).groupBy("constraint")
           .agg(sum(col("n_checked")).as("n_checked"),
                sum(col("n_violations")).as("n_violations"))
           .select(col("constraint"), col("n_checked"), col("n_violations"),
@@ -1865,7 +1898,7 @@ object StreamingQueries extends QueryPack {
           Streams.awaitDrained(q)
           q.stop()
         }
-        val folded = spark.read.parquet(store)
+        val folded = readStore(spark, store)
           .groupBy("user_id")
           .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
         graft.operators.PipelineQueries.ivmMerge(stored, folded)
@@ -1913,7 +1946,7 @@ object StreamingQueries extends QueryPack {
         }
         graft.operators.PipelineQueries.latestRollup(
           graft.operators.PipelineQueries.latestByKey(
-            spark.read.parquet(store).drop("__bid")))
+            readStore(spark, store).drop("__bid")))
       },
       Some(graft.operators.PipelineQueries.latestOracle),
       "North star/T: live CDC compaction — per-batch LWW prereduction, snapshot-swap store, serve ≡ q76"),
@@ -1923,10 +1956,13 @@ object StreamingQueries extends QueryPack {
       (spark, dir) => {
         // STREAMING INGEST UNDER SNAPSHOT ISOLATION — src11's live
         // twin: every micro-batch lands as an immutable data batch and
-        // COMMITS a new catalog version (manifest = previous version's
-        // files ∪ the new batch's — set union, so a replayed batch
-        // re-commits the same list and the catalog is replay-
-        // idempotent). A reader racing the stream resolves a COMPLETE
+        // COMMITS a new catalog version through [[SnapshotCatalog
+        // .append]] (manifest = previous version's files ∪ the new
+        // batch's). Replay-idempotent BY BATCH ID: a redelivered batch
+        // dir that any surviving manifest references is neither
+        // rewritten (rewriting would re-UUID the part files and break
+        // every manifest listing the old names — the immutability
+        // contract) nor re-committed. A reader racing the stream resolves a COMPLETE
         // version — never a half-written batch — which is what lets
         // downstream consumers (training jobs, dashboards) read a
         // table that is being appended to live; plain-parquet
@@ -1943,15 +1979,7 @@ object StreamingQueries extends QueryPack {
             .writeStream.outputMode("append")
             .option("checkpointLocation", Streams.scratchDir("graft_cp_st36_"))
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
-              if (!b.isEmpty) {
-                val newFiles = SnapshotCatalog.writeData(b, root, s"batch$bid")
-                val prev = SnapshotCatalog.latestVersionOption(root)
-                  .map(v => SnapshotCatalog.manifestFiles(root, v))
-                  .getOrElse(Seq.empty)
-                val next = SnapshotCatalog.latestVersionOption(root).getOrElse(0) + 1
-                SnapshotCatalog.commit(root, next,
-                  (prev ++ newFiles).distinct.sorted)
-              }
+              if (!b.isEmpty) SnapshotCatalog.append(b, root, s"batch$bid")
               ()
             }
             .start()
@@ -1981,39 +2009,35 @@ object StreamingQueries extends QueryPack {
              |FROM events""".stripMargin),
       "North star/T: streaming ingest under snapshot isolation — one committed version per batch, time travel live"))
 
-  /** Fold the LWW store to one row per key and swap in the compacted
-    * generation. The fold is the shared latestByKey kernel (a
-    * distributed window — never a driver collect; the store is
-    * O(distinct keys), not O(columns) like the profile store, so
-    * st29's collect-based compactStore idiom would not scale here).
-    * The rewrite never overwrites the directory it is reading: the new
-    * generation lands in a sibling dir, then the dirs swap in the
-    * crash-safe order the index lifecycle uses (d17's rewriteInPlace):
-    * the live store moves ASIDE first, the new generation takes its
-    * name, and the aside copy is deleted last — every crash point
-    * leaves a readable store under one of the two names (delete-then-
-    * rename would leave a window with NO table). On a real object
-    * store the same shape is a manifest/pointer swap. The surviving
+  /** Fold the LWW store to one row per key and commit the compacted
+    * generation as a new catalog snapshot. The fold is the shared
+    * latestByKey kernel (a distributed window — never a driver
+    * collect; the store is O(distinct keys), not O(columns) like the
+    * profile store, so st29's collect-based compactStore idiom would
+    * not scale here). The new generation lands as an immutable batch
+    * and a manifest referencing only it commits
+    * ([[graft.sources.SnapshotCatalog.replace]]) — a serving reader
+    * racing the compaction resolves the pre- or post-fold version,
+    * never the missing-directory window the rename swap this replaced
+    * left between its two renames, and a crash at ANY point leaves the
+    * store readable at its last committed version (the directory-swap
+    * crash recovery problem — a restart finding the store under its
+    * aside name — does not exist here). The superseded generation is
+    * GC'd by the trailing expire (keepLast = 2 covers a reader that
+    * resolved the old version just before the commit). The surviving
     * max batch-id is carried so [[appendBatchPartial]]'s replay guard
     * keeps working afterwards. */
   private[graft] def compactLwwStore(spark: org.apache.spark.sql.SparkSession,
                                      store: String): Unit = {
-    val cur = spark.read.parquet(store)
+    import graft.sources.SnapshotCatalog
+    val cur = SnapshotCatalog.readSnapshot(spark, store)
     val maxBid = cur.agg(max(col("__bid"))).head().getLong(0)
     val folded = graft.operators.PipelineQueries.latestByKey(cur.drop("__bid"))
       .withColumn("__bid", lit(maxBid))
-    val next = store.stripSuffix("/") + "__next"
-    folded.write.mode("overwrite").parquet(next)
-    def rmrf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
-    }
-    val aside = new java.io.File(store.stripSuffix("/") + "__old")
-    rmrf(aside) // clear any stale aside from a prior crash
-    require(new java.io.File(store).renameTo(aside),
-      s"LWW store swap failed moving $store aside")
-    require(new java.io.File(next).renameTo(new java.io.File(store)),
-      s"LWW store generation swap failed: $next -> $store")
-    rmrf(aside)
+    SnapshotCatalog.replace(folded, store,
+      "compact" + java.util.UUID.randomUUID().toString.take(8))
+    SnapshotCatalog.expire(store, keepLast = 2)
+    ()
   }
 }
 

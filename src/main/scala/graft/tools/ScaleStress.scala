@@ -153,15 +153,19 @@ object ScaleStress {
       .repartition(math.max(8, 2 * k))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     // embeddings scales for the projection/ANN tier (s22): vec_ids
-    // offset per copy; the vectors themselves replicate verbatim —
-    // copies tie in any top-k and the (sim DESC, vec_id ASC) total
-    // order resolves them deterministically, so recall stays
-    // well-defined while candidate volume scales with k.
+    // offset per copy BY THE DOCUMENTS' STRIDE (maxDoc+1, not the
+    // embeddings' own max), so the doc_id↔vec_id alignment the hybrid
+    // tier (s23) joins on is preserved in every copy — an independent
+    // stride paired scaled vectors with unrelated copy-0 texts and
+    // under-measured the lexical stage's scaling. The vectors
+    // themselves replicate verbatim — copies tie in any top-k and the
+    // (sim DESC, vec_id ASC) total order resolves them
+    // deterministically, so recall stays well-defined while candidate
+    // volume scales with k.
     val emb = Tables(spark, baseDir).embeddings
-    val maxVid = emb.agg(max("vec_id")).head().getLong(0)
     emb.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
       .select(
-        (col("vec_id") + col("copy") * lit(maxVid + 1)).as("vec_id"),
+        (col("vec_id") + col("copy") * lit(maxDoc + 1)).as("vec_id"),
         col("label"), col("embedding"))
       .repartition(math.max(8, 2 * k))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -358,9 +362,12 @@ object ScaleStress {
             spark, staged, live, o.schema, compactEvery = 3)
         }
         if (record) {
-          val rows = spark.read.parquet(live).count()
-          val bytes = new java.io.File(live).listFiles()
-            .filter(_.isFile).map(_.length()).sum
+          import graft.sources.SnapshotCatalog
+          // the live store is a catalog table now: row count and bytes
+          // come from the LIVE snapshot (superseded generations awaiting
+          // expire would otherwise inflate the size claim)
+          val rows = SnapshotCatalog.readSnapshot(spark, live).count()
+          val bytes = SnapshotCatalog.liveDataBytes(live)
           storeStats(kk) = (rows, bytes)
           println(s"[scalestress] x$kk st29_store: rows=$rows bytes=$bytes")
         }

@@ -94,8 +94,11 @@ class DedupIndexSpec extends SparkTestBase {
       s"post-retraction verdicts wrong: $post (doc 30's only partner was deleted; doc 31 still matches doc 2)")
 
     // the retraction rewrote BOTH artifacts: no doc-1 rows anywhere
-    assert(spark.read.parquet(indexDir).filter(col("doc_id") === 1L).isEmpty &&
-           spark.read.parquet(shDir).filter(col("doc_id") === 1L).isEmpty,
+    import graft.sources.SnapshotCatalog
+    assert(SnapshotCatalog.readSnapshot(spark, indexDir)
+             .filter(col("doc_id") === 1L).isEmpty &&
+           SnapshotCatalog.readSnapshot(spark, shDir)
+             .filter(col("doc_id") === 1L).isEmpty,
       "retraction left ghost rows for the deleted doc")
   }
 
@@ -183,14 +186,16 @@ class DedupIndexSpec extends SparkTestBase {
     DedupQueries.buildBandIndex(docs.filter(col("doc_id") < 10), indexDir, shDir)
     DedupQueries.appendBandIndex(docs.filter(col("doc_id") === 11), indexDir, shDir)
 
+    import graft.sources.SnapshotCatalog
     def snapshot(dir: String): Set[String] =
-      spark.read.parquet(dir).collect().map(_.mkString("|")).toSet
+      SnapshotCatalog.readSnapshot(spark, dir).collect().map(_.mkString("|")).toSet
     val (idxBefore, shBefore) = (snapshot(indexDir), snapshot(shDir))
     DedupQueries.compactBandIndex(spark, indexDir, shDir, targetFiles = 2)
     assert(snapshot(indexDir) == idxBefore, "compaction changed index content")
     assert(snapshot(shDir) == shBefore, "compaction changed shingle-table content")
-    def nFiles(p: String): Int = new java.io.File(p).listFiles()
-      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // the LIVE manifest references ≤ targetFiles files
+    def nFiles(p: String): Int =
+      SnapshotCatalog.manifestFiles(p, SnapshotCatalog.latestVersion(p)).size
     assert(nFiles(indexDir) <= 2, s"index not compacted: ${nFiles(indexDir)} files")
     assert(nFiles(shDir) <= 2, s"shingle table not compacted: ${nFiles(shDir)} files")
   }

@@ -14,13 +14,13 @@ class SnapshotCatalogSpec extends SparkTestBase {
 
     val v1Files = SnapshotCatalog.writeData(
       (1L to 100L).toDF("id"), root, "batch1")
-    SnapshotCatalog.commit(root, 1, v1Files)
+    assert(SnapshotCatalog.commit(root, v1Files) == 1)
     val v1Before = SnapshotCatalog.readSnapshot(spark, root, Some(1))
       .agg(count(lit(1)), sum("id")).head()
 
     val v2New = SnapshotCatalog.writeData(
       (101L to 150L).toDF("id"), root, "batch2")
-    SnapshotCatalog.commit(root, 2, v1Files ++ v2New)
+    assert(SnapshotCatalog.commit(root, v1Files ++ v2New) == 2)
 
     // time travel: v1 is row-identical after the v2 commit
     val v1After = SnapshotCatalog.readSnapshot(spark, root, Some(1))
@@ -47,6 +47,96 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // v1's data files themselves were never rewritten by the v2 commit
     assert(SnapshotCatalog.listDataFiles(s"$root/data/batch1") == v1Files,
       "batch1's immutable data files changed")
+  }
+
+  test("two racing committers both succeed on consecutive versions; neither's files are lost") {
+    val root = graft.streaming.Streams.dataDir("graft_snapcas_")
+    val spark2 = spark
+    import spark2.implicits._
+    val base = SnapshotCatalog.writeData((1L to 10L).toDF("id"), root, "base")
+    assert(SnapshotCatalog.commit(root, base) == 1)
+    // two appenders race from the same observed state; commitRetry must
+    // CAS one to v2 and re-apply the other at v3 WITH v2's files kept
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        val f = SnapshotCatalog.writeData((11L to 20L).toDF("id"), root, "a")
+        barrier.await()
+        SnapshotCatalog.commitRetry(root)(prev => (prev ++ f).distinct.sorted)
+      }
+    })
+    val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        val f = SnapshotCatalog.writeData((21L to 30L).toDF("id"), root, "b")
+        barrier.await()
+        SnapshotCatalog.commitRetry(root)(prev => (prev ++ f).distinct.sorted)
+      }
+    })
+    val (va, vb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(Set(va, vb) == Set(2, 3), s"expected versions {2,3}, got {$va,$vb}")
+    // the later committer re-read the earlier one's manifest: no lost update
+    val r = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)), sum("id")).head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 30L * 31L / 2,
+      "a racing append lost the other committer's files")
+  }
+
+  test("replayed batch: data not rewritten, no new version, time travel intact") {
+    val root = graft.streaming.Streams.dataDir("graft_snapreplay_")
+    val spark2 = spark
+    import spark2.implicits._
+    assert(SnapshotCatalog.append((1L to 50L).toDF("id"), root, "b0") == 1)
+    val v1Files = SnapshotCatalog.manifestFiles(root, 1)
+    assert(SnapshotCatalog.append((51L to 80L).toDF("id"), root, "b1") == 2)
+    // a compaction replaces the live content — b0/b1 files now live only
+    // in the time-travel manifests v1/v2
+    val folded = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+    assert(SnapshotCatalog.replace(folded, root, "c0") == 3)
+    // an at-least-once redelivery of batch b0 AFTER the compaction:
+    // the batch is committed (v1/v2 reference it) → nothing is
+    // rewritten, no version is added, and v1 still reads byte-identical
+    val vAfter = SnapshotCatalog.append(
+      (1000L to 1010L).toDF("id"), root, "b0") // wrong data on purpose:
+    // a real redelivery re-sends the same rows; sending different ones
+    // proves the skip is by BATCH ID, not by content comparison
+    assert(vAfter == 3, "a replayed batch committed a new version")
+    assert(SnapshotCatalog.manifestFiles(root, 1) == v1Files)
+    val v1 = SnapshotCatalog.readSnapshot(spark, root, Some(1))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(v1.getLong(0) == 50L && v1.getLong(1) == 50L * 51L / 2,
+      "time travel to v1 broken after a replay")
+  }
+
+  test("expire keeps the last N versions and GCs exactly the unreferenced files") {
+    val root = graft.streaming.Streams.dataDir("graft_snapexpire_")
+    val spark2 = spark
+    import spark2.implicits._
+    assert(SnapshotCatalog.append((1L to 40L).toDF("id"), root, "b0") == 1)
+    assert(SnapshotCatalog.append((41L to 60L).toDF("id"), root, "b1") == 2)
+    val live = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)).as("n"), sum("id").as("s")).head()
+    assert(SnapshotCatalog.replace(
+      SnapshotCatalog.readSnapshot(spark, root).repartition(1),
+      root, "compact0") == 3)
+    val deadFiles = (SnapshotCatalog.manifestFiles(root, 1) ++
+      SnapshotCatalog.manifestFiles(root, 2)).distinct
+    val (nManifests, nFiles) = SnapshotCatalog.expire(root, keepLast = 1)
+    assert(nManifests == 2, s"expected 2 expired manifests, got $nManifests")
+    assert(nFiles == deadFiles.size, s"expected ${deadFiles.size} GC'd files, got $nFiles")
+    assert(SnapshotCatalog.versions(root) == Seq(3))
+    val after = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)).as("n"), sum("id").as("s")).head()
+    assert(after == live, "expire changed the live snapshot's content")
+    deadFiles.foreach { f =>
+      assert(!new java.io.File(new java.net.URI(
+        if (f.startsWith("file:")) f else s"file://$f")).exists(),
+        s"GC left dead file $f")
+    }
+    // idempotent: a second expire finds nothing
+    assert(SnapshotCatalog.expire(root, keepLast = 1) == ((0, 0)))
   }
 
   test("st36: one committed version per batch; audits hold; latest ≡ staged table") {

@@ -137,7 +137,7 @@ class StreamingSpec extends SparkTestBase {
     // control arm: no compaction — one partial row per micro-batch
     val store = Streams.dataDir("graft_profile_spec_")
     StreamingQueries.liveProfileDrain(spark, staged, store, o.schema)
-    val parts = spark.read.parquet(store)
+    val parts = graft.sources.SnapshotCatalog.readSnapshot(spark, store)
     // the stream really contributed per-micro-batch partials, and each
     // is one row — the O(1)-rows-per-batch write the design claims
     assert(parts.count() >= 2, "expected one partial row per micro-batch")
@@ -168,7 +168,7 @@ class StreamingSpec extends SparkTestBase {
     }
     assert(observed.exists { case (n, rows) => n >= 3 && rows == 1L },
       "no observation shows the store compacted back to one row")
-    val mergedC = mergedProfile(spark.read.parquet(storeC), o.schema, Set("o_totalprice"))
+    val mergedC = mergedProfile(graft.sources.SnapshotCatalog.readSnapshot(spark, storeC), o.schema, Set("o_totalprice"))
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     full.keySet.foreach { c =>
       assert(mergedC(c).toSeq == merged(c).toSeq,
@@ -188,9 +188,9 @@ class StreamingSpec extends SparkTestBase {
     // refused, not appended a second time
     assert(!StreamingQueries.appendBatchPartial(spark, store, 0L, partialProfile(p0)))
     assert(StreamingQueries.appendBatchPartial(spark, store, 1L, partialProfile(p1)))
-    assert(spark.read.parquet(store).count() === 2L)
+    assert(graft.sources.SnapshotCatalog.readSnapshot(spark, store).count() === 2L)
     // despite the replay the folded report equals the one-shot profile
-    val merged = mergedProfile(spark.read.parquet(store), o.schema, Set("o_totalprice"))
+    val merged = mergedProfile(graft.sources.SnapshotCatalog.readSnapshot(spark, store), o.schema, Set("o_totalprice"))
       .collect().map(r => r.getAs[String]("col_name") -> r).toMap
     val full = profile(o, Set("o_totalprice")).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkTestBase {
     // forward — a replay of the last pre-compaction batch is still
     // refused afterwards, and the next real batch is admitted
     compactStore(spark, store, o.schema)
-    assert(spark.read.parquet(store).count() === 1L)
+    assert(graft.sources.SnapshotCatalog.readSnapshot(spark, store).count() === 1L)
     assert(!StreamingQueries.appendBatchPartial(spark, store, 1L, partialProfile(p1)))
     assert(StreamingQueries.appendBatchPartial(spark, store, 2L, partialProfile(p1)))
   }
