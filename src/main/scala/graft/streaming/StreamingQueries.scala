@@ -2007,7 +2007,67 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS manifests_monotone,
              |  TRUE AS v1_time_travel_ok
              |FROM events""".stripMargin),
-      "North star/T: streaming ingest under snapshot isolation — one committed version per batch, time travel live"))
+      "North star/T: streaming ingest under snapshot isolation — one committed version per batch, time travel live"),
+
+    GraftQuery(
+      "st37_session_timers",
+      (spark, dir) => {
+        // EVENT-TIME TIMERS + STATE EVICTION — the timer half of the
+        // Spark-4 StatefulProcessor API ([[GapSessionProcessor]]): gap
+        // sessionization where a session CLOSES either when a same-key
+        // row arrives past the gap (data-closed) or when the WATERMARK
+        // passes its deadline and the registered timer fires — emitting
+        // the session and CLEARING the key's state, so the store holds
+        // only OPEN sessions at every instant (q60's batch kernel
+        // rescans the table; st13's dropDuplicates state holds every
+        // key seen). The deterministic output contract: every
+        // non-final session per user is data-closed; a user's final
+        // session emits iff its deadline ≤ the final watermark
+        // (max ts − delay) — exactly what the oracle replays from the
+        // q60 kernel over seconds-truncated event time.
+        val spark2 = spark
+        import spark2.implicits._
+        Streams.withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          val stream = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 2)
+            .withWatermark("ts", "600 seconds")
+            .select(col("user_id"), col("ts"))
+            .as[(Long, java.sql.Timestamp)]
+          val sessions = stream.groupByKey(_._1)
+            .transformWithState(new GapSessionProcessor(1800L),
+              org.apache.spark.sql.streaming.TimeMode.EventTime(),
+              OutputMode.Append(),
+              org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+            .toDF("user_id", "session_start", "session_end", "n_events")
+          Streams.drainToMemory(sessions, "st37_sink", outputMode = "append")
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, tsec, event_id,
+             |    lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS prev
+             |  FROM e),
+             |f AS (
+             |  SELECT user_id, tsec, event_id,
+             |    CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS is_new
+             |  FROM l),
+             |s AS (
+             |  SELECT user_id, tsec,
+             |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS seq
+             |  FROM f),
+             |sess AS (
+             |  SELECT user_id, seq, min(tsec) AS session_start,
+             |         max(tsec) AS session_end, count(*) AS n_events
+             |  FROM s GROUP BY 1, 2),
+             |wm AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS w FROM events)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM sess, wm
+             |WHERE seq < (SELECT max(seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
+             |   OR session_end + 1800 <= w""".stripMargin),
+      "T5/T7: event-time timers — sessions close by gap or by watermark-fired timer, state holds only open sessions"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared
@@ -2044,17 +2104,24 @@ object StreamingQueries extends QueryPack {
 /** Per-user running (n, cents) totals as a Spark-4 StatefulProcessor:
   * typed ValueState handle initialized in init(), updated per batch of
   * input rows — the transformWithState twin of st04's
-  * flatMapGroupsWithState closure. */
-class RunningTotalsProcessor
+  * flatMapGroupsWithState closure. `ttl` bounds the state's lifetime
+  * (processing-time TTL): a key idle past the TTL is EVICTED and its
+  * counters restart — the state-bounding mechanism that keeps a
+  * never-ending keyspace (session ids, request ids) from growing the
+  * store without bound; TTLConfig.NONE (the default, st11's mode)
+  * keeps state forever. */
+class RunningTotalsProcessor(
+    ttl: org.apache.spark.sql.streaming.TTLConfig =
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long), (Long, Long, Long)] {
-  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, ValueState}
 
   @transient private var totals: ValueState[(Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     totals = getHandle.getValueState[(Long, Long)]("totals",
-      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      org.apache.spark.sql.Encoders.product[(Long, Long)], ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
                                timers: TimerValues): Iterator[(Long, Long, Long)] = {
@@ -2063,5 +2130,66 @@ class RunningTotalsProcessor
     rows.foreach { case (_, cents) => n += 1; c += cents }
     totals.update((n, c))
     Iterator.single((key, n, c))
+  }
+}
+
+/** st37: gap sessionization closed by EVENT-TIME TIMERS — the timer
+  * half of the Spark-4 stateful API (st11 exercises the state half).
+  * Per key the state holds the open session (start, last, n), folded
+  * over each batch's rows in event-time order; a row past the gap
+  * closes the open session inline (data-closed — the only way st04-
+  * style processors can ever emit). The TIMER is what the batch world
+  * has no analogue for: every update re-arms one timer at
+  * last + gap, and when the WATERMARK passes it, [[handleExpiredTimer]]
+  * emits the session and CLEARS the state — the key's state lives
+  * exactly as long as its session can still grow, so an idle key costs
+  * nothing even though the keyspace never stops growing (the q60
+  * batch kernel re-scans everything; this holds O(open sessions)).
+  * Seconds-truncated event time keeps the fold exactly replayable by
+  * the batch oracle. */
+class GapSessionProcessor(gapSec: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var sess: ValueState[(Long, Long, Long)] = _ // (start, last, n)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, java.sql.Timestamp)],
+                               timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val ts = rows.map(_._2.getTime / 1000L).toArray.sorted
+    if (ts.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (start, last, n) =
+        if (sess.exists()) sess.get() else (ts.head, ts.head, 0L)
+      ts.foreach { t =>
+        if (t - last > gapSec) {
+          out += ((key, start, last, n))
+          start = t; last = t; n = 1L
+        } else {
+          if (t > last) last = t
+          n += 1L
+        }
+      }
+      sess.update((start, last, n))
+      // exactly one armed timer per key: the open session's deadline
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer((last + gapSec) * 1000L)
+      out.iterator
+    }
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                  expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+    if (sess.exists()) {
+      val (start, last, n) = sess.get()
+      sess.clear() // eviction: the key costs nothing until it reappears
+      Iterator.single((key, start, last, n))
+    } else Iterator.empty
   }
 }
