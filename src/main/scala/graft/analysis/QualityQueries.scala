@@ -1100,5 +1100,233 @@ object QualityQueries extends QueryPack {
              |  array_to_string(list_slice(l, k * 48 + 1, least(k * 48 + 64, n)), ' ')
              |    AS chunk_text
              |FROM c""".stripMargin),
-      "North star: overlapping passage chunking — row-local window/stride explode, zero shuffles"))
+      "North star: overlapping passage chunking — row-local window/stride explode, zero shuffles"),
+
+    GraftQuery(
+      "t27_corpus_chain",
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        // THE FULL CORPUS-BUILD CHAIN as one lineage — the production
+        // composition t13 sketches with three stages, run with all six:
+        // quality (t09's Gopher gate) → near-dup keep-first (d06's
+        // banded MinHash + exact-Jaccard verify, over SURVIVORS only —
+        // dropped-by-quality docs must never veto a near-dup) →
+        // decontamination (d08's width-4 eval-shingle rule: eval docs
+        // leave the corpus, train docs sharing any eval shingle drop) →
+        // token-budget mixture (t21's weighted per-domain quality-
+        // ranked prefix) → token-level packing (t25's span table) →
+        // seeded shuffle-shard (t22). The output is the per-stage
+        // ACCOUNTING LEDGER — docs and tokens surviving each stage —
+        // which is how a production corpus build is actually reviewed
+        // (every stage's yield visible, no silent loss): stage 5's
+        // token total must equal stage 4's (the tiling invariant,
+        // now CROSS-stage) and stage 6's distinct (shard, pos) slot
+        // count must equal its row count (the permutation is
+        // collision-free). Scale shape: each stage's plan is its
+        // carrier query's pinned plan; the chain adds only semi/anti
+        // joins on doc_id between stages — at 100 TB the whole ledger
+        // is one pass per stage over monotonically shrinking data.
+        import graft.dedup.DedupQueries
+        val docs = t.documents
+        val nTok = size(split(col("text"), " ")).cast(LongType)
+
+        val s1 = docs.filter(gopherKeep).persist()
+        val dropped2 = DedupQueries.verifiedPairs(s1)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val s2 = s1.join(dropped2, Seq("doc_id"), "left_anti").persist()
+
+        val evalSh = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(DedupQueries.shingles(col("text"), 4)).as("sh"))
+          .distinct()
+        val contaminated = s2.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"),
+            explode(DedupQueries.shingles(col("text"), 4)).as("sh"))
+          .join(broadcast(evalSh), Seq("sh"), "left_semi")
+          .select("doc_id").distinct()
+        val s3 = s2.filter(col("doc_id") % 50 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti").persist()
+
+        val d4 = s3.select(col("doc_id"), col("source"), col("n_chars"),
+          nTok.as("n_tokens"))
+        val weights = d4.select(col("source")).distinct()
+          .select(col("source"),
+            (regexp_extract(col("source"), "([0-9]+)$", 1)
+              .cast(LongType) % 3 + 1).as("wgt"))
+        val tot = d4.agg(expr("sum(n_tokens) div 2").as("budget_total"))
+        val wsum = weights.agg(sum(col("wgt")).as("wsum"))
+        val budgets = weights.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+          .select(col("source"),
+            expr("(budget_total * wgt) div wsum").as("budget_tokens"))
+        val w4 = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val s4 = d4.join(broadcast(budgets), "source")
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w4))
+          .filter(col("cum_tokens") <= col("budget_tokens"))
+          .select("doc_id", "n_tokens").persist()
+
+        val L = 128L
+        val w5 = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val spans = s4.select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            col("n_tokens"))
+          .filter(col("n_tokens") > 0)
+          .withColumn("st", coalesce(sum(col("n_tokens")).over(w5), lit(0L)))
+          .withColumn("en", col("st") + col("n_tokens"))
+          .withColumn("seq_id",
+            explode(sequence(expr(s"st div $L"), expr(s"(en - 1) div $L"))))
+          .select((least(col("en") - col("seq_id") * L, lit(L)) -
+            greatest(col("st") - col("seq_id") * L, lit(0L))).as("n_tok_in_seq"))
+
+        val shards = shuffleShard(s4)
+
+        def acct(i: Long, name: String, rows: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame =
+          rows.select(lit(i).as("stage_id"), lit(name).as("stage"),
+            col("n_rows"), col("n_tokens"))
+        acct(1L, "quality", s1.agg(count(lit(1)).as("n_rows"),
+            sum(nTok).as("n_tokens")))
+          .unionByName(acct(2L, "neardup", s2.agg(count(lit(1)).as("n_rows"),
+            sum(nTok).as("n_tokens"))))
+          .unionByName(acct(3L, "decontaminate", s3.agg(count(lit(1)).as("n_rows"),
+            sum(nTok).as("n_tokens"))))
+          .unionByName(acct(4L, "mixture", s4.agg(count(lit(1)).as("n_rows"),
+            sum(col("n_tokens")).as("n_tokens"))))
+          .unionByName(acct(5L, "token_pack", spans.agg(count(lit(1)).as("n_rows"),
+            sum(col("n_tok_in_seq")).as("n_tokens"))))
+          .unionByName(acct(6L, "shuffle_shard", shards.agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(concat_ws(":", col("shard"), col("pos")))
+              .as("n_tokens"))))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, source, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS chars_ns,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             |    CAST((length(t) - length(replace(t, ' the ', ''))) / 5
+             |       + (length(t) - length(replace(t, ' a ', ''))) / 3
+             |       + (length(t) - length(replace(t, ' of ', ''))) / 4 AS BIGINT) AS n_stop
+             |  FROM (SELECT *, ' ' || text || ' ' AS t FROM documents)),
+             |qk AS (
+             |  SELECT doc_id, text, source, n_chars, n_tokens FROM base
+             |  WHERE n_tokens >= 50 AND n_tokens <= 100000
+             |    AND chars_ns >= n_tokens * 3 AND chars_ns <= n_tokens * 10
+             |    AND n_uniq * 5 >= n_tokens AND n_stop >= 2),
+             |shq AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(len(tk) - 2),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM qk)
+             |  WHERE len(tk) >= 3),
+             |sig AS (
+             |  SELECT doc_id,
+             |    min(substring(md5('0:' || sh), 1, 8))  AS sig0,
+             |    min(substring(md5('0:' || sh), 9, 8))  AS sig1,
+             |    min(substring(md5('0:' || sh), 17, 8)) AS sig2,
+             |    min(substring(md5('0:' || sh), 25, 8)) AS sig3,
+             |    min(substring(md5('1:' || sh), 1, 8))  AS sig4,
+             |    min(substring(md5('1:' || sh), 9, 8))  AS sig5,
+             |    min(substring(md5('1:' || sh), 17, 8)) AS sig6,
+             |    min(substring(md5('1:' || sh), 25, 8)) AS sig7
+             |  FROM shq GROUP BY doc_id),
+             |band AS (
+             |  SELECT doc_id, sig0 || '|' || sig1 AS bh, 0 AS band_id FROM sig
+             |  UNION ALL SELECT doc_id, sig2 || '|' || sig3, 1 FROM sig
+             |  UNION ALL SELECT doc_id, sig4 || '|' || sig5, 2 FROM sig
+             |  UNION ALL SELECT doc_id, sig6 || '|' || sig7, 3 FROM sig),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM band a JOIN band b
+             |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |scnt AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+             |inter AS (
+             |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+             |  FROM cand c
+             |  JOIN shq sa ON sa.doc_id = c.doc_a
+             |  JOIN shq sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+             |  GROUP BY c.doc_a, c.doc_b),
+             |ver AS (
+             |  SELECT i.doc_b FROM inter i
+             |  JOIN scnt ca ON ca.doc_id = i.doc_a
+             |  JOIN scnt cb ON cb.doc_id = i.doc_b
+             |  WHERE CAST(floor(i.n_inter * 10000.0 /
+             |    (ca.n + cb.n - i.n_inter) + 0.5) AS BIGINT) >= 2000),
+             |s2 AS (
+             |  SELECT * FROM qk WHERE doc_id NOT IN (SELECT doc_b FROM ver)),
+             |sh4e AS (
+             |  SELECT DISTINCT
+             |    unnest(list_transform(range(len(tk) - 3),
+             |      i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+             |  FROM (SELECT string_split(text, ' ') AS tk FROM documents
+             |        WHERE doc_id % 50 = 0)
+             |  WHERE len(tk) >= 4),
+             |cont AS (
+             |  SELECT DISTINCT t.doc_id
+             |  FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(len(tk) - 3),
+             |        i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s2
+             |          WHERE doc_id % 50 <> 0)
+             |    WHERE len(tk) >= 4) t
+             |  JOIN sh4e e USING (sh)),
+             |s3 AS (
+             |  SELECT * FROM s2 WHERE doc_id % 50 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM cont)),
+             |w AS (
+             |  SELECT source,
+             |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3 + 1 AS wgt
+             |  FROM (SELECT DISTINCT source FROM s3)),
+             |tot AS (
+             |  SELECT CAST(CAST(sum(n_tokens) AS BIGINT) // 2 AS BIGINT) AS budget_total
+             |  FROM s3),
+             |wsum AS (SELECT CAST(sum(wgt) AS BIGINT) AS wsum FROM w),
+             |budgets AS (
+             |  SELECT w.source,
+             |    CAST((t.budget_total * w.wgt) // s.wsum AS BIGINT) AS budget_tokens
+             |  FROM w CROSS JOIN tot t CROSS JOIN wsum s),
+             |ranked AS (
+             |  SELECT d.doc_id, d.n_tokens, b.budget_tokens,
+             |    sum(d.n_tokens) OVER (PARTITION BY d.source
+             |      ORDER BY d.n_chars DESC, d.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM s3 d JOIN budgets b USING (source)),
+             |s4 AS (
+             |  SELECT doc_id, n_tokens FROM ranked WHERE cum_tokens <= budget_tokens),
+             |off AS (
+             |  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 8
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS BIGINT) AS st
+             |  FROM s4 WHERE n_tokens > 0),
+             |sp AS (
+             |  SELECT st, st + n_tokens AS en,
+             |    unnest(range(st // 128, (st + n_tokens - 1) // 128 + 1)) AS seq_id
+             |  FROM off),
+             |spans AS (
+             |  SELECT CAST(least(en - seq_id * 128, 128)
+             |       - greatest(st - seq_id * 128, 0) AS BIGINT) AS n_tok_in_seq
+             |  FROM sp),
+             |pri AS (
+             |  SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS pri FROM s4),
+             |shards AS (
+             |  SELECT doc_id, pri,
+             |    CAST(('0x' || substr(pri, 1, 8)) AS BIGINT) % 4 AS shard
+             |  FROM pri),
+             |pos AS (
+             |  SELECT shard,
+             |    row_number() OVER (PARTITION BY shard ORDER BY pri, doc_id) AS pos
+             |  FROM shards)
+             |SELECT 1 AS stage_id, 'quality' AS stage,
+             |  count(*) AS n_rows, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM qk
+             |UNION ALL SELECT 2, 'neardup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s2
+             |UNION ALL SELECT 3, 'decontaminate', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s3
+             |UNION ALL SELECT 4, 'mixture', count(*), CAST(sum(n_tokens) AS BIGINT) FROM s4
+             |UNION ALL SELECT 5, 'token_pack', count(*), CAST(sum(n_tok_in_seq) AS BIGINT) FROM spans
+             |UNION ALL SELECT 6, 'shuffle_shard', count(*),
+             |  CAST(count(DISTINCT CAST(shard AS VARCHAR) || ':' || CAST(pos AS VARCHAR)) AS BIGINT)
+             |  FROM pos""".stripMargin),
+      "North star: the six-stage corpus-build chain as one lineage — per-stage yield ledger, cross-stage tiling invariant"))
 }

@@ -66,7 +66,17 @@ object PlanAudit {
     "s22_jl_projection" -> "JL projection: literal plane matrix in-plan, TakeOrdered candidate cuts before ranking",
     "s23_hybrid_rrf" -> "hybrid RRF: broadcast query-term/vector sides, both rank lists TakeOrdered-cut before fusion",
     "d05_ngram_jaccard_pairs" -> "LSH verify stage: explicitly shuffled candidate/count joins (no estimate-gated broadcast)",
-    "q89_iqr_outliers" -> "robust fences: one keyed rank window, O(groups) fence table broadcast back over the stream")
+    "q89_iqr_outliers" -> "robust fences: one keyed rank window, O(groups) fence table broadcast back over the stream",
+    "t25_token_pack" -> "token packing: ONE per-shard prefix window, then row-local sequence explode — no second exchange",
+    "s24_mmr_diversify" -> "MMR diversification: TakeOrdered candidate cut, bounded O(k^2) greedy rerank — no corpus-wide join",
+    "mm11_keyframes" -> "keyframe selection: mapPartitions decode + per-container lag scan, ZERO shuffles",
+    "src11_manifest_snapshot" -> "snapshot read: exactly the manifest-listed files scanned, both versions served",
+    "src12_snapshot_merge" -> "COW merge: one partitioned base write; v2 swaps one day's files, every other file reused",
+    "src13_snapshot_expire" -> "snapshot expiry: live-version read after GC — only surviving manifest files scanned",
+    "t27_corpus_chain" -> "six-stage corpus chain: per-stage ledger over monotonically shrinking doc sets, stage plans = carriers'",
+    "st34_stream_ivm" -> "IVM serve: stored aggregate full-outer-joined with the folded delta store, base never rescanned",
+    "st35_stream_cdc_compact" -> "LWW serve: one latestByKey window over the compacted O(keys) snapshot store",
+    "st36_stream_snapshot_publish" -> "snapshot-published stream readback: latest catalog version scan + manifest audits")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at
