@@ -273,6 +273,22 @@ object SnapshotCatalog {
     spark.read.parquet(manifestFiles(root, v): _*)
   }
 
+  /** The files version `toV` ADDED over `fromV` (None = since the
+    * beginning) — the append-only CHANGE FEED primitive: because data
+    * files are immutable and an append commit only ever unions new
+    * files in, the rows added between two versions are exactly the
+    * rows of the added files, and a downstream consumer can process a
+    * live table incrementally at O(delta) per poll instead of
+    * re-reading O(table). NOT meaningful across a [[replace]] commit
+    * (compaction/retraction rewrites files without adding rows) — a
+    * consumer that must survive those needs a row-level changelog
+    * (the q75 CDC tier), which is why table formats publish
+    * "append-only" as a readable table property. */
+  def addedFiles(root: String, fromV: Option[Int], toV: Int): Seq[String] = {
+    val prev = fromV.map(manifestFiles(root, _).toSet).getOrElse(Set.empty)
+    manifestFiles(root, toV).filterNot(prev)
+  }
+
   /** Read `dir` as a catalog table when it has a committed manifest,
     * else as a plain parquet directory — the read seam that lets
     * artifact consumers (gate probes, scrub indexes) accept both a

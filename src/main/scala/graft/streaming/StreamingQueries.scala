@@ -2067,7 +2067,72 @@ object StreamingQueries extends QueryPack {
              |FROM sess, wm
              |WHERE seq < (SELECT max(seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
              |   OR session_end + 1800 <= w""".stripMargin),
-      "T5/T7: event-time timers — sessions close by gap or by watermark-fired timer, state holds only open sessions"))
+      "T5/T7: event-time timers — sessions close by gap or by watermark-fired timer, state holds only open sessions"),
+
+    GraftQuery(
+      "st38_catalog_change_feed",
+      (spark, dir) => {
+        // THE CONSUME SIDE OF THE SNAPSHOT SEAM — st36 proved a stream
+        // can PUBLISH versions atomically; this proves a downstream job
+        // can CONSUME the live table incrementally: data files are
+        // immutable and an append commit only unions files in, so the
+        // rows added between consecutive versions are exactly the rows
+        // of the ADDED files ([[graft.sources.SnapshotCatalog
+        // .addedFiles]]) — a poller folds each version's delta at
+        // O(delta) cost and never re-reads the table (the Delta/Iceberg
+        // streaming-source contract, expressed with manifests alone).
+        // A producer stream lands one version per micro-batch; the
+        // consumer then walks versions 1..latest reading ONLY delta
+        // files. Audits pin the incremental discipline: total files
+        // read across all polls == the final manifest's file count
+        // (each file processed exactly once — O(data) total, not
+        // O(versions × data)) and the incremental fold equals the
+        // final snapshot read. At 100 TB this is how training jobs
+        // tail a growing corpus: per-poll cost tracks ingest rate,
+        // not table size.
+        import graft.sources.SnapshotCatalog
+        val root = Streams.dataDir("graft_st38_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st38_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty) SnapshotCatalog.append(b, root, s"batch$bid")
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        val latest = SnapshotCatalog.latestVersion(root)
+        var n = 0L; var cents = 0L; var filesRead = 0L
+        (1 to latest).foreach { v =>
+          val delta = SnapshotCatalog.addedFiles(root,
+            if (v == 1) None else Some(v - 1), v)
+          filesRead += delta.size
+          if (delta.nonEmpty) {
+            val r = spark.read.parquet(delta: _*)
+              .agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+            n += r.getLong(0); cents += r.getLong(1)
+          }
+        }
+        val snap = SnapshotCatalog.readSnapshot(spark, root)
+          .agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+        spark.range(1).select(
+          lit(n).as("n_rows"), lit(cents).as("sum_value_cents"),
+          lit(latest.toLong).as("n_versions"),
+          lit(filesRead == SnapshotCatalog.manifestFiles(root, latest).size)
+            .as("each_file_read_once"),
+          lit(n == snap.getLong(0) && cents == snap.getLong(1))
+            .as("feed_equals_snapshot"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(4 AS BIGINT) AS n_versions,
+             |  TRUE AS each_file_read_once,
+             |  TRUE AS feed_equals_snapshot
+             |FROM events""".stripMargin),
+      "North star/T: catalog change feed — each version's delta files processed once, incremental fold ≡ snapshot"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared
