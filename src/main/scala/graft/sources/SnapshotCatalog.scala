@@ -265,6 +265,42 @@ object SnapshotCatalog {
     }
   }
 
+  /** Orphan sweep — the second half of GC: a writer that crashed
+    * between [[writeData]] and its commit leaves a batch dir no
+    * manifest ever referenced, which [[expire]] (which reasons only
+    * over manifests) never touches. Deletes files under `data/` that
+    * (a) appear in NO surviving manifest and (b) are older than
+    * `graceMs` — the grace window is what makes this safe to run
+    * beside live writers: an in-flight batch's files are young, so the
+    * sweep cannot GC a batch that is about to be committed. Returns
+    * the number of files removed. Run it with `graceMs` comfortably
+    * above the longest write-to-commit latency (table formats ship
+    * the same knob as e.g. `remove-orphan-files` / vacuum retention). */
+  def sweepOrphans(root: String, graceMs: Long): Int = {
+    val dataDir = new Path(s"$root/data")
+    val fs = fsFor(dataDir)
+    if (!fs.exists(dataDir)) 0
+    else {
+      val referenced = versions(root).flatMap(manifestFiles(root, _)).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      var removed = 0
+      fs.listStatus(dataDir).filter(_.isDirectory).foreach { batch =>
+        val dataFiles = fs.listStatus(batch.getPath).filter(s =>
+          s.isFile && s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+        val orphans = dataFiles.filter(s =>
+          !referenced.contains(s.getPath.toString) &&
+            s.getModificationTime < cutoff)
+        orphans.foreach { s => fs.delete(s.getPath, false); removed += 1 }
+        // a dir whose EVERY data file was orphaned is a crashed batch:
+        // remove it whole (markers like _SUCCESS go with it)
+        if (orphans.nonEmpty && orphans.length == dataFiles.length)
+          fs.delete(batch.getPath, true)
+      }
+      removed
+    }
+  }
+
   /** Read a snapshot: exactly the files its manifest lists (the
     * highest committed version when none is given). */
   def readSnapshot(spark: SparkSession, root: String,

@@ -68,7 +68,8 @@ object ScaleStress {
     Seq("st04_stateful_counter", "st13_stream_dedup", "st21_stream_dedup_gate",
         "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
         "st33_stream_importance_gate", "st34_stream_ivm",
-        "st35_stream_cdc_compact", "st36_stream_snapshot_publish")
+        "st35_stream_cdc_compact", "st36_stream_snapshot_publish",
+        "st37_session_timers", "st38_catalog_change_feed")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */

@@ -139,6 +139,31 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(SnapshotCatalog.expire(root, keepLast = 1) == ((0, 0)))
   }
 
+  test("sweepOrphans removes only aged uncommitted batches; young and committed files survive") {
+    val root = graft.streaming.Streams.dataDir("graft_snaporphan_")
+    val spark2 = spark
+    import spark2.implicits._
+    assert(SnapshotCatalog.append((1L to 30L).toDF("id"), root, "b0") == 1)
+    // a crashed writer: data staged, commit never happened
+    val orphanOld = SnapshotCatalog.writeData((31L to 40L).toDF("id"), root, "crashed_old")
+    assert(orphanOld.nonEmpty && !SnapshotCatalog.isBatchCommitted(root, "crashed_old"))
+    // age the orphan past any grace window
+    new java.io.File(orphanOld.head.replaceFirst("^file:", "")).getParentFile
+      .listFiles().foreach(_.setLastModified(System.currentTimeMillis() - 86400000L))
+    // an IN-FLIGHT writer: staged seconds ago, commit pending
+    val orphanYoung = SnapshotCatalog.writeData((41L to 50L).toDF("id"), root, "inflight")
+    val removed = SnapshotCatalog.sweepOrphans(root, graceMs = 3600000L)
+    assert(removed == orphanOld.size, s"expected ${orphanOld.size} swept, got $removed")
+    // the aged orphan's dir is gone; the young one is intact; the table reads
+    assert(!new java.io.File(s"$root/data/crashed_old").exists(),
+      "aged crashed batch dir not removed")
+    assert(SnapshotCatalog.listDataFiles(s"$root/data/inflight") == orphanYoung,
+      "sweep touched an in-flight (young) batch")
+    val r = SnapshotCatalog.readSnapshot(spark, root).agg(count(lit(1)), sum("id")).head()
+    assert(r.getLong(0) == 30L && r.getLong(1) == 30L * 31L / 2,
+      "sweep damaged committed data")
+  }
+
   test("st36: one committed version per batch; audits hold; latest ≡ staged table") {
     val r = SparkEntry.queries("st36_stream_snapshot_publish")(spark, sfDir).head()
     assert(r.getLong(2) == 4L, s"expected 4 versions (4 staged files), got ${r.getLong(2)}")
