@@ -384,6 +384,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("Generate"), s"expected a Generate (explode) stage:\n$p")
   }
 
+  test("t25: token packing runs off ONE shard exchange — the sequence explode stays row-local above it") {
+    val p = plan("t25_token_pack")
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).length == 1,
+      s"expected exactly one shard exchange:\n$p")
+    assert(finalSection.contains("Generate explode(sequence"),
+      s"expected the row-local sequence explode:\n$p")
+    assert(!finalSection.contains("SinglePartition"),
+      s"packing must not collapse to one partition:\n$p")
+  }
+
   test("d19: cluster labels broadcast — the corpus never shuffles for the split") {
     val p = plan("d19_cluster_safe_split")
     assert(p.contains("BroadcastHashJoin"), s"label join did not broadcast:\n$p")
