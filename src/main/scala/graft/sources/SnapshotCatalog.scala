@@ -100,11 +100,25 @@ object SnapshotCatalog {
     * batch from the live version while an older manifest still time-
     * travels to it, and rewriting the dir would tear that snapshot). */
   private def committedBatchFiles(root: String, batch: String): Seq[String] = {
-    val marker = s"/data/$batch/"
-    versions(root).reverseIterator
-      .map(v => manifestFiles(root, v).filter(_.contains(marker)))
-      .collectFirst { case fsFound if fsFound.nonEmpty => fsFound }
-      .getOrElse(Seq.empty)
+    // cheap absence proof first: a manifest can only reference files
+    // that were staged, so a batch whose data dir does not exist was
+    // never committed (or was expired — and expire removes the
+    // manifests referencing it BEFORE its files, so "committed" is
+    // false then too). This keeps the COMMON case — a genuinely new
+    // batch — at one existence probe instead of a scan of every
+    // manifest; the full newest-first scan runs only for dirs that do
+    // exist (replays and crash leftovers). Corollary, same as every
+    // table format's vacuum contract: expiry retention must exceed the
+    // redelivery horizon, or a replayed expired batch re-lands.
+    val dir = new Path(s"$root/data/$batch")
+    if (!fsFor(dir).exists(dir)) Seq.empty
+    else {
+      val marker = s"/data/$batch/"
+      versions(root).reverseIterator
+        .map(v => manifestFiles(root, v).filter(_.contains(marker)))
+        .collectFirst { case fsFound if fsFound.nonEmpty => fsFound }
+        .getOrElse(Seq.empty)
+    }
   }
 
   /** True when any surviving manifest references the batch's data dir. */

@@ -2211,7 +2211,10 @@ class RunningTotalsProcessor(
   * nothing even though the keyspace never stops growing (the q60
   * batch kernel re-scans everything; this holds O(open sessions)).
   * Seconds-truncated event time keeps the fold exactly replayable by
-  * the batch oracle. */
+  * the batch oracle. Memory bound: one batch's rows for ONE key are
+  * buffered and sorted (Spark delivers a group's rows unordered), so
+  * the per-task footprint is O(hottest key's rows per micro-batch) —
+  * bounded by the trigger size, never by the stream's history. */
 class GapSessionProcessor(gapSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {

@@ -164,6 +164,12 @@ object ScaleStress {
     // deterministically, so recall stays well-defined while candidate
     // volume scales with k.
     val emb = Tables(spark, baseDir).embeddings
+    // the shared stride is only collision-free while vec_ids fit inside
+    // the doc-id space — fail loudly if a future fixture breaks that
+    val maxVid = emb.agg(max("vec_id")).head().getLong(0)
+    require(maxVid <= maxDoc,
+      s"embeddings vec_id space ($maxVid) exceeds documents' ($maxDoc): " +
+        "the shared per-copy stride would collide scaled vec_ids")
     emb.withColumn("copy", explode(expr(s"sequence(0, ${k - 1})")))
       .select(
         (col("vec_id") + col("copy") * lit(maxDoc + 1)).as("vec_id"),

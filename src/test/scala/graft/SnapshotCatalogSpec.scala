@@ -108,6 +108,19 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .agg(count(lit(1)), sum("id")).head()
     assert(v1.getLong(0) == 50L && v1.getLong(1) == 50L * 51L / 2,
       "time travel to v1 broken after a replay")
+
+    // change-feed semantics at the edges: the first delta is v1's whole
+    // manifest, an append delta is the appended batch's files, and a
+    // REPLACE delta is the replacement's files — file-level diff, NOT
+    // added rows (the documented append-only contract boundary)
+    assert(SnapshotCatalog.addedFiles(root, None, 1).toSet ==
+      SnapshotCatalog.manifestFiles(root, 1).toSet)
+    assert(SnapshotCatalog.addedFiles(root, Some(1), 2).toSet ==
+      (SnapshotCatalog.manifestFiles(root, 2).toSet --
+       SnapshotCatalog.manifestFiles(root, 1).toSet))
+    assert(SnapshotCatalog.addedFiles(root, Some(2), 3).toSet ==
+      SnapshotCatalog.manifestFiles(root, 3).toSet,
+      "a replace version's delta is its full replacement file set")
   }
 
   test("expire keeps the last N versions and GCs exactly the unreferenced files") {
