@@ -346,6 +346,85 @@ object SnapshotCatalog {
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
 
+  // ---- file-level min/max skipping (Iceberg-style manifest stats) ----
+
+  private def statsPath(root: String, batch: String, col: String) =
+    new Path(s"$root/data/$batch/_stats_$col.txt")
+
+  /** Record per-file [min, max] of a long column for an already-staged
+    * batch, read from the PARQUET FOOTERS — zero data scan; the same
+    * numbers the writer already paid for. Stored as a per-batch sidecar
+    * (`_stats_<col>.txt`, one `path \t min \t max` line per file), the
+    * manifest-stats idea at batch granularity: a pruned read consults
+    * one small sidecar per batch instead of one footer per data file.
+    * Files whose footer lacks stats for the column are omitted — the
+    * pruned read keeps them (skipping is an optimization, never a
+    * correctness gate). */
+  def writeColumnStats(root: String, batch: String, col: String,
+                       files: Seq[String]): Unit = {
+    val conf = hadoopConf
+    val lines = files.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(f), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val perBlock = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == col)
+            .flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            }
+        }
+        if (perBlock.isEmpty) None
+        else Some(s"$f\t${perBlock.map(_._1).min}\t${perBlock.map(_._2).max}")
+      } finally reader.close()
+    }
+    val p = statsPath(root, batch, col)
+    writeUtf8(fsFor(p), p, lines.mkString("\n") + "\n")
+  }
+
+  /** Read a snapshot restricted to files whose recorded [min, max] for
+    * `col` intersects [lo, hi] — file skipping from batch-sidecar stats,
+    * no footer or data IO for skipped files. Files with no recorded
+    * stats are conservatively KEPT. Returns (frame, files read, files
+    * in the snapshot). The caller still applies its own row predicate:
+    * skipping prunes FILES, the filter prunes rows within kept files. */
+  def readSnapshotPruned(spark: SparkSession, root: String, col: String,
+                         lo: Long, hi: Long,
+                         version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(root))
+    val files = manifestFiles(root, v)
+    val stats: Map[String, (Long, Long)] = files
+      .map(f => new Path(f).getParent.getName).distinct
+      .flatMap { batch =>
+        val p = statsPath(root, batch, col)
+        val fs = fsFor(p)
+        if (!fs.exists(p)) Seq.empty
+        else readUtf8(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(path, mn, mx) = l.split("\t")
+          path -> (mn.toLong, mx.toLong)
+        }.toSeq
+      }.toMap
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // no stats -> never skip
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        readSnapshot(spark, root, Some(v)).limit(0) // schema-stable empty
+      else spark.read.parquet(kept: _*)
+    (df, kept.size, files.size)
+  }
+
   private def readUtf8(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {

@@ -623,5 +623,69 @@ object SourceQueries extends QueryPack {
              |  CAST(1 AS BIGINT) AS n_versions_after,
              |  TRUE AS gc_census_exact
              |FROM events""".stripMargin),
-      "S-maintenance: snapshot expiry/GC — expired manifests first, then exactly the unreferenced files; live content untouched"))
+      "S-maintenance: snapshot expiry/GC — expired manifests first, then exactly the unreferenced files; live content untouched"),
+
+    GraftQuery(
+      "src14_stats_skipping",
+      (spark, dir) => {
+        // FILE-LEVEL MIN/MAX SKIPPING THROUGH THE CATALOG — the
+        // manifest-stats idea (Iceberg data-file stats / Delta
+        // file-skipping) on the engine's own snapshot seam: at write
+        // time each batch records per-file [min, max] of the skip
+        // column, read from the PARQUET FOOTERS the writer already
+        // paid for (zero data scan), into a per-batch sidecar; a
+        // range read then consults the sidecars and opens ONLY files
+        // whose interval intersects the predicate — pruning without a
+        // partition column, which is what saves the scan when the
+        // table is range-ingested (time, ids) but not partitioned by
+        // the query key. Six range-disjoint ingest batches land; a
+        // two-batch range read must (a) skip files — audited, (b)
+        // return exactly what the full-scan filter returns — audited
+        // against the unpruned snapshot, (c) match the oracle's plain
+        // filter over the source table. Files without recorded stats
+        // are conservatively read: skipping is an optimization, never
+        // a correctness gate.
+        val root = graft.streaming.Streams.dataDir("graft_snapstats_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val nB = 6L
+        val w = (maxId + nB) / nB // ceil-ish width; 6 disjoint id ranges
+        (0L until nB).foreach { b =>
+          val slice = ev.filter(col("event_id") >= b * w &&
+            col("event_id") < (b + 1) * w).repartition(2)
+          val files = SnapshotCatalog.writeData(slice, root, s"b$b")
+          SnapshotCatalog.writeColumnStats(root, s"b$b", "event_id", files)
+          SnapshotCatalog.commitRetry(root)(prev => (prev ++ files).distinct.sorted)
+        }
+        val (lo, hi) = (2L * w, 4L * w - 1L)
+        val (prunedDf, nRead, nTotal) =
+          SnapshotCatalog.readSnapshotPruned(spark, root, "event_id", lo, hi)
+        val pruned = prunedDf.filter(col("event_id").between(lo, hi))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("event_type")).as("n_types"),
+            graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+          .head()
+        val full = SnapshotCatalog.readSnapshot(spark, root)
+          .filter(col("event_id").between(lo, hi))
+          .agg(count(lit(1)), countDistinct(col("event_type")),
+            graft.functions.Canon.sumCents(col("value")))
+          .head()
+        spark.range(1).select(
+          lit(pruned.getLong(0)).as("n_rows"),
+          lit(pruned.getLong(1)).as("n_types"),
+          lit(pruned.getLong(2)).as("sum_value_cents"),
+          lit(nRead < nTotal).as("files_skipped"),
+          lit(pruned == full).as("pruned_equals_full"))
+      },
+      Some("""WITH b AS (
+             |  SELECT (max(event_id) + 6) // 6 AS w FROM events)
+             |SELECT count(*) AS n_rows,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS files_skipped,
+             |  TRUE AS pruned_equals_full
+             |FROM events, b
+             |WHERE event_id >= 2 * w AND event_id < 4 * w""".stripMargin),
+      "S-maintenance: file-level min/max skipping — footer-built batch stats prune a range read to intersecting files only"))
 }

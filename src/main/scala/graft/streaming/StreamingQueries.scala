@@ -2200,6 +2200,12 @@ class RunningTotalsProcessor(
 
 /** st37: gap sessionization closed by EVENT-TIME TIMERS — the timer
   * half of the Spark-4 stateful API (st11 exercises the state half).
+  * Reference analogue: the vehicle dashboard infers camera activity
+  * post-hoc by re-polling recent Postgres rows every few seconds
+  * (`projects/vehicle_counting/streamlit/vehicle_counting_app.py:60-78`,
+  * `@st.cache_data(ttl=5)` + ORDER BY frame_number DESC LIMIT 10) —
+  * the engine-side form emits the activity span the moment the
+  * watermark proves it over.
   * Per key the state holds the open session (start, last, n), folded
   * over each batch's rows in event-time order; a row past the gap
   * closes the open session inline (data-closed — the only way st04-

@@ -76,7 +76,9 @@ object PlanAudit {
     "t27_corpus_chain" -> "six-stage corpus chain: per-stage ledger over monotonically shrinking doc sets, stage plans = carriers'",
     "st34_stream_ivm" -> "IVM serve: stored aggregate full-outer-joined with the folded delta store, base never rescanned",
     "st35_stream_cdc_compact" -> "LWW serve: one latestByKey window over the compacted O(keys) snapshot store",
-    "st36_stream_snapshot_publish" -> "snapshot-published stream readback: latest catalog version scan + manifest audits")
+    "st36_stream_snapshot_publish" -> "snapshot-published stream readback: latest catalog version scan + manifest audits",
+    "st38_catalog_change_feed" -> "change-feed consumption: per-version delta reads, audits as literals",
+    "src14_stats_skipping" -> "min/max file skipping: the pruned scan lists ONLY stats-intersecting files")
 
   /** Per-query session confs applied (and restored) around plan capture.
     * q82: InjectRuntimeFilter's size gates are tuned for clusters — at

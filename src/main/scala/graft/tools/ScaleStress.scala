@@ -51,7 +51,8 @@ object ScaleStress {
     "d18_leakage_report", "t25_token_pack", "t26_chunk_overlap",
     "d19_cluster_safe_split", "s22_jl_projection", "s23_hybrid_rrf",
     "src11_manifest_snapshot", "q89_iqr_outliers",
-    "s24_mmr_diversify", "mm11_keyframes", "t27_corpus_chain")
+    "s24_mmr_diversify", "mm11_keyframes", "t27_corpus_chain",
+    "src14_stats_skipping")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the

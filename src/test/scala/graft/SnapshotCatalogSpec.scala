@@ -152,6 +152,37 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(SnapshotCatalog.expire(root, keepLast = 1) == ((0, 0)))
   }
 
+  test("stats skipping prunes disjoint ranges; files without stats are conservatively read") {
+    val root = graft.streaming.Streams.dataDir("graft_snapskip_")
+    val spark2 = spark
+    import spark2.implicits._
+    // b0 [1..50] WITH footer-derived stats; b1 [51..100] WITHOUT
+    val f0 = SnapshotCatalog.writeData((1L to 50L).toDF("id").repartition(2), root, "b0")
+    SnapshotCatalog.writeColumnStats(root, "b0", "id", f0)
+    SnapshotCatalog.commitRetry(root)(prev => (prev ++ f0).distinct.sorted)
+    val f1 = SnapshotCatalog.writeData((51L to 100L).toDF("id").repartition(2), root, "b1")
+    SnapshotCatalog.commitRetry(root)(prev => (prev ++ f1).distinct.sorted)
+
+    // range fully inside b1: b0's files SKIP (their stats exclude it),
+    // b1's are read despite having no stats — never skipped blind
+    val (df, nRead, nTotal) =
+      SnapshotCatalog.readSnapshotPruned(spark, root, "id", 60L, 70L)
+    assert(nTotal == f0.size + f1.size)
+    assert(nRead == f1.size, s"expected only b1's ${f1.size} files, read $nRead")
+    val got = df.filter(col("id").between(60L, 70L))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(got.getLong(0) == 11L && got.getLong(1) == (60L to 70L).sum)
+
+    // range inside b0: its stats ADMIT the intersecting files; b1 is
+    // still read (no stats), so the read set is b1 + b0's overlap
+    val (df2, nRead2, _) =
+      SnapshotCatalog.readSnapshotPruned(spark, root, "id", 1L, 10L)
+    assert(nRead2 > f1.size && nRead2 <= nTotal)
+    val got2 = df2.filter(col("id").between(1L, 10L))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(got2.getLong(0) == 10L && got2.getLong(1) == 55L)
+  }
+
   test("sweepOrphans removes only aged uncommitted batches; young and committed files survive") {
     val root = graft.streaming.Streams.dataDir("graft_snaporphan_")
     val spark2 = spark
