@@ -212,8 +212,15 @@ object DedupQueries extends QueryPack {
     import graft.sources.SnapshotCatalog
     val sh = shingleRelation(docs).persist()
     try {
-      // ONE text pass: bands derive from the persisted shingle relation
-      val batch = "b" + java.util.UUID.randomUUID().toString.take(8)
+      // ONE text pass: bands derive from the persisted shingle relation.
+      // The batch id derives from the INPUT's identity (count + id-hash
+      // fold), not a random UUID: the catalog's replay dedup keys on the
+      // batch name, so a replayed invocation with the same docs must
+      // re-produce the same name or the storage-layer guard never fires
+      // and the batch double-appends.
+      val idSig = docs.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+      val batch = s"b${idSig.getLong(0)}x${java.lang.Long.toHexString(
+        if (idSig.isNullAt(1)) 0L else idSig.getLong(1))}"
       val bands = bandRows(signaturesFromShingles(sh))
       if (mode == "overwrite") {
         SnapshotCatalog.replace(bands, indexDir, batch)
@@ -262,10 +269,14 @@ object DedupQueries extends QueryPack {
     * generation lands as an immutable batch and a manifest referencing
     * ONLY it commits ([[graft.sources.SnapshotCatalog.replace]]); the
     * superseded generation keeps serving in-flight readers and is
-    * GC'd by the trailing [[graft.sources.SnapshotCatalog.expire]]
-    * (keepLast = 2: the new version plus one covering readers that
-    * resolved the old one just before the commit). The directory swap
-    * this replaced had a window with NO table between its renames. */
+    * GC'd by the trailing [[graft.sources.SnapshotCatalog.expire]] —
+    * bounded BOTH ways: keepLast = 2 (the new version plus its
+    * predecessor) and the catalog's vacuum-retention window
+    * ([[graft.sources.SnapshotCatalog.maintenanceRetentionMs]]), so
+    * back-to-back maintenance ops (d17 runs compact then retract in
+    * milliseconds) can never GC a version a concurrent reader resolved
+    * within the window. The directory swap this replaced had a window
+    * with NO table between its renames. */
   private def rewriteSnapshot(spark: org.apache.spark.sql.SparkSession,
                               dir: String)(
                               f: DataFrame => DataFrame): Unit = {
@@ -273,7 +284,8 @@ object DedupQueries extends QueryPack {
     val rewritten = f(SnapshotCatalog.readTableOrDir(spark, dir))
     SnapshotCatalog.replace(rewritten, dir,
       "rw" + java.util.UUID.randomUUID().toString.take(8))
-    SnapshotCatalog.expire(dir, keepLast = 2)
+    SnapshotCatalog.expire(dir, keepLast = 2,
+      minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
     ()
   }
 

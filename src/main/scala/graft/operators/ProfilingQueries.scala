@@ -216,7 +216,10 @@ object ProfilingQueries extends QueryPack {
       compactPartials(SnapshotCatalog.readSnapshot(spark, store), schema)
     SnapshotCatalog.replace(compacted.coalesce(1), store,
       "compact" + java.util.UUID.randomUUID().toString.take(8))
-    SnapshotCatalog.expire(store, keepLast = 2)
+    // retention-bounded: a dashboard that resolved the pre-compaction
+    // version keeps reading it for the full vacuum window
+    SnapshotCatalog.expire(store, keepLast = 2,
+      minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
     ()
   }
 

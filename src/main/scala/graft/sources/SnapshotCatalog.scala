@@ -13,50 +13,76 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under a table root:
   * {{{
-  *   <root>/data/<batch>/part-*.parquet    immutable data files
-  *   <root>/manifests/manifest-v<N>.txt    one absolute file path per line
+  *   <root>/data/<batch>/part-*.parquet     immutable data files
+  *   <root>/manifests/commit-v<N>.txt       PER-COMMIT DELTA: one
+  *                                          "A\t<path>" (added) or
+  *                                          "R\t<path>" (removed) per line
+  *   <root>/manifests/checkpoint-v<N>.txt   full file list at N (one
+  *                                          path per line), written every
+  *                                          [[checkpointEvery]] commits
+  *                                          and at expiry boundaries
   * }}}
   *
-  * The CURRENT version is the highest manifest number present — there
-  * is no mutable `latest` pointer file, so a commit is ONE atomic
-  * publish (tmp manifest → `manifest-v<N>.txt`) and there is no crash
-  * window in which the table has a manifest but no pointer, or a
-  * pointer to a manifest that does not exist yet.
+  * The metadata tier is a DELTA LOG (the Delta-Lake log/checkpoint
+  * split): a commit writes only the files it ADDS or REMOVES — O(delta)
+  * bytes, so a streaming ingest committing one version per micro-batch
+  * (st36's shape) writes O(N·batch) manifest bytes over N batches, not
+  * the O(N²) a full-file-list-per-version manifest costs. A reader
+  * resolves version v from the newest checkpoint ≤ v plus the ≤
+  * [[checkpointEvery]] commit deltas after it — O(table + recent deltas)
+  * once, never O(versions × table). Checkpoints are derived data: a
+  * crash between a commit and its checkpoint only means readers replay
+  * a few more deltas.
+  *
+  * The CURRENT version is the highest commit number present — there is
+  * no mutable `latest` pointer file, so a commit is ONE atomic publish
+  * and there is no crash window in which the table has a manifest but
+  * no pointer, or a pointer to a manifest that does not exist yet.
   *
   * Contract:
   *   - data files are IMMUTABLE once a manifest references them — a new
-  *     version adds new files and a new manifest, never rewrites old
+  *     version adds new files and a new commit delta, never rewrites old
   *     files (so an in-flight reader of v1 is never torn by a v2
   *     commit). [[writeData]] enforces this against at-least-once
-  *     replays: a batch dir any surviving manifest references is never
+  *     replays: a batch dir any surviving version references is never
   *     rewritten — the already-committed file list is returned instead;
   *   - a commit publishes version N exclusively: two racing committers
   *     cannot both land on N. [[commitRetry]] is the optimistic
   *     transaction loop — on collision it re-reads the new latest
-  *     manifest and re-applies its delta at N+1, so concurrent
-  *     appenders both succeed and neither's files are lost;
-  *   - time travel = reading an old manifest, which stays valid until
-  *     an explicit [[expire]], which removes old manifests FIRST and
-  *     only then the data files no surviving manifest references.
+  *     state and re-applies its delta at N+1, so concurrent appenders
+  *     both succeed and neither's files are lost. Exclusivity comes from
+  *     the [[AtomicPublish]] seam below — NOT from a JVM lock — so it
+  *     holds across drivers (two independent jobs racing on one table);
+  *   - time travel = resolving an old version, which stays valid until
+  *     an explicit [[expire]], which first CHECKPOINTS the new oldest
+  *     surviving version (so it stays resolvable once older deltas are
+  *     gone), then removes expired manifests, and only then the data
+  *     files no surviving version references.
   *
   * All filesystem access goes through the Hadoop [[FileSystem]] API
-  * resolved from the active session's configuration: on a local run it
-  * binds to the local FS, on a cluster to HDFS — where `rename` is an
-  * atomic namespace operation, making the exclusive manifest publish a
-  * true compare-and-swap. The local FS's `rename` overwrites an
-  * existing destination (POSIX), so the publish additionally holds a
-  * per-root JVM lock around an existence check — exact for any number
-  * of committers in one driver, and documentation-honest about the
-  * object-store translation (a conditional PUT / If-None-Match, same
-  * reader-visible semantics).
+  * resolved from the active session's configuration. The exclusive
+  * publish is pluggable per filesystem scheme ([[AtomicPublish]]):
+  *   - `file:` → [[LocalLinkPublish]]: hard-link creation (`link(2)`)
+  *     is atomic-exclusive at the kernel level, so two PROCESSES racing
+  *     on a local path cannot both claim a version — the cross-driver
+  *     guarantee a JVM lock around a POSIX rename (which overwrites)
+  *     cannot give;
+  *   - everything else → [[LockedRenamePublish]]: HDFS `rename` is an
+  *     atomic namespace op that FAILS when the destination exists (true
+  *     CAS); the added same-JVM lock only serializes same-driver
+  *     committers on filesystems whose rename overwrites;
+  *   - object stores → [[ConditionalPutPublish]] (create-no-overwrite,
+  *     the conditional-PUT / If-None-Match shape): select it with
+  *     [[withPublisher]] on stores where exclusive create is atomic.
   *
   * At 100 TB this is the shape that makes compaction (src09), partition
   * corrections (src10), streaming appends (st36), and the engine's own
   * mutable stores (the LSH band index, the LWW store, the profile
-  * partial stores) safe under concurrent readers: writers stage
-  * immutable files, then publish a manifest; a reader always resolves
-  * a COMPLETE version — never a half-written directory, and never the
-  * "no table at all" window a rename-based directory swap leaves.
+  * partial stores) safe under concurrent readers AND writers: writers
+  * stage immutable files, then publish an O(delta) commit; a reader
+  * always resolves a COMPLETE version — never a half-written directory,
+  * and never the "no table at all" window a rename-based directory swap
+  * leaves.
   */
 object SnapshotCatalog {
 
@@ -66,20 +92,148 @@ object SnapshotCatalog {
 
   private def fsFor(p: Path): FileSystem = p.getFileSystem(hadoopConf)
 
-  private val ManifestName = """manifest-v(\d+)\.txt""".r
+  private val CommitName = """commit-v(\d+)\.txt""".r
+  private val CheckpointName = """checkpoint-v(\d+)\.txt""".r
+
+  /** Default vacuum-retention window for INLINE maintenance expires
+    * (the `expire(keepLast = 2)` a compaction/retraction runs right
+    * after its commit): back-to-back maintenance ops with a bare
+    * keepLast can GC the version a concurrent reader resolved moments
+    * earlier (compact then retract lands two versions in milliseconds —
+    * keepLast = 2 then covers only the maintenance ops themselves, not
+    * the reader). A version younger than this window is never GC'd, so
+    * a reader gets at least this long to finish a resolved snapshot —
+    * the same contract as Delta's vacuum retention. Dedicated
+    * maintenance jobs may still pass `minAgeMs = 0` explicitly
+    * (src13's census does). */
+  val maintenanceRetentionMs: Long = 600000L
+
+  /** Commits per checkpoint: resolution replays at most this many
+    * deltas past a checkpoint. 8 balances commit-path cost (one
+    * O(table) checkpoint write per 8 O(delta) commits) against read
+    * amplification; Delta's default is 10 commits per checkpoint. */
+  val checkpointEvery: Int = 8
 
   private def manifestDir(root: String) = new Path(s"$root/manifests")
-  private def manifestPath(root: String, v: Int) =
-    new Path(manifestDir(root), s"manifest-v$v.txt")
+  private def commitPath(root: String, v: Int) =
+    new Path(manifestDir(root), s"commit-v$v.txt")
+  private def checkpointPath(root: String, v: Int) =
+    new Path(manifestDir(root), s"checkpoint-v$v.txt")
 
-  /** All committed versions, ascending (empty before the first commit). */
-  def versions(root: String): Seq[Int] = {
+  // ---- the atomic-publish seam ---------------------------------------
+
+  /** Publish `tmp` at `dest` iff `dest` does not exist, atomically with
+    * respect to every other publisher of `dest` — including ones in
+    * OTHER processes. Returns true on the win; the loser's tmp is
+    * cleaned up by the caller. This is the single primitive the
+    * catalog's optimistic concurrency rests on. */
+  trait AtomicPublish {
+    def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean
+  }
+
+  /** Local-filesystem publish via hard-link creation: `link(2)` fails
+    * with EEXIST atomically at the kernel level, so two PROCESSES
+    * racing on the same destination cannot both win — unlike POSIX
+    * `rename`, which silently overwrites (the reason a rename-based
+    * local publish needs a JVM lock and is then only single-driver
+    * exact). The tmp link is removed after the attempt either way. */
+  object LocalLinkPublish extends AtomicPublish {
+    def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dest.toUri.getPath)
+      val won =
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      fs.delete(tmp, false)
+      won
+    }
+  }
+
+  /** Rename-based publish: on HDFS, `rename` is an atomic namespace
+    * operation that fails when the destination exists — a true CAS
+    * across any number of drivers. The exists-check + same-JVM lock
+    * only matter on filesystems whose rename overwrites; there they
+    * serialize committers WITHIN one driver (use [[LocalLinkPublish]]
+    * or [[ConditionalPutPublish]] for cross-process exactness on such
+    * filesystems). */
+  object LockedRenamePublish extends AtomicPublish {
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val lock = locks.computeIfAbsent(dest.toString, _ => new Object)
+      val won = lock.synchronized {
+        !fs.exists(dest) && fs.rename(tmp, dest)
+      }
+      if (!won) fs.delete(tmp, false)
+      won
+    }
+  }
+
+  /** Conditional-PUT-shaped publish: write the destination directly
+    * with `create(dest, overwrite = false)` — on stores where exclusive
+    * create is atomic (HDFS; S3 with If-None-Match; GCS preconditions)
+    * this is the object-store commit protocol (no rename exists there).
+    * Losing the race surfaces as the create failing. */
+  object ConditionalPutPublish extends AtomicPublish {
+    def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val won =
+        try {
+          val in = fs.open(tmp)
+          try {
+            val out = fs.create(dest, false)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+            finally out.close()
+          } finally in.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      fs.delete(tmp, false)
+      won
+    }
+  }
+
+  @volatile private var publisherOverride: Option[AtomicPublish] = None
+
+  /** Run `body` with every catalog publish routed through `p` — the
+    * test seam for exercising an alternative publish protocol (e.g.
+    * [[ConditionalPutPublish]]) without config plumbing. */
+  def withPublisher[T](p: AtomicPublish)(body: => T): T = {
+    val prev = publisherOverride
+    publisherOverride = Some(p)
+    try body finally publisherOverride = prev
+  }
+
+  private def publisherFor(dest: Path): AtomicPublish =
+    publisherOverride.getOrElse {
+      val scheme = Option(dest.toUri.getScheme).getOrElse(
+        fsFor(dest).getScheme)
+      if (scheme == "file" || scheme == null) LocalLinkPublish
+      else LockedRenamePublish
+    }
+
+  private def publishUtf8(fs: FileSystem, dest: Path, content: String): Boolean = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    writeUtf8(fs, tmp, content)
+    publisherFor(dest).publish(fs, tmp, dest)
+  }
+
+  // ---- version listing & resolution ----------------------------------
+
+  private def listManifestNames(root: String): Seq[String] = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) Seq.empty
     else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
-      .collect { case ManifestName(n) => n.toInt }.sorted
   }
+
+  /** All committed versions, ascending (empty before the first commit). */
+  def versions(root: String): Seq[Int] =
+    listManifestNames(root).collect {
+      case CommitName(n)     => n.toInt
+      case CheckpointName(n) => n.toInt
+    }.distinct.sorted
 
   def latestVersionOption(root: String): Option[Int] = versions(root).lastOption
 
@@ -90,14 +244,68 @@ object SnapshotCatalog {
   /** True once the root has at least one committed version. */
   def isTable(root: String): Boolean = latestVersionOption(root).isDefined
 
+  private def checkpointVersions(root: String): Seq[Int] =
+    listManifestNames(root).collect { case CheckpointName(n) => n.toInt }.sorted
+
+  /** The (adds, removes) a commit recorded. Fails when the commit file
+    * is gone (expired) — the caller must resolve from a checkpoint. */
+  private def commitDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
+    val p = commitPath(root, v)
+    val adds = Seq.newBuilder[String]
+    val removes = Seq.newBuilder[String]
+    readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("A\t")) adds += l.substring(2)
+      else if (l.startsWith("R\t")) removes += l.substring(2)
+      else sys.error(s"malformed commit line in $p: $l")
+    }
+    (adds.result(), removes.result())
+  }
+
+  private def commitExists(root: String, v: Int): Boolean = {
+    val p = commitPath(root, v); fsFor(p).exists(p)
+  }
+
+  /** Resolve version `v`'s complete file list: newest checkpoint ≤ v,
+    * plus the commit deltas after it — O(table + ≤checkpointEvery
+    * deltas), independent of how many versions the table has lived. */
   def manifestFiles(root: String, v: Int): Seq[String] = {
-    val p = manifestPath(root, v)
-    readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).toSeq
+    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val base: collection.mutable.LinkedHashSet[String] = cp match {
+      case Some(c) =>
+        val p = checkpointPath(root, c)
+        collection.mutable.LinkedHashSet.from(
+          readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty))
+      case None => collection.mutable.LinkedHashSet.empty
+    }
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (!commitExists(root, cv))
+        sys.error(s"version $v unresolvable: commit $cv expired under $root " +
+          "and no checkpoint covers it")
+      val (adds, removes) = commitDelta(root, cv)
+      removes.foreach(base -= _)
+      adds.foreach(base += _)
+    }
+    base.toSeq.sorted
+  }
+
+  /** Union of every surviving version's file list in ONE resolution:
+    * resolve(vMin) plus every add after it (a file in any version
+    * ≥ vMin either was in vMin's list or was added since). */
+  private def survivingUnion(root: String): Set[String] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Set.empty
+    else {
+      val base = collection.mutable.Set.from(manifestFiles(root, vs.head))
+      ((vs.head + 1) to vs.last).foreach { v =>
+        base ++= commitDelta(root, v)._1
+      }
+      base.toSet
+    }
   }
 
   /** The files a replayed batch already committed (via ANY surviving
-    * manifest — not just the latest: a compaction may have dropped the
-    * batch from the live version while an older manifest still time-
+    * version — not just the latest: a compaction may have dropped the
+    * batch from the live version while an older version still time-
     * travels to it, and rewriting the dir would tear that snapshot). */
   private def committedBatchFiles(root: String, batch: String): Seq[String] = {
     // cheap absence proof first: a manifest can only reference files
@@ -105,33 +313,31 @@ object SnapshotCatalog {
     // never committed (or was expired — and expire removes the
     // manifests referencing it BEFORE its files, so "committed" is
     // false then too). This keeps the COMMON case — a genuinely new
-    // batch — at one existence probe instead of a scan of every
-    // manifest; the full newest-first scan runs only for dirs that do
-    // exist (replays and crash leftovers). Corollary, same as every
-    // table format's vacuum contract: expiry retention must exceed the
+    // batch — at one existence probe; the union scan (ONE checkpoint
+    // resolution + the add-lines of the surviving deltas, never a walk
+    // of every version's full list) runs only for dirs that do exist
+    // (replays and crash leftovers). Corollary, same as every table
+    // format's vacuum contract: expiry retention must exceed the
     // redelivery horizon, or a replayed expired batch re-lands.
     val dir = new Path(s"$root/data/$batch")
     if (!fsFor(dir).exists(dir)) Seq.empty
     else {
       val marker = s"/data/$batch/"
-      versions(root).reverseIterator
-        .map(v => manifestFiles(root, v).filter(_.contains(marker)))
-        .collectFirst { case fsFound if fsFound.nonEmpty => fsFound }
-        .getOrElse(Seq.empty)
+      survivingUnion(root).filter(_.contains(marker)).toSeq.sorted
     }
   }
 
-  /** True when any surviving manifest references the batch's data dir. */
+  /** True when any surviving version references the batch's data dir. */
   def isBatchCommitted(root: String, batch: String): Boolean =
     committedBatchFiles(root, batch).nonEmpty
 
   /** Write `df` as an immutable data batch under the table root;
     * returns the batch's data-file paths (sorted, absolute). If the
-    * batch is already referenced by a surviving manifest (an
+    * batch is already referenced by a surviving version (an
     * at-least-once replay after a crash between commit and checkpoint),
     * the data is NOT rewritten — the committed file list is returned —
     * because committed files are immutable: a rewrite would replace
-    * them with new part names and break every manifest (including time
+    * them with new part names and break every version (including time
     * travel) that lists the old ones. An UNcommitted leftover dir (a
     * crash mid-write, before any manifest referenced it) is rewritten. */
   def writeData(df: DataFrame, root: String, batch: String): Seq[String] = {
@@ -154,7 +360,7 @@ object SnapshotCatalog {
   }
 
   /** Total on-disk bytes of the LIVE snapshot's data files — exactly
-    * the manifest-listed files, so expired/superseded generations don't
+    * the resolved files, so expired/superseded generations don't
     * inflate size-gated decisions (broadcast-vs-join thresholds). */
   def liveDataBytes(root: String): Long =
     latestVersionOption(root).map { v =>
@@ -163,34 +369,39 @@ object SnapshotCatalog {
       }.sum
     }.getOrElse(0L)
 
-  // one commit lock per root: the local FS's rename overwrites an
-  // existing destination (POSIX), so exclusivity inside one JVM needs
-  // the exists-check + rename to be mutually exclusive; on HDFS the
-  // rename itself fails when the destination exists and the lock is
-  // merely redundant serialization of same-driver committers
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  /** Try to publish exactly version `v` with file list `files`.
-    * Returns false (leaving no residue) when `v` is already taken —
-    * the caller's cue to re-read the latest state and retry at the
-    * next version ([[commitRetry]]). The publish is tmp-write + an
-    * exclusive rename, so a reader never observes a partially written
-    * manifest and two committers never both land on `v`. */
-  def tryCommit(root: String, v: Int, files: Seq[String]): Boolean = {
+  /** Try to publish exactly version `v` as a DELTA commit (`adds`
+    * joined, `removes` dropped, relative to v−1). Returns false
+    * (leaving no residue) when `v` is already taken — the caller's cue
+    * to re-read the latest state and retry at the next version
+    * ([[commitRetry]]). The publish is tmp-write + an exclusive
+    * publish ([[AtomicPublish]]), so a reader never observes a
+    * partially written manifest and two committers never both land on
+    * `v` — across threads AND processes. The winner writes a full
+    * checkpoint every [[checkpointEvery]] versions (losing a checkpoint
+    * race, or crashing before it, is harmless — checkpoints are derived
+    * data and readers just replay more deltas). */
+  def tryCommit(root: String, v: Int,
+                adds: Seq[String], removes: Seq[String]): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val tmp = new Path(mdir,
-      s".manifest-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    writeUtf8(fs, tmp, files.mkString("\n") + "\n")
-    val fin = manifestPath(root, v)
-    val lock = commitLocks.computeIfAbsent(root, _ => new Object)
-    val won = lock.synchronized {
-      !fs.exists(fin) && fs.rename(tmp, fin)
-    }
-    if (!won) fs.delete(tmp, false)
+    val body = (removes.map("R\t" + _) ++ adds.map("A\t" + _))
+      .mkString("\n") + "\n"
+    val won = publishUtf8(fs, commitPath(root, v), body)
+    if (won && v % checkpointEvery == 0) writeCheckpoint(root, v)
     won
+  }
+
+  /** Write the full-file-list checkpoint for `v` (idempotent; losing a
+    * publish race to an identical checkpoint is a no-op). */
+  private def writeCheckpoint(root: String, v: Int): Unit = {
+    val dest = checkpointPath(root, v)
+    val fs = fsFor(dest)
+    if (!fs.exists(dest)) {
+      val files = manifestFiles(root, v)
+      publishUtf8(fs, dest, files.mkString("\n") + "\n")
+      ()
+    }
   }
 
   /** Commit `files` as the complete next snapshot, CAS-retrying past
@@ -203,38 +414,69 @@ object SnapshotCatalog {
     commitRetry(root)(_ => files)
 
   /** The optimistic transaction loop: compute the next snapshot's file
-    * list FROM the current latest (`delta(prevFiles)`), publish it
-    * exclusively at latest+1, and on collision re-read the new latest
-    * and re-apply the delta — so concurrent appenders serialize without
-    * losing each other's files. Returns the committed version. */
+    * list FROM the current latest (`delta(prevFiles)`), publish the
+    * O(changed-files) difference exclusively at latest+1, and on
+    * collision re-read the new latest and re-apply the delta — so
+    * concurrent appenders serialize without losing each other's files.
+    * Returns the committed version. */
   def commitRetry(root: String, maxAttempts: Int = 100)(
       delta: Seq[String] => Seq[String]): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val pv = latestVersionOption(root).getOrElse(0)
       val prev = if (pv == 0) Seq.empty else manifestFiles(root, pv)
-      if (tryCommit(root, pv + 1, delta(prev))) return pv + 1
+      val next = delta(prev).distinct.sorted
+      val prevSet = prev.toSet
+      val nextSet = next.toSet
+      if (tryCommit(root, pv + 1,
+            adds = next.filterNot(prevSet),
+            removes = prev.filterNot(nextSet))) return pv + 1
       attempt += 1
     }
     sys.error(s"commit on $root lost $maxAttempts consecutive CAS races")
   }
 
+  /** Append-only fast path: commit `files` as pure adds WITHOUT
+    * resolving the previous version at all — the per-micro-batch commit
+    * cost of a streaming ingest is O(batch files) in bytes written AND
+    * in metadata read (one version listing per attempt), flat in table
+    * size. Sound only because the files live in a fresh batch dir, so
+    * they are disjoint from every prior version by construction. */
+  private def commitAppend(root: String, files: Seq[String],
+                           maxAttempts: Int = 100): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val pv = latestVersionOption(root).getOrElse(0)
+      if (tryCommit(root, pv + 1, adds = files.distinct.sorted,
+            removes = Seq.empty)) return pv + 1
+      attempt += 1
+    }
+    sys.error(s"append on $root lost $maxAttempts consecutive CAS races")
+  }
+
   /** Append `df` as a new batch: its files join the previous snapshot's
-    * (set union — file-level reuse). Replay-idempotent: a batch name a
-    * surviving manifest already references commits nothing and returns
-    * the current latest version. Returns the (possibly new) version. */
-  def append(df: DataFrame, root: String, batch: String): Int = {
+    * (file-level reuse; the commit records ONLY the new files).
+    * Replay-idempotent: a batch name a surviving version already
+    * references commits nothing and returns the current latest version.
+    * Records file-level min/max stats for every supported column
+    * ([[autoColumnStats]]) unless `recordStats` is false. Returns the
+    * (possibly new) version. */
+  def append(df: DataFrame, root: String, batch: String,
+             recordStats: Boolean = true): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
       val files = writeData(df, root, batch)
-      commitRetry(root)(prev => (prev ++ files).distinct.sorted)
+      if (recordStats) autoColumnStats(root, batch, files)
+      commitAppend(root, files)
     }
   }
 
   /** Replace the table's LIVE content with `df` (compaction, retraction,
     * fold-rewrite): the new version references ONLY the new batch's
-    * files; prior versions keep time-traveling to the old files until
-    * [[expire]]. Replay-idempotent like [[append]]. Returns the version. */
+    * files (the commit removes every previous file and adds the new
+    * generation's — O(live files), inherent to a rewrite); prior
+    * versions keep time-traveling to the old files until [[expire]].
+    * Replay-idempotent like [[append]]. Returns the version. */
   def replace(df: DataFrame, root: String, batch: String): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
@@ -244,31 +486,60 @@ object SnapshotCatalog {
   }
 
   /** Snapshot expiry / GC — the maintenance job every table format
-    * ships separately. Keeps the newest `keepLast` versions (covering
-    * in-flight readers of recent snapshots) and removes, IN THIS ORDER:
-    * (1) the expired manifests — after which no new reader can resolve
-    * those versions; (2) the data files referenced by no surviving
-    * manifest; (3) batch dirs left empty. A crash between (1) and (2)
-    * leaves only unreferenced-but-present files — re-running expire
-    * collects them; the reverse order would leave surviving manifests
-    * pointing at deleted files. Returns
-    * (expired manifest count, deleted data file count). */
-  def expire(root: String, keepLast: Int): (Int, Int) = {
+    * ships separately. Keeps the newest `keepLast` versions AND every
+    * version younger than `minAgeMs` (the vacuum-retention window: an
+    * in-flight reader that resolved a version just before a rewrite
+    * committed must get to finish — back-to-back maintenance ops with
+    * a bare keepLast could GC the version it is reading). Removal
+    * order: (1) checkpoint the new oldest surviving version, so it
+    * stays resolvable once older deltas are gone; (2) delete the
+    * expired manifests — after which no new reader can resolve those
+    * versions; (3) delete the data files referenced by no surviving
+    * version; (4) remove batch dirs left empty. A crash between (2)
+    * and (3) leaves only unreferenced-but-present files — re-running
+    * expire (or [[sweepOrphans]]) collects them; the reverse order
+    * would leave surviving versions pointing at deleted files. Returns
+    * (expired version count, deleted data file count). */
+  def expire(root: String, keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(root)
-    val drop = vs.dropRight(keepLast)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(v: Int): Boolean = minAgeMs <= 0L || {
+      val p = commitPath(root, v)
+      val fs = fsFor(p)
+      !fs.exists(p) || fs.getFileStatus(p).getModificationTime < cutoff
+    }
+    // droppable versions form a PREFIX: a version cannot expire while
+    // an older one survives (resolution folds forward from a checkpoint)
+    val drop = vs.dropRight(keepLast).takeWhile(oldEnough)
     if (drop.isEmpty) (0, 0)
     else {
-      val keep = vs.takeRight(keepLast)
-      val live = keep.flatMap(manifestFiles(root, _)).toSet
-      val dead = drop.flatMap(manifestFiles(root, _)).toSet -- live
-      drop.foreach { v =>
-        val p = manifestPath(root, v); fsFor(p).delete(p, false)
+      val keep = vs.drop(drop.size)
+      val vMin = keep.head
+      // union over DROPPED versions − union over KEPT versions
+      val keptLive = {
+        val base = collection.mutable.Set.from(manifestFiles(root, vMin))
+        ((vMin + 1) to keep.last).foreach(v => base ++= commitDelta(root, v)._1)
+        base.toSet
       }
+      val droppedUnion = {
+        val base = collection.mutable.Set.from(manifestFiles(root, vs.head))
+        ((vs.head + 1) to drop.last).foreach(v => base ++= commitDelta(root, v)._1)
+        base.toSet
+      }
+      val dead = droppedUnion -- keptLive
+      // (1) the new floor must survive its deltas' deletion
+      writeCheckpoint(root, vMin)
+      // (2) expired manifests first — no new reader resolves them after this
+      drop.foreach { v =>
+        val c = commitPath(root, v); fsFor(c).delete(c, false)
+        val k = checkpointPath(root, v); fsFor(k).delete(k, false)
+      }
+      // (3) then the data no surviving version references
       dead.foreach { f =>
         val p = new Path(f); fsFor(p).delete(p, false)
       }
-      // sweep batch dirs the GC emptied
+      // (4) sweep batch dirs the GC emptied
       dead.map(f => new Path(f).getParent).foreach { d =>
         val fs = fsFor(d)
         if (fs.exists(d) && fs.listStatus(d).forall(s =>
@@ -281,23 +552,25 @@ object SnapshotCatalog {
 
   /** Orphan sweep — the second half of GC: a writer that crashed
     * between [[writeData]] and its commit leaves a batch dir no
-    * manifest ever referenced, which [[expire]] (which reasons only
-    * over manifests) never touches. Deletes files under `data/` that
-    * (a) appear in NO surviving manifest and (b) are older than
-    * `graceMs` — the grace window is what makes this safe to run
-    * beside live writers: an in-flight batch's files are young, so the
-    * sweep cannot GC a batch that is about to be committed. Returns
-    * the number of files removed. Run it with `graceMs` comfortably
-    * above the longest write-to-commit latency (table formats ship
-    * the same knob as e.g. `remove-orphan-files` / vacuum retention). */
+    * version ever referenced, which [[expire]] (which reasons only
+    * over manifests) never touches; a crash between a tmp manifest
+    * write and its publish strands a `.tmp` file in `manifests/`.
+    * Deletes files under `data/` that (a) appear in NO surviving
+    * version and (b) are older than `graceMs`, plus aged `.tmp`
+    * manifest litter — the grace window is what makes this safe to run
+    * beside live writers: an in-flight batch's files (and an in-flight
+    * commit's tmp manifest) are young, so the sweep cannot GC a batch
+    * that is about to be committed. Returns the number of files
+    * removed. Run it with `graceMs` comfortably above the longest
+    * write-to-commit latency (table formats ship the same knob as e.g.
+    * `remove-orphan-files` / vacuum retention). */
   def sweepOrphans(root: String, graceMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
     val dataDir = new Path(s"$root/data")
     val fs = fsFor(dataDir)
-    if (!fs.exists(dataDir)) 0
-    else {
-      val referenced = versions(root).flatMap(manifestFiles(root, _)).toSet
-      val cutoff = System.currentTimeMillis() - graceMs
-      var removed = 0
+    if (fs.exists(dataDir)) {
+      val referenced = survivingUnion(root)
       fs.listStatus(dataDir).filter(_.isDirectory).foreach { batch =>
         val dataFiles = fs.listStatus(batch.getPath).filter(s =>
           s.isFile && s.getPath.getName.startsWith("part-") &&
@@ -311,11 +584,21 @@ object SnapshotCatalog {
         if (orphans.nonEmpty && orphans.length == dataFiles.length)
           fs.delete(batch.getPath, true)
       }
-      removed
     }
+    // manifest-tmp litter: a crash between tmp write and publish leaves
+    // a .tmp that no later step ever reasons over
+    val mdir = manifestDir(root)
+    val mfs = fsFor(mdir)
+    if (mfs.exists(mdir)) {
+      mfs.listStatus(mdir).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime < cutoff)
+        .foreach { s => mfs.delete(s.getPath, false); removed += 1 }
+    }
+    removed
   }
 
-  /** Read a snapshot: exactly the files its manifest lists (the
+  /** Read a snapshot: exactly the files its version resolves to (the
     * highest committed version when none is given). */
   def readSnapshot(spark: SparkSession, root: String,
                    version: Option[Int] = None): DataFrame = {
@@ -323,21 +606,44 @@ object SnapshotCatalog {
     spark.read.parquet(manifestFiles(root, v): _*)
   }
 
-  /** The files version `toV` ADDED over `fromV` (None = since the
-    * beginning) — the append-only CHANGE FEED primitive: because data
-    * files are immutable and an append commit only ever unions new
-    * files in, the rows added between two versions are exactly the
+  /** The files version `toV` ADDED over `fromV` (None = a bootstrap
+    * read of toV's full list) — the append-only CHANGE FEED primitive:
+    * because data files are immutable and an append commit only ever
+    * adds files, the rows added between two versions are exactly the
     * rows of the added files, and a downstream consumer can process a
     * live table incrementally at O(delta) per poll instead of
-    * re-reading O(table). NOT meaningful across a [[replace]] commit
-    * (compaction/retraction rewrites files without adding rows) — a
-    * consumer that must survive those needs a row-level changelog
-    * (the q75 CDC tier), which is why table formats publish
-    * "append-only" as a readable table property. */
-  def addedFiles(root: String, fromV: Option[Int], toV: Int): Seq[String] = {
-    val prev = fromV.map(manifestFiles(root, _).toSet).getOrElse(Set.empty)
-    manifestFiles(root, toV).filterNot(prev)
-  }
+    * re-reading O(table). The delta log makes the poll itself O(delta):
+    * the commit files BETWEEN the versions are read, never a full
+    * resolution of either endpoint.
+    *
+    * FAILS LOUDLY across a [[replace]] commit: a compaction/retraction
+    * rewrites surviving rows into new files, so treating its adds as
+    * new rows would double-count every row it carried over — the
+    * IllegalStateException tells the consumer to fall back to a
+    * snapshot re-read (or a row-level changelog, the q75 CDC tier),
+    * instead of silently serving a wrong count. Also fails when the
+    * interval's commits have been expired (the poll horizon must stay
+    * inside the retention window — the Delta/Iceberg streaming-source
+    * contract). */
+  def addedFiles(root: String, fromV: Option[Int], toV: Int): Seq[String] =
+    fromV match {
+      case None => manifestFiles(root, toV)
+      case Some(f) =>
+        ((f + 1) to toV).flatMap { v =>
+          if (!commitExists(root, v))
+            throw new IllegalStateException(
+              s"change feed $f->$toV on $root: commit $v expired — poll " +
+                "horizon exceeded retention; re-read the snapshot")
+          val (adds, removes) = commitDelta(root, v)
+          if (removes.nonEmpty)
+            throw new IllegalStateException(
+              s"change feed $f->$toV on $root crossed a replace/compaction " +
+                s"at version $v (${removes.size} files rewritten): added " +
+                "files would double-count surviving rows — re-read the " +
+                "snapshot (or consume a row-level changelog) instead")
+          adds
+        }
+    }
 
   /** Read `dir` as a catalog table when it has a committed manifest,
     * else as a plain parquet directory — the read seam that lets
@@ -351,44 +657,146 @@ object SnapshotCatalog {
   private def statsPath(root: String, batch: String, col: String) =
     new Path(s"$root/data/$batch/_stats_$col.txt")
 
-  /** Record per-file [min, max] of a long column for an already-staged
-    * batch, read from the PARQUET FOOTERS — zero data scan; the same
-    * numbers the writer already paid for. Stored as a per-batch sidecar
-    * (`_stats_<col>.txt`, one `path \t min \t max` line per file), the
-    * manifest-stats idea at batch granularity: a pruned read consults
-    * one small sidecar per batch instead of one footer per data file.
-    * Files whose footer lacks stats for the column are omitted — the
-    * pruned read keeps them (skipping is an optimization, never a
-    * correctness gate). */
-  def writeColumnStats(root: String, batch: String, col: String,
-                       files: Seq[String]): Unit = {
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** One footer pass over `files`, returning per-file (col → (kind,
+    * min, max)) for every column whose parquet statistics the skipping
+    * tier understands: INT64/INT32 (and therefore TIMESTAMP — Spark
+    * writes TIMESTAMP_MICROS, whose stats are the epoch-micros longs)
+    * as kind `long`; BINARY/UTF8 as kind `string`. Columns whose
+    * footer lacks stats are omitted — skipping is an optimization,
+    * never a correctness gate. */
+  private def footerStats(files: Seq[String])
+      : Seq[(String, Map[String, (String, String, String)])] = {
     val conf = hadoopConf
-    val lines = files.flatMap { f =>
+    files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(f), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        val perBlock = reader.getFooter.getBlocks.asScala.flatMap { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == col)
-            .flatMap { c =>
-              val st = c.getStatistics
-              if (st == null || !st.hasNonNullValue) None
-              else (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue(), mx.longValue()))
-                case _ => None
+        val perCol = collection.mutable.Map
+          .empty[String, (String, String, String)]
+        reader.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val st = c.getStatistics
+            if (st != null && st.hasNonNullValue) {
+              val name = c.getPath.toDotString
+              val kv: Option[(String, String, String)] =
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some(("long", mn.toString, mx.toString))
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some(("long", mn.toString, mx.toString))
+                  case (mn: org.apache.parquet.io.api.Binary,
+                        mx: org.apache.parquet.io.api.Binary)
+                      if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                        org.apache.parquet.schema.LogicalTypeAnnotation
+                          .stringType() =>
+                    Some(("string", b64(mn.toStringUsingUTF8),
+                      b64(mx.toStringUsingUTF8)))
+                  case _ => None
+                }
+              kv.foreach { case (kind, mn, mx) =>
+                perCol.get(name) match {
+                  case None => perCol(name) = (kind, mn, mx)
+                  case Some((k0, mn0, mx0)) if k0 == kind =>
+                    val (lo, hi) =
+                      if (kind == "long")
+                        (math.min(mn0.toLong, mn.toLong).toString,
+                         math.max(mx0.toLong, mx.toLong).toString)
+                      else {
+                        val (a, b) = (unb64(mn0), unb64(mn))
+                        val (c2, d) = (unb64(mx0), unb64(mx))
+                        (b64(if (a <= b) a else b),
+                         b64(if (c2 >= d) c2 else d))
+                      }
+                    perCol(name) = (kind, lo, hi)
+                  case _ => // kind flipped across row groups: drop stats
+                    perCol.remove(name)
+                    ()
+                }
               }
             }
+          }
         }
-        if (perBlock.isEmpty) None
-        else Some(s"$f\t${perBlock.map(_._1).min}\t${perBlock.map(_._2).max}")
+        f -> perCol.toMap
       } finally reader.close()
     }
-    val p = statsPath(root, batch, col)
-    writeUtf8(fsFor(p), p, lines.mkString("\n") + "\n")
   }
+
+  /** Write the per-batch stats sidecars (`_stats_<col>.txt`, one
+    * `path \t kind \t min \t max` line per file; string bounds
+    * base64-coded so the separator stays unambiguous) for EVERY
+    * supported column in one footer pass — zero data scan; the same
+    * numbers the writer already paid for. Sidecars are tmp-written and
+    * renamed so a crash mid-write never leaves a truncated sidecar a
+    * pruned read would trip over. */
+  def autoColumnStats(root: String, batch: String, files: Seq[String]): Unit = {
+    val stats = footerStats(files)
+    val cols = stats.flatMap(_._2.keys).distinct
+    cols.foreach { colName =>
+      val lines = stats.flatMap { case (f, m) =>
+        m.get(colName).map { case (kind, mn, mx) => s"$f\t$kind\t$mn\t$mx" }
+      }
+      if (lines.nonEmpty) {
+        val p = statsPath(root, batch, colName)
+        val fs = fsFor(p)
+        val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+        writeUtf8(fs, tmp, lines.mkString("\n") + "\n")
+        fs.rename(tmp, p)
+        ()
+      }
+    }
+  }
+
+  /** Record per-file [min, max] of ONE column for an already-staged
+    * batch (the single-column form of [[autoColumnStats]]). */
+  def writeColumnStats(root: String, batch: String, col: String,
+                       files: Seq[String]): Unit = {
+    val lines = footerStats(files).flatMap { case (f, m) =>
+      m.get(col).map { case (kind, mn, mx) => s"$f\t$kind\t$mn\t$mx" }
+    }
+    val p = statsPath(root, batch, col)
+    val fs = fsFor(p)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    writeUtf8(fs, tmp, lines.mkString("\n") + "\n")
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** Per-file recorded (kind, min, max) for `col` across a snapshot's
+    * batches. Malformed or truncated sidecar lines are SKIPPED (the
+    * file reads as stats-less, i.e. conservatively kept) — a stats
+    * sidecar must never turn a skipping optimization into a read
+    * failure. */
+  private def snapshotStats(root: String, files: Seq[String], col: String)
+      : Map[String, (String, String, String)] =
+    files.map(f => new Path(f).getParent.getName).distinct
+      .flatMap { batch =>
+        val p = statsPath(root, batch, col)
+        val fs = fsFor(p)
+        if (!fs.exists(p)) Seq.empty
+        else try {
+          readUtf8(fs, p).linesIterator.filter(_.nonEmpty).flatMap { l =>
+            l.split("\t") match {
+              case Array(path, kind, mn, mx) => Some(path -> (kind, mn, mx))
+              // legacy 3-field (pre-typed) sidecar: long min/max
+              case Array(path, mn, mx)
+                  if mn.forall(c => c.isDigit || c == '-') =>
+                Some(path -> ("long", mn, mx))
+              case _ => None // torn/corrupt line: conservatively stats-less
+            }
+          }.toSeq
+        } catch {
+          // an unreadable sidecar (torn write, checksum mismatch) makes
+          // its batch stats-less — conservatively read, never a failure
+          case _: java.io.IOException => Seq.empty
+        }
+      }.toMap
 
   /** Read a snapshot restricted to files whose recorded [min, max] for
     * `col` intersects [lo, hi] — file skipping from batch-sidecar stats,
@@ -401,26 +809,50 @@ object SnapshotCatalog {
                          version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(root))
     val files = manifestFiles(root, v)
-    val stats: Map[String, (Long, Long)] = files
-      .map(f => new Path(f).getParent.getName).distinct
-      .flatMap { batch =>
-        val p = statsPath(root, batch, col)
-        val fs = fsFor(p)
-        if (!fs.exists(p)) Seq.empty
-        else readUtf8(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
-          val Array(path, mn, mx) = l.split("\t")
-          path -> (mn.toLong, mx.toLong)
-        }.toSeq
-      }.toMap
+    val stats = snapshotStats(root, files, col)
     val kept = files.filter { f =>
       stats.get(f) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true // no stats -> never skip
+        case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
+        case _                      => true // no/other-kind stats -> never skip
       }
     }
     val df =
-      if (kept.isEmpty)
-        readSnapshot(spark, root, Some(v)).limit(0) // schema-stable empty
+      if (kept.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(kept: _*)
+    (df, kept.size, files.size)
+  }
+
+  /** [[readSnapshotPruned]] over a TIMESTAMP range: parquet stores
+    * Spark timestamps as INT64 epoch micros (TIMESTAMP_MICROS), so the
+    * recorded long stats ARE the time bounds — the range key the
+    * reference's dashboards actually filter on
+    * (`fire_detection_app.py:99` prunes the last N minutes). */
+  def readSnapshotPrunedTs(spark: SparkSession, root: String, col: String,
+                           lo: java.sql.Timestamp, hi: java.sql.Timestamp,
+                           version: Option[Int] = None): (DataFrame, Int, Int) = {
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    readSnapshotPruned(spark, root, col, micros(lo), micros(hi), version)
+  }
+
+  /** [[readSnapshotPruned]] over a STRING range (lexicographic):
+    * parquet UTF8 stats order bytewise, which matches Java string
+    * ordering for the ASCII keys (dates-as-strings, categories, ids)
+    * range layouts cluster by. */
+  def readSnapshotPrunedStr(spark: SparkSession, root: String, col: String,
+                            lo: String, hi: String,
+                            version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(root))
+    val files = manifestFiles(root, v)
+    val stats = snapshotStats(root, files, col)
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case Some(("string", mn, mx)) => unb64(mx) >= lo && unb64(mn) <= hi
+        case _                        => true
+      }
+    }
+    val df =
+      if (kept.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
       else spark.read.parquet(kept: _*)
     (df, kept.size, files.size)
   }

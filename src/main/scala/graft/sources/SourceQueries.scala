@@ -687,5 +687,76 @@ object SourceQueries extends QueryPack {
              |  TRUE AS pruned_equals_full
              |FROM events, b
              |WHERE event_id >= 2 * w AND event_id < 4 * w""".stripMargin),
-      "S-maintenance: file-level min/max skipping — footer-built batch stats prune a range read to intersecting files only"))
+      "S-maintenance: file-level min/max skipping — footer-built batch stats prune a range read to intersecting files only"),
+
+    GraftQuery(
+      "src15_ts_stats_skipping",
+      (spark, dir) => {
+        // TIMESTAMP-RANGE FILE SKIPPING — src14's skip column is a
+        // LONG id; the range key real tables are ingested on is TIME
+        // (the reference's dashboards prune "the last N minutes":
+        // `fire_detection_app.py:99`), so the stats tier must prune a
+        // TIMESTAMP predicate too. Parquet stores Spark timestamps as
+        // INT64 epoch micros (TIMESTAMP_MICROS), so the footer stats
+        // ARE the time bounds; [[SnapshotCatalog.append]] auto-records
+        // them for every supported column in one footer pass — no
+        // caller opt-in, which is what makes a time-range read over a
+        // stream-ingested table (st36's shape) prune for free. Six
+        // time-disjoint ingest batches land through plain `append`; a
+        // two-slice range read must (a) skip files — audited, (b)
+        // return exactly what the full-scan filter returns — audited,
+        // (c) match the oracle's plain time filter.
+        val root = graft.streaming.Streams.dataDir("graft_snapstats_ts_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val mm = ev.agg(min(unix_timestamp(col("ts"))),
+          max(unix_timestamp(col("ts")))).head()
+        val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+        val nB = 6L
+        val w = (t1 - t0 + nB) / nB // ceil-ish width; 6 disjoint slices
+        (0L until nB).foreach { b =>
+          val slice = ev.filter(unix_timestamp(col("ts")) >= t0 + b * w &&
+            unix_timestamp(col("ts")) < t0 + (b + 1) * w).repartition(2)
+          SnapshotCatalog.append(slice, root, s"b$b") // stats auto-recorded
+        }
+        val (loSec, hiSecExcl) = (t0 + 2L * w, t0 + 4L * w)
+        val lo = new java.sql.Timestamp(loSec * 1000L)
+        val hiIncl = new java.sql.Timestamp(hiSecExcl * 1000L)
+        // prune on the CLOSED superset [lo, hiExcl] (conservative —
+        // boundary files are kept), filter rows half-open like the slices
+        val (prunedDf, nRead, nTotal) =
+          SnapshotCatalog.readSnapshotPrunedTs(spark, root, "ts", lo, hiIncl)
+        def rangeFilter(d: org.apache.spark.sql.DataFrame) =
+          d.filter(unix_timestamp(col("ts")) >= loSec &&
+            unix_timestamp(col("ts")) < hiSecExcl)
+        val pruned = rangeFilter(prunedDf)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("event_type")).as("n_types"),
+            graft.functions.Canon.sumCents(col("value")).as("sum_value_cents"))
+          .head()
+        val full = rangeFilter(SnapshotCatalog.readSnapshot(spark, root))
+          .agg(count(lit(1)), countDistinct(col("event_type")),
+            graft.functions.Canon.sumCents(col("value")))
+          .head()
+        spark.range(1).select(
+          lit(pruned.getLong(0)).as("n_rows"),
+          lit(pruned.getLong(1)).as("n_types"),
+          lit(pruned.getLong(2)).as("sum_value_cents"),
+          lit(nRead < nTotal).as("files_skipped"),
+          lit(pruned == full).as("pruned_equals_full"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             |    (CAST(floor(epoch(max(ts))) AS BIGINT)
+             |     - CAST(floor(epoch(min(ts))) AS BIGINT) + 6) // 6 AS w
+             |  FROM events)
+             |SELECT count(*) AS n_rows,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS files_skipped,
+             |  TRUE AS pruned_equals_full
+             |FROM events, b
+             |WHERE CAST(floor(epoch(ts)) AS BIGINT) >= t0 + 2 * w
+             |  AND CAST(floor(epoch(ts)) AS BIGINT) < t0 + 4 * w""".stripMargin),
+      "S-maintenance: TIMESTAMP-range file skipping — auto-recorded footer time bounds prune a time-range read"))
 }

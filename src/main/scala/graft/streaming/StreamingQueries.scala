@@ -277,8 +277,15 @@ object StreamingQueries extends QueryPack {
     val arrs = signed.select(col("doc_id").as("ex_id"), col("shs").as("ex_shs"))
     // snapshot commits, not mode(...) writes: a gate draining while the
     // index-update job lands resolves a complete pre- or post-update
-    // version — never a torn directory
-    val batch = "b" + java.util.UUID.randomUUID().toString.take(8)
+    // version — never a torn directory. The batch id derives from the
+    // admitted set's identity (count + id-hash XOR fold) so a REPLAYED
+    // invocation re-produces the same name and the catalog's batch-id
+    // replay dedup actually fires — a random UUID would double-append
+    // exactly like the mode(append) write this replaced.
+    val idSig = admitted.agg(count(lit(1)),
+      bit_xor(xxhash64(col("doc_id")))).head()
+    val batch = s"b${idSig.getLong(0)}x${java.lang.Long.toHexString(
+      if (idSig.isNullAt(1)) 0L else idSig.getLong(1))}"
     if (mode == "overwrite") {
       SnapshotCatalog.replace(bands, indexDir, batch)
       SnapshotCatalog.replace(arrs, arrDir, batch)
@@ -2014,17 +2021,21 @@ object StreamingQueries extends QueryPack {
       (spark, dir) => {
         // EVENT-TIME TIMERS + STATE EVICTION — the timer half of the
         // Spark-4 StatefulProcessor API ([[GapSessionProcessor]]): gap
-        // sessionization where a session CLOSES either when a same-key
-        // row arrives past the gap (data-closed) or when the WATERMARK
-        // passes its deadline and the registered timer fires — emitting
-        // the session and CLEARING the key's state, so the store holds
-        // only OPEN sessions at every instant (q60's batch kernel
-        // rescans the table; st13's dropDuplicates state holds every
-        // key seen). The deterministic output contract: every
-        // non-final session per user is data-closed; a user's final
-        // session emits iff its deadline ≤ the final watermark
-        // (max ts − delay) — exactly what the oracle replays from the
-        // q60 kernel over seconds-truncated event time.
+        // sessionization with WATERMARK-PROVEN emission (Spark's own
+        // session-window merge semantics): rows merge into the key's
+        // buffered session set under full gap-merge — a late row
+        // within the watermark delay can lower session_start, bridge
+        // two buffered sessions, or open an earlier one, in ANY
+        // cross-batch arrival order — and a session emits only when
+        // the watermark passes its deadline and the registered timer
+        // fires, CLEARING the state once no session remains. The store
+        // holds only watermark-pending sessions at every instant
+        // (q60's batch kernel rescans the table; st13's dropDuplicates
+        // state holds every key seen). The deterministic output
+        // contract: a session emits iff its deadline ≤ the final
+        // watermark (max ts − delay) — exactly what the oracle replays
+        // from the q60 kernel over seconds-truncated event time,
+        // independent of how the files were staged into batches.
         val spark2 = spark
         import spark2.implicits._
         Streams.withStateStoreProvider(spark,
@@ -2065,9 +2076,8 @@ object StreamingQueries extends QueryPack {
              |wm AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS w FROM events)
              |SELECT user_id, session_start, session_end, n_events
              |FROM sess, wm
-             |WHERE seq < (SELECT max(seq) FROM sess s2 WHERE s2.user_id = sess.user_id)
-             |   OR session_end + 1800 <= w""".stripMargin),
-      "T5/T7: event-time timers — sessions close by gap or by watermark-fired timer, state holds only open sessions"),
+             |WHERE session_end + 1800 <= w""".stripMargin),
+      "T5/T7: event-time timers — watermark-proven session merge, state holds only pending sessions"),
 
     GraftQuery(
       "st38_catalog_change_feed",
@@ -2161,7 +2171,11 @@ object StreamingQueries extends QueryPack {
       .withColumn("__bid", lit(maxBid))
     SnapshotCatalog.replace(folded, store,
       "compact" + java.util.UUID.randomUUID().toString.take(8))
-    SnapshotCatalog.expire(store, keepLast = 2)
+    // retention-bounded (not bare keepLast): a reader that resolved the
+    // pre-fold version keeps reading it for the full vacuum window even
+    // when several maintenance commits land back-to-back
+    SnapshotCatalog.expire(store, keepLast = 2,
+      minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
     ()
   }
 }
@@ -2198,6 +2212,11 @@ class RunningTotalsProcessor(
   }
 }
 
+/** The per-key state of [[GapSessionProcessor]]: every session the
+  * watermark has not yet proven closed, ascending by start. A wrapper
+  * case class because the typed state handle needs a Product encoder. */
+case class OpenSessions(s: Seq[(Long, Long, Long)]) // (start, last, n)
+
 /** st37: gap sessionization closed by EVENT-TIME TIMERS — the timer
   * half of the Spark-4 stateful API (st11 exercises the state half).
   * Reference analogue: the vehicle dashboard infers camera activity
@@ -2206,31 +2225,64 @@ class RunningTotalsProcessor(
   * `@st.cache_data(ttl=5)` + ORDER BY frame_number DESC LIMIT 10) —
   * the engine-side form emits the activity span the moment the
   * watermark proves it over.
-  * Per key the state holds the open session (start, last, n), folded
-  * over each batch's rows in event-time order; a row past the gap
-  * closes the open session inline (data-closed — the only way st04-
-  * style processors can ever emit). The TIMER is what the batch world
-  * has no analogue for: every update re-arms one timer at
-  * last + gap, and when the WATERMARK passes it, [[handleExpiredTimer]]
-  * emits the session and CLEARS the state — the key's state lives
-  * exactly as long as its session can still grow, so an idle key costs
-  * nothing even though the keyspace never stops growing (the q60
-  * batch kernel re-scans everything; this holds O(open sessions)).
+  *
+  * Emission is WATERMARK-PROVEN, mirroring Spark's own session-window
+  * merge semantics: per key the state holds EVERY session the
+  * watermark has not yet passed (sorted by start), each batch's rows
+  * merge into that set with full gap-merge semantics — a late row
+  * (within the watermark delay, any arrival order across batches) can
+  * extend a session's start DOWNWARD, bridge two buffered sessions
+  * into one, or open a new session before an existing one — and a
+  * session is emitted only once `last + gap ≤ watermark`, when no
+  * in-watermark row can still change it. (The previous data-closed
+  * eager emission assumed in-order-per-key arrival across
+  * micro-batches: a late row could neither lower session_start nor
+  * re-join an already-emitted session, so output diverged from the
+  * batch oracle under cross-batch disorder.) Emitted = final — the
+  * append-mode contract; a row later than the watermark delay is the
+  * source's contract violation, not this operator's.
+  *
+  * The TIMER is what the batch world has no analogue for: each batch
+  * re-arms ONE timer per key at the earliest buffered deadline; when
+  * the watermark passes it, [[handleExpiredTimer]] flushes every
+  * proven-closed session and — once none remain — CLEARS the key's
+  * state, so an idle key costs nothing even though the keyspace never
+  * stops growing (the q60 batch kernel re-scans everything; this
+  * holds only watermark-pending sessions: O(sessions inside the
+  * watermark+gap horizon) per key, never the key's history).
   * Seconds-truncated event time keeps the fold exactly replayable by
-  * the batch oracle. Memory bound: one batch's rows for ONE key are
-  * buffered and sorted (Spark delivers a group's rows unordered), so
-  * the per-task footprint is O(hottest key's rows per micro-batch) —
-  * bounded by the trigger size, never by the stream's history. */
+  * the batch oracle: emitted sessions = the q60 kernel's sessions
+  * whose deadline the final watermark passed. Memory bound: one
+  * batch's rows for ONE key are buffered and sorted (Spark delivers a
+  * group's rows unordered), so the per-task footprint is O(hottest
+  * key's rows per micro-batch) — bounded by the trigger size, never
+  * by the stream's history. */
 class GapSessionProcessor(gapSec: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
 
-  @transient private var sess: ValueState[(Long, Long, Long)] = _ // (start, last, n)
+  @transient private var sess: ValueState[OpenSessions] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    sess = getHandle.getValueState[(Long, Long, Long)]("sess",
-      org.apache.spark.sql.Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    sess = getHandle.getValueState[OpenSessions]("sess",
+      org.apache.spark.sql.Encoders.product[OpenSessions], TTLConfig.NONE)
+
+  /** Emit every session the watermark proves closed, keep the rest,
+    * and re-arm one timer at the earliest surviving deadline. Shared
+    * by both callbacks so a timer firing after same-batch input is
+    * idempotent (a flushed session is no longer in state). */
+  private def flush(key: Long, sessions: Seq[(Long, Long, Long)],
+                    wmMs: Long): Iterator[(Long, Long, Long, Long)] = {
+    val wmSec = wmMs / 1000L
+    val (closed, open) =
+      sessions.partition(s => wmMs > 0L && s._2 + gapSec <= wmSec)
+    if (open.isEmpty) sess.clear() else sess.update(OpenSessions(open))
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (open.nonEmpty)
+      getHandle.registerTimer((open.map(_._2).min + gapSec) * 1000L)
+    closed.sortBy(_._1).map(s => (key, s._1, s._2, s._3)).iterator
+  }
 
   override def handleInputRows(key: Long,
                                rows: Iterator[(Long, java.sql.Timestamp)],
@@ -2238,32 +2290,26 @@ class GapSessionProcessor(gapSec: Long)
     val ts = rows.map(_._2.getTime / 1000L).toArray.sorted
     if (ts.isEmpty) Iterator.empty
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-      var (start, last, n) =
-        if (sess.exists()) sess.get() else (ts.head, ts.head, 0L)
-      ts.foreach { t =>
-        if (t - last > gapSec) {
-          out += ((key, start, last, n))
-          start = t; last = t; n = 1L
-        } else {
-          if (t > last) last = t
-          n += 1L
-        }
+      val cur = if (sess.exists()) sess.get().s else Seq.empty
+      // full gap-merge of (buffered sessions ∪ this batch's rows as
+      // degenerate sessions): one linear pass over the start-sorted
+      // union — a bridging row merges its neighbors transitively
+      val all = (cur ++ ts.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      all.foreach { s =>
+        if (merged.nonEmpty && s._1 - merged.last._2 <= gapSec) {
+          val l = merged.last
+          merged(merged.size - 1) = (l._1, math.max(l._2, s._2), l._3 + s._3)
+        } else merged += s
       }
-      sess.update((start, last, n))
-      // exactly one armed timer per key: the open session's deadline
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer((last + gapSec) * 1000L)
-      out.iterator
+      flush(key, merged.toSeq, timers.getCurrentWatermarkInMs())
     }
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                   expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
-    if (sess.exists()) {
-      val (start, last, n) = sess.get()
-      sess.clear() // eviction: the key costs nothing until it reappears
-      Iterator.single((key, start, last, n))
-    } else Iterator.empty
+    if (sess.exists()) flush(key, sess.get().s,
+      timerValues.getCurrentWatermarkInMs())
+    else Iterator.empty
   }
 }

@@ -52,7 +52,7 @@ object ScaleStress {
     "d19_cluster_safe_split", "s22_jl_projection", "s23_hybrid_rrf",
     "src11_manifest_snapshot", "q89_iqr_outliers",
     "s24_mmr_diversify", "mm11_keyframes", "t27_corpus_chain",
-    "src14_stats_skipping")
+    "src14_stats_skipping", "src15_ts_stats_skipping")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -75,6 +75,21 @@ object ScaleStress {
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
   val profileTierName = "profile_tier"
+
+  /** Pseudo-name selecting the catalog-commit metadata-tier section
+    * (round-13 verdict item 1): manifest bytes/commit over a 50-batch
+    * ingest against a table whose FILE COUNT scales ×1/×10/×100 — the
+    * delta-log claim is that the per-commit cost is flat in table size
+    * (the full-list manifest this replaced wrote O(table files) per
+    * commit, quadratic over an append stream). */
+  val catalogCommitName = "catalog_commit"
+
+  /** Pseudo-name selecting the st37 cost-split section (round-13
+    * verdict item 6): the drain timed twice at each scale — memory
+    * sink (the registry form, which collects every emitted session)
+    * vs a foreachBatch count sink — attributing the ×100 wall between
+    * the StatefulProcessor and the sink collection. */
+  val st37SplitName = "st37_sink_split"
 
   /** Captures per-run maxima of the state-store metrics from streaming
     * progress events. Progress delivery is async — [[awaitQuiesced]]
@@ -224,7 +239,7 @@ object ScaleStress {
     // members are known to read exclusively the two scaled tables.
     val unknown = selectedQueries
       .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n) ||
-        n == profileTierName)
+        n == profileTierName || n == catalogCommitName || n == st37SplitName)
     require(unknown.isEmpty,
       s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
         unknown.mkString(", "))
@@ -397,6 +412,105 @@ object ScaleStress {
         scales.map(s => storeStats(s)._1.toString).mkString(" | ") + " | — |")
       println("| st29_store_bytes | " +
         scales.map(s => storeStats(s)._2.toString).mkString(" | ") + " | — |")
+    }
+    // Catalog-commit metadata tier (round-13 verdict item 1): seed a
+    // table whose FILE COUNT scales with k (8k files — the metadata
+    // dimension manifests grow in), then run 50 constant-size appends
+    // and measure manifest bytes + wall per commit. Delta-log claim:
+    // both flat in k; the amortized checkpoint line shows the only
+    // O(table-files) cost left and its 1-in-checkpointEvery dilution.
+    if (selectedQueries.contains(catalogCommitName)) {
+      import graft.sources.SnapshotCatalog
+      val nAppends = 50
+      val rows = scala.collection.mutable.Map[Int, (Long, Long, Double)]()
+      for ((kk, d) <- dirs) {
+        val root = graft.streaming.Streams.dataDir(s"graft_stress_cat_x$kk")
+        val ev = Tables(spark, d).events
+          .select(col("event_id"), col("ts"), col("value"))
+        // seed: the scaled table lands as 8k files in ONE commit
+        SnapshotCatalog.append(ev.repartition(8 * kk), root, "seed")
+        val batch = ev.limit(200).coalesce(1).localCheckpoint()
+        val t0 = System.nanoTime()
+        (0 until nAppends).foreach { i =>
+          SnapshotCatalog.append(batch, root, s"ing$i", recordStats = false)
+        }
+        val wallPer = (System.nanoTime() - t0) / 1e9 / nAppends
+        val mdir = new java.io.File(s"$root/manifests")
+        val commitBytes = mdir.listFiles()
+          .filter(f => f.getName.startsWith("commit-v") &&
+            f.getName.stripPrefix("commit-v").stripSuffix(".txt").toInt > 1)
+          .map(_.length()).sum
+        val cpBytes = mdir.listFiles()
+          .filter(_.getName.startsWith("checkpoint-v")).map(_.length()).sum
+        rows(kk) = (commitBytes / nAppends, cpBytes / nAppends, wallPer)
+        println(f"[scalestress] x$kk catalog_commit: " +
+          f"${commitBytes / nAppends} delta B/commit, " +
+          f"${cpBytes / nAppends} checkpoint B/commit (amortized), " +
+          f"$wallPer%.3f s/commit over $nAppends appends on a " +
+          f"${8 * kk}-file table")
+      }
+      println("| metric | " + scales.map(s => s"x$s").mkString(" | ") + " |")
+      println("|---|" + scales.map(_ => "---|").mkString)
+      println("| delta_manifest_bytes_per_commit | " +
+        scales.map(s => rows(s)._1.toString).mkString(" | ") + " |")
+      println("| checkpoint_bytes_per_commit_amortized | " +
+        scales.map(s => rows(s)._2.toString).mkString(" | ") + " |")
+      println("| commit_wall_sec | " +
+        scales.map(s => f"${rows(s)._3}%.3f").mkString(" | ") + " |")
+    }
+    // st37 cost split (round-13 verdict item 6): memory sink (registry
+    // form — collects ~every session row to the driver) vs foreachBatch
+    // count sink, same processor, same staged topic.
+    if (selectedQueries.contains(st37SplitName)) {
+      import org.apache.spark.sql.streaming.OutputMode
+      implicit val outEnc: org.apache.spark.sql.Encoder[(Long, Long, Long, Long)] =
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)]
+      def drain(d: String, toMemory: Boolean): (Double, Long) =
+        graft.streaming.Streams.withStateStoreProvider(spark,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.Streams.withStreamShufflePartitions(spark) {
+            val stream = graft.streaming.Streams
+              .eventsStream(spark, d, maxFilesPerTrigger = 2)
+              .withWatermark("ts", "600 seconds")
+              .select(col("user_id"), col("ts"))
+              .as[(Long, java.sql.Timestamp)](
+                org.apache.spark.sql.Encoders.product[(Long, java.sql.Timestamp)])
+            val sessions = stream.groupByKey(_._1)(
+                org.apache.spark.sql.Encoders.scalaLong)
+              .transformWithState(new graft.streaming.GapSessionProcessor(1800L),
+                org.apache.spark.sql.streaming.TimeMode.EventTime(),
+                OutputMode.Append(),
+                org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+              .toDF("user_id", "session_start", "session_end", "n_events")
+            val t0 = System.nanoTime()
+            val n =
+              if (toMemory)
+                graft.streaming.Streams.drainToMemory(sessions,
+                  s"stress37_${System.nanoTime()}", outputMode = "append").count()
+              else {
+                val acc = new java.util.concurrent.atomic.AtomicLong()
+                val q = sessions.writeStream.outputMode("append")
+                  .option("checkpointLocation",
+                    graft.streaming.Streams.scratchDir("graft_cp_stress37_"))
+                  .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                    acc.addAndGet(b.count()); ()
+                  }
+                  .start()
+                graft.streaming.Streams.awaitDrained(q)
+                q.stop()
+                acc.get()
+              }
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+        }
+      for ((kk, d) <- dirs) {
+        drain(d, toMemory = false) // untimed: stages the topic + JIT
+        val (memSec, memN) = drain(d, toMemory = true)
+        val (cntSec, cntN) = drain(d, toMemory = false)
+        println(f"[scalestress] x$kk st37_sink_split: memory-sink " +
+          f"$memSec%.2f s ($memN rows), count-sink $cntSec%.2f s ($cntN rows)" +
+          f" -> sink share ${(memSec - cntSec) / memSec * 100}%.0f%%")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,205 @@
+package graft
+
+import graft.sources.SnapshotCatalog
+import org.apache.spark.sql.functions._
+
+/** The round-14 metadata-tier guarantees of the snapshot catalog:
+  * O(delta) commits resolved through checkpoints, cross-PROCESS commit
+  * exclusivity (two drivers racing on one table), retention-windowed
+  * expiry, typed (timestamp/string) file-stats skipping, and the
+  * orphan sweep's concurrent-writer contract. */
+class DeltaLogSpec extends SparkTestBase {
+
+  test("delta log: commits are O(delta) bytes; checkpoints bound resolution; expiry keeps the floor resolvable") {
+    val root = graft.streaming.Streams.dataDir("graft_deltalog_")
+    val spark2 = spark
+    import spark2.implicits._
+    // a 20-batch ingest stream (st36's shape): every commit must record
+    // only ITS batch's files, never the table's full list
+    (0 until 20).foreach { b =>
+      val lo = b * 10L + 1L
+      SnapshotCatalog.append(((lo to lo + 9L)).toDF("id").coalesce(1), root, s"b$b")
+    }
+    assert(SnapshotCatalog.latestVersion(root) == 20)
+    val all = SnapshotCatalog.manifestFiles(root, 20)
+    assert(all.size == 20, s"expected 20 one-file batches, got ${all.size}")
+    // O(delta) manifest bytes: the 20th commit is ~one path, not 20
+    def fileLen(name: String): Long =
+      new java.io.File(s"$root/manifests/$name").length()
+    val c20 = fileLen("commit-v20.txt")
+    val avgPath = all.map(_.length + 3).sum / all.size
+    assert(c20 < 2L * avgPath,
+      s"commit-v20 is $c20 bytes — a full-list manifest, not a delta")
+    // checkpoints landed on the interval and bound replay depth
+    assert(new java.io.File(s"$root/manifests/checkpoint-v8.txt").exists())
+    assert(new java.io.File(s"$root/manifests/checkpoint-v16.txt").exists())
+    // time travel mid-log resolves exactly the prefix
+    assert(SnapshotCatalog.manifestFiles(root, 13).size == 13)
+    val v13 = SnapshotCatalog.readSnapshot(spark, root, Some(13))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(v13.getLong(0) == 130L && v13.getLong(1) == (1L to 130L).sum)
+    // expiry drops old versions AND their deltas — the new floor must
+    // stay resolvable through the checkpoint written at the boundary
+    val (nVers, _) = SnapshotCatalog.expire(root, keepLast = 3)
+    assert(nVers == 17)
+    assert(SnapshotCatalog.versions(root) == Seq(18, 19, 20))
+    assert(SnapshotCatalog.manifestFiles(root, 18).size == 18,
+      "the post-expiry floor version lost its resolution")
+    val v18 = SnapshotCatalog.readSnapshot(spark, root, Some(18))
+      .agg(count(lit(1)), sum("id")).head()
+    assert(v18.getLong(0) == 180L && v18.getLong(1) == (1L to 180L).sum)
+    // a change-feed poll whose horizon fell off the retention fails
+    // loudly instead of silently serving a partial delta
+    intercept[IllegalStateException] {
+      SnapshotCatalog.addedFiles(root, Some(5), 20)
+    }
+    // ... while a poll inside the surviving window still works
+    assert(SnapshotCatalog.addedFiles(root, Some(18), 20).size == 2)
+  }
+
+  test("cross-process race: two JVMs' committers land on consecutive versions; neither side's files are lost") {
+    val root = graft.streaming.Streams.dataDir("graft_xprocrace_")
+    val n = 25
+    // seed v1 so both racers contend from a live table
+    SnapshotCatalog.commitRetry(root)(_ => Seq(s"$root/data/seed/part-0.parquet"))
+    val classesDir = SnapshotCatalog.getClass
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val cp = s"$classesDir:/opt/spark/jars/*"
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val pb = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.tools.CommitRacer", root, n.toString, "child")
+    pb.redirectErrorStream(true)
+    val child = pb.start()
+    // force real interleaving: wait for the child's first commit before
+    // the parent starts racing
+    val deadline = System.currentTimeMillis() + 60000L
+    while (SnapshotCatalog.latestVersion(root) < 2 &&
+           System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(SnapshotCatalog.latestVersion(root) >= 2,
+      "child process never committed — classpath or spawn failure")
+    (1 to n).foreach { i =>
+      SnapshotCatalog.commitRetry(root)(prev =>
+        prev :+ s"$root/data/parent/part-$i.parquet")
+    }
+    val out = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"child racer failed:\n$out")
+    // every version claimed exactly once, consecutively
+    assert(SnapshotCatalog.versions(root) == (1 to 2 * n + 1),
+      "a version was double-claimed or skipped across processes")
+    // no lost update: the final resolution carries BOTH writers' paths
+    val fin = SnapshotCatalog.manifestFiles(root, 2 * n + 1).toSet
+    (1 to n).foreach { i =>
+      assert(fin.contains(s"$root/data/child/part-$i.parquet"),
+        s"child commit $i lost to a parent overwrite")
+      assert(fin.contains(s"$root/data/parent/part-$i.parquet"),
+        s"parent commit $i lost to a child overwrite")
+    }
+  }
+
+  test("conditional-PUT publisher: racing committers through withPublisher still serialize") {
+    val root = graft.streaming.Streams.dataDir("graft_condput_")
+    SnapshotCatalog.withPublisher(SnapshotCatalog.ConditionalPutPublish) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = (0 until 2).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = (1 to 10).foreach { i =>
+              SnapshotCatalog.commitRetry(root)(prev =>
+                prev :+ s"$root/data/t$t/part-$i.parquet")
+            }
+          })
+        }
+        fs.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    assert(SnapshotCatalog.versions(root) == (1 to 20))
+    assert(SnapshotCatalog.manifestFiles(root, 20).size == 20)
+  }
+
+  test("expire honors the retention window: young versions survive keepLast, then age out") {
+    val root = graft.streaming.Streams.dataDir("graft_retention_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 10L).toDF("id"), root, "b0")
+    SnapshotCatalog.replace((1L to 10L).toDF("id").coalesce(1), root, "c0")
+    SnapshotCatalog.replace((1L to 10L).toDF("id").coalesce(1), root, "c1")
+    // back-to-back maintenance (the d17 compact-then-retract shape):
+    // with a retention window NOTHING young is GC'd, so a reader that
+    // resolved v1 moments ago keeps reading it
+    assert(SnapshotCatalog.expire(root, keepLast = 1,
+      minAgeMs = SnapshotCatalog.maintenanceRetentionMs) == ((0, 0)))
+    assert(SnapshotCatalog.versions(root) == Seq(1, 2, 3))
+    val v1 = SnapshotCatalog.readSnapshot(spark, root, Some(1)).count()
+    assert(v1 == 10L, "retention window failed to keep v1 readable")
+    // age the manifests past the window → the same call now GCs
+    new java.io.File(s"$root/manifests").listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 86400000L))
+    val (nV, _) = SnapshotCatalog.expire(root, keepLast = 1,
+      minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
+    assert(nV == 2 && SnapshotCatalog.versions(root) == Seq(3))
+  }
+
+  test("sweepOrphans vs a concurrent writer: in-flight staged files survive the grace window and only the grace window") {
+    val root = graft.streaming.Streams.dataDir("graft_sweeprace_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 20L).toDF("id"), root, "b0")
+    // an in-flight writer: files staged, commit NOT yet published —
+    // exactly the state a concurrent sweep must not destroy
+    val staged = SnapshotCatalog.writeData((21L to 30L).toDF("id"), root, "inflight")
+    assert(SnapshotCatalog.sweepOrphans(root, graceMs = 3600000L) == 0,
+      "sweep GC'd an in-flight batch inside the grace window")
+    assert(SnapshotCatalog.listDataFiles(s"$root/data/inflight") == staged)
+    // ... and the commit that was in flight still lands cleanly
+    val v = SnapshotCatalog.append((21L to 30L).toDF("id"), root, "inflight")
+    assert(v == 2 && SnapshotCatalog.readSnapshot(spark, root).count() == 30L)
+    // the OTHER direction: with no grace window, a staged-uncommitted
+    // batch is exactly what the sweep removes
+    val doomed = SnapshotCatalog.writeData((31L to 40L).toDF("id"), root, "crashed")
+    assert(SnapshotCatalog.sweepOrphans(root, graceMs = 0L) >= doomed.size)
+    assert(!new java.io.File(s"$root/data/crashed").exists())
+    // manifest-tmp litter (a crash between tmp write and publish) is
+    // swept by the same call once aged
+    val tmpLitter = new java.io.File(s"$root/manifests/.commit-v9.txt-dead.tmp")
+    java.nio.file.Files.writeString(tmpLitter.toPath, "A\t/nowhere\n")
+    tmpLitter.setLastModified(System.currentTimeMillis() - 86400000L)
+    assert(SnapshotCatalog.sweepOrphans(root, graceMs = 3600000L) == 1)
+    assert(!tmpLitter.exists(), "aged manifest tmp litter survived the sweep")
+    assert(SnapshotCatalog.readSnapshot(spark, root).count() == 30L)
+  }
+
+  test("typed stats skipping: timestamp and string ranges prune files; malformed sidecar lines read conservatively") {
+    val root = graft.streaming.Streams.dataDir("graft_typedskip_")
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // three day-disjoint batches; append() auto-records footer stats
+    // for BOTH the timestamp and the string column in one pass
+    (0 until 3).foreach { b =>
+      val rows = (0 until 10).map { i =>
+        (b * 10L + i, ts(b * 10 + i / 3 + 1), f"k${b * 10 + i}%03d")
+      }
+      SnapshotCatalog.append(
+        rows.toDF("id", "ts", "k").coalesce(1), root, s"b$b")
+    }
+    // timestamp range fully inside batch 1 → batches 0 and 2 skip
+    val (dfT, nT, totT) = SnapshotCatalog.readSnapshotPrunedTs(
+      spark, root, "ts", ts(11), ts(14))
+    assert(totT == 3 && nT == 1, s"ts pruning read $nT/$totT files")
+    assert(dfT.filter(col("ts").between(ts(11), ts(14))).count() == 10L)
+    // string range fully inside batch 2 → one file read
+    val (dfS, nS, totS) = SnapshotCatalog.readSnapshotPrunedStr(
+      spark, root, "k", "k020", "k029")
+    assert(totS == 3 && nS == 1, s"string pruning read $nS/$totS files")
+    assert(dfS.filter(col("k").between("k020", "k029")).count() == 10L)
+    // corrupt one sidecar (the torn-write shape): its file must fall
+    // back to conservatively-read, never a parse failure
+    val side = new java.io.File(s"$root/data/b0/_stats_ts.txt")
+    java.nio.file.Files.writeString(side.toPath, "part-garbage\t12")
+    val (dfC, nC, _) = SnapshotCatalog.readSnapshotPrunedTs(
+      spark, root, "ts", ts(11), ts(14))
+    assert(nC == 2, s"corrupt sidecar should force b0 into the read set, read $nC")
+    assert(dfC.filter(col("ts").between(ts(11), ts(14))).count() == 10L)
+  }
+}

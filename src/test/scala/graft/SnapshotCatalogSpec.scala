@@ -110,17 +110,27 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "time travel to v1 broken after a replay")
 
     // change-feed semantics at the edges: the first delta is v1's whole
-    // manifest, an append delta is the appended batch's files, and a
-    // REPLACE delta is the replacement's files — file-level diff, NOT
-    // added rows (the documented append-only contract boundary)
+    // manifest, an append delta is the appended batch's files — and a
+    // poll interval CROSSING a replace/compaction FAILS LOUDLY instead
+    // of serving the rewritten files as "added" (which would double-
+    // count every surviving row): the consumer must snapshot-re-read
+    // or switch to a row-level changelog (the q75 CDC tier)
     assert(SnapshotCatalog.addedFiles(root, None, 1).toSet ==
       SnapshotCatalog.manifestFiles(root, 1).toSet)
     assert(SnapshotCatalog.addedFiles(root, Some(1), 2).toSet ==
       (SnapshotCatalog.manifestFiles(root, 2).toSet --
        SnapshotCatalog.manifestFiles(root, 1).toSet))
-    assert(SnapshotCatalog.addedFiles(root, Some(2), 3).toSet ==
-      SnapshotCatalog.manifestFiles(root, 3).toSet,
-      "a replace version's delta is its full replacement file set")
+    val crossed = intercept[IllegalStateException] {
+      SnapshotCatalog.addedFiles(root, Some(2), 3)
+    }
+    assert(crossed.getMessage.contains("replace"),
+      s"refusal must name the replace crossing: ${crossed.getMessage}")
+    // ... and the same refusal when the interval SPANS the replace
+    // (v1 -> v3), not just when it ends on it
+    intercept[IllegalStateException] {
+      SnapshotCatalog.addedFiles(root, Some(1), 3)
+    }
+    ()
   }
 
   test("expire keeps the last N versions and GCs exactly the unreferenced files") {

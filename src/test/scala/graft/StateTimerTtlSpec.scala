@@ -73,6 +73,59 @@ class StateTimerTtlSpec extends SparkTestBase {
     assert(state.contains(2L), "open session's state missing")
   }
 
+  test("late in-watermark rows merge: lower session_start, bridge two buffered sessions, emit ONCE") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    val cp = Streams.scratchDir("graft_cp_merge_")
+    val sessions = src.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "3600 seconds") // wide delay: late rows stay in-watermark
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.GapSessionProcessor(1800L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+      .toDF("user_id", "session_start", "session_end", "n_events")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    Streams.withStreamShufflePartitions(spark) {
+      val q = sessions.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          collected.synchronized {
+            collected ++= b.collect().map(r =>
+              (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          }
+          ()
+        }
+        .start()
+      try {
+        // batch 0: TWO gap-separated sessions buffer — (1000,1000) and
+        // (4000,4000); the old eager data-close would have EMITTED the
+        // first here, making the batch-1 merge impossible
+        src.addData((1L, ts(1000)), (1L, ts(4000)))
+        q.processAllAvailable()
+        assert(collected.synchronized(collected.isEmpty),
+          "a session emitted before the watermark proved it closed")
+        // batch 1, OUT OF EVENT-TIME ORDER but inside the watermark:
+        // t=2500 bridges the two buffered sessions (≤ gap from both
+        // ends), t=900 extends the merged session's start DOWNWARD
+        src.addData((1L, ts(2500)), (1L, ts(900)))
+        q.processAllAvailable()
+        // batch 2: another key drags the watermark past the merged
+        // session's deadline (5800) → the timer flushes it
+        src.addData((2L, ts(99999)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    assert(collected.synchronized(collected.toSet) ==
+      Set((1L, 900L, 4000L, 4L)),
+      s"late-row merge wrong (want ONE session 900..4000 ×4): ${collected.mkString(", ")}")
+  }
+
   test("processing-time TTL evicts idle state: counters restart after the TTL elapses") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
