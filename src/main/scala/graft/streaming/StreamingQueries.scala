@@ -2142,7 +2142,93 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS each_file_read_once,
              |  TRUE AS feed_equals_snapshot
              |FROM events""".stripMargin),
-      "North star/T: catalog change feed — each version's delta files processed once, incremental fold ≡ snapshot"))
+      "North star/T: catalog change feed — each version's delta files processed once, incremental fold ≡ snapshot"),
+
+    GraftQuery(
+      "st39_feed_compaction_fallback",
+      (spark, dir) => {
+        // CHANGE FEED ACROSS A COMPACTION — the consumer protocol for
+        // the seam st38 leaves open: a live table gets COMPACTED
+        // (replace commit) while a tailer is mid-feed, and the
+        // catalog's `addedFiles` now REFUSES the crossing poll
+        // (round-14 — the rewritten files would double-count every
+        // surviving row; silently serving them was the round-13 bug).
+        // The production tailer's answer, proven here end-to-end: fold
+        // O(delta) polls while commits are append-only; on the refusal
+        // RE-BASELINE — one snapshot read at the refused version
+        // replaces the running fold (count/sum re-derive; a non-
+        // refoldable consumer would replay a row-level changelog, the
+        // q75 CDC tier) — then resume O(delta) polls after it. Audits
+        // pin the protocol: the refusal fires exactly once (at the
+        // compaction version), the post-fallback polls read ONLY the
+        // post-compaction batches' files, and the final fold equals
+        // the final snapshot. The oracle recomputes the table: the
+        // stream lands 90% of events, the compaction rewrites (content-
+        // neutral), two direct appends land the held-out 10%.
+        import graft.sources.SnapshotCatalog
+        val root = Streams.dataDir("graft_st39_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .filter(col("event_id") % 10 =!= 7)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st39_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty) SnapshotCatalog.append(b, root, s"batch$bid")
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        // maintenance compacts the ingest litter mid-feed...
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshot(spark, root).repartition(2), root, "c0")
+        // ...and ingest continues: the held-out slice lands as two more
+        // append versions after the compaction
+        val ev = graft.core.Tables(spark, dir).events
+        SnapshotCatalog.append(ev.filter(col("event_id") % 20 === 7), root, "p0")
+        SnapshotCatalog.append(ev.filter(col("event_id") % 20 === 17), root, "p1")
+        val latest = SnapshotCatalog.latestVersion(root)
+        var n = 0L; var cents = 0L
+        var refusals = 0L; var filesAfterFallback = 0L
+        def foldFiles(files: Seq[String]): Unit = if (files.nonEmpty) {
+          val r = spark.read.parquet(files: _*)
+            .agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+          n += r.getLong(0); cents += r.getLong(1)
+        }
+        (1 to latest).foreach { v =>
+          try {
+            val delta = SnapshotCatalog.addedFiles(root,
+              if (v == 1) None else Some(v - 1), v)
+            if (refusals > 0) filesAfterFallback += delta.size
+            foldFiles(delta)
+          } catch {
+            case _: IllegalStateException =>
+              // the poll crossed a replace: re-baseline from the
+              // snapshot AT the refused version, drop the running fold
+              refusals += 1
+              n = 0L; cents = 0L
+              foldFiles(SnapshotCatalog.manifestFiles(root, v))
+          }
+        }
+        val postFiles = SnapshotCatalog.addedFiles(root, Some(latest - 2), latest).size
+        val snap = SnapshotCatalog.readSnapshot(spark, root)
+          .agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+        spark.range(1).select(
+          lit(n).as("n_rows"), lit(cents).as("sum_value_cents"),
+          lit(refusals).as("n_refusals"),
+          lit(filesAfterFallback.toLong == postFiles.toLong)
+            .as("post_fallback_polls_are_delta_only"),
+          lit(n == snap.getLong(0) && cents == snap.getLong(1))
+            .as("feed_equals_snapshot"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  CAST(1 AS BIGINT) AS n_refusals,
+             |  TRUE AS post_fallback_polls_are_delta_only,
+             |  TRUE AS feed_equals_snapshot
+             |FROM events""".stripMargin),
+      "North star/T: change feed across a compaction — refusal caught once, snapshot re-baseline, O(delta) polls resume"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared
