@@ -523,9 +523,21 @@ object SnapshotCatalog {
         base.toSet
       }
       val droppedUnion = {
-        val base = collection.mutable.Set.from(manifestFiles(root, vs.head))
-        ((vs.head + 1) to drop.last).foreach(v => base ++= commitDelta(root, v)._1)
-        base.toSet
+        // a crash mid-expire can leave the oldest dropped versions
+        // partially GC'd (their commit files deleted); re-running must
+        // not fail on them — start the union from the oldest STILL
+        // RESOLVABLE dropped version. Any dead file known only to an
+        // unresolvable version is leaked to [[sweepOrphans]] (it is in
+        // no surviving manifest), never mis-kept as live.
+        val acc = collection.mutable.Set.empty[String]
+        var haveBase = false
+        drop.foreach { v =>
+          if (!haveBase) {
+            try { acc ++= manifestFiles(root, v); haveBase = true }
+            catch { case _: RuntimeException => () }
+          } else if (commitExists(root, v)) acc ++= commitDelta(root, v)._1
+        }
+        acc.toSet
       }
       val dead = droppedUnion -- keptLive
       // (1) the new floor must survive its deltas' deletion

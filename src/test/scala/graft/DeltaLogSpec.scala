@@ -168,6 +168,43 @@ class DeltaLogSpec extends SparkTestBase {
     assert(SnapshotCatalog.readSnapshot(spark, root).count() == 30L)
   }
 
+  test("expire survives a crash-interrupted predecessor: unresolvable dropped versions leak to the sweep, never corrupt") {
+    val root = graft.streaming.Streams.dataDir("graft_expirecrash_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 10L).toDF("id").coalesce(1), root, "b0")
+    SnapshotCatalog.append((11L to 20L).toDF("id").coalesce(1), root, "b1")
+    SnapshotCatalog.replace(
+      SnapshotCatalog.readSnapshot(spark, root).coalesce(1), root, "c0")
+    SnapshotCatalog.append((21L to 30L).toDF("id").coalesce(1), root, "b3")
+    SnapshotCatalog.append((31L to 40L).toDF("id").coalesce(1), root, "b4")
+    SnapshotCatalog.append((41L to 50L).toDF("id").coalesce(1), root, "b5")
+    val live = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)), sum("id")).head()
+    // simulate a crashed expire(keepLast = 3): it checkpointed the new
+    // floor (v4), deleted commit-v1, then died mid-deletion
+    val cp4 = SnapshotCatalog.manifestFiles(root, 4)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/manifests/checkpoint-v4.txt"),
+      cp4.mkString("\n") + "\n")
+    assert(new java.io.File(s"$root/manifests/commit-v1.txt").delete())
+    // the re-run completes: v2/v3 are unresolvable (their delta chain
+    // lost commit 1) so their dead files are NOT GC'd here — leaked,
+    // not mis-kept — and the live table is untouched
+    val (nV, nF) = SnapshotCatalog.expire(root, keepLast = 3)
+    assert(nV == 2 && nF == 0, s"expected (2,0) from the crash-state re-run, got ($nV,$nF)")
+    assert(SnapshotCatalog.versions(root) == Seq(4, 5, 6))
+    val after = SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)), sum("id")).head()
+    assert(after == live, "crash-state expire changed the live snapshot")
+    // the leaked pre-compaction files (b0, b1) are in no surviving
+    // version, so the orphan sweep collects them
+    assert(SnapshotCatalog.sweepOrphans(root, graceMs = 0L) == 2)
+    assert(!new java.io.File(s"$root/data/b0").exists())
+    assert(SnapshotCatalog.readSnapshot(spark, root)
+      .agg(count(lit(1)), sum("id")).head() == live)
+  }
+
   test("typed stats skipping: timestamp and string ranges prune files; malformed sidecar lines read conservatively") {
     val root = graft.streaming.Streams.dataDir("graft_typedskip_")
     val spark2 = spark
