@@ -204,12 +204,21 @@ object SnapshotCatalog {
     try body finally publisherOverride = prev
   }
 
+  /** Filesystem schemes with no atomic rename but an atomic exclusive
+    * create (conditional PUT / If-None-Match / preconditions) — the
+    * object stores every 100 TB deployment actually commits to. Their
+    * "rename" is copy+delete and OVERWRITES, so the rename publisher
+    * would lose races silently there. */
+  private val conditionalPutSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
   private def publisherFor(dest: Path): AtomicPublish =
     publisherOverride.getOrElse {
       val scheme = Option(dest.toUri.getScheme).getOrElse(
         fsFor(dest).getScheme)
       if (scheme == "file" || scheme == null) LocalLinkPublish
-      else LockedRenamePublish
+      else if (conditionalPutSchemes.contains(scheme)) ConditionalPutPublish
+      else LockedRenamePublish // HDFS and rename-exclusive filesystems
     }
 
   private def publishUtf8(fs: FileSystem, dest: Path, content: String): Boolean = {
@@ -611,11 +620,21 @@ object SnapshotCatalog {
   }
 
   /** Read a snapshot: exactly the files its version resolves to (the
-    * highest committed version when none is given). */
+    * highest committed version when none is given). `mergeSchema`
+    * reads a SCHEMA-EVOLVED table: batches committed with accreted
+    * columns union by name (older rows null-fill) — the Iceberg/Delta
+    * schema-evolution read, scoped to the version's own files, so time
+    * travel to a pre-evolution version serves the ORIGINAL schema (a
+    * plain-parquet mergeSchema over the directory can't — src08 reads
+    * every generation's footers at once). */
   def readSnapshot(spark: SparkSession, root: String,
-                   version: Option[Int] = None): DataFrame = {
+                   version: Option[Int] = None,
+                   mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(latestVersion(root))
-    spark.read.parquet(manifestFiles(root, v): _*)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    reader.parquet(manifestFiles(root, v): _*)
   }
 
   /** The files version `toV` ADDED over `fromV` (None = a bootstrap

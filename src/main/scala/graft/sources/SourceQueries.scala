@@ -758,5 +758,48 @@ object SourceQueries extends QueryPack {
              |FROM events, b
              |WHERE CAST(floor(epoch(ts)) AS BIGINT) >= t0 + 2 * w
              |  AND CAST(floor(epoch(ts)) AS BIGINT) < t0 + 4 * w""".stripMargin),
-      "S-maintenance: TIMESTAMP-range file skipping — auto-recorded footer time bounds prune a time-range read"))
+      "S-maintenance: TIMESTAMP-range file skipping — auto-recorded footer time bounds prune a time-range read"),
+
+    GraftQuery(
+      "src16_catalog_schema_evolution",
+      (spark, dir) => {
+        // SCHEMA EVOLUTION UNDER SNAPSHOT ISOLATION — src08 proves the
+        // mergeSchema read over a plain parquet directory; through the
+        // CATALOG the semantics get sharper: a later batch lands with
+        // an accreted column in its OWN immutable files, the evolved
+        // read (union-by-name, old rows null-fill) is scoped to the
+        // LIVE version's file list, and time travel to the
+        // pre-evolution version serves the ORIGINAL schema — the
+        // Iceberg/Delta contract a directory-level mergeSchema cannot
+        // express (it merges every generation's footers at once, so
+        // the old version's reader would see the new column too).
+        // Audits pin both sides: v1's resolved schema has no `quality`
+        // column; the evolved latest read null-fills exactly the
+        // pre-evolution rows. The oracle recomputes the union-by-name
+        // from the source table.
+        val root = graft.streaming.Streams.dataDir("graft_snapevo_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") % 2 === 0), root, "b0")
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") % 2 === 1)
+            .withColumn("quality", length(col("event_type")).cast("long")),
+          root, "b1")
+        val v1SchemaPreserved = !SnapshotCatalog
+          .readSnapshot(spark, root, Some(1)).columns.contains("quality")
+        SnapshotCatalog.readSnapshot(spark, root, mergeSchema = true)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("quality")).as("n_quality_rows"),
+            sum(col("quality")).as("sum_quality"))
+          .select(col("n_rows"), col("n_quality_rows"), col("sum_quality"),
+            lit(v1SchemaPreserved).as("v1_schema_preserved"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_quality_rows,
+             |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN length(event_type) END) AS BIGINT) AS sum_quality,
+             |  TRUE AS v1_schema_preserved
+             |FROM events""".stripMargin),
+      "S-maintenance: catalog schema evolution — accreted column null-fills old rows; time travel keeps the old schema"))
 }

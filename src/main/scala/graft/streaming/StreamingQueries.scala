@@ -2377,18 +2377,8 @@ class GapSessionProcessor(gapSec: Long)
     if (ts.isEmpty) Iterator.empty
     else {
       val cur = if (sess.exists()) sess.get().s else Seq.empty
-      // full gap-merge of (buffered sessions ∪ this batch's rows as
-      // degenerate sessions): one linear pass over the start-sorted
-      // union — a bridging row merges its neighbors transitively
-      val all = (cur ++ ts.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
-      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-      all.foreach { s =>
-        if (merged.nonEmpty && s._1 - merged.last._2 <= gapSec) {
-          val l = merged.last
-          merged(merged.size - 1) = (l._1, math.max(l._2, s._2), l._3 + s._3)
-        } else merged += s
-      }
-      flush(key, merged.toSeq, timers.getCurrentWatermarkInMs())
+      flush(key, GapSessionProcessor.mergeSessions(cur, ts, gapSec),
+        timers.getCurrentWatermarkInMs())
     }
   }
 
@@ -2397,5 +2387,29 @@ class GapSessionProcessor(gapSec: Long)
     if (sess.exists()) flush(key, sess.get().s,
       timerValues.getCurrentWatermarkInMs())
     else Iterator.empty
+  }
+}
+
+object GapSessionProcessor {
+  /** The pure gap-merge fold the processor runs per (key, batch):
+    * buffered sessions ∪ the batch's rows as degenerate sessions, one
+    * linear pass over the start-sorted union — a bridging row merges
+    * its neighbors transitively. PARTITION-INVARIANT: folding any
+    * split of a row multiset through this, in any batch order, yields
+    * exactly the brute-force sessionization of the whole multiset —
+    * the algebraic property that makes the processor's output
+    * independent of cross-batch arrival order (property-tested over
+    * random splits in StateTimerTtlSpec). */
+  def mergeSessions(cur: Seq[(Long, Long, Long)], ts: Seq[Long],
+                    gapSec: Long): Seq[(Long, Long, Long)] = {
+    val all = (cur ++ ts.map(t => (t, t, 1L))).sortBy(s => (s._1, s._2))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    all.foreach { s =>
+      if (merged.nonEmpty && s._1 - merged.last._2 <= gapSec) {
+        val l = merged.last
+        merged(merged.size - 1) = (l._1, math.max(l._2, s._2), l._3 + s._3)
+      } else merged += s
+    }
+    merged.toSeq
   }
 }

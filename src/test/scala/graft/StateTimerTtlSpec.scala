@@ -126,6 +126,40 @@ class StateTimerTtlSpec extends SparkTestBase {
       s"late-row merge wrong (want ONE session 900..4000 ×4): ${collected.mkString(", ")}")
   }
 
+  test("property: mergeSessions is partition-invariant — any batch split of any row multiset folds to the brute-force sessionization") {
+    val rnd = new scala.util.Random(14)
+    def bruteForce(rows: Seq[Long], gap: Long): Seq[(Long, Long, Long)] = {
+      val sorted = rows.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { t =>
+        if (out.nonEmpty && t - out.last._2 <= gap) {
+          val l = out.last; out(out.size - 1) = (l._1, math.max(l._2, t), l._3 + 1)
+        } else out += ((t, t, 1L))
+      }
+      out.toSeq
+    }
+    (1 to 300).foreach { trial =>
+      val gap = 1 + rnd.nextInt(20)
+      val n = 1 + rnd.nextInt(40)
+      // small value range so ties, duplicates, and gap boundaries occur
+      val rows = Seq.fill(n)(rnd.nextInt(200).toLong)
+      // split into random batches in random order (the cross-batch
+      // out-of-order arrival the ADVICE finding was about)
+      val shuffled = rnd.shuffle(rows)
+      val nBatches = 1 + rnd.nextInt(6)
+      val batches = shuffled.grouped(
+        math.max(1, (n + nBatches - 1) / nBatches)).toSeq
+      val folded = batches.foldLeft(Seq.empty[(Long, Long, Long)]) {
+        (cur, batch) =>
+          graft.streaming.GapSessionProcessor.mergeSessions(
+            cur, batch.sorted, gap.toLong)
+      }
+      assert(folded == bruteForce(rows, gap.toLong),
+        s"trial $trial (gap=$gap): fold over $nBatches batches diverged\n" +
+          s"rows=$rows\nfolded=$folded\nbrute=${bruteForce(rows, gap.toLong)}")
+    }
+  }
+
   test("processing-time TTL evicts idle state: counters restart after the TTL elapses") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
