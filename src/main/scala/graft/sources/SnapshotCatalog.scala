@@ -256,18 +256,34 @@ object SnapshotCatalog {
   private def checkpointVersions(root: String): Seq[Int] =
     listManifestNames(root).collect { case CheckpointName(n) => n.toInt }.sorted
 
-  /** The (adds, removes) a commit recorded. Fails when the commit file
-    * is gone (expired) — the caller must resolve from a checkpoint. */
-  private def commitDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
+  /** Everything a commit recorded: data-file adds/removes, plus the
+    * row-level delete side — deletion-vector file adds (`V` lines) and
+    * the DV reset marker (`X` line, written by [[replace]]: a rewrite
+    * applies pending deletes physically, so inherited DVs must stop
+    * applying at that version). */
+  private case class CommitDelta(adds: Seq[String], removes: Seq[String],
+                                 dvAdds: Seq[String], dvReset: Boolean)
+
+  private def commitDeltaFull(root: String, v: Int): CommitDelta = {
     val p = commitPath(root, v)
     val adds = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
+    val dvAdds = Seq.newBuilder[String]
+    var dvReset = false
     readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("A\t")) adds += l.substring(2)
       else if (l.startsWith("R\t")) removes += l.substring(2)
+      else if (l.startsWith("V\t")) dvAdds += l.substring(2)
+      else if (l == "X\tdvreset") dvReset = true
       else sys.error(s"malformed commit line in $p: $l")
     }
-    (adds.result(), removes.result())
+    CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset)
+  }
+
+  /** The (data adds, data removes) a commit recorded. */
+  private def commitDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
+    val d = commitDeltaFull(root, v)
+    (d.adds, d.removes)
   }
 
   private def commitExists(root: String, v: Int): Boolean = {
@@ -283,7 +299,8 @@ object SnapshotCatalog {
       case Some(c) =>
         val p = checkpointPath(root, c)
         collection.mutable.LinkedHashSet.from(
-          readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty))
+          readUtf8(fsFor(p), p).linesIterator
+            .filter(l => l.nonEmpty && !l.startsWith("V\t")))
       case None => collection.mutable.LinkedHashSet.empty
     }
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
@@ -293,6 +310,29 @@ object SnapshotCatalog {
       val (adds, removes) = commitDelta(root, cv)
       removes.foreach(base -= _)
       adds.foreach(base += _)
+    }
+    base.toSeq.sorted
+  }
+
+  /** The deletion-vector files in effect at version `v` — resolved
+    * like [[manifestFiles]] (checkpoint `V` lines + commit deltas,
+    * with a [[replace]]'s reset clearing inherited DVs). */
+  def dvFiles(root: String, v: Int): Seq[String] = {
+    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val base: collection.mutable.LinkedHashSet[String] = cp match {
+      case Some(c) =>
+        val p = checkpointPath(root, c)
+        collection.mutable.LinkedHashSet.from(
+          readUtf8(fsFor(p), p).linesIterator
+            .filter(_.startsWith("V\t")).map(_.substring(2)))
+      case None => collection.mutable.LinkedHashSet.empty
+    }
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (!commitExists(root, cv))
+        sys.error(s"version $v unresolvable: commit $cv expired under $root")
+      val d = commitDeltaFull(root, cv)
+      if (d.dvReset) base.clear()
+      d.dvAdds.foreach(base += _)
     }
     base.toSeq.sorted
   }
@@ -390,25 +430,30 @@ object SnapshotCatalog {
     * race, or crashing before it, is harmless — checkpoints are derived
     * data and readers just replay more deltas). */
   def tryCommit(root: String, v: Int,
-                adds: Seq[String], removes: Seq[String]): Boolean = {
+                adds: Seq[String], removes: Seq[String],
+                dvAdds: Seq[String] = Seq.empty,
+                dvReset: Boolean = false): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = (removes.map("R\t" + _) ++ adds.map("A\t" + _))
+    val body = ((if (dvReset) Seq("X\tdvreset") else Seq.empty) ++
+      removes.map("R\t" + _) ++ adds.map("A\t" + _) ++
+      dvAdds.map("V\t" + _))
       .mkString("\n") + "\n"
     val won = publishUtf8(fs, commitPath(root, v), body)
     if (won && v % checkpointEvery == 0) writeCheckpoint(root, v)
     won
   }
 
-  /** Write the full-file-list checkpoint for `v` (idempotent; losing a
-    * publish race to an identical checkpoint is a no-op). */
+  /** Write the full-state checkpoint for `v`: the resolved data-file
+    * list plus the in-effect DV files as `V` lines (idempotent; losing
+    * a publish race to an identical checkpoint is a no-op). */
   private def writeCheckpoint(root: String, v: Int): Unit = {
     val dest = checkpointPath(root, v)
     val fs = fsFor(dest)
     if (!fs.exists(dest)) {
-      val files = manifestFiles(root, v)
-      publishUtf8(fs, dest, files.mkString("\n") + "\n")
+      val lines = manifestFiles(root, v) ++ dvFiles(root, v).map("V\t" + _)
+      publishUtf8(fs, dest, lines.mkString("\n") + "\n")
       ()
     }
   }
@@ -490,7 +535,20 @@ object SnapshotCatalog {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
       val files = writeData(df, root, batch)
-      commitRetry(root)(_ => files.distinct.sorted)
+      // a replace defines the content outright, so inherited deletion
+      // vectors stop applying at this version (their row positions
+      // reference the files the rewrite just superseded)
+      var attempt = 0
+      while (attempt < 100) {
+        val pv = latestVersionOption(root).getOrElse(0)
+        val prev = if (pv == 0) Seq.empty else manifestFiles(root, pv)
+        val next = files.distinct.sorted
+        if (tryCommit(root, pv + 1, adds = next.filterNot(prev.toSet),
+              removes = prev.filterNot(next.toSet), dvReset = true))
+          return pv + 1
+        attempt += 1
+      }
+      sys.error(s"replace on $root lost 100 consecutive CAS races")
     }
   }
 
@@ -548,7 +606,29 @@ object SnapshotCatalog {
         }
         acc.toSet
       }
+      // deletion-vector files follow the same union lemma: in-effect-at
+      // any version v ≥ base ⊆ dvFiles(base) ∪ V-adds since (a replace's
+      // reset only shrinks per-version sets, never the union)
+      val keptDv = {
+        val base = collection.mutable.Set.from(dvFiles(root, vMin))
+        ((vMin + 1) to keep.last).foreach(v =>
+          base ++= commitDeltaFull(root, v).dvAdds)
+        base.toSet
+      }
+      val droppedDv = {
+        val acc = collection.mutable.Set.empty[String]
+        var haveBase = false
+        drop.foreach { v =>
+          if (!haveBase) {
+            try { acc ++= dvFiles(root, v); haveBase = true }
+            catch { case _: RuntimeException => () }
+          } else if (commitExists(root, v))
+            acc ++= commitDeltaFull(root, v).dvAdds
+        }
+        acc.toSet
+      }
       val dead = droppedUnion -- keptLive
+      val deadDv = droppedDv -- keptDv
       // (1) the new floor must survive its deltas' deletion
       writeCheckpoint(root, vMin)
       // (2) expired manifests first — no new reader resolves them after this
@@ -556,18 +636,18 @@ object SnapshotCatalog {
         val c = commitPath(root, v); fsFor(c).delete(c, false)
         val k = checkpointPath(root, v); fsFor(k).delete(k, false)
       }
-      // (3) then the data no surviving version references
-      dead.foreach { f =>
+      // (3) then the data (and DV) files no surviving version references
+      (dead ++ deadDv).foreach { f =>
         val p = new Path(f); fsFor(p).delete(p, false)
       }
       // (4) sweep batch dirs the GC emptied
-      dead.map(f => new Path(f).getParent).foreach { d =>
+      (dead ++ deadDv).map(f => new Path(f).getParent).foreach { d =>
         val fs = fsFor(d)
         if (fs.exists(d) && fs.listStatus(d).forall(s =>
               s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_")))
           fs.delete(d, true)
       }
-      (drop.size, dead.size)
+      (drop.size, dead.size + deadDv.size)
     }
   }
 
@@ -665,14 +745,20 @@ object SnapshotCatalog {
             throw new IllegalStateException(
               s"change feed $f->$toV on $root: commit $v expired — poll " +
                 "horizon exceeded retention; re-read the snapshot")
-          val (adds, removes) = commitDelta(root, v)
-          if (removes.nonEmpty)
+          val d = commitDeltaFull(root, v)
+          if (d.removes.nonEmpty)
             throw new IllegalStateException(
               s"change feed $f->$toV on $root crossed a replace/compaction " +
-                s"at version $v (${removes.size} files rewritten): added " +
+                s"at version $v (${d.removes.size} files rewritten): added " +
                 "files would double-count surviving rows — re-read the " +
                 "snapshot (or consume a row-level changelog) instead")
-          adds
+          if (d.dvAdds.nonEmpty || d.dvReset)
+            throw new IllegalStateException(
+              s"change feed $f->$toV on $root crossed a row-level DELETE " +
+                s"at version $v: an adds-only fold would keep serving the " +
+                "deleted rows — re-read the snapshot (or consume a " +
+                "row-level changelog) instead")
+          d.adds
         }
     }
 
@@ -682,6 +768,92 @@ object SnapshotCatalog {
     * catalog-managed index and a caller-staged plain dir. */
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
+
+  // ---- row-level deletes via DELETION VECTORS ------------------------
+  // The Delta-DV / Iceberg-position-delete idea: deleting 0.1 % of a
+  // 100 TB table must not rewrite the files holding the other 99.9 %.
+  // A delete commits (file, row_position) pairs — read straight off the
+  // scan's `_metadata.row_index` hidden column, so no surrogate key is
+  // needed — as small parquet "deletion vector" batches under
+  // <root>/dv/; the commit itself is O(deleted rows) and the data files
+  // are untouched (time travel to the pre-delete version still serves
+  // the rows). Serving subtracts the DVs with an anti-join; a later
+  // [[replace]] (compaction) applies them physically and resets the DV
+  // set atomically in its own commit.
+
+  private def dvTotalBytes(root: String, v: Int): Long =
+    dvFiles(root, v).map { f =>
+      val p = new Path(f); fsFor(p).getFileStatus(p).getLen
+    }.sum
+
+  /** Logically delete the live snapshot's rows matching `cond`:
+    * positions of surviving matches land as a DV batch and ONE commit
+    * publishes them (no data file is rewritten — audited by callers as
+    * manifest equality across the delete). Returns (new version,
+    * deleted row count). Fails with a concurrent-write conflict if a
+    * compaction rewrites the positions' files mid-commit — the same
+    * abort Delta raises for DELETE vs OPTIMIZE races; the caller
+    * retries against the new snapshot. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val v = latestVersion(root)
+    val base = spark.read.parquet(manifestFiles(root, v): _*)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val existing = dvFiles(root, v)
+    val live =
+      if (existing.isEmpty) base
+      else base.join(spark.read.parquet(existing: _*),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val newDel = live.filter(cond).select(col("__dv_file"), col("__dv_pos"))
+    val batch = "d" + java.util.UUID.randomUUID().toString.take(8)
+    val dir = s"$root/dv/$batch"
+    newDel.coalesce(1).write.mode("overwrite").parquet(dir)
+    val dvAdds = listDataFiles(dir)
+    val readBack = spark.read.parquet(dvAdds: _*)
+    val nDel = readBack.count()
+    if (nDel == 0L) { fsFor(new Path(dir)).delete(new Path(dir), true); return (v, 0L) }
+    // files the positions refer to — for the write-conflict check
+    val touched = readBack.select("__dv_file").distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
+      if (!touched.subsetOf(cur))
+        throw new java.util.ConcurrentModificationException(
+          s"deleteWhere on $root: a concurrent replace/compaction rewrote " +
+            "files the delete's positions reference — retry against the " +
+            "new snapshot")
+      if (tryCommit(root, pv + 1, adds = Seq.empty, removes = Seq.empty,
+            dvAdds = dvAdds)) return (pv + 1, nDel)
+      attempt += 1
+    }
+    sys.error(s"deleteWhere on $root lost 100 consecutive CAS races")
+  }
+
+  /** Read a snapshot with its deletion vectors applied — the data scan
+    * anti-joined against the in-effect (file, position) pairs. The DV
+    * side is O(deleted rows) and broadcasts under 64 MB (the common
+    * case: deletes are sparse); beyond that it degrades to a shuffled
+    * anti-join rather than an executor OOM. */
+  def readSnapshotWithDeletes(spark: SparkSession, root: String,
+                              version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = version.getOrElse(latestVersion(root))
+    val data = spark.read.parquet(manifestFiles(root, v): _*)
+    val dvs = dvFiles(root, v)
+    if (dvs.isEmpty) data
+    else {
+      val dv0 = spark.read.parquet(dvs: _*)
+      val dv = if (dvTotalBytes(root, v) <= 64L * 1024 * 1024) broadcast(dv0) else dv0
+      data.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
+  }
 
   // ---- file-level min/max skipping (Iceberg-style manifest stats) ----
 

@@ -801,5 +801,67 @@ object SourceQueries extends QueryPack {
              |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN length(event_type) END) AS BIGINT) AS sum_quality,
              |  TRUE AS v1_schema_preserved
              |FROM events""".stripMargin),
-      "S-maintenance: catalog schema evolution — accreted column null-fills old rows; time travel keeps the old schema"))
+      "S-maintenance: catalog schema evolution — accreted column null-fills old rows; time travel keeps the old schema"),
+
+    GraftQuery(
+      "src17_deletion_vectors",
+      (spark, dir) => {
+        // ROW-LEVEL DELETE WITHOUT REWRITE — deletion vectors (the
+        // Delta-DV / Iceberg-position-delete shape) on the engine's
+        // own snapshot seam: deleting 0.1% of a 100 TB table must not
+        // rewrite the files holding the other 99.9%, so the DELETE
+        // commits only (file, row_position) pairs — read straight off
+        // the scan's `_metadata.row_index`, no surrogate key — as a
+        // small DV parquet batch, and serving subtracts them with a
+        // broadcast anti-join. Audits pin the whole contract: (a) the
+        // delete rewrites NO data file (manifest identical across it),
+        // (b) the served read excludes exactly the deleted rows,
+        // (c) time travel to the pre-delete version still serves them,
+        // (d) a compaction applies the DVs physically and RESETS them
+        // in the same atomic commit (plain read ≡ DV-served read, DV
+        // set empty after). The oracle recomputes the post-delete
+        // content from the source table.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snapdv_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0), root, "b0")
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1), root, "b1")
+        val preDelete = SnapshotCatalog.latestVersion(root)
+        val m1 = SnapshotCatalog.manifestFiles(root, preDelete).toSet
+        val nTotal = SnapshotCatalog.readSnapshot(spark, root).count()
+        val (vDel, nDel) =
+          SnapshotCatalog.deleteWhere(spark, root, col("event_type") === "view")
+        val noRewrite = SnapshotCatalog.manifestFiles(root, vDel).toSet == m1
+        val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")))
+          .head()
+        val timeTravelIntact = SnapshotCatalog
+          .readSnapshotWithDeletes(spark, root, Some(preDelete))
+          .count() == nTotal
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .repartition(2), root, "c0")
+        val plain = SnapshotCatalog.readSnapshot(spark, root)
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")))
+          .head()
+        val compactionApplies = plain == served &&
+          SnapshotCatalog.dvFiles(root, SnapshotCatalog.latestVersion(root)).isEmpty
+        spark.range(1).select(
+          lit(served.getLong(0)).as("n_rows"),
+          lit(served.getLong(1)).as("sum_value_cents"),
+          lit(nDel).as("n_deleted"),
+          lit(noRewrite).as("no_rewrite"),
+          lit(timeTravelIntact).as("time_travel_intact"),
+          lit(compactionApplies).as("compaction_applies"))
+      },
+      Some("""SELECT count(CASE WHEN event_type <> 'view' THEN 1 END) AS n_rows,
+             |  CAST(sum(CASE WHEN event_type <> 'view'
+             |    THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS sum_value_cents,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_deleted,
+             |  TRUE AS no_rewrite,
+             |  TRUE AS time_travel_intact,
+             |  TRUE AS compaction_applies
+             |FROM events""".stripMargin),
+      "S-maintenance: deletion vectors — row-level DELETE commits positions only, no rewrite; compaction applies+resets"))
 }

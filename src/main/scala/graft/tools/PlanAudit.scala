@@ -222,6 +222,27 @@ object PlanAudit {
       sb.append(s"\n## src14/src15_stats_skipping (pruned serve frame) — scan opens $nRead of $nTotal snapshot files; skipped files never enter the plan\n\n")
       sb.append(s"```\n$plan\n```\n")
     }
+    // src17's registry entry returns audit literals; the plan worth
+    // auditing is the DV-SERVED READ — the full data scan anti-joined
+    // against the broadcast (file, position) deletion vectors: the DV
+    // side must broadcast (O(deleted rows), sparse) and the data side
+    // must never shuffle.
+    locally {
+      import graft.sources.SnapshotCatalog
+      import org.apache.spark.sql.functions._
+      val root = graft.streaming.Streams.dataDir("graft_plan_dv_")
+      val ev = graft.core.Tables(spark, sfDir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0), root, "b0")
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1), root, "b1")
+      val (_, nDel) =
+        SnapshotCatalog.deleteWhere(spark, root, col("event_type") === "view")
+      val plan = capturePlan(SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.Canon.sumCents(col("value")).as("sum_value_cents")))
+      sb.append(s"\n## src17_deletion_vectors (DV-served read) — broadcast anti-join subtracts $nDel positions; data files unrewritten, fact side unshuffled\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     // st38's registry entry returns audit literals; the plan worth
     // auditing is ONE POLL of the change feed — a scan of exactly the
     // version's added files, never the table.
@@ -258,7 +279,7 @@ object PlanAudit {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[planaudit] wrote $outFile (${headline.length + 7} plans)")
+    println(s"[planaudit] wrote $outFile (${headline.length + 8} plans)")
     spark.stop()
   }
 }

@@ -205,6 +205,54 @@ class DeltaLogSpec extends SparkTestBase {
       .agg(count(lit(1)), sum("id")).head() == live)
   }
 
+  test("deletion vectors: deletes compose, feed refuses the crossing, compaction applies+resets, expire GCs dead DVs") {
+    val root = graft.streaming.Streams.dataDir("graft_dvspec_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 50L).toDF("id").coalesce(1), root, "b0")
+    SnapshotCatalog.append((51L to 100L).toDF("id").coalesce(1), root, "b1")
+    // delete 1: multiples of 10
+    val (v3, n1) = SnapshotCatalog.deleteWhere(spark, root, col("id") % 10 === 0)
+    assert(v3 == 3 && n1 == 10L)
+    // delete 2 COMPOSES on the already-DV'd table: multiples of 7
+    // (70 is already deleted — must not double-count or resurrect)
+    val (v4, n2) = SnapshotCatalog.deleteWhere(spark, root, col("id") % 7 === 0)
+    assert(v4 == 4 && n2 == 13L, s"expected 13 new deletes (14 sevens minus 70), got $n2")
+    val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+    val expect = (1L to 100L).filterNot(i => i % 10 == 0 || i % 7 == 0)
+    assert(served.count() == expect.size.toLong)
+    assert(served.agg(sum("id")).head().getLong(0) == expect.sum)
+    // time travel: pre-delete (v2) full, between-deletes (v3) only the first delete applied
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(2)).count() == 100L)
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(3)).count() == 90L)
+    // an empty delete commits nothing
+    val (vSame, n0) = SnapshotCatalog.deleteWhere(spark, root, col("id") > 1000L)
+    assert(vSame == 4 && n0 == 0L)
+    // the change feed refuses to cross the DV commit (rows logically
+    // left the table; an adds-only fold would keep serving them)
+    val refusal = intercept[IllegalStateException] {
+      SnapshotCatalog.addedFiles(root, Some(2), 3)
+    }
+    assert(refusal.getMessage.contains("DELETE"), refusal.getMessage)
+    // compaction applies the DVs physically and resets them atomically
+    SnapshotCatalog.replace(
+      SnapshotCatalog.readSnapshotWithDeletes(spark, root).coalesce(1), root, "c0")
+    val v5 = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.dvFiles(root, v5).isEmpty, "replace did not reset the DV set")
+    assert(SnapshotCatalog.readSnapshot(spark, root).count() == expect.size.toLong)
+    // ... while time travel to v4 still resolves its DVs
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(4))
+      .count() == expect.size.toLong)
+    // expire GCs the dropped versions' DV files along with dead data
+    val dvDir = new java.io.File(s"$root/dv")
+    assert(dvDir.exists() && dvDir.listFiles().nonEmpty)
+    SnapshotCatalog.expire(root, keepLast = 1)
+    assert(SnapshotCatalog.versions(root) == Seq(5))
+    assert(!dvDir.exists() || dvDir.listFiles().isEmpty,
+      "expire left dead DV batches behind")
+    assert(SnapshotCatalog.readSnapshot(spark, root).count() == expect.size.toLong)
+  }
+
   test("typed stats skipping: timestamp and string ranges prune files; malformed sidecar lines read conservatively") {
     val root = graft.streaming.Streams.dataDir("graft_typedskip_")
     val spark2 = spark
