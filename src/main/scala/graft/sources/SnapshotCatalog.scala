@@ -833,6 +833,58 @@ object SnapshotCatalog {
     sys.error(s"deleteWhere on $root lost 100 consecutive CAS races")
   }
 
+  /** MERGE-on-read (upsert): rows of the live snapshot whose key
+    * matches a row in `updates` are DV-deleted and `updates` lands
+    * whole as a new data batch — BOTH in ONE atomic commit (the delta
+    * log carries data adds and DV adds together), so a reader resolves
+    * either the pre-merge or the post-merge table, never a state with
+    * the old row gone and the new one missing (or both present). Cost
+    * is O(updates + matched positions): no target file is rewritten —
+    * the Delta/Iceberg merge-on-read shape, vs src12's copy-on-write
+    * MERGE which rewrites the touched partition. Returns (version,
+    * matched-row count). Same concurrent-compaction abort as
+    * [[deleteWhere]]. */
+  def mergeOnRead(spark: SparkSession, root: String, updates: DataFrame,
+                  keyCols: Seq[String], batch: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = latestVersion(root)
+    val base = spark.read.parquet(manifestFiles(root, v): _*)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val existing = dvFiles(root, v)
+    val live =
+      if (existing.isEmpty) base
+      else base.join(spark.read.parquet(existing: _*),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val matched = live.join(broadcast(keys), keyCols, "left_semi")
+      .select(col("__dv_file"), col("__dv_pos"))
+    val dvDir = s"$root/dv/m${java.util.UUID.randomUUID().toString.take(8)}"
+    matched.coalesce(1).write.mode("overwrite").parquet(dvDir)
+    val dvAdds = listDataFiles(dvDir)
+    val dvBack = spark.read.parquet(dvAdds: _*)
+    val nMatched = dvBack.count()
+    val touched = dvBack.select("__dv_file").distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val newFiles = writeData(updates, root, batch)
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
+      if (!touched.subsetOf(cur))
+        throw new java.util.ConcurrentModificationException(
+          s"mergeOnRead on $root: a concurrent replace/compaction rewrote " +
+            "files the merge's matched positions reference — retry against " +
+            "the new snapshot")
+      if (tryCommit(root, pv + 1, adds = newFiles.distinct.sorted,
+            removes = Seq.empty,
+            dvAdds = if (nMatched == 0L) Seq.empty else dvAdds))
+        return (pv + 1, nMatched)
+      attempt += 1
+    }
+    sys.error(s"mergeOnRead on $root lost 100 consecutive CAS races")
+  }
+
   /** Read a snapshot with its deletion vectors applied — the data scan
     * anti-joined against the in-effect (file, position) pairs. The DV
     * side is O(deleted rows) and broadcasts under 64 MB (the common

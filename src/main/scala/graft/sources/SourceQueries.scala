@@ -863,5 +863,73 @@ object SourceQueries extends QueryPack {
              |  TRUE AS time_travel_intact,
              |  TRUE AS compaction_applies
              |FROM events""".stripMargin),
-      "S-maintenance: deletion vectors — row-level DELETE commits positions only, no rewrite; compaction applies+resets"))
+      "S-maintenance: deletion vectors — row-level DELETE commits positions only, no rewrite; compaction applies+resets"),
+
+    GraftQuery(
+      "src18_merge_on_read",
+      (spark, dir) => {
+        // MERGE-ON-READ UPSERT — the row-level composition of src17's
+        // deletion vectors with an append, in ONE atomic commit:
+        // matched target rows are DV-deleted and the update batch
+        // lands whole, so a reader resolves pre- or post-merge, never
+        // a torn upsert (old row gone, new row missing — or both
+        // present). Cost is O(updates + matched positions); src12's
+        // copy-on-write MERGE rewrites the touched partition instead —
+        // the classic write-amplification vs read-amplification trade,
+        // and at 100 TB a trickle of upserts takes THIS path while the
+        // nightly compaction folds the DVs back in. The upsert: every
+        // event_id ≡ 0 (mod 100) row re-lands with value doubled;
+        // every event_id ≡ 50 (mod 100) row spawns a NEW key (insert).
+        // Audits: adds-only commit (no target file rewritten), matched
+        // count exact, no duplicate keys after the merge, time travel
+        // to the pre-merge version intact. The oracle rebuilds the
+        // merged table from the source.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snapmor_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0), root, "b0")
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1), root, "b1")
+        val preV = SnapshotCatalog.latestVersion(root)
+        val m1 = SnapshotCatalog.manifestFiles(root, preV).toSet
+        val nBefore = SnapshotCatalog.readSnapshot(spark, root).count()
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val updates = ev.filter(col("event_id") % 100 === 0)
+          .withColumn("value", col("value") * 2)
+          .unionByName(ev.filter(col("event_id") % 100 === 50)
+            .withColumn("event_id", col("event_id") + lit(maxId + 1L)))
+        val (vM, nMatched) = SnapshotCatalog.mergeOnRead(
+          spark, root, updates, Seq("event_id"), "u0")
+        val addsOnly = m1.subsetOf(SnapshotCatalog.manifestFiles(root, vM).toSet)
+        val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")),
+            countDistinct(col("event_id")))
+          .head()
+        val noDupKeys = served.getLong(0) == served.getLong(2)
+        val timeTravelIntact = SnapshotCatalog
+          .readSnapshotWithDeletes(spark, root, Some(preV)).count() == nBefore
+        spark.range(1).select(
+          lit(served.getLong(0)).as("n_rows"),
+          lit(served.getLong(1)).as("sum_value_cents"),
+          lit(nMatched).as("n_updated"),
+          lit(addsOnly).as("adds_only_commit"),
+          lit(noDupKeys).as("upsert_unique"),
+          lit(timeTravelIntact).as("time_travel_intact"))
+      },
+      Some("""WITH m AS (SELECT max(event_id) AS mx FROM events),
+             |merged AS (
+             |  SELECT event_id, value * 2 AS value FROM events WHERE event_id % 100 = 0
+             |  UNION ALL
+             |  SELECT event_id, value FROM events WHERE event_id % 100 <> 0
+             |  UNION ALL
+             |  SELECT event_id + mx + 1, value FROM events, m WHERE event_id % 100 = 50
+             |)
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  (SELECT count(*) FROM events WHERE event_id % 100 = 0) AS n_updated,
+             |  TRUE AS adds_only_commit,
+             |  TRUE AS upsert_unique,
+             |  TRUE AS time_travel_intact
+             |FROM merged""".stripMargin),
+      "S-maintenance: MERGE-on-read upsert — DV-delete matched + append updates in ONE atomic commit, no target rewrite"))
 }

@@ -253,6 +253,37 @@ class DeltaLogSpec extends SparkTestBase {
     assert(SnapshotCatalog.readSnapshot(spark, root).count() == expect.size.toLong)
   }
 
+  test("merge-on-read: one commit upserts, composes with prior deletes, never duplicates a key") {
+    val root = graft.streaming.Streams.dataDir("graft_morspec_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append(
+      (1L to 50L).map(i => (i, i)).toDF("id", "v").coalesce(1), root, "b0")
+    // prior row-level delete: multiples of 10 are gone
+    val (_, nDel) = SnapshotCatalog.deleteWhere(spark, root, col("id") % 10 === 0)
+    assert(nDel == 5L)
+    // upsert: 5 and 15 exist (update), 10 was deleted (its key must NOT
+    // match — the row is logically gone), 999 is new (insert)
+    val updates = Seq((5L, 1000L), (15L, 1000L), (10L, 1000L), (999L, 1000L))
+      .toDF("id", "v")
+    val (vM, nMatched) = SnapshotCatalog.mergeOnRead(
+      spark, root, updates, Seq("id"), "u0")
+    assert(nMatched == 2L, s"expected 2 matched live rows (5, 15), got $nMatched")
+    val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+    // 45 live − 2 replaced + 4 update rows = 47; key 10 reappears as an
+    // INSERT (its old row was deleted; the upsert legitimately re-lands it)
+    assert(served.count() == 47L)
+    assert(served.groupBy("id").count().agg(max("count")).head().getLong(0) == 1L,
+      "merge duplicated a key")
+    val updated = served.filter(col("id").isin(5L, 15L, 10L, 999L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(updated == Map(5L -> 1000L, 15L -> 1000L, 10L -> 1000L, 999L -> 1000L))
+    // untouched row unchanged; pre-merge time travel intact
+    assert(served.filter(col("id") === 7L).head().getLong(1) == 7L)
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(vM - 1))
+      .count() == 45L)
+  }
+
   test("typed stats skipping: timestamp and string ranges prune files; malformed sidecar lines read conservatively") {
     val root = graft.streaming.Streams.dataDir("graft_typedskip_")
     val spark2 = spark
