@@ -531,10 +531,15 @@ object SnapshotCatalog {
     * generation's — O(live files), inherent to a rewrite); prior
     * versions keep time-traveling to the old files until [[expire]].
     * Replay-idempotent like [[append]]. Returns the version. */
-  def replace(df: DataFrame, root: String, batch: String): Int = {
+  def replace(df: DataFrame, root: String, batch: String,
+              recordStats: Boolean = true): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
       val files = writeData(df, root, batch)
+      // a compaction/rewrite is exactly when stats get TIGHT (a
+      // clustered layout's per-file ranges are the point of the
+      // rewrite) — refresh them for the new generation
+      if (recordStats) autoColumnStats(root, batch, files)
       // a replace defines the content outright, so inherited deletion
       // vectors stop applying at this version (their row positions
       // reference the files the rewrite just superseded)
@@ -1069,6 +1074,36 @@ object SnapshotCatalog {
       stats.get(f) match {
         case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
         case _                      => true // no/other-kind stats -> never skip
+      }
+    }
+    val df =
+      if (kept.isEmpty) readSnapshot(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(kept: _*)
+    (df, kept.size, files.size)
+  }
+
+  /** Box pruning: a snapshot read restricted to files whose recorded
+    * [min, max] intersects EVERY range of a multi-column long-range
+    * predicate — the serve side of a Z-ordered layout committed
+    * through the catalog (src06 proves row-group pruning inside
+    * files; a z-clustered REWRITE makes the per-FILE ranges tight in
+    * both dimensions, so the box prunes whole files before any footer
+    * is opened). Files missing stats for any column are conservatively
+    * kept. Returns (frame, files read, files in the snapshot). */
+  def readSnapshotPrunedBox(spark: SparkSession, root: String,
+                            ranges: Seq[(String, Long, Long)],
+                            version: Option[Int] = None): (DataFrame, Int, Int) = {
+    val v = version.getOrElse(latestVersion(root))
+    val files = manifestFiles(root, v)
+    val statsByCol = ranges.map { case (c, _, _) =>
+      c -> snapshotStats(root, files, c)
+    }.toMap
+    val kept = files.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        statsByCol(c).get(f) match {
+          case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
+          case _                      => true
+        }
       }
     }
     val df =

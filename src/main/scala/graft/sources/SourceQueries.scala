@@ -931,5 +931,75 @@ object SourceQueries extends QueryPack {
              |  TRUE AS upsert_unique,
              |  TRUE AS time_travel_intact
              |FROM merged""".stripMargin),
-      "S-maintenance: MERGE-on-read upsert — DV-delete matched + append updates in ONE atomic commit, no target rewrite"))
+      "S-maintenance: MERGE-on-read upsert — DV-delete matched + append updates in ONE atomic commit, no target rewrite"),
+
+    GraftQuery(
+      "src19_zorder_box_pruning",
+      (spark, dir) => {
+        // Z-ORDER × CATALOG STATS = 2-D FILE PRUNING — the composition
+        // the two halves exist for: src06 proves bit-interleaved
+        // clustering prunes ROW GROUPS inside files; committing the
+        // z-clustered REWRITE through the catalog (replace refreshes
+        // footer stats for the new generation) makes the per-FILE
+        // [min, max] tight in BOTH dimensions, so a 2-D box predicate
+        // prunes whole files from the manifest before any footer or
+        // data IO — the Delta OPTIMIZE ZORDER + file-skipping loop.
+        // The lifecycle is the production one: ingest litter lands
+        // first (range-correlated batches — realistic, but z-unaware),
+        // the maintenance rewrite re-clusters it, and the same box
+        // read is audited on BOTH generations: correct on each,
+        // file-skipping on the clustered one. Audits: box read ≡
+        // full-scan filter, files skipped after the rewrite, oracle ≡
+        // plain filter over the source.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snapzbox_")
+        val li = graft.core.Tables(spark, dir).lineitem
+          .select(col("l_partkey"), col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"))
+        // ingest litter: 4 orderkey-range batches (time-correlated, not
+        // z-clustered — partkey ranges overlap completely across files)
+        val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val w = (maxOk + 4L) / 4L
+        (0L until 4L).foreach { b =>
+          SnapshotCatalog.append(li.filter(col("l_orderkey") >= b * w &&
+            col("l_orderkey") < (b + 1) * w).coalesce(1), root, s"b$b")
+        }
+        val ranges = Seq(("l_partkey", 100L, 299L), ("l_orderkey", 200L, 599L))
+        def boxAgg(d: org.apache.spark.sql.DataFrame) =
+          d.filter(col("l_partkey").between(100, 299) &&
+              col("l_orderkey").between(200, 599))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity")).cast(LongType).as("sum_qty")).head()
+        val preRewrite = boxAgg(SnapshotCatalog.readSnapshotPrunedBox(
+          spark, root, ranges)._1)
+        // the maintenance rewrite: z-cluster the table, THROUGH the
+        // catalog (stats refresh with the new generation's files)
+        val z = graft.functions.ZOrder.zorder(col("l_partkey"), col("l_orderkey"))
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshot(spark, root)
+            .withColumn("zval", z)
+            .repartitionByRange(4, col("zval"))
+            .sortWithinPartitions("zval")
+            .drop("zval"),
+          root, "z0")
+        val (boxDf, nRead, nTotal) =
+          SnapshotCatalog.readSnapshotPrunedBox(spark, root, ranges)
+        val post = boxAgg(boxDf)
+        val full = boxAgg(SnapshotCatalog.readSnapshot(spark, root))
+        spark.range(1).select(
+          lit(post.getLong(0)).as("n_rows"),
+          lit(post.getLong(1)).as("sum_qty"),
+          lit(preRewrite == post).as("pre_equals_post_rewrite"),
+          lit(post == full).as("pruned_equals_full"),
+          lit(nRead < nTotal).as("files_skipped"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             |  TRUE AS pre_equals_post_rewrite,
+             |  TRUE AS pruned_equals_full,
+             |  TRUE AS files_skipped
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 299
+             |  AND l_orderkey BETWEEN 200 AND 599""".stripMargin),
+      "S-layout: Z-order through the catalog — rewrite refreshes file stats, 2-D box prunes whole files pre-IO"))
 }

@@ -52,7 +52,11 @@ object ScaleStress {
     "d19_cluster_safe_split", "s22_jl_projection", "s23_hybrid_rrf",
     "src11_manifest_snapshot", "q89_iqr_outliers",
     "s24_mmr_diversify", "mm11_keyframes", "t27_corpus_chain",
-    "src14_stats_skipping", "src15_ts_stats_skipping")
+    "src14_stats_skipping", "src15_ts_stats_skipping",
+    // src19 reads lineitem, which the stress generator does not scale —
+    // its skipping kernel is src14/src15's, measured above
+    "src16_catalog_schema_evolution", "src17_deletion_vectors",
+    "src18_merge_on_read")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -70,7 +74,8 @@ object ScaleStress {
         "st26_stream_chunk_scrub", "st30_stream_drift_monitor",
         "st33_stream_importance_gate", "st34_stream_ivm",
         "st35_stream_cdc_compact", "st36_stream_snapshot_publish",
-        "st37_session_timers", "st38_catalog_change_feed")
+        "st37_session_timers", "st38_catalog_change_feed",
+        "st39_feed_compaction_fallback")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
