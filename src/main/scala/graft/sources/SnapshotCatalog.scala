@@ -896,10 +896,11 @@ object SnapshotCatalog {
     * case: deletes are sparse); beyond that it degrades to a shuffled
     * anti-join rather than an executor OOM. */
   def readSnapshotWithDeletes(spark: SparkSession, root: String,
-                              version: Option[Int] = None): DataFrame = {
+                              version: Option[Int] = None,
+                              mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val v = version.getOrElse(latestVersion(root))
-    val data = spark.read.parquet(manifestFiles(root, v): _*)
+    val data = readSnapshot(spark, root, Some(v), mergeSchema)
     val dvs = dvFiles(root, v)
     if (dvs.isEmpty) data
     else {

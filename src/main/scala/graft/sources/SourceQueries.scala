@@ -1001,5 +1001,123 @@ object SourceQueries extends QueryPack {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 100 AND 299
              |  AND l_orderkey BETWEEN 200 AND 599""".stripMargin),
-      "S-layout: Z-order through the catalog — rewrite refreshes file stats, 2-D box prunes whole files pre-IO"))
+      "S-layout: Z-order through the catalog — rewrite refreshes file stats, 2-D box prunes whole files pre-IO"),
+
+    GraftQuery(
+      "src20_lakehouse_lifecycle",
+      (spark, dir) => {
+        // THE WHOLE TABLE LIFECYCLE AS ONE LINEAGE — t27 composes the
+        // corpus-build chain; this composes the STORAGE chain every
+        // 100 TB live table actually runs, each stage the op its
+        // carrier query proves, all against one catalog table:
+        //   ingest (3 appends) → SCHEMA EVOLUTION (a 4th batch lands
+        //   an accreted column — src16) → row-level DELETE (deletion
+        //   vectors, no rewrite — src17) → MERGE-on-read upsert (one
+        //   atomic commit — src18) → CLUSTER-COMPACT (replace applies
+        //   the DVs physically, range-clusters the layout, refreshes
+        //   file stats — src09/src19) → EXPIRE (GC of every superseded
+        //   generation incl. DV batches — src13) → STATS-PRUNED SERVE
+        //   (the range read opens only intersecting files — src14).
+        // Audits pin each seam: delete rewrites nothing, the merge is
+        // adds-only, compaction serves exactly the DV-applied content
+        // and empties the DV set, expiry leaves one version and the
+        // content unchanged, the serve skips files and equals the
+        // full-scan filter. The oracle replays the lifecycle's NET
+        // content from the source table.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_lakechain_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val w = (maxId + 4L) / 4L
+        // ingest: three quarter batches, plain schema
+        (0L until 3L).foreach { b =>
+          SnapshotCatalog.append(ev.filter(col("event_id") >= b * w &&
+            col("event_id") < (b + 1) * w), root, s"b$b")
+        }
+        // schema evolution: the last quarter lands WITH `quality`
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") >= 3L * w)
+            .withColumn("quality", length(col("event_type")).cast("long")),
+          root, "b3")
+        // row-level delete: every 5th signup, via deletion vectors
+        val mPre = SnapshotCatalog.manifestFiles(
+          root, SnapshotCatalog.latestVersion(root)).toSet
+        val (vDel, nDeleted) = SnapshotCatalog.deleteWhere(spark, root,
+          col("event_type") === "signup" && col("event_id") % 5 === 0)
+        val noRewrite =
+          SnapshotCatalog.manifestFiles(root, vDel).toSet == mPre
+        // merge-on-read upsert: live rows with id ≡ 7 (mod 100) re-land tripled
+        val updates = SnapshotCatalog
+          .readSnapshotWithDeletes(spark, root, mergeSchema = true)
+          .filter(col("event_id") % 100 === 7)
+          .withColumn("value", col("value") * 3)
+        val (vM, nUpdated) = SnapshotCatalog.mergeOnRead(
+          spark, root, updates, Seq("event_id"), "u0")
+        val addsOnly = SnapshotCatalog.manifestFiles(root, vDel).toSet
+          .subsetOf(SnapshotCatalog.manifestFiles(root, vM).toSet)
+        val servedPreCompact = SnapshotCatalog
+          .readSnapshotWithDeletes(spark, root, mergeSchema = true)
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")),
+            count(col("quality"))).head()
+        // cluster-compact: DVs applied physically, layout range-clustered
+        // on the serve key, file stats refreshed for the new generation
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root, mergeSchema = true)
+            .repartitionByRange(4, col("event_id"))
+            .sortWithinPartitions("event_id"),
+          root, "c0")
+        val vC = SnapshotCatalog.latestVersion(root)
+        val plain = SnapshotCatalog.readSnapshot(spark, root)
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")),
+            count(col("quality"))).head()
+        val compactionExact = plain == servedPreCompact &&
+          SnapshotCatalog.dvFiles(root, vC).isEmpty
+        // expire: one surviving version; every superseded generation
+        // (ingest litter, pre-merge files, DV batches) GC'd
+        SnapshotCatalog.expire(root, keepLast = 1)
+        val expireOk = SnapshotCatalog.versions(root) == Seq(vC) &&
+          SnapshotCatalog.readSnapshot(spark, root)
+            .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value")),
+              count(col("quality"))).head() == plain
+        // stats-pruned serve on the clustered layout
+        val (slice, nRead, nTotal) = SnapshotCatalog.readSnapshotPruned(
+          spark, root, "event_id", w, 2L * w - 1L)
+        val sliceAgg = slice.filter(col("event_id").between(w, 2L * w - 1L))
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value"))).head()
+        val sliceFull = SnapshotCatalog.readSnapshot(spark, root)
+          .filter(col("event_id").between(w, 2L * w - 1L))
+          .agg(count(lit(1)), graft.functions.Canon.sumCents(col("value"))).head()
+        val serveOk = nRead < nTotal && sliceAgg == sliceFull
+        spark.range(1).select(
+          lit(plain.getLong(0)).as("n_rows"),
+          lit(plain.getLong(1)).as("sum_value_cents"),
+          lit(plain.getLong(2)).as("n_quality_rows"),
+          lit(nDeleted).as("n_deleted"),
+          lit(nUpdated).as("n_updated"),
+          lit(noRewrite && addsOnly && compactionExact && expireOk && serveOk)
+            .as("lifecycle_audits_ok"))
+      },
+      Some("""WITH b AS (SELECT (max(event_id) + 4) // 4 AS w FROM events),
+             |base AS (
+             |  SELECT event_id, event_type, value,
+             |    CASE WHEN event_id >= 3 * w THEN length(event_type) END AS quality
+             |  FROM events, b),
+             |after_del AS (
+             |  SELECT * FROM base
+             |  WHERE NOT (event_type = 'signup' AND event_id % 5 = 0)),
+             |final AS (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 100 = 7 THEN value * 3 ELSE value END AS value,
+             |    quality
+             |  FROM after_del)
+             |SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  count(quality) AS n_quality_rows,
+             |  (SELECT count(*) FROM base
+             |     WHERE event_type = 'signup' AND event_id % 5 = 0) AS n_deleted,
+             |  (SELECT count(*) FROM after_del WHERE event_id % 100 = 7) AS n_updated,
+             |  TRUE AS lifecycle_audits_ok
+             |FROM final""".stripMargin),
+      "S-composite: the full lakehouse lifecycle in one lineage — evolve, DV-delete, merge, compact, expire, pruned serve"))
 }
