@@ -774,6 +774,38 @@ object SnapshotCatalog {
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
 
+  /** Time travel by WALL CLOCK (`TIMESTAMP AS OF`): the newest
+    * surviving version whose commit published at-or-before `tsMillis`
+    * (commit files are immutable after publish, so their modification
+    * time IS the commit time). None when the table didn't exist yet
+    * or every version that old has been expired. */
+  def versionAsOf(root: String, tsMillis: Long): Option[Int] =
+    versions(root).filter { v =>
+      val p = commitPath(root, v)
+      val fs = fsFor(p)
+      fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
+    }.lastOption
+
+  /** One history row per surviving version — `DESCRIBE HISTORY`:
+    * (version, kind, data files added, data files removed, DV files
+    * added, commit time ms). Kind derives from the commit's own delta:
+    * `append` (adds only), `delete` (DV adds only), `merge` (data +
+    * DV adds in one commit), `replace` (removes/reset — compaction,
+    * retraction, fold-rewrite). O(surviving deltas) metadata reads,
+    * never a data scan. */
+  def history(root: String): Seq[(Int, String, Int, Int, Int, Long)] =
+    versions(root).filter(commitExists(root, _)).map { v =>
+      val d = commitDeltaFull(root, v)
+      val kind =
+        if (d.removes.nonEmpty || d.dvReset) "replace"
+        else if (d.dvAdds.nonEmpty && d.adds.nonEmpty) "merge"
+        else if (d.dvAdds.nonEmpty) "delete"
+        else "append"
+      val p = commitPath(root, v)
+      (v, kind, d.adds.size, d.removes.size, d.dvAdds.size,
+        fsFor(p).getFileStatus(p).getModificationTime)
+    }
+
   // ---- row-level deletes via DELETION VECTORS ------------------------
   // The Delta-DV / Iceberg-position-delete idea: deleting 0.1 % of a
   // 100 TB table must not rewrite the files holding the other 99.9 %.

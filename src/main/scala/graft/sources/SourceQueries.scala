@@ -1119,5 +1119,54 @@ object SourceQueries extends QueryPack {
              |  (SELECT count(*) FROM after_del WHERE event_id % 100 = 7) AS n_updated,
              |  TRUE AS lifecycle_audits_ok
              |FROM final""".stripMargin),
-      "S-composite: the full lakehouse lifecycle in one lineage — evolve, DV-delete, merge, compact, expire, pruned serve"))
+      "S-composite: the full lakehouse lifecycle in one lineage — evolve, DV-delete, merge, compact, expire, pruned serve"),
+
+    GraftQuery(
+      "src21_table_history",
+      (spark, dir) => {
+        // DESCRIBE HISTORY — the observability surface every table
+        // format ships: one row per surviving version, its KIND derived
+        // from the commit's own delta lines (append / delete / merge /
+        // replace) plus file-level add/remove/DV counts — O(surviving
+        // deltas) metadata reads, never a data scan, which is what
+        // makes "what happened to this table" answerable on a 100 TB
+        // table in milliseconds. The staged lineage commits one of
+        // each kind with pinned file counts (every batch coalesced to
+        // one file), and the oracle is the expected history literal.
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snaphist_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") % 2 === 0).coalesce(1), root, "b0",
+          recordStats = false)
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") % 2 === 1).coalesce(1), root, "b1",
+          recordStats = false)
+        SnapshotCatalog.deleteWhere(spark, root, col("event_type") === "view")
+        SnapshotCatalog.mergeOnRead(spark, root,
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .filter(col("event_id") % 100 === 0)
+            .withColumn("value", col("value") * 2).coalesce(1),
+          Seq("event_id"), "u0")
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .repartition(2), root, "c0", recordStats = false)
+        val h = SnapshotCatalog.history(root)
+        val spark2 = spark
+        import spark2.implicits._
+        h.map { case (v, kind, a, r, dv, _) =>
+          (v.toLong, kind, a.toLong, r.toLong, dv.toLong)
+        }.toDF("version", "kind", "n_adds", "n_removes", "n_dv_adds")
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+             |  (CAST(3 AS BIGINT), 'delete',  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(4 AS BIGINT), 'merge',   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (CAST(5 AS BIGINT), 'replace', CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT))
+             |) AS t(version, kind, n_adds, n_removes, n_dv_adds)
+             |ORDER BY version""".stripMargin),
+      "S-observability: DESCRIBE HISTORY — per-version kind + file deltas from the log alone, no data scan"))
 }

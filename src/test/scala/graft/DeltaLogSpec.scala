@@ -96,24 +96,30 @@ class DeltaLogSpec extends SparkTestBase {
     }
   }
 
-  test("conditional-PUT publisher: racing committers through withPublisher still serialize") {
+  test("conditional-PUT publisher: create-no-overwrite protocol — winner lands, loser gets false with no residue") {
+    // NOTE deliberately sequential: create-no-overwrite is only atomic
+    // on stores whose exclusive create is a namespace op (HDFS, S3
+    // If-None-Match); the local FS races check-then-create, which is
+    // exactly why the LOCAL default is the hard-link publisher (raced
+    // cross-process in the spec above). This pins the PROTOCOL: commits
+    // flow, a taken version refuses with false, nothing is torn.
     val root = graft.streaming.Streams.dataDir("graft_condput_")
     SnapshotCatalog.withPublisher(SnapshotCatalog.ConditionalPutPublish) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      try {
-        val fs = (0 until 2).map { t =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = (1 to 10).foreach { i =>
-              SnapshotCatalog.commitRetry(root)(prev =>
-                prev :+ s"$root/data/t$t/part-$i.parquet")
-            }
-          })
-        }
-        fs.foreach(_.get())
-      } finally pool.shutdown()
+      (1 to 10).foreach { i =>
+        SnapshotCatalog.commitRetry(root)(prev =>
+          prev :+ s"$root/data/t/part-$i.parquet")
+      }
+      assert(SnapshotCatalog.versions(root) == (1 to 10))
+      assert(SnapshotCatalog.manifestFiles(root, 10).size == 10)
+      // the loser's path: version 5 is taken → publish refuses, no residue
+      assert(!SnapshotCatalog.tryCommit(root, 5,
+        adds = Seq(s"$root/data/t/usurper.parquet"), removes = Seq.empty))
+      assert(SnapshotCatalog.manifestFiles(root, 5).size == 5,
+        "a lost conditional PUT overwrote the committed manifest")
     }
-    assert(SnapshotCatalog.versions(root) == (1 to 20))
-    assert(SnapshotCatalog.manifestFiles(root, 20).size == 20)
+    val leftovers = Option(new java.io.File(s"$root/manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"tmp residue: ${leftovers.mkString(", ")}")
   }
 
   test("expire honors the retention window: young versions survive keepLast, then age out") {
@@ -282,6 +288,26 @@ class DeltaLogSpec extends SparkTestBase {
     assert(served.filter(col("id") === 7L).head().getLong(1) == 7L)
     assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(vM - 1))
       .count() == 45L)
+  }
+
+  test("versionAsOf: wall-clock time travel resolves the newest commit at-or-before the timestamp") {
+    val root = graft.streaming.Streams.dataDir("graft_asofspec_")
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = System.currentTimeMillis() - 1L
+    assert(SnapshotCatalog.versionAsOf(root, t0).isEmpty, "table not yet created")
+    SnapshotCatalog.append((1L to 10L).toDF("id").coalesce(1), root, "b0")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotCatalog.append((11L to 20L).toDF("id").coalesce(1), root, "b1")
+    assert(SnapshotCatalog.versionAsOf(root, t0).isEmpty,
+      "resolved a version from before the table existed")
+    assert(SnapshotCatalog.versionAsOf(root, mid) == Some(1))
+    assert(SnapshotCatalog.versionAsOf(root, System.currentTimeMillis()) == Some(2))
+    val asOf = SnapshotCatalog.readSnapshot(spark, root,
+      SnapshotCatalog.versionAsOf(root, mid))
+    assert(asOf.count() == 10L, "TIMESTAMP AS OF read served the wrong version")
   }
 
   test("typed stats skipping: timestamp and string ranges prune files; malformed sidecar lines read conservatively") {
