@@ -2228,7 +2228,89 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS post_fallback_polls_are_delta_only,
              |  TRUE AS feed_equals_snapshot
              |FROM events""".stripMargin),
-      "North star/T: change feed across a compaction — refusal caught once, snapshot re-baseline, O(delta) polls resume"))
+      "North star/T: change feed across a compaction — refusal caught once, snapshot re-baseline, O(delta) polls resume"),
+
+    GraftQuery(
+      "st40_stream_with_maintenance",
+      (spark, dir) => {
+        // WRITER × MAINTENANCE × READER, ALL LIVE — the three-party
+        // concurrency a production table actually sustains, in one
+        // drain: the stream COMMITS a version per micro-batch (st36),
+        // every second batch also runs the MAINTENANCE pass inline —
+        // a compacting replace plus a retention-windowed expire — and
+        // a READER thread polls the table the entire time. The
+        // retention window is load-bearing: a bare expire(keepLast)
+        // here could GC the version the reader resolved between two
+        // back-to-back commits (the round-13 ADVICE race) — the audit
+        // asserts the reader observed only complete, monotonically
+        // growing row counts and NEVER an error. Final audits from
+        // [[graft.sources.SnapshotCatalog.history]]: both kinds
+        // present (appends AND replaces), and the live content equals
+        // the staged table despite the mid-stream rewrites
+        // (compaction is content-neutral under snapshot isolation).
+        import graft.sources.SnapshotCatalog
+        val root = Streams.dataDir("graft_st40_")
+        val readerCounts =
+          new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val readerErrors = new java.util.concurrent.atomic.AtomicLong()
+        val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val reader = new Thread(() => {
+          while (!stopReader.get()) {
+            try {
+              if (SnapshotCatalog.isTable(root))
+                readerCounts.add(
+                  SnapshotCatalog.readSnapshot(spark, root).count())
+            } catch { case _: Throwable => readerErrors.incrementAndGet(); () }
+            Thread.sleep(25)
+          }
+        })
+        reader.start()
+        try {
+          Streams.withStreamShufflePartitions(spark) {
+            val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+              .writeStream.outputMode("append")
+              .option("checkpointLocation", Streams.scratchDir("graft_cp_st40_"))
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+                if (!b.isEmpty) {
+                  SnapshotCatalog.append(b, root, s"batch$bid")
+                  if (bid % 2 == 1) {
+                    // inline maintenance: compact, then retention-
+                    // windowed GC (never the reader's resolved version)
+                    SnapshotCatalog.replace(
+                      SnapshotCatalog.readSnapshot(spark, root)
+                        .repartition(2), root, s"compact$bid")
+                    SnapshotCatalog.expire(root, keepLast = 2,
+                      minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
+                    ()
+                  }
+                }
+                ()
+              }
+              .start()
+            Streams.awaitDrained(q)
+            q.stop()
+          }
+        } finally { stopReader.set(true); reader.join(5000) }
+        import scala.jdk.CollectionConverters._
+        val counts = readerCounts.asScala.toVector
+        val kinds = SnapshotCatalog.history(root).map(_._2).toSet
+        val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a <= b }
+        SnapshotCatalog.readSnapshot(spark, root).agg(
+            count(lit(1)).as("n_rows"),
+            Canon.sumCents(col("value")).as("sum_value_cents"))
+          .select(col("n_rows"), col("sum_value_cents"),
+            lit(kinds == Set("append", "replace")).as("both_kinds_committed"),
+            lit(readerErrors.get() == 0L && counts.nonEmpty)
+              .as("reader_never_failed"),
+            lit(monotone).as("reader_counts_monotone"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS both_kinds_committed,
+             |  TRUE AS reader_never_failed,
+             |  TRUE AS reader_counts_monotone
+             |FROM events""".stripMargin),
+      "North star/T: live ingest + inline maintenance + concurrent reader — complete versions only, content-neutral compaction"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared
