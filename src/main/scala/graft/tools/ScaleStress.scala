@@ -56,7 +56,8 @@ object ScaleStress {
     // src19 reads lineitem, which the stress generator does not scale —
     // its skipping kernel is src14/src15's, measured above
     "src16_catalog_schema_evolution", "src17_deletion_vectors",
-    "src18_merge_on_read")
+    "src18_merge_on_read", "src20_lakehouse_lifecycle",
+    "src21_table_history")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -75,7 +76,7 @@ object ScaleStress {
         "st33_stream_importance_gate", "st34_stream_ivm",
         "st35_stream_cdc_compact", "st36_stream_snapshot_publish",
         "st37_session_timers", "st38_catalog_change_feed",
-        "st39_feed_compaction_fallback")
+        "st39_feed_compaction_fallback", "st40_stream_with_maintenance")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
