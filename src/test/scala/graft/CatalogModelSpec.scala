@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.SnapshotCatalog
+import org.apache.spark.sql.functions._
+
+/** Model-based fuzz of the WHOLE snapshot-catalog seam: random
+  * interleavings of append / replace / DV-delete / merge-on-read /
+  * expire are replayed against an in-memory reference model, and after
+  * EVERY operation the catalog's resolved content — at every surviving
+  * version, through the full read path (delta-log resolution +
+  * checkpoints + deletion vectors) — must equal the model's snapshot
+  * of that version. Each per-op spec pins one edge; this pins their
+  * COMPOSITION: any bug in how the pieces interact (a reset that
+  * leaks across versions, a checkpoint that bakes stale DVs, an
+  * expire that breaks a floor resolution, a merge that resurrects a
+  * deleted row) surfaces as a version whose content diverges from the
+  * model. Fixed seed — failures replay deterministically. */
+class CatalogModelSpec extends SparkTestBase {
+
+  test("fuzz: random op sequences — every surviving version's content equals the reference model after every op") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(1414)
+
+    (1 to 2).foreach { trial =>
+      val root = graft.streaming.Streams.dataDir(s"graft_model${trial}_")
+      var live = Map.empty[Long, Long] // id -> value, the table's truth
+      val versions = scala.collection.mutable.SortedMap.empty[Int, Map[Long, Long]]
+      var nextId = 0L
+      def df(m: Map[Long, Long]) =
+        m.toSeq.sortBy(_._1).toDF("id", "v").coalesce(1)
+
+      (0 until 14).foreach { op =>
+        val kind =
+          if (versions.isEmpty) 0 // first op must create the table
+          else rnd.nextInt(5)
+        kind match {
+          case 0 => // append fresh rows
+            val fresh = (0 until 1 + rnd.nextInt(4))
+              .map { _ => nextId += 1; nextId -> nextId * 7L }.toMap
+            live = live ++ fresh
+            val v = SnapshotCatalog.append(df(fresh), root, s"b$op")
+            versions(v) = live
+          case 1 => // compacting replace (content-neutral, applies DVs)
+            val v = SnapshotCatalog.replace(df(live), root, s"r$op")
+            versions(v) = live
+          case 2 => // DV delete by modulus
+            val m = Seq(2L, 3L, 5L)(rnd.nextInt(3))
+            val r = rnd.nextInt(m.toInt).toLong
+            val matched = live.keySet.filter(_ % m == r)
+            val (v, nDel) = SnapshotCatalog.deleteWhere(spark, root,
+              col("id") % m === r)
+            assert(nDel == matched.size.toLong,
+              s"trial $trial op $op: delete matched $nDel, model says ${matched.size}")
+            if (nDel > 0) { live = live -- matched; versions(v) = live }
+          case 3 => // merge-on-read: update a random subset + one insert
+            val upd = live.keySet.filter(_ => rnd.nextBoolean())
+              .map(k => k -> (live(k) * 2L + 1L)).toMap
+            nextId += 1
+            val ins = Map(nextId -> nextId * 7L)
+            val (v, nM) = SnapshotCatalog.mergeOnRead(spark, root,
+              df(upd ++ ins), Seq("id"), s"u$op")
+            assert(nM == upd.size.toLong,
+              s"trial $trial op $op: merge matched $nM, model says ${upd.size}")
+            live = live ++ upd ++ ins
+            versions(v) = live
+          case 4 => // expire to a random horizon
+            val keep = 1 + rnd.nextInt(3)
+            SnapshotCatalog.expire(root, keepLast = keep)
+            versions.keys.toSeq.dropRight(keep).foreach(versions.remove)
+        }
+        // THE INVARIANT: every surviving version reads back as the
+        // model snapshotted it, through the full path (log resolution,
+        // checkpoints, deletion vectors)
+        versions.foreach { case (v, expect) =>
+          val got = SnapshotCatalog
+            .readSnapshotWithDeletes(spark, root, Some(v))
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          assert(got == expect,
+            s"trial $trial op $op (kind $kind): version $v diverged\n" +
+              s"missing=${(expect.keySet -- got.keySet).toSeq.sorted}\n" +
+              s"extra=${(got.keySet -- expect.keySet).toSeq.sorted}\n" +
+              s"changed=${expect.keySet.intersect(got.keySet)
+                .filter(k => expect(k) != got(k)).toSeq.sorted}")
+        }
+      }
+      // final hygiene: history covers exactly the surviving versions
+      assert(SnapshotCatalog.history(root).map(_._1) ==
+        versions.keys.toSeq.sorted)
+    }
+  }
+}
