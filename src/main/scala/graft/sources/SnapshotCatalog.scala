@@ -884,6 +884,10 @@ object SnapshotCatalog {
   def mergeOnRead(spark: SparkSession, root: String, updates: DataFrame,
                   keyCols: Seq[String], batch: String): (Int, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // replay-refusal FIRST (the append/replace contract): a redelivered
+    // merge would recompute "matched" against the already-merged table
+    // — the update rows themselves — and DV-delete its own output
+    if (isBatchCommitted(root, batch)) return (latestVersion(root), 0L)
     val v = latestVersion(root)
     val base = spark.read.parquet(manifestFiles(root, v): _*)
       .withColumn("__dv_file", col("_metadata.file_path"))

@@ -288,6 +288,14 @@ class DeltaLogSpec extends SparkTestBase {
     assert(served.filter(col("id") === 7L).head().getLong(1) == 7L)
     assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root, Some(vM - 1))
       .count() == 45L)
+    // replay-refusal: a redelivered merge (same batch id) commits
+    // nothing — without the guard it would recompute "matched" against
+    // the merged table and DV-delete its own update rows
+    val (vR, nR) = SnapshotCatalog.mergeOnRead(
+      spark, root, updates, Seq("id"), "u0")
+    assert(vR == vM && nR == 0L, "replayed merge was not refused")
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root).count() == 47L,
+      "replayed merge changed the table")
   }
 
   test("versionAsOf: wall-clock time travel resolves the newest commit at-or-before the timestamp") {
