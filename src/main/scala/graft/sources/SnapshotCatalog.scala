@@ -1095,6 +1095,15 @@ object SnapshotCatalog {
         }
       }.toMap
 
+  /** The stats surface the planning-time [[SnapshotFileIndex]]
+    * consults: per-file (kind, min, max) for `col`; string bounds stay
+    * encoded (decode with [[statStr]]). */
+  private[sources] def fileStats(root: String, files: Seq[String],
+                                 col: String): Map[String, (String, String, String)] =
+    snapshotStats(root, files, col)
+
+  private[sources] def statStr(enc: String): String = unb64(enc)
+
   /** Read a snapshot restricted to files whose recorded [min, max] for
     * `col` intersects [lo, hi] — file skipping from batch-sidecar stats,
     * no footer or data IO for skipped files. Files with no recorded

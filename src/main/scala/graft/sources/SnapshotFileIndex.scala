@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PLANNING-TIME file skipping for catalog snapshots — the engine's
+  * stats tier surfaced as a Catalyst [[FileIndex]] (the Delta
+  * `TahoeFileIndex` pattern): instead of the caller choosing a pruned
+  * read helper, the snapshot becomes an ordinary DataFrame whose SCAN
+  * consults the per-batch typed stats sidecars inside
+  * [[FileIndex.listFiles]] — so ANY query shape (SQL text, joins,
+  * views) gets file skipping from its own pushed-down predicates, with
+  * zero API opt-in. `df.filter($"event_id" > x)` plans a FileScan whose
+  * file listing already excluded every non-intersecting file; the
+  * normal parquet row-group pruning then applies WITHIN the kept files
+  * (the two tiers compose).
+  *
+  * Predicate extraction is deliberately conservative: per-column
+  * [lo, hi] bounds from `attr (=,<,<=,>,>=) literal` conjuncts (longs,
+  * ints, timestamp micros, strings), `And` recursion; anything else —
+  * `Or`, casts, functions — contributes no bound and the affected files
+  * are read. Skipping is an optimization, never a correctness gate
+  * (files without stats are kept), which is what lets this sit in the
+  * planner without an audit burden.
+  *
+  * At 100 TB this is the difference between "the dashboard's ad-hoc SQL
+  * needs a bespoke pruned-read API" and "any predicate on an ingest-
+  * clustered column opens only its time slice".
+  */
+class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
+    extends FileIndex {
+
+  private val files: Seq[String] = SnapshotCatalog.manifestFiles(root, version)
+
+  private val statuses: Seq[FileStatus] = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(conf).getFileStatus(p)
+    }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  override def inputFiles: Array[String] = files.toArray
+
+  override def refresh(): Unit = ()
+
+  /** Per-column closed bounds extracted from the pushed data filters.
+    * Long bounds cover int/long/timestamp-micros columns; string bounds
+    * compare lexically (parquet UTF8 stats order). */
+  private def bounds(dataFilters: Seq[Expression])
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    val longs = collection.mutable.Map.empty[String, (Long, Long)]
+    val strs = collection.mutable.Map.empty[String, (String, String)]
+    def narrowL(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = longs.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      longs(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (l0, h0) = strs.getOrElse(c, ("", "￿" * 8))
+      strs(c) = (lo.map(l => if (l > l0) l else l0).getOrElse(l0),
+        hi.map(h => if (h < h0) h else h0).getOrElse(h0))
+    }
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def walk(e: Expression): Unit = e match {
+      case And(l, r) => walk(l); walk(r)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
+        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), None); case _ => () }
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(a.name, x + 1L, Long.MaxValue))
+        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), None); case _ => () }
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
+        v match { case u: UTF8String => narrowS(a.name, None, Some(u.toString)); case _ => () }
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(a.name, Long.MinValue, x - 1L))
+        v match { case u: UTF8String => narrowS(a.name, None, Some(u.toString)); case _ => () }
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(a.name, x, x))
+        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), Some(u.toString)); case _ => () }
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
+      case _ => () // Or / casts / functions: no bound — never unsound
+    }
+    dataFilters.foreach(walk)
+    (longs.toMap, strs.toMap)
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (lb, sb) = bounds(dataFilters)
+    val kept =
+      if (lb.isEmpty && sb.isEmpty) statuses
+      else {
+        val statsL = lb.keys.map(c =>
+          c -> SnapshotCatalog.fileStats(root, files, c)).toMap
+        val statsS = sb.keys.map(c =>
+          c -> SnapshotCatalog.fileStats(root, files, c)).toMap
+        statuses.filter { st =>
+          val f = st.getPath.toString
+          val longOk = lb.forall { case (c, (lo, hi)) =>
+            statsL(c).get(f) match {
+              case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
+              case _                      => true
+            }
+          }
+          val strOk = sb.forall { case (c, (lo, hi)) =>
+            statsS(c).get(f) match {
+              case Some(("string", mn, mx)) =>
+                SnapshotCatalog.statStr(mx) >= lo && SnapshotCatalog.statStr(mn) <= hi
+              case _ => true
+            }
+          }
+          longOk && strOk
+        }
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+object SnapshotFileIndex {
+
+  /** `numFiles` summed over every executed FileSourceScanExec in `df`'s
+    * plan, unwrapping AQE (whose leaves are only reachable through each
+    * stage's final physical plan) — the observable the skipping audits
+    * read. Call AFTER an action has run on `df` itself. */
+  def scannedFiles(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.metrics("numFiles").value)
+      case q: QueryStageExec => scans(q.plan)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).sum
+  }
+
+  /** The snapshot as an ordinary DataFrame whose scan prunes files from
+    * the catalog's stats sidecars at PLANNING time. Deletion vectors in
+    * effect are subtracted on top (the anti-join wraps the pruned scan,
+    * so skipping still applies underneath). */
+  def snapshotDF(spark: SparkSession, root: String,
+                 version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = version.getOrElse(SnapshotCatalog.latestVersion(root))
+    val index = new SnapshotFileIndex(spark, root, v)
+    val schema = spark.read
+      .parquet(SnapshotCatalog.manifestFiles(root, v).head).schema
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val base = org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark, LogicalRelation(relation))
+    val dvs = SnapshotCatalog.dvFiles(root, v)
+    if (dvs.isEmpty) base
+    else base
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(broadcast(spark.read.parquet(dvs: _*)),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+}

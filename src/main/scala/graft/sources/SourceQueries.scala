@@ -1168,5 +1168,67 @@ object SourceQueries extends QueryPack {
              |  (CAST(5 AS BIGINT), 'replace', CAST(2 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT))
              |) AS t(version, kind, n_adds, n_removes, n_dv_adds)
              |ORDER BY version""".stripMargin),
-      "S-observability: DESCRIBE HISTORY — per-version kind + file deltas from the log alone, no data scan"))
+      "S-observability: DESCRIBE HISTORY — per-version kind + file deltas from the log alone, no data scan"),
+
+    GraftQuery(
+      "src22_planned_skipping",
+      (spark, dir) => {
+        // PLANNING-TIME FILE SKIPPING, NO API OPT-IN — src14/src15's
+        // stats tier moved INSIDE Catalyst: [[SnapshotFileIndex]]
+        // surfaces a snapshot as an ordinary DataFrame whose FileIndex
+        // consults the typed stats sidecars during the scan's file
+        // listing (the Delta TahoeFileIndex pattern), so ANY query
+        // shape — here plain SQL TEXT against a registered view, the
+        // reference's dashboard idiom (`fire_detection_app.py:99`
+        // filters the last N minutes in SQL) — prunes files from its
+        // own pushed-down predicates. The caller never names a pruned-
+        // read helper; the planner does the skipping, and parquet's
+        // row-group pruning composes within the kept files. Audited by
+        // the EXECUTED scan's own numFiles metric vs the snapshot's
+        // file count, and against the full-scan result.
+        import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+        val root = graft.streaming.Streams.dataDir("graft_snapplan_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val nB = 6L
+        val w = (maxId + nB) / nB
+        (0L until nB).foreach { b =>
+          SnapshotCatalog.append(ev.filter(col("event_id") >= b * w &&
+            col("event_id") < (b + 1) * w).repartition(2), root, s"b$b")
+        }
+        SnapshotFileIndex.snapshotDF(spark, root)
+          .createOrReplaceTempView("graft_events_snap")
+        val (lo, hi) = (2L * w, 4L * w - 1L)
+        val q = spark.sql(
+          s"""SELECT count(*) AS n_rows,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM graft_events_snap
+             |WHERE event_id BETWEEN $lo AND $hi""".stripMargin)
+        val r = q.collect().head // collect: THIS execution carries the metrics
+        val scanned = SnapshotFileIndex.scannedFiles(q)
+        val total = SnapshotCatalog
+          .manifestFiles(root, SnapshotCatalog.latestVersion(root)).size
+        val full = SnapshotCatalog.readSnapshot(spark, root)
+          .filter(col("event_id").between(lo, hi))
+          .agg(count(lit(1)), countDistinct(col("event_type")),
+            graft.functions.Canon.sumCents(col("value"))).head()
+        spark.range(1).select(
+          lit(r.getLong(0)).as("n_rows"),
+          lit(r.getLong(1)).as("n_types"),
+          lit(r.getLong(2)).as("sum_value_cents"),
+          lit(scanned < total).as("files_skipped"),
+          lit(r == full).as("sql_equals_full_scan"))
+      },
+      Some("""WITH b AS (
+             |  SELECT (max(event_id) + 6) // 6 AS w FROM events)
+             |SELECT count(*) AS n_rows,
+             |  count(DISTINCT event_type) AS n_types,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS files_skipped,
+             |  TRUE AS sql_equals_full_scan
+             |FROM events, b
+             |WHERE event_id >= 2 * w AND event_id < 4 * w""".stripMargin),
+      "S-planner: planning-time file skipping — SQL text over the FileIndex-backed view prunes from its own predicates"))
 }

@@ -243,6 +243,34 @@ object PlanAudit {
       sb.append(s"\n## src17_deletion_vectors (DV-served read) — broadcast anti-join subtracts $nDel positions; data files unrewritten, fact side unshuffled\n\n")
       sb.append(s"```\n$plan\n```\n")
     }
+    // src22's registry entry returns audit literals; the plan worth
+    // auditing is the FileIndex-backed SQL scan itself — the Location
+    // line names SnapshotFileIndex and the pushed filters prune its
+    // file listing at planning time.
+    locally {
+      import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+      import org.apache.spark.sql.functions._
+      val root = graft.streaming.Streams.dataDir("graft_plan_fidx_")
+      val ev = graft.core.Tables(spark, sfDir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val w = (maxId + 6L) / 6L
+      (0L until 6L).foreach { b =>
+        SnapshotCatalog.append(ev.filter(col("event_id") >= b * w &&
+          col("event_id") < (b + 1) * w).repartition(2), root, s"b$b")
+      }
+      SnapshotFileIndex.snapshotDF(spark, root)
+        .createOrReplaceTempView("graft_plan_snap")
+      val q = spark.sql(
+        s"""SELECT count(*) AS n_rows, sum(value) AS sum_value
+           |FROM graft_plan_snap
+           |WHERE event_id BETWEEN ${2 * w} AND ${4 * w - 1}""".stripMargin)
+      q.collect()
+      val scanned = SnapshotFileIndex.scannedFiles(q)
+      val plan = capturePlan(q)
+      sb.append(s"\n## src22_planned_skipping (FileIndex-backed SQL scan) — planner pruned to $scanned of 12 files from the pushed predicate\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     // st38's registry entry returns audit literals; the plan worth
     // auditing is ONE POLL of the change feed — a scan of exactly the
     // version's added files, never the table.
@@ -279,7 +307,7 @@ object PlanAudit {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[planaudit] wrote $outFile (${headline.length + 8} plans)")
+    println(s"[planaudit] wrote $outFile (${headline.length + 9} plans)")
     spark.stop()
   }
 }

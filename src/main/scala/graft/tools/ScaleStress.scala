@@ -57,7 +57,7 @@ object ScaleStress {
     // its skipping kernel is src14/src15's, measured above
     "src16_catalog_schema_evolution", "src17_deletion_vectors",
     "src18_merge_on_read", "src20_lakehouse_lifecycle",
-    "src21_table_history")
+    "src21_table_history", "src22_planned_skipping")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the

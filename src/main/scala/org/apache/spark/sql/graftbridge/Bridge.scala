@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** LogicalPlan → DataFrame (`Dataset.ofRows` went `private[sql]` in
+    * Spark 4's classic module) — needed to hand a LogicalRelation over
+    * a custom [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * back to the public API, the same seam Delta's TahoeFileIndex
+    * relation uses. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
