@@ -60,17 +60,22 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
     * Long bounds cover int/long/timestamp-micros columns; string bounds
     * compare lexically (parquet UTF8 stats order). */
   private def bounds(dataFilters: Seq[Expression])
-      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+      : (Map[String, (Long, Long)], Map[String, (Option[String], Option[String])]) = {
     val longs = collection.mutable.Map.empty[String, (Long, Long)]
-    val strs = collection.mutable.Map.empty[String, (String, String)]
+    // string bounds are Options, NOT sentinels: a max-string sentinel
+    // would wrongly prune a file whose min compares above it — an
+    // unbounded side must never exclude anything
+    val strs = collection.mutable.Map.empty[String, (Option[String], Option[String])]
     def narrowL(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = longs.getOrElse(c, (Long.MinValue, Long.MaxValue))
       longs(c) = (math.max(l0, lo), math.min(h0, hi))
     }
     def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
-      val (l0, h0) = strs.getOrElse(c, ("", "￿" * 8))
-      strs(c) = (lo.map(l => if (l > l0) l else l0).getOrElse(l0),
-        hi.map(h => if (h < h0) h else h0).getOrElse(h0))
+      val (l0, h0) = strs.getOrElse(c,
+        (None: Option[String], None: Option[String]))
+      val nl = (l0 ++ lo).reduceOption((a, b) => if (a > b) a else b)
+      val nh = (h0 ++ hi).reduceOption((a, b) => if (a < b) a else b)
+      strs(c) = (nl, nh)
     }
     def asLong(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
@@ -128,7 +133,8 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
           val strOk = sb.forall { case (c, (lo, hi)) =>
             statsS(c).get(f) match {
               case Some(("string", mn, mx)) =>
-                SnapshotCatalog.statStr(mx) >= lo && SnapshotCatalog.statStr(mn) <= hi
+                lo.forall(SnapshotCatalog.statStr(mx) >= _) &&
+                  hi.forall(SnapshotCatalog.statStr(mn) <= _)
               case _ => true
             }
           }
