@@ -169,12 +169,19 @@ object SnapshotFileIndex {
     * effect are subtracted on top (the anti-join wraps the pruned scan,
     * so skipping still applies underneath). */
   def snapshotDF(spark: SparkSession, root: String,
-                 version: Option[Int] = None): DataFrame = {
+                 version: Option[Int] = None,
+                 mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val v = version.getOrElse(SnapshotCatalog.latestVersion(root))
     val index = new SnapshotFileIndex(spark, root, v)
-    val schema = spark.read
-      .parquet(SnapshotCatalog.manifestFiles(root, v).head).schema
+    // schema: one footer for a fixed-schema table; the union-by-name
+    // footer merge for an evolved one (src16's accreted columns)
+    val schema =
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true")
+          .parquet(SnapshotCatalog.manifestFiles(root, v): _*).schema
+      else spark.read
+        .parquet(SnapshotCatalog.manifestFiles(root, v).head).schema
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),

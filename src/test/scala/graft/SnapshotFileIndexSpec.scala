@@ -77,6 +77,28 @@ class SnapshotFileIndexSpec extends SparkTestBase {
       s"expected 2-of-6 data files + 1 DV file, got $scanned total")
   }
 
+  test("schema evolution composes: mergeSchema surfaces the accreted column; pruning still applies") {
+    val root = stage("graft_fidxevo_")
+    val spark2 = spark
+    import spark2.implicits._
+    // a 7th batch lands WITH an accreted column
+    SnapshotCatalog.append(
+      (61L to 70L).map(i => (i, f"k$i%03d", i * 100L)).toDF("id", "k", "extra")
+        .coalesce(1), root, "b6")
+    val df = SnapshotFileIndex.snapshotDF(spark, root, mergeSchema = true)
+      .filter(col("id") >= 61L)
+    val rows = df.collect()
+    assert(rows.length == 10 && rows.forall(!_.isNullAt(2)),
+      "accreted column missing on the evolved rows")
+    assert(SnapshotFileIndex.scannedFiles(df) == 1L,
+      "evolved read did not prune to the new batch's file")
+    // pre-evolution rows null-fill through the same relation
+    val older = SnapshotFileIndex.snapshotDF(spark, root, mergeSchema = true)
+      .filter(col("id") <= 10L).collect()
+    assert(older.length == 10 && older.forall(_.isNullAt(2)),
+      "pre-evolution rows did not null-fill the accreted column")
+  }
+
   test("SQL over a registered view prunes the same way — no API opt-in") {
     val root = stage("graft_fidxsql_")
     SnapshotFileIndex.snapshotDF(spark, root).createOrReplaceTempView("fidx_t")
