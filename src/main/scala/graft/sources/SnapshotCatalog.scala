@@ -173,21 +173,40 @@ object SnapshotCatalog {
 
   /** Conditional-PUT-shaped publish: write the destination directly
     * with `create(dest, overwrite = false)` — on stores where exclusive
-    * create is atomic (HDFS; S3 with If-None-Match; GCS preconditions)
-    * this is the object-store commit protocol (no rename exists there).
-    * Losing the race surfaces as the create failing. */
+    * create is atomic (S3 with If-None-Match; GCS preconditions) this
+    * is the object-store commit protocol (no rename exists there). The
+    * bytes are fully staged in memory and written in ONE stream whose
+    * `close()` is the object store's all-or-nothing PUT — commit files
+    * are small (O(delta) lines), so buffering is bounded.
+    *
+    * Failure semantics distinguish LOST RACE from IO FAILURE: a race
+    * is only reported (`false`, the caller's cue to retry at the next
+    * version) when the destination EXISTS after the failed create;
+    * any other IOException — a transient store error, a permission
+    * failure — is rethrown, because silently mapping it to "lost" would
+    * make [[commitRetry]] spin re-reading an unchanged latest version
+    * and mask the real fault. */
   object ConditionalPutPublish extends AtomicPublish {
     def publish(fs: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val bytes = {
+        val in = fs.open(tmp)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      }
       val won =
         try {
-          val in = fs.open(tmp)
-          try {
-            val out = fs.create(dest, false)
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-            finally out.close()
-          } finally in.close()
+          val out = fs.create(dest, false)
+          try out.write(bytes) finally out.close()
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case e: java.io.IOException =>
+            // probe: dest present => another committer won the version;
+            // dest absent => the create itself failed — surface it
+            if (fs.exists(dest)) false else throw e
+        }
       fs.delete(tmp, false)
       won
     }
@@ -212,12 +231,30 @@ object SnapshotCatalog {
   private val conditionalPutSchemes =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
 
-  private def publisherFor(dest: Path): AtomicPublish =
+  private[graft] def publisherFor(dest: Path): AtomicPublish =
     publisherOverride.getOrElse {
       val scheme = Option(dest.toUri.getScheme).getOrElse(
         fsFor(dest).getScheme)
       if (scheme == "file" || scheme == null) LocalLinkPublish
-      else if (conditionalPutSchemes.contains(scheme)) ConditionalPutPublish
+      else if (conditionalPutSchemes.contains(scheme)) {
+        // Hadoop's create(dest, overwrite=false) on object-store
+        // connectors is a client-side HEAD-then-PUT UNLESS the store's
+        // conditional-write support is enabled (e.g. s3a If-None-Match)
+        // — a non-atomic check would let two cross-driver committers
+        // both believe they won, the exact lost update this seam
+        // exists to prevent. Require the operator to attest the
+        // capability rather than silently degrading.
+        if (!sys.env.get("GRAFT_OBJECTSTORE_CONDITIONAL_CREATE").contains("true") &&
+            !sys.props.get("graft.objectstore.conditional.create").contains("true"))
+          sys.error(
+            s"catalog commit to $scheme:// needs atomic exclusive create: " +
+              "enable the store's conditional-write support (e.g. s3a " +
+              "If-None-Match) and attest it with " +
+              "GRAFT_OBJECTSTORE_CONDITIONAL_CREATE=true (or " +
+              "-Dgraft.objectstore.conditional.create=true); without it " +
+              "two drivers can both claim the same version")
+        ConditionalPutPublish
+      }
       else LockedRenamePublish // HDFS and rename-exclusive filesystems
     }
 
@@ -347,6 +384,22 @@ object SnapshotCatalog {
       val base = collection.mutable.Set.from(manifestFiles(root, vs.head))
       ((vs.head + 1) to vs.last).foreach { v =>
         base ++= commitDelta(root, v)._1
+      }
+      base.toSet
+    }
+  }
+
+  /** Union of every surviving version's in-effect DV files, same lemma
+    * as [[survivingUnion]]: dv-in-effect at any v ≥ base ⊆
+    * dvFiles(base) ∪ V-adds since (a replace's reset only shrinks
+    * per-version sets, never the union). */
+  private def survivingDvUnion(root: String): Set[String] = {
+    val vs = versions(root)
+    if (vs.isEmpty) Set.empty
+    else {
+      val base = collection.mutable.Set.from(dvFiles(root, vs.head))
+      ((vs.head + 1) to vs.last).foreach { v =>
+        base ++= commitDeltaFull(root, v).dvAdds
       }
       base.toSet
     }
@@ -691,6 +744,23 @@ object SnapshotCatalog {
           fs.delete(batch.getPath, true)
       }
     }
+    // deletion-vector batches have the same crash window: a delete/
+    // merge that wrote its DV parquet but never committed (or matched
+    // zero rows) leaves dv/ files no version references
+    val dvDir = new Path(s"$root/dv")
+    val dvfs = fsFor(dvDir)
+    if (dvfs.exists(dvDir)) {
+      val referencedDv = survivingDvUnion(root)
+      dvfs.listStatus(dvDir).filter(_.isDirectory).foreach { batch =>
+        val dvFilesHere = dvfs.listStatus(batch.getPath).filter(_.isFile)
+        val orphans = dvFilesHere.filter(s =>
+          !referencedDv.contains(s.getPath.toString) &&
+            s.getModificationTime < cutoff)
+        orphans.foreach { s => dvfs.delete(s.getPath, false); removed += 1 }
+        if (orphans.nonEmpty && orphans.length == dvFilesHere.length)
+          dvfs.delete(batch.getPath, true)
+      }
+    }
     // manifest-tmp litter: a crash between tmp write and publish leaves
     // a .tmp that no later step ever reasons over
     val mdir = manifestDir(root)
@@ -818,10 +888,17 @@ object SnapshotCatalog {
   // [[replace]] (compaction) applies them physically and resets the DV
   // set atomically in its own commit.
 
-  private def dvTotalBytes(root: String, v: Int): Long =
+  private[sources] def dvTotalBytes(root: String, v: Int): Long =
     dvFiles(root, v).map { f =>
       val p = new Path(f); fsFor(p).getFileStatus(p).getLen
     }.sum
+
+  /** Broadcast ceiling for the DV side of the serve anti-join. The
+    * sys-prop override exists so a spec can cross the threshold with
+    * kilobytes of DVs instead of staging 64 MB. */
+  private[sources] def dvBroadcastMaxBytes: Long =
+    sys.props.get("graft.dv.broadcast.max.bytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
 
   /** Logically delete the live snapshot's rows matching `cond`:
     * positions of surviving matches land as a DV batch and ONE commit
@@ -857,6 +934,14 @@ object SnapshotCatalog {
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
+      // a row-level delete computed its matches against version v; ANY
+      // commit that landed since can change which rows match `cond`
+      // (an append adds candidate rows; another delete/merge shifts
+      // liveness; a replace rewrites the positions' files), so the
+      // matched-position set is stale — abort, the Delta
+      // ConcurrentAppend/ConcurrentDelete shape, and let the caller
+      // recompute against the new snapshot
+      abortOnIntervening("deleteWhere", root, v, pv)
       val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
       if (!touched.subsetOf(cur))
         throw new java.util.ConcurrentModificationException(
@@ -869,6 +954,32 @@ object SnapshotCatalog {
     }
     sys.error(s"deleteWhere on $root lost 100 consecutive CAS races")
   }
+
+  /** Abort with the concurrent-write conflict every table format
+    * raises when a row-level op's snapshot went stale: matched
+    * positions were computed at `readV`, but `latest` has moved — the
+    * intervening commit may have added rows that match (append/merge),
+    * removed rows the match relied on (delete), or rewritten the files
+    * the positions index (replace). Conservative by design: ANY
+    * intervening commit aborts (Delta narrows appends via predicate
+    * disjointness proofs; refusing is always sound). */
+  private def abortOnIntervening(op: String, root: String,
+                                 readV: Int, latest: Int): Unit =
+    if (latest != readV) {
+      val kinds = ((readV + 1) to latest).map { cv =>
+        if (!commitExists(root, cv)) "expired"
+        else {
+          val d = commitDeltaFull(root, cv)
+          if (d.removes.nonEmpty || d.dvReset) "replace"
+          else if (d.dvAdds.nonEmpty) "delete/merge"
+          else "append"
+        }
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"$op on $root: version moved $readV -> $latest under the op " +
+          s"(intervening: ${kinds.mkString(", ")}) — matched positions " +
+          "are stale; retry against the new snapshot")
+    }
 
   /** MERGE-on-read (upsert): rows of the live snapshot whose key
     * matches a row in `updates` are DV-deleted and `updates` lands
@@ -905,12 +1016,23 @@ object SnapshotCatalog {
     val dvAdds = listDataFiles(dvDir)
     val dvBack = spark.read.parquet(dvAdds: _*)
     val nMatched = dvBack.count()
-    val touched = dvBack.select("__dv_file").distinct()
-      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val touched =
+      if (nMatched == 0L) Set.empty[String]
+      else dvBack.select("__dv_file").distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    // no match -> the DV batch carries nothing and will never be
+    // committed: remove it now or it leaks forever (sweepOrphans also
+    // covers a crash before this line)
+    if (nMatched == 0L) fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
     val newFiles = writeData(updates, root, batch)
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
+      // same staleness rule as [[deleteWhere]]: matched positions were
+      // computed at v — a concurrent append/merge can land rows with
+      // matching keys between v and the winning commit, leaving
+      // duplicate keys the upsert contract forbids; abort instead
+      abortOnIntervening("mergeOnRead", root, v, pv)
       val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
       if (!touched.subsetOf(cur))
         throw new java.util.ConcurrentModificationException(
@@ -941,7 +1063,7 @@ object SnapshotCatalog {
     if (dvs.isEmpty) data
     else {
       val dv0 = spark.read.parquet(dvs: _*)
-      val dv = if (dvTotalBytes(root, v) <= 64L * 1024 * 1024) broadcast(dv0) else dv0
+      val dv = if (dvTotalBytes(root, v) <= dvBroadcastMaxBytes) broadcast(dv0) else dv0
       data.withColumn("__dv_file", col("_metadata.file_path"))
         .withColumn("__dv_pos", col("_metadata.row_index"))
         .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
@@ -1097,12 +1219,23 @@ object SnapshotCatalog {
 
   /** The stats surface the planning-time [[SnapshotFileIndex]]
     * consults: per-file (kind, min, max) for `col`; string bounds stay
-    * encoded (decode with [[statStr]]). */
+    * encoded (decode with [[statStrBytes]]). */
   private[sources] def fileStats(root: String, files: Seq[String],
                                  col: String): Map[String, (String, String, String)] =
     snapshotStats(root, files, col)
 
-  private[sources] def statStr(enc: String): String = unb64(enc)
+  /** A recorded string bound as its raw UTF-8 bytes. Parquet UTF8
+    * min/max statistics order by UNSIGNED BYTE comparison — which
+    * diverges from Java's UTF-16 code-unit `String` order for
+    * non-ASCII data (supplementary code points sort below U+E000..FFFF
+    * bytewise but above them in UTF-16) — so every pruning comparison
+    * against these bounds must be bytewise, never `String < String`. */
+  private[sources] def statStrBytes(enc: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(enc)
+
+  /** Unsigned-bytewise comparison — the parquet UTF8 stats order. */
+  private[sources] def cmpUtf8(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   /** Read a snapshot restricted to files whose recorded [min, max] for
     * `col` intersects [lo, hi] — file skipping from batch-sidecar stats,
@@ -1171,20 +1304,29 @@ object SnapshotCatalog {
     readSnapshotPruned(spark, root, col, micros(lo), micros(hi), version)
   }
 
-  /** [[readSnapshotPruned]] over a STRING range (lexicographic):
-    * parquet UTF8 stats order bytewise, which matches Java string
-    * ordering for the ASCII keys (dates-as-strings, categories, ids)
-    * range layouts cluster by. */
+  /** [[readSnapshotPruned]] over a STRING range. The recorded bounds
+    * are parquet UTF8 min/max, ordered by UNSIGNED UTF-8 BYTES — the
+    * comparison is bytewise ([[cmpUtf8]]), because Java's UTF-16
+    * `String` order diverges for non-ASCII data and a code-unit compare
+    * could wrongly skip a file containing matching rows. Spark's own
+    * row-level string comparison (`UTF8String.compareTo`) is ALSO
+    * unsigned-bytewise, so the pruning order and the row-predicate
+    * order agree exactly — bytewise pruning is sound for the caller's
+    * range filter on any data, ASCII or not. */
   def readSnapshotPrunedStr(spark: SparkSession, root: String, col: String,
                             lo: String, hi: String,
                             version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(root))
     val files = manifestFiles(root, v)
     val stats = snapshotStats(root, files, col)
+    val loB = lo.getBytes("UTF-8")
+    val hiB = hi.getBytes("UTF-8")
     val kept = files.filter { f =>
       stats.get(f) match {
-        case Some(("string", mn, mx)) => unb64(mx) >= lo && unb64(mn) <= hi
-        case _                        => true
+        case Some(("string", mn, mx)) =>
+          cmpUtf8(statStrBytes(mx), loB) >= 0 &&
+            cmpUtf8(statStrBytes(mn), hiB) <= 0
+        case _ => true
       }
     }
     val df =

@@ -58,23 +58,30 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
 
   /** Per-column closed bounds extracted from the pushed data filters.
     * Long bounds cover int/long/timestamp-micros columns; string bounds
-    * compare lexically (parquet UTF8 stats order). */
+    * are raw UTF-8 BYTES compared unsigned — the order parquet UTF8
+    * statistics (and Spark's own `UTF8String.compareTo`) use. A Java
+    * `String` comparison here would order by UTF-16 code units, which
+    * diverges for non-ASCII data and could wrongly SKIP a file whose
+    * byte-order bounds contain matching rows. */
   private def bounds(dataFilters: Seq[Expression])
-      : (Map[String, (Long, Long)], Map[String, (Option[String], Option[String])]) = {
+      : (Map[String, (Long, Long)], Map[String, (Option[Array[Byte]], Option[Array[Byte]])]) = {
     val longs = collection.mutable.Map.empty[String, (Long, Long)]
     // string bounds are Options, NOT sentinels: a max-string sentinel
     // would wrongly prune a file whose min compares above it — an
     // unbounded side must never exclude anything
-    val strs = collection.mutable.Map.empty[String, (Option[String], Option[String])]
+    val strs = collection.mutable.Map
+      .empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
     def narrowL(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = longs.getOrElse(c, (Long.MinValue, Long.MaxValue))
       longs(c) = (math.max(l0, lo), math.min(h0, hi))
     }
-    def narrowS(c: String, lo: Option[String], hi: Option[String]): Unit = {
+    def narrowS(c: String, lo: Option[Array[Byte]], hi: Option[Array[Byte]]): Unit = {
       val (l0, h0) = strs.getOrElse(c,
-        (None: Option[String], None: Option[String]))
-      val nl = (l0 ++ lo).reduceOption((a, b) => if (a > b) a else b)
-      val nh = (h0 ++ hi).reduceOption((a, b) => if (a < b) a else b)
+        (None: Option[Array[Byte]], None: Option[Array[Byte]]))
+      val nl = (l0 ++ lo).reduceOption((a, b) =>
+        if (SnapshotCatalog.cmpUtf8(a, b) > 0) a else b)
+      val nh = (h0 ++ hi).reduceOption((a, b) =>
+        if (SnapshotCatalog.cmpUtf8(a, b) < 0) a else b)
       strs(c) = (nl, nh)
     }
     def asLong(v: Any): Option[Long] = v match {
@@ -88,19 +95,19 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
       case And(l, r) => walk(l); walk(r)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
         asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), None); case _ => () }
+        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), None); case _ => () }
       case GreaterThan(a: AttributeReference, Literal(v, _)) =>
         asLong(v).foreach(x => narrowL(a.name, x + 1L, Long.MaxValue))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), None); case _ => () }
+        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), None); case _ => () }
       case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
         asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
-        v match { case u: UTF8String => narrowS(a.name, None, Some(u.toString)); case _ => () }
+        v match { case u: UTF8String => narrowS(a.name, None, Some(u.getBytes)); case _ => () }
       case LessThan(a: AttributeReference, Literal(v, _)) =>
         asLong(v).foreach(x => narrowL(a.name, Long.MinValue, x - 1L))
-        v match { case u: UTF8String => narrowS(a.name, None, Some(u.toString)); case _ => () }
+        v match { case u: UTF8String => narrowS(a.name, None, Some(u.getBytes)); case _ => () }
       case EqualTo(a: AttributeReference, Literal(v, _)) =>
         asLong(v).foreach(x => narrowL(a.name, x, x))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.toString), Some(u.toString)); case _ => () }
+        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), Some(u.getBytes)); case _ => () }
       // mirrored literal-first forms
       case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
         asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
@@ -133,8 +140,10 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
           val strOk = sb.forall { case (c, (lo, hi)) =>
             statsS(c).get(f) match {
               case Some(("string", mn, mx)) =>
-                lo.forall(SnapshotCatalog.statStr(mx) >= _) &&
-                  hi.forall(SnapshotCatalog.statStr(mn) <= _)
+                lo.forall(SnapshotCatalog.cmpUtf8(
+                  SnapshotCatalog.statStrBytes(mx), _) >= 0) &&
+                  hi.forall(SnapshotCatalog.cmpUtf8(
+                    SnapshotCatalog.statStrBytes(mn), _) <= 0)
               case _ => true
             }
           }
@@ -193,11 +202,22 @@ object SnapshotFileIndex {
       spark, LogicalRelation(relation))
     val dvs = SnapshotCatalog.dvFiles(root, v)
     if (dvs.isEmpty) base
-    else base
-      .withColumn("__dv_file", col("_metadata.file_path"))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
-      .join(broadcast(spark.read.parquet(dvs: _*)),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
-      .drop("__dv_file", "__dv_pos")
+    else {
+      // DVs accumulate unboundedly between compactions: broadcast only
+      // under the same 64 MB gate as readSnapshotWithDeletes, else a
+      // shuffled anti-join — a trickle of deletes before the next
+      // OPTIMIZE must degrade to a shuffle, not a driver OOM
+      val dv0 = spark.read.parquet(dvs: _*)
+      val dv =
+        if (SnapshotCatalog.dvTotalBytes(root, v) <=
+              SnapshotCatalog.dvBroadcastMaxBytes)
+          broadcast(dv0)
+        else dv0
+      base
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+    }
   }
 }
