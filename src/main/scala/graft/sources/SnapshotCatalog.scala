@@ -293,86 +293,223 @@ object SnapshotCatalog {
   private def checkpointVersions(root: String): Seq[Int] =
     listManifestNames(root).collect { case CheckpointName(n) => n.toInt }.sorted
 
-  /** Everything a commit recorded: data-file adds/removes, plus the
+  /** A data (or deletion-vector) file exactly as the delta log records
+    * it: path plus the PLANNING metadata Delta-style checkpoints carry —
+    * on-disk size and per-column typed (kind, min, max) stats — so query
+    * planning over a snapshot is ONE metadata read (newest checkpoint +
+    * ≤[[checkpointEvery]] deltas), never O(files) `getFileStatus` or
+    * footer RPCs against the namenode/object store. `size = -1` and an
+    * empty stats map mean "recorded by a path-only commit" (the
+    * string-based [[commitRetry]]/[[tryCommit]] compatibility surface):
+    * consumers fall back to a filesystem probe for exactly those
+    * entries, so the enrichment is an optimization, never a gate. Stats
+    * values use the sidecar encoding: kind `long` with decimal bounds,
+    * kind `string` with base64'd UTF-8 bounds (unsigned-byte order —
+    * see [[statStrBytes]]). `rows` (from the footer the stats pass
+    * already opened) feeds maintenance decisions ([[maintainIfNeeded]]'s
+    * deleted-fraction) and CBO sizing without any scan. */
+  final case class FileEntry(
+      path: String, size: Long = -1L, rows: Long = -1L,
+      stats: Map[String, (String, String, String)] = Map.empty)
+
+  /** One manifest line for an entry: `path[\tsize\trows[\tstatsEnc]]`,
+    * where statsEnc is `;`-joined `b64(col):kind:min:max` cells —
+    * tab-free by construction (base64 and decimals contain no
+    * tab/colon/semicolon), so the line stays splittable and legacy
+    * path-only lines parse as entries with unknown metadata. */
+  private def encodeEntry(e: FileEntry): String = {
+    val statsEnc = e.stats.toSeq.sortBy(_._1).map { case (c, (k, mn, mx)) =>
+      s"${b64(c)}:$k:$mn:$mx"
+    }.mkString(";")
+    if (e.size < 0 && e.rows < 0 && statsEnc.isEmpty) e.path
+    else if (statsEnc.isEmpty) s"${e.path}\t${e.size}\t${e.rows}"
+    else s"${e.path}\t${e.size}\t${e.rows}\t$statsEnc"
+  }
+
+  private def decodeEntry(line: String): FileEntry = {
+    val parts = line.split("\t", -1)
+    if (parts.length == 1) FileEntry(parts(0))
+    else {
+      def num(i: Int): Long =
+        if (parts.length <= i) -1L
+        else try parts(i).toLong catch { case _: NumberFormatException => -1L }
+      val stats =
+        if (parts.length >= 4 && parts(3).nonEmpty)
+          parts(3).split(";").iterator.flatMap { cell =>
+            cell.split(":") match {
+              case Array(c, k, mn, mx) =>
+                try Some(unb64(c) -> (k, mn, mx))
+                catch { case _: IllegalArgumentException => None }
+              case _ => None // torn cell: that column reads stats-less
+            }
+          }.toMap
+        else Map.empty[String, (String, String, String)]
+      FileEntry(parts(0), num(1), num(2), stats)
+    }
+  }
+
+  /** Everything a commit recorded: data-file adds/removes, the
     * row-level delete side — deletion-vector file adds (`V` lines) and
     * the DV reset marker (`X` line, written by [[replace]]: a rewrite
     * applies pending deletes physically, so inherited DVs must stop
-    * applying at that version). */
-  private case class CommitDelta(adds: Seq[String], removes: Seq[String],
-                                 dvAdds: Seq[String], dvReset: Boolean)
+    * applying at that version) — plus the metadata lines that make
+    * planning log-only: the committed batch's schema (`S`, base64'd
+    * Spark schema JSON) and the table's hive-style partition spec
+    * (`P`). */
+  private case class CommitDelta(adds: Seq[FileEntry], removes: Seq[String],
+                                 dvAdds: Seq[FileEntry], dvReset: Boolean,
+                                 schemaJson: Option[String],
+                                 partJson: Option[String])
+
+  /** Memo for parsed commit deltas and checkpoints — sound because BOTH
+    * are immutable once published (the publish seam is exclusive-create;
+    * expiry only DELETES them, and every consumer existence-checks via
+    * [[commitExists]] before trusting content, so a cached copy of an
+    * expired commit is never served as resolvable). One query plan
+    * resolves a version several times (entries, DVs, schema, partition
+    * spec); on a 100 TB deployment this turns 4-5 log reads per plan
+    * into one, and repeated plans over a hot table into zero. */
+  private val deltaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), CommitDelta](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), CommitDelta]): Boolean =
+        size() > 4096
+    })
+
+  private val checkpointCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Int), CheckpointState](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), CheckpointState]): Boolean =
+        size() > 64
+    })
+
+  /** Drop the parsed-log memos — the "fresh reader process" seam for
+    * specs that simulate on-disk corruption of an already-read commit
+    * (in production commits are immutable, so the caches never go
+    * stale; a process restart is the only way to observe a mutated
+    * file, and this reproduces it). */
+  private[graft] def dropCaches(): Unit = {
+    deltaCache.clear()
+    checkpointCache.clear()
+  }
 
   private def commitDeltaFull(root: String, v: Int): CommitDelta = {
+    val k = (root, v)
+    val hit = deltaCache.get(k)
+    if (hit != null) return hit
+    val parsed = commitDeltaFullUncached(root, v)
+    deltaCache.put(k, parsed)
+    parsed
+  }
+
+  private def commitDeltaFullUncached(root: String, v: Int): CommitDelta = {
     val p = commitPath(root, v)
-    val adds = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[FileEntry]
     val removes = Seq.newBuilder[String]
-    val dvAdds = Seq.newBuilder[String]
+    val dvAdds = Seq.newBuilder[FileEntry]
     var dvReset = false
+    var schemaJson: Option[String] = None
+    var partJson: Option[String] = None
     readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
-      if (l.startsWith("A\t")) adds += l.substring(2)
+      if (l.startsWith("A\t")) adds += decodeEntry(l.substring(2))
       else if (l.startsWith("R\t")) removes += l.substring(2)
-      else if (l.startsWith("V\t")) dvAdds += l.substring(2)
+      else if (l.startsWith("V\t")) dvAdds += decodeEntry(l.substring(2))
+      else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
+      else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
       else if (l == "X\tdvreset") dvReset = true
       else sys.error(s"malformed commit line in $p: $l")
     }
-    CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset)
+    CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset,
+      schemaJson, partJson)
   }
 
-  /** The (data adds, data removes) a commit recorded. */
+  /** The (data add paths, data remove paths) a commit recorded. */
   private def commitDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
     val d = commitDeltaFull(root, v)
-    (d.adds, d.removes)
+    (d.adds.map(_.path), d.removes)
   }
 
   private def commitExists(root: String, v: Int): Boolean = {
     val p = commitPath(root, v); fsFor(p).exists(p)
   }
 
-  /** Resolve version `v`'s complete file list: newest checkpoint ≤ v,
-    * plus the commit deltas after it — O(table + ≤checkpointEvery
-    * deltas), independent of how many versions the table has lived. */
-  def manifestFiles(root: String, v: Int): Seq[String] = {
-    val cp = checkpointVersions(root).filter(_ <= v).lastOption
-    val base: collection.mutable.LinkedHashSet[String] = cp match {
-      case Some(c) =>
-        val p = checkpointPath(root, c)
-        collection.mutable.LinkedHashSet.from(
-          readUtf8(fsFor(p), p).linesIterator
-            .filter(l => l.nonEmpty && !l.startsWith("V\t")))
-      case None => collection.mutable.LinkedHashSet.empty
+  /** A checkpoint file parsed: data entries, DV entries, and the
+    * metadata lines ([[CommitDelta]]'s S/P) as of the checkpoint
+    * version. Data lines are untagged (`path[\tsize[\tstats]]`); tags
+    * are unambiguous because paths contain no tabs. */
+  private case class CheckpointState(entries: Seq[FileEntry],
+                                     dvEntries: Seq[FileEntry],
+                                     schemaJson: Option[String],
+                                     partJson: Option[String])
+
+  private def readCheckpoint(root: String, c: Int): CheckpointState = {
+    val k = (root, c)
+    val hit = checkpointCache.get(k)
+    if (hit != null) return hit
+    val parsed = readCheckpointUncached(root, c)
+    checkpointCache.put(k, parsed)
+    parsed
+  }
+
+  private def readCheckpointUncached(root: String, c: Int): CheckpointState = {
+    val p = checkpointPath(root, c)
+    val entries = Seq.newBuilder[FileEntry]
+    val dvs = Seq.newBuilder[FileEntry]
+    var schemaJson: Option[String] = None
+    var partJson: Option[String] = None
+    readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("V\t")) dvs += decodeEntry(l.substring(2))
+      else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
+      else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
+      else entries += decodeEntry(l)
     }
+    CheckpointState(entries.result(), dvs.result(), schemaJson, partJson)
+  }
+
+  /** Resolve version `v`'s complete file list WITH the log-carried
+    * planning metadata (sizes, typed stats): newest checkpoint ≤ v,
+    * plus the commit deltas after it — O(table + ≤checkpointEvery
+    * deltas) metadata reads, independent of how many versions the
+    * table has lived and with ZERO per-file filesystem RPCs. */
+  def manifestEntries(root: String, v: Int): Seq[FileEntry] = {
+    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val base = collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    cp.foreach(c => readCheckpoint(root, c).entries.foreach(e => base(e.path) = e))
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
       if (!commitExists(root, cv))
         sys.error(s"version $v unresolvable: commit $cv expired under $root " +
           "and no checkpoint covers it")
-      val (adds, removes) = commitDelta(root, cv)
-      removes.foreach(base -= _)
-      adds.foreach(base += _)
+      val d = commitDeltaFull(root, cv)
+      d.removes.foreach(base -= _)
+      d.adds.foreach(e => base(e.path) = e)
     }
-    base.toSeq.sorted
+    base.values.toSeq.sortBy(_.path)
   }
 
-  /** The deletion-vector files in effect at version `v` — resolved
-    * like [[manifestFiles]] (checkpoint `V` lines + commit deltas,
+  /** Resolve version `v`'s complete file list (paths only). */
+  def manifestFiles(root: String, v: Int): Seq[String] =
+    manifestEntries(root, v).map(_.path)
+
+  /** The deletion-vector entries in effect at version `v` — resolved
+    * like [[manifestEntries]] (checkpoint `V` lines + commit deltas,
     * with a [[replace]]'s reset clearing inherited DVs). */
-  def dvFiles(root: String, v: Int): Seq[String] = {
+  def dvEntries(root: String, v: Int): Seq[FileEntry] = {
     val cp = checkpointVersions(root).filter(_ <= v).lastOption
-    val base: collection.mutable.LinkedHashSet[String] = cp match {
-      case Some(c) =>
-        val p = checkpointPath(root, c)
-        collection.mutable.LinkedHashSet.from(
-          readUtf8(fsFor(p), p).linesIterator
-            .filter(_.startsWith("V\t")).map(_.substring(2)))
-      case None => collection.mutable.LinkedHashSet.empty
-    }
+    val base = collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    cp.foreach(c => readCheckpoint(root, c).dvEntries.foreach(e => base(e.path) = e))
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
       if (!commitExists(root, cv))
         sys.error(s"version $v unresolvable: commit $cv expired under $root")
       val d = commitDeltaFull(root, cv)
       if (d.dvReset) base.clear()
-      d.dvAdds.foreach(base += _)
+      d.dvAdds.foreach(e => base(e.path) = e)
     }
-    base.toSeq.sorted
+    base.values.toSeq.sortBy(_.path)
   }
+
+  /** The deletion-vector files in effect at version `v` (paths only). */
+  def dvFiles(root: String, v: Int): Seq[String] =
+    dvEntries(root, v).map(_.path)
 
   /** Union of every surviving version's file list in ONE resolution:
     * resolve(vMin) plus every add after it (a file in any version
@@ -399,7 +536,7 @@ object SnapshotCatalog {
     else {
       val base = collection.mutable.Set.from(dvFiles(root, vs.head))
       ((vs.head + 1) to vs.last).foreach { v =>
-        base ++= commitDeltaFull(root, v).dvAdds
+        base ++= commitDeltaFull(root, v).dvAdds.map(_.path)
       }
       base.toSet
     }
@@ -452,22 +589,38 @@ object SnapshotCatalog {
     }
   }
 
-  def listDataFiles(path: String): Seq[String] = {
+  /** `part-*.parquet` files under `path` with their sizes, recursing
+    * into hive-style partition subdirectories (`col=value/...`) — one
+    * listing walk, no per-file getFileStatus (listStatus already
+    * carries lengths). */
+  def listDataEntries(path: String): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = fsFor(p)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      .map(_.toString).sorted
+    def walk(dir: Path): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_")) walk(st.getPath)
+        else if (st.isFile && st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet"))
+          Seq(st.getPath.toString -> st.getLen)
+        else Seq.empty
+      }
+    if (!fs.exists(p)) Seq.empty else walk(p).sortBy(_._1)
   }
 
+  def listDataFiles(path: String): Seq[String] =
+    listDataEntries(path).map(_._1)
+
   /** Total on-disk bytes of the LIVE snapshot's data files — exactly
-    * the resolved files, so expired/superseded generations don't
-    * inflate size-gated decisions (broadcast-vs-join thresholds). */
+    * the resolved files, from the log-carried sizes (a filesystem probe
+    * only for path-only legacy entries), so expired/superseded
+    * generations don't inflate size-gated decisions
+    * (broadcast-vs-join thresholds). */
   def liveDataBytes(root: String): Long =
     latestVersionOption(root).map { v =>
-      manifestFiles(root, v).map { f =>
-        val p = new Path(f); fsFor(p).getFileStatus(p).getLen
+      manifestEntries(root, v).map { e =>
+        if (e.size >= 0) e.size
+        else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }
       }.sum
     }.getOrElse(0L)
 
@@ -485,13 +638,27 @@ object SnapshotCatalog {
   def tryCommit(root: String, v: Int,
                 adds: Seq[String], removes: Seq[String],
                 dvAdds: Seq[String] = Seq.empty,
-                dvReset: Boolean = false): Boolean = {
+                dvReset: Boolean = false): Boolean =
+    tryCommitEntries(root, v, adds.map(FileEntry(_)), removes,
+      dvAdds.map(FileEntry(_)), dvReset)
+
+  /** [[tryCommit]] with the full per-file metadata record — sizes,
+    * typed stats, the batch's schema and the table's partition spec —
+    * so a later reader PLANS from the log alone. */
+  private[sources] def tryCommitEntries(
+      root: String, v: Int,
+      adds: Seq[FileEntry], removes: Seq[String],
+      dvAdds: Seq[FileEntry] = Seq.empty, dvReset: Boolean = false,
+      schemaJson: Option[String] = None,
+      partJson: Option[String] = None): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val body = ((if (dvReset) Seq("X\tdvreset") else Seq.empty) ++
-      removes.map("R\t" + _) ++ adds.map("A\t" + _) ++
-      dvAdds.map("V\t" + _))
+      removes.map("R\t" + _) ++ adds.map(e => "A\t" + encodeEntry(e)) ++
+      dvAdds.map(e => "V\t" + encodeEntry(e)) ++
+      schemaJson.map(j => "S\t" + b64(j)).toSeq ++
+      partJson.map(j => "P\t" + b64(j)).toSeq)
       .mkString("\n") + "\n"
     val won = publishUtf8(fs, commitPath(root, v), body)
     if (won && v % checkpointEvery == 0) writeCheckpoint(root, v)
@@ -499,16 +666,110 @@ object SnapshotCatalog {
   }
 
   /** Write the full-state checkpoint for `v`: the resolved data-file
-    * list plus the in-effect DV files as `V` lines (idempotent; losing
-    * a publish race to an identical checkpoint is a no-op). */
+    * ENTRIES (path + size + stats, so planning needs no per-file RPCs),
+    * the in-effect DV entries as `V` lines, and the resolved schema /
+    * partition-spec metadata as `S`/`P` lines (idempotent; losing a
+    * publish race to an identical checkpoint is a no-op). */
   private def writeCheckpoint(root: String, v: Int): Unit = {
     val dest = checkpointPath(root, v)
     val fs = fsFor(dest)
     if (!fs.exists(dest)) {
-      val lines = manifestFiles(root, v) ++ dvFiles(root, v).map("V\t" + _)
+      val lines = manifestEntries(root, v).map(encodeEntry) ++
+        dvEntries(root, v).map(e => "V\t" + encodeEntry(e)) ++
+        schemaAt(root, v).map(s => "S\t" + b64(s.json)).toSeq ++
+        partitionSpecAt(root, v).map(s => "P\t" + b64(s.json)).toSeq
       publishUtf8(fs, dest, lines.mkString("\n") + "\n")
       ()
     }
+  }
+
+  // ---- log-carried schema & partition-spec metadata -------------------
+
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  private def parseSchema(json: String): Option[StructType] =
+    try DataType.fromJson(json) match {
+      case s: StructType => Some(s)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Union-by-name, appended columns last (the Iceberg/Delta schema-
+    * accretion shape). None on a dataType conflict — the caller falls
+    * back to footer-derived schema, keeping the log metadata an
+    * optimization rather than a gate. All fields read back nullable
+    * (parquet serving null-fills accreted columns in pre-evolution
+    * files, and Spark's parquet reads are nullable regardless). */
+  private def unionByName(a: StructType, b: StructType): Option[StructType] = {
+    val byName = a.fields.map(f => f.name -> f).toMap
+    val conflict = b.fields.exists(f =>
+      byName.get(f.name).exists(_.dataType != f.dataType))
+    if (conflict) None
+    else Some(StructType(
+      a.fields ++ b.fields.filterNot(f => byName.contains(f.name))))
+  }
+
+  /** The table schema at version `v`, resolved from the log's `S`
+    * lines alone: a replace's schema REPLACES (the rewrite defines the
+    * content outright), an append's UNIONS by name (src08/src16 column
+    * accretion). None when any live data commit predates schema
+    * recording (path-only compatibility commits) — callers then derive
+    * schema from footers exactly as before. Returned nullable-
+    * normalized (see [[unionByName]]). */
+  def schemaAt(root: String, v: Int): Option[StructType] = {
+    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    var known = true
+    var schema: Option[StructType] = None
+    cp.foreach { c =>
+      val st = readCheckpoint(root, c)
+      st.schemaJson.flatMap(parseSchema) match {
+        case s @ Some(_) => schema = s
+        case None =>
+          // a legacy checkpoint that carries files but no schema line
+          // leaves the schema unknown; an EMPTY legacy checkpoint does
+          // not (nothing was committed yet)
+          if (st.entries.nonEmpty) known = false
+      }
+    }
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (known && commitExists(root, cv)) {
+        val d = commitDeltaFull(root, cv)
+        d.schemaJson.flatMap(parseSchema) match {
+          case Some(s) =>
+            if (d.removes.nonEmpty || d.dvReset) schema = Some(s)
+            else schema match {
+              case None => schema = Some(s)
+              case Some(prev) => unionByName(prev, s) match {
+                case u @ Some(_) => schema = u
+                case None => known = false // type conflict: footer fallback
+              }
+            }
+          case None => if (d.adds.nonEmpty) known = false
+        }
+      }
+    }
+    if (known) schema.map(s => StructType(s.fields.map(_.copy(nullable = true))))
+    else None
+  }
+
+  /** The hive-style partition spec at version `v` (column names +
+    * types, from the log's `P` lines): the latest data-defining
+    * commit's spec wins — a replace without one resets the table to
+    * unpartitioned (its rewrite defined the layout), DV-only commits
+    * leave it untouched. None = unpartitioned. [[append]]/[[replace]]
+    * enforce spec consistency at write time, so a resolved spec
+    * describes EVERY live file's directory layout. */
+  def partitionSpecAt(root: String, v: Int): Option[StructType] = {
+    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    var spec: Option[StructType] =
+      cp.flatMap(c => readCheckpoint(root, c).partJson).flatMap(parseSchema)
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (commitExists(root, cv)) {
+        val d = commitDeltaFull(root, cv)
+        if (d.adds.nonEmpty || d.removes.nonEmpty || d.dvReset)
+          spec = d.partJson.flatMap(parseSchema)
+      }
+    }
+    spec
   }
 
   /** Commit `files` as the complete next snapshot, CAS-retrying past
@@ -549,32 +810,75 @@ object SnapshotCatalog {
     * in metadata read (one version listing per attempt), flat in table
     * size. Sound only because the files live in a fresh batch dir, so
     * they are disjoint from every prior version by construction. */
-  private def commitAppend(root: String, files: Seq[String],
-                           maxAttempts: Int = 100): Int = {
+  private def commitAppendEntries(root: String, entries: Seq[FileEntry],
+                                  schemaJson: Option[String],
+                                  partJson: Option[String],
+                                  maxAttempts: Int = 100): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val pv = latestVersionOption(root).getOrElse(0)
-      if (tryCommit(root, pv + 1, adds = files.distinct.sorted,
-            removes = Seq.empty)) return pv + 1
+      if (tryCommitEntries(root, pv + 1,
+            adds = entries.distinct.sortBy(_.path), removes = Seq.empty,
+            schemaJson = schemaJson, partJson = partJson)) return pv + 1
       attempt += 1
     }
     sys.error(s"append on $root lost $maxAttempts consecutive CAS races")
   }
 
+  /** Stage `df` as an immutable batch and build its log record: file
+    * entries (path + size from the ONE directory listing the write
+    * already implies + per-column typed stats from ONE footer pass),
+    * the batch's schema JSON, and the partition-spec JSON when
+    * `partitionBy` is set (hive-style `col=value` layout). Everything
+    * planning needs lands IN the commit — a reader never probes the
+    * staged files again. */
+  private def stageBatch(df: DataFrame, root: String, batch: String,
+                         partitionBy: Seq[String], recordStats: Boolean)
+      : (Seq[FileEntry], Option[String], Option[String]) = {
+    val path = s"$root/data/$batch"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+    val sized = listDataEntries(path)
+    val meta: Map[String, (Long, Map[String, (String, String, String)])] =
+      if (recordStats)
+        footerStats(sized.map(_._1)).map { case (f, n, st) => f -> (n, st) }.toMap
+      else Map.empty
+    val entries = sized.map { case (f, sz) =>
+      val (n, st) = meta.getOrElse(f, (-1L, Map.empty[String, (String, String, String)]))
+      FileEntry(f, sz, n, st) }
+    val partJson =
+      if (partitionBy.isEmpty) None
+      else Some(StructType(partitionBy.map(c => df.schema(c)).toArray).json)
+    (entries, Some(df.schema.json), partJson)
+  }
+
   /** Append `df` as a new batch: its files join the previous snapshot's
-    * (file-level reuse; the commit records ONLY the new files).
-    * Replay-idempotent: a batch name a surviving version already
-    * references commits nothing and returns the current latest version.
-    * Records file-level min/max stats for every supported column
-    * ([[autoColumnStats]]) unless `recordStats` is false. Returns the
-    * (possibly new) version. */
+    * (file-level reuse; the commit records ONLY the new files, WITH
+    * their sizes and per-column min/max stats unless `recordStats` is
+    * false — the planning metadata [[SnapshotFileIndex]] serves from).
+    * `partitionBy` lays the batch out hive-style and records the
+    * partition spec in the log; it must match the table's current spec
+    * (a mixed layout would make partition pruning unsound). Replay-
+    * idempotent: a batch name a surviving version already references
+    * commits nothing and returns the current latest version. Returns
+    * the (possibly new) version. */
   def append(df: DataFrame, root: String, batch: String,
-             recordStats: Boolean = true): Int = {
+             recordStats: Boolean = true,
+             partitionBy: Seq[String] = Seq.empty): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
-      val files = writeData(df, root, batch)
-      if (recordStats) autoColumnStats(root, batch, files)
-      commitAppend(root, files)
+      latestVersionOption(root).foreach { v =>
+        val cur = partitionSpecAt(root, v)
+          .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+        if (cur != partitionBy)
+          sys.error(s"append on $root: partitionBy $partitionBy does not " +
+            s"match the table's committed partition spec $cur — a mixed " +
+            "layout would break hive-style pruning; replace() to change it")
+      }
+      val (entries, schemaJson, partJson) =
+        stageBatch(df, root, batch, partitionBy, recordStats)
+      commitAppendEntries(root, entries, schemaJson, partJson)
     }
   }
 
@@ -583,16 +887,18 @@ object SnapshotCatalog {
     * files (the commit removes every previous file and adds the new
     * generation's — O(live files), inherent to a rewrite); prior
     * versions keep time-traveling to the old files until [[expire]].
-    * Replay-idempotent like [[append]]. Returns the version. */
+    * A rewrite is exactly when stats get TIGHT (a clustered layout's
+    * per-file ranges are the point), so the new generation's entries
+    * carry fresh stats. A replace may CHANGE the partition spec — it
+    * defines the layout outright. Replay-idempotent like [[append]].
+    * Returns the version. */
   def replace(df: DataFrame, root: String, batch: String,
-              recordStats: Boolean = true): Int = {
+              recordStats: Boolean = true,
+              partitionBy: Seq[String] = Seq.empty): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
-      val files = writeData(df, root, batch)
-      // a compaction/rewrite is exactly when stats get TIGHT (a
-      // clustered layout's per-file ranges are the point of the
-      // rewrite) — refresh them for the new generation
-      if (recordStats) autoColumnStats(root, batch, files)
+      val (entries, schemaJson, partJson) =
+        stageBatch(df, root, batch, partitionBy, recordStats)
       // a replace defines the content outright, so inherited deletion
       // vectors stop applying at this version (their row positions
       // reference the files the rewrite just superseded)
@@ -600,9 +906,12 @@ object SnapshotCatalog {
       while (attempt < 100) {
         val pv = latestVersionOption(root).getOrElse(0)
         val prev = if (pv == 0) Seq.empty else manifestFiles(root, pv)
-        val next = files.distinct.sorted
-        if (tryCommit(root, pv + 1, adds = next.filterNot(prev.toSet),
-              removes = prev.filterNot(next.toSet), dvReset = true))
+        val next = entries.distinct.sortBy(_.path)
+        val nextPaths = next.map(_.path).toSet
+        if (tryCommitEntries(root, pv + 1,
+              adds = next.filterNot(e => prev.contains(e.path)),
+              removes = prev.filterNot(nextPaths), dvReset = true,
+              schemaJson = schemaJson, partJson = partJson))
           return pv + 1
         attempt += 1
       }
@@ -670,7 +979,7 @@ object SnapshotCatalog {
       val keptDv = {
         val base = collection.mutable.Set.from(dvFiles(root, vMin))
         ((vMin + 1) to keep.last).foreach(v =>
-          base ++= commitDeltaFull(root, v).dvAdds)
+          base ++= commitDeltaFull(root, v).dvAdds.map(_.path))
         base.toSet
       }
       val droppedDv = {
@@ -681,7 +990,7 @@ object SnapshotCatalog {
             try { acc ++= dvFiles(root, v); haveBase = true }
             catch { case _: RuntimeException => () }
           } else if (commitExists(root, v))
-            acc ++= commitDeltaFull(root, v).dvAdds
+            acc ++= commitDeltaFull(root, v).dvAdds.map(_.path)
         }
         acc.toSet
       }
@@ -786,10 +1095,14 @@ object SnapshotCatalog {
                    version: Option[Int] = None,
                    mergeSchema: Boolean = false): DataFrame = {
     val v = version.getOrElse(latestVersion(root))
-    val reader =
-      if (mergeSchema) spark.read.option("mergeSchema", "true")
-      else spark.read
-    reader.parquet(manifestFiles(root, v): _*)
+    // THE catalog read path: every snapshot read goes through the
+    // planning-time FileIndex, so stats-based file skipping, log-carried
+    // sizes (no per-file RPCs), and hive-style partition pruning apply
+    // to ANY query shape with zero caller opt-in — direct
+    // spark.read.parquet(manifestFiles) remains only where a writer
+    // genuinely needs the raw file list
+    SnapshotFileIndex.snapshotDF(spark, root, Some(v), mergeSchema,
+      subtractDeletes = false)
   }
 
   /** The files version `toV` ADDED over `fromV` (None = a bootstrap
@@ -833,9 +1146,114 @@ object SnapshotCatalog {
                 s"at version $v: an adds-only fold would keep serving the " +
                 "deleted rows — re-read the snapshot (or consume a " +
                 "row-level changelog) instead")
-          d.adds
+          d.adds.map(_.path)
         }
     }
+
+  /** ROW-LEVEL change feed (the Delta CDF shape) for versions
+    * `(fromV, toV]`, derived from the delta log + deletion vectors
+    * alone: each append contributes its added files' rows as
+    * `_change_type = 'insert'`; each DV commit contributes the rows AT
+    * the deleted positions as `_change_type = 'delete'` (a merge
+    * commit contributes both — its upserts as inserts, the superseded
+    * rows as deletes); `_commit_version` stamps each row. Cost is
+    * O(changed rows): inserts read only the added files, deletes read
+    * only the files the DV positions reference (anti-join-free — a
+    * SEMI join against the O(deleted) position set, broadcast under
+    * the same 64 MB gate as serving).
+    *
+    * FAILS LOUDLY across a [[replace]] like [[addedFiles]]: a
+    * compaction/retraction rewrites surviving rows wholesale, so
+    * row-level deltas are not derivable from its commit (Delta CDF has
+    * the same rule: `dataChange = false` rewrites emit nothing, and a
+    * reader crossing a non-CDF rewrite re-baselines) — the consumer
+    * re-reads the snapshot and resumes. Also fails when the interval
+    * fell off retention. */
+  def changeFeedRows(spark: SparkSession, root: String,
+                     fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(fromV < toV, s"changeFeedRows: empty interval $fromV -> $toV")
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      if (!commitExists(root, v))
+        throw new IllegalStateException(
+          s"change feed $fromV->$toV on $root: commit $v expired — poll " +
+            "horizon exceeded retention; re-read the snapshot")
+      val d = commitDeltaFull(root, v)
+      if (d.removes.nonEmpty || d.dvReset)
+        throw new IllegalStateException(
+          s"change feed $fromV->$toV on $root crossed a replace/compaction " +
+            s"at version $v: row-level deltas are not derivable from a " +
+            "rewrite — re-read the snapshot and re-baseline")
+      val inserts =
+        if (d.adds.isEmpty) None
+        else Some(spark.read.parquet(d.adds.map(_.path): _*)
+          .withColumn("_change_type", lit("insert")))
+      val deletes =
+        if (d.dvAdds.isEmpty) None
+        else {
+          val dv0 = spark.read.parquet(d.dvAdds.map(_.path): _*)
+          val dvBytes = d.dvAdds.map(e =>
+            if (e.size >= 0) e.size
+            else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }).sum
+          val dv = if (dvBytes <= dvBroadcastMaxBytes) broadcast(dv0) else dv0
+          // only the files the positions reference are opened
+          val touched = dv0.select("__dv_file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          Some(spark.read.parquet(touched: _*)
+            .withColumn("__dv_file", col("_metadata.file_path"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+            .join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
+            .drop("__dv_file", "__dv_pos")
+            .withColumn("_change_type", lit("delete")))
+        }
+      (inserts.toSeq ++ deletes.toSeq)
+        .map(_.withColumn("_commit_version", lit(v.toLong)))
+    }
+    if (frames.isEmpty)
+      sys.error(s"changeFeedRows $fromV->$toV on $root: no data commits " +
+        "in the interval (metadata-only commits carry no rows)")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Threshold-driven OPTIMIZE — the maintenance DECISION, from log
+    * metadata alone (no scan, no data IO): compact when accumulated
+    * deletion vectors cross `maxDvBytes` (the serve-side broadcast
+    * gate: past it every read pays a shuffled anti-join), when the
+    * DELETED FRACTION of live rows crosses `maxDeletedFrac` (read
+    * amplification: scans keep decoding rows the anti-join then
+    * drops), or when the live file count crosses `maxLiveFiles`
+    * (small-file ingest litter — st40's shape). The compaction itself
+    * is [[replace]] of the DV-applied content: ONE commit that
+    * rewrites the survivors and RESETS the DV set (src17 semantics).
+    * Returns the compacting commit's version, or None when no
+    * threshold was crossed — callers wire this into their inline
+    * maintenance instead of compacting unconditionally on a schedule.
+    * Row counts ride the log ([[FileEntry.rows]]); entries lacking
+    * them contribute conservatively nothing to the fraction. */
+  def maintainIfNeeded(spark: SparkSession, root: String, batch: String,
+                       maxDvBytes: Long = dvBroadcastMaxBytes,
+                       maxDeletedFrac: Double = 0.5,
+                       maxLiveFiles: Int = Int.MaxValue,
+                       compactTo: Int = 2): Option[Int] = {
+    val vOpt = latestVersionOption(root)
+    if (vOpt.isEmpty) return None
+    val v = vOpt.get
+    val entries = manifestEntries(root, v)
+    val dvs = dvEntries(root, v)
+    val dvBytes = dvs.map(e =>
+      if (e.size >= 0) e.size
+      else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }).sum
+    val liveRows = entries.map(_.rows).filter(_ >= 0).sum
+    val delRows = dvs.map(_.rows).filter(_ >= 0).sum
+    val due =
+      dvBytes > maxDvBytes ||
+        (liveRows > 0 && delRows.toDouble / liveRows > maxDeletedFrac) ||
+        entries.size > maxLiveFiles
+    if (!due) None
+    else Some(replace(
+      readSnapshotWithDeletes(spark, root, Some(v)).repartition(compactTo),
+      root, batch))
+  }
 
   /** Read `dir` as a catalog table when it has a committed manifest,
     * else as a plain parquet directory — the read seam that lets
@@ -889,8 +1307,9 @@ object SnapshotCatalog {
   // set atomically in its own commit.
 
   private[sources] def dvTotalBytes(root: String, v: Int): Long =
-    dvFiles(root, v).map { f =>
-      val p = new Path(f); fsFor(p).getFileStatus(p).getLen
+    dvEntries(root, v).map { e =>
+      if (e.size >= 0) e.size
+      else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }
     }.sum
 
   /** Broadcast ceiling for the DV side of the serve anti-join. The
@@ -912,7 +1331,11 @@ object SnapshotCatalog {
                   cond: org.apache.spark.sql.Column): (Int, Long) = {
     import org.apache.spark.sql.functions.col
     val v = latestVersion(root)
-    val base = spark.read.parquet(manifestFiles(root, v): _*)
+    // the FileIndex relation (not a raw leaf-file read): partition
+    // columns are served, so `cond` may reference them; positions come
+    // off the same `_metadata` columns either way
+    val base = SnapshotFileIndex
+      .snapshotDF(spark, root, Some(v), subtractDeletes = false)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val existing = dvFiles(root, v)
@@ -924,9 +1347,11 @@ object SnapshotCatalog {
     val batch = "d" + java.util.UUID.randomUUID().toString.take(8)
     val dir = s"$root/dv/$batch"
     newDel.coalesce(1).write.mode("overwrite").parquet(dir)
-    val dvAdds = listDataFiles(dir)
-    val readBack = spark.read.parquet(dvAdds: _*)
+    val sizedDv = listDataEntries(dir)
+    val readBack = spark.read.parquet(sizedDv.map(_._1): _*)
     val nDel = readBack.count()
+    val dvAdds = sizedDv.map { case (f, sz) =>
+      FileEntry(f, sz, if (sizedDv.size == 1) nDel else -1L) }
     if (nDel == 0L) { fsFor(new Path(dir)).delete(new Path(dir), true); return (v, 0L) }
     // files the positions refer to — for the write-conflict check
     val touched = readBack.select("__dv_file").distinct()
@@ -948,8 +1373,8 @@ object SnapshotCatalog {
           s"deleteWhere on $root: a concurrent replace/compaction rewrote " +
             "files the delete's positions reference — retry against the " +
             "new snapshot")
-      if (tryCommit(root, pv + 1, adds = Seq.empty, removes = Seq.empty,
-            dvAdds = dvAdds)) return (pv + 1, nDel)
+      if (tryCommitEntries(root, pv + 1, adds = Seq.empty,
+            removes = Seq.empty, dvAdds = dvAdds)) return (pv + 1, nDel)
       attempt += 1
     }
     sys.error(s"deleteWhere on $root lost 100 consecutive CAS races")
@@ -1000,7 +1425,8 @@ object SnapshotCatalog {
     // — the update rows themselves — and DV-delete its own output
     if (isBatchCommitted(root, batch)) return (latestVersion(root), 0L)
     val v = latestVersion(root)
-    val base = spark.read.parquet(manifestFiles(root, v): _*)
+    val base = SnapshotFileIndex
+      .snapshotDF(spark, root, Some(v), subtractDeletes = false)
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val existing = dvFiles(root, v)
@@ -1013,9 +1439,11 @@ object SnapshotCatalog {
       .select(col("__dv_file"), col("__dv_pos"))
     val dvDir = s"$root/dv/m${java.util.UUID.randomUUID().toString.take(8)}"
     matched.coalesce(1).write.mode("overwrite").parquet(dvDir)
-    val dvAdds = listDataFiles(dvDir)
-    val dvBack = spark.read.parquet(dvAdds: _*)
+    val sizedDv = listDataEntries(dvDir)
+    val dvBack = spark.read.parquet(sizedDv.map(_._1): _*)
     val nMatched = dvBack.count()
+    val dvAdds = sizedDv.map { case (f, sz) =>
+      FileEntry(f, sz, if (sizedDv.size == 1) nMatched else -1L) }
     val touched =
       if (nMatched == 0L) Set.empty[String]
       else dvBack.select("__dv_file").distinct()
@@ -1024,7 +1452,15 @@ object SnapshotCatalog {
     // committed: remove it now or it leaks forever (sweepOrphans also
     // covers a crash before this line)
     if (nMatched == 0L) fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
-    val newFiles = writeData(updates, root, batch)
+    // the update batch lands with the full log record (sizes, stats,
+    // schema, spec) like any append — laid out per the table's
+    // committed partition spec so hive-style pruning stays sound
+    val spec = partitionSpecAt(root, v).map(_.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val (newEntries, schemaJson, partJson) =
+      if (isBatchCommitted(root, batch))
+        (committedBatchFiles(root, batch).map(FileEntry(_)), None, None)
+      else stageBatch(updates, root, batch, spec, recordStats = true)
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
@@ -1039,9 +1475,10 @@ object SnapshotCatalog {
           s"mergeOnRead on $root: a concurrent replace/compaction rewrote " +
             "files the merge's matched positions reference — retry against " +
             "the new snapshot")
-      if (tryCommit(root, pv + 1, adds = newFiles.distinct.sorted,
+      if (tryCommitEntries(root, pv + 1, adds = newEntries.distinct.sortBy(_.path),
             removes = Seq.empty,
-            dvAdds = if (nMatched == 0L) Seq.empty else dvAdds))
+            dvAdds = if (nMatched == 0L) Seq.empty else dvAdds,
+            schemaJson = schemaJson, partJson = partJson))
         return (pv + 1, nMatched)
       attempt += 1
     }
@@ -1089,7 +1526,7 @@ object SnapshotCatalog {
     * footer lacks stats are omitted — skipping is an optimization,
     * never a correctness gate. */
   private def footerStats(files: Seq[String])
-      : Seq[(String, Map[String, (String, String, String)])] = {
+      : Seq[(String, Long, Map[String, (String, String, String)])] = {
     val conf = hadoopConf
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -1099,7 +1536,9 @@ object SnapshotCatalog {
         import scala.jdk.CollectionConverters._
         val perCol = collection.mutable.Map
           .empty[String, (String, String, String)]
+        var rowCount = 0L
         reader.getFooter.getBlocks.asScala.foreach { b =>
+          rowCount += b.getRowCount
           b.getColumns.asScala.foreach { c =>
             val st = c.getStatistics
             if (st != null && st.hasNonNullValue) {
@@ -1142,33 +1581,8 @@ object SnapshotCatalog {
             }
           }
         }
-        f -> perCol.toMap
+        (f, rowCount, perCol.toMap)
       } finally reader.close()
-    }
-  }
-
-  /** Write the per-batch stats sidecars (`_stats_<col>.txt`, one
-    * `path \t kind \t min \t max` line per file; string bounds
-    * base64-coded so the separator stays unambiguous) for EVERY
-    * supported column in one footer pass — zero data scan; the same
-    * numbers the writer already paid for. Sidecars are tmp-written and
-    * renamed so a crash mid-write never leaves a truncated sidecar a
-    * pruned read would trip over. */
-  def autoColumnStats(root: String, batch: String, files: Seq[String]): Unit = {
-    val stats = footerStats(files)
-    val cols = stats.flatMap(_._2.keys).distinct
-    cols.foreach { colName =>
-      val lines = stats.flatMap { case (f, m) =>
-        m.get(colName).map { case (kind, mn, mx) => s"$f\t$kind\t$mn\t$mx" }
-      }
-      if (lines.nonEmpty) {
-        val p = statsPath(root, batch, colName)
-        val fs = fsFor(p)
-        val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-        writeUtf8(fs, tmp, lines.mkString("\n") + "\n")
-        fs.rename(tmp, p)
-        ()
-      }
     }
   }
 
@@ -1176,7 +1590,7 @@ object SnapshotCatalog {
     * batch (the single-column form of [[autoColumnStats]]). */
   def writeColumnStats(root: String, batch: String, col: String,
                        files: Seq[String]): Unit = {
-    val lines = footerStats(files).flatMap { case (f, m) =>
+    val lines = footerStats(files).flatMap { case (f, _, m) =>
       m.get(col).map { case (kind, mn, mx) => s"$f\t$kind\t$mn\t$mx" }
     }
     val p = statsPath(root, batch, col)
@@ -1217,12 +1631,24 @@ object SnapshotCatalog {
         }
       }.toMap
 
-  /** The stats surface the planning-time [[SnapshotFileIndex]]
-    * consults: per-file (kind, min, max) for `col`; string bounds stay
-    * encoded (decode with [[statStrBytes]]). */
-  private[sources] def fileStats(root: String, files: Seq[String],
-                                 col: String): Map[String, (String, String, String)] =
-    snapshotStats(root, files, col)
+  /** The per-file (kind, min, max) surface for `col` at version `v`:
+    * the LOG-CARRIED stats first (one metadata resolution, zero extra
+    * IO — the enriched commit/checkpoint lines), then the per-batch
+    * sidecar tier for exactly the files the log lacks stats for (the
+    * path-only compatibility commits, e.g. [[commitRetry]] +
+    * [[writeColumnStats]] callers). String bounds stay encoded
+    * (decode with [[statStrBytes]]). */
+  private[sources] def statsAt(root: String, v: Int,
+                               col: String): Map[String, (String, String, String)] = {
+    val entries = manifestEntries(root, v)
+    val fromLog = entries.flatMap(e => e.stats.get(col).map(e.path -> _)).toMap
+    if (fromLog.size == entries.size) fromLog
+    else {
+      val missing = entries.collect {
+        case e if !fromLog.contains(e.path) => e.path }
+      snapshotStats(root, missing, col) ++ fromLog
+    }
+  }
 
   /** A recorded string bound as its raw UTF-8 bytes. Parquet UTF8
     * min/max statistics order by UNSIGNED BYTE comparison — which
@@ -1248,7 +1674,7 @@ object SnapshotCatalog {
                          version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(root))
     val files = manifestFiles(root, v)
-    val stats = snapshotStats(root, files, col)
+    val stats = statsAt(root, v, col)
     val kept = files.filter { f =>
       stats.get(f) match {
         case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
@@ -1275,7 +1701,7 @@ object SnapshotCatalog {
     val v = version.getOrElse(latestVersion(root))
     val files = manifestFiles(root, v)
     val statsByCol = ranges.map { case (c, _, _) =>
-      c -> snapshotStats(root, files, c)
+      c -> statsAt(root, v, c)
     }.toMap
     val kept = files.filter { f =>
       ranges.forall { case (c, lo, hi) =>
@@ -1318,7 +1744,7 @@ object SnapshotCatalog {
                             version: Option[Int] = None): (DataFrame, Int, Int) = {
     val v = version.getOrElse(latestVersion(root))
     val files = manifestFiles(root, v)
-    val stats = snapshotStats(root, files, col)
+    val stats = statsAt(root, v, col)
     val loB = lo.getBytes("UTF-8")
     val hiB = hi.getBytes("UTF-8")
     val kept = files.filter { f =>

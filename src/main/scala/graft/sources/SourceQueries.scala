@@ -1230,5 +1230,69 @@ object SourceQueries extends QueryPack {
              |  TRUE AS sql_equals_full_scan
              |FROM events, b
              |WHERE event_id >= 2 * w AND event_id < 4 * w""".stripMargin),
-      "S-planner: planning-time file skipping — SQL text over the FileIndex-backed view prunes from its own predicates"))
+      "S-planner: planning-time file skipping — SQL text over the FileIndex-backed view prunes from its own predicates"),
+
+    GraftQuery(
+      "src23_partitioned_catalog",
+      (spark, dir) => {
+        // PARTITION COLUMNS THROUGH THE CATALOG — append(partitionBy)
+        // lays batches out hive-style and records the partition SPEC in
+        // the delta log, so [[SnapshotFileIndex]] surfaces a real
+        // partitionSchema: a partition predicate cuts FILES at planning
+        // time (here 2 of 10 — one file per (batch, type)), and a
+        // dim-filtered join is eligible for dynamic partition pruning
+        // (q83's lever, the reference's date-filtered dashboards —
+        // fire_detection_app.py:99) with no path glob or bespoke API.
+        // Audited by the executed scan's numFiles and by equality of
+        // three read paths: the pruned SQL, the dim join, and a full
+        // recompute. The partition column itself is served from the
+        // directory values (it is not in the data files) — its
+        // round-trip is part of the check.
+        import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+        val root = graft.streaming.Streams.dataDir("graft_snapdpp_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0).coalesce(1),
+          root, "b0", partitionBy = Seq("event_type"))
+        SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1).coalesce(1),
+          root, "b1", partitionBy = Seq("event_type"))
+        val snap = SnapshotFileIndex.snapshotDF(spark, root)
+        snap.createOrReplaceTempView("graft_events_part")
+        val q = spark.sql(
+          """SELECT count(*) AS n_signup,
+            |  CAST(sum(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+            |FROM graft_events_part WHERE event_type = 'signup'""".stripMargin)
+        val r = q.collect().head
+        val scanned = SnapshotFileIndex.scannedFiles(q)
+        val total = SnapshotCatalog
+          .manifestFiles(root, SnapshotCatalog.latestVersion(root)).size
+        // the dim-join path: small dim broadcast, join on the PARTITION
+        // column — the DPP-eligible shape
+        val spark2 = spark
+        import spark2.implicits._
+        val dim = Seq(("signup", true), ("error", true), ("click", false),
+          ("view", false), ("purchase", false))
+          .toDF("event_type", "audited")
+        val joined = snap.join(dim.filter(col("audited")), Seq("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Canon.sumCents(col("value")).as("c"))
+        val jr = joined.collect().head
+        spark.range(1).select(
+          lit(r.getLong(0)).as("n_signup"),
+          lit(r.getLong(1)).as("sum_signup_cents"),
+          lit(jr.getLong(0)).as("n_audited"),
+          lit(jr.getLong(1)).as("sum_audited_cents"),
+          lit(scanned < total && scanned == total / 5)
+            .as("partition_filter_cut_files"))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM events WHERE event_type = 'signup') AS n_signup,
+             |  (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM events WHERE event_type = 'signup') AS sum_signup_cents,
+             |  (SELECT count(*) FROM events
+             |     WHERE event_type IN ('signup', 'error')) AS n_audited,
+             |  (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM events WHERE event_type IN ('signup', 'error')) AS sum_audited_cents,
+             |  TRUE AS partition_filter_cut_files""".stripMargin),
+      "S-partitions: hive-style partition columns through the catalog — spec in the log, planning-time file cut, DPP-eligible joins"))
 }

@@ -2273,12 +2273,14 @@ object StreamingQueries extends QueryPack {
               .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
                 if (!b.isEmpty) {
                   SnapshotCatalog.append(b, root, s"batch$bid")
-                  if (bid % 2 == 1) {
-                    // inline maintenance: compact, then retention-
-                    // windowed GC (never the reader's resolved version)
-                    SnapshotCatalog.replace(
-                      SnapshotCatalog.readSnapshot(spark, root)
-                        .repartition(2), root, s"compact$bid")
+                  // inline maintenance is THRESHOLD-DRIVEN, not a blind
+                  // schedule: the OPTIMIZE decision reads the log's
+                  // file/DV/row metadata and compacts only when ingest
+                  // litter crosses the bound; a fired compaction is
+                  // followed by retention-windowed GC (never the
+                  // reader's resolved version)
+                  SnapshotCatalog.maintainIfNeeded(spark, root,
+                      s"compact$bid", maxLiveFiles = 3).foreach { _ =>
                     SnapshotCatalog.expire(root, keepLast = 2,
                       minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
                     ()
@@ -2295,6 +2297,11 @@ object StreamingQueries extends QueryPack {
         val counts = readerCounts.asScala.toVector
         val kinds = SnapshotCatalog.history(root).map(_._2).toSet
         val monotone = counts.zip(counts.drop(1)).forall { case (a, b) => a <= b }
+        // the decision quiesces: post-compaction the table sits under
+        // every threshold, so another maintenance pass is a no-op —
+        // threshold-driven, not schedule-driven
+        val quiesced = SnapshotCatalog.maintainIfNeeded(spark, root,
+          "probe_end", maxLiveFiles = 3).isEmpty
         SnapshotCatalog.readSnapshot(spark, root).agg(
             count(lit(1)).as("n_rows"),
             Canon.sumCents(col("value")).as("sum_value_cents"))
@@ -2302,15 +2309,111 @@ object StreamingQueries extends QueryPack {
             lit(kinds == Set("append", "replace")).as("both_kinds_committed"),
             lit(readerErrors.get() == 0L && counts.nonEmpty)
               .as("reader_never_failed"),
-            lit(monotone).as("reader_counts_monotone"))
+            lit(monotone).as("reader_counts_monotone"),
+            lit(quiesced).as("maintenance_quiesced_under_threshold"))
       },
       Some("""SELECT count(*) AS n_rows,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  TRUE AS both_kinds_committed,
              |  TRUE AS reader_never_failed,
-             |  TRUE AS reader_counts_monotone
+             |  TRUE AS reader_counts_monotone,
+             |  TRUE AS maintenance_quiesced_under_threshold
              |FROM events""".stripMargin),
-      "North star/T: live ingest + inline maintenance + concurrent reader — complete versions only, content-neutral compaction"))
+      "North star/T: live ingest + inline maintenance + concurrent reader — complete versions only, content-neutral compaction"),
+
+    GraftQuery(
+      "st41_catalog_cdc_ivm",
+      (spark, dir) => {
+        // ROW-LEVEL CDC FROM THE DELTA LOG (the Delta CDF shape) — the
+        // log + deletion vectors alone are enough to emit row-level
+        // inserts AND retractions, so the IVM tier (q77/st34) feeds
+        // from the CATALOG ITSELF instead of a staged changelog: each
+        // poll reads O(changed rows) — an append's added files, a
+        // DV-delete's positions (rows semi-joined back), a merge's
+        // both — and folds signed deltas into the stored per-user
+        // aggregate; the base table is never rescanned. A compaction
+        // REFUSES row-level derivation (rewrites carry no dataChange),
+        // and the consumer re-baselines from the snapshot — the st39
+        // contract, preserved at the row level. Audited by: folded
+        // aggregate ≡ full recompute BEFORE the rewrite, exactly one
+        // refusal AT it, and the post-rebaseline result (= the final
+        // answer, content-neutral under compaction) against the
+        // oracle's replay of the same delete + upsert.
+        import graft.sources.SnapshotCatalog
+        import graft.operators.PipelineQueries.{ivmDelta, ivmMerge}
+        val root = Streams.dataDir("graft_st41_")
+        val spark2 = spark
+        import spark2.implicits._
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val split = maxId / 2
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") <= split).coalesce(1), root, "b0")
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") > split).coalesce(1), root, "b1")
+        SnapshotCatalog.deleteWhere(spark, root, col("event_id") % 13 === 5)
+        SnapshotCatalog.mergeOnRead(spark, root,
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .filter(col("event_id") % 100 === 0)
+            .withColumn("value", col("value") * 2).coalesce(1),
+          Seq("event_id"), "u0")
+        def recompute(v: Option[Int]): org.apache.spark.sql.DataFrame =
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root, v)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n"), sum(Canon.cents(col("value"))).as("sum_cents"))
+        var stored = Seq.empty[(Long, Long, Long)]
+          .toDF("user_id", "n", "sum_cents")
+        var refusals = 0
+        def poll(fromV: Int, toV: Int): Unit =
+          try {
+            val cdc = SnapshotCatalog.changeFeedRows(spark, root, fromV, toV)
+            val log = cdc.select(col("user_id"),
+              Canon.cents(col("value")).as("cents"),
+              when(col("_change_type") === "insert", 1L)
+                .otherwise(-1L).as("sgn"))
+            stored = ivmMerge(stored, ivmDelta(log))
+              .withColumnRenamed("n_events", "n")
+              .withColumnRenamed("sum_value_cents", "sum_cents")
+              .localCheckpoint(true)
+          } catch {
+            case _: IllegalStateException =>
+              // the poll crossed a rewrite: re-baseline from the
+              // snapshot at the refused version, then resume
+              refusals += 1
+              stored = recompute(Some(toV)).localCheckpoint(true)
+          }
+        val v4 = SnapshotCatalog.latestVersion(root)
+        (1 to v4).foreach(v => poll(v - 1, v))
+        // the CDC-fed aggregate must equal a full recompute BEFORE the
+        // compaction — the q77 equivalence, from the catalog alone
+        val pre = recompute(Some(v4))
+        val foldEq = stored.except(pre).isEmpty && pre.except(stored).isEmpty
+        // maintenance rewrites the table; row-level CDC refuses, the
+        // consumer re-baselines (content-neutral, so the answer holds)
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .repartition(2), root, "c0")
+        val v5 = SnapshotCatalog.latestVersion(root)
+        poll(v4, v5)
+        stored.select(col("user_id"), col("n").as("n_events"),
+            col("sum_cents").as("sum_value_cents"),
+            lit(foldEq).as("cdc_fold_equals_recompute"),
+            lit(refusals == 1).as("replace_refused_then_rebaselined"))
+          .orderBy("user_id")
+      },
+      Some("""WITH live AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_id % 100 = 0
+             |         THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT)
+             |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+             |  FROM events WHERE event_id % 13 <> 5)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS cdc_fold_equals_recompute,
+             |  TRUE AS replace_refused_then_rebaselined
+             |FROM live GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "North star/T: row-level CDC from the delta log — catalog-fed IVM, retractions included, rewrite refusal + re-baseline"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared

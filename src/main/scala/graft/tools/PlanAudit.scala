@@ -271,6 +271,55 @@ object PlanAudit {
       sb.append(s"\n## src22_planned_skipping (FileIndex-backed SQL scan) — planner pruned to $scanned of 12 files from the pushed predicate\n\n")
       sb.append(s"```\n$plan\n```\n")
     }
+    // src23's registry entry returns audit literals; the plan worth
+    // auditing is the partition-filtered scan over the catalog's
+    // FileIndex — the listing keeps only the predicate's hive
+    // partitions, and the partition column serves from the log-recorded
+    // directory values (it is not in the data files).
+    locally {
+      import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+      import org.apache.spark.sql.functions._
+      val root = graft.streaming.Streams.dataDir("graft_plan_part_")
+      val ev = graft.core.Tables(spark, sfDir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0).coalesce(1),
+        root, "b0", partitionBy = Seq("event_type"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1).coalesce(1),
+        root, "b1", partitionBy = Seq("event_type"))
+      val q = SnapshotFileIndex.snapshotDF(spark, root)
+        .filter(col("event_type") === "signup")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Canon.sumCents(col("value")).as("cents"))
+      q.collect()
+      val scanned = SnapshotFileIndex.scannedFiles(q)
+      val total = SnapshotCatalog
+        .manifestFiles(root, SnapshotCatalog.latestVersion(root)).size
+      val plan = capturePlan(q)
+      sb.append(s"\n## src23_partitioned_catalog (hive-partitioned catalog scan) — partition filter cut the listing to $scanned of $total files; partition values served from the log\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
+    // st41's registry entry returns audit literals; the plan worth
+    // auditing is ONE ROW-LEVEL CDC POLL across a DV-delete commit —
+    // the retraction side scans only the files the deleted positions
+    // reference and semi-joins the O(deleted) position set.
+    locally {
+      import graft.sources.SnapshotCatalog
+      import org.apache.spark.sql.functions._
+      val root = graft.streaming.Streams.dataDir("graft_plan_cdc_")
+      val ev = graft.core.Tables(spark, sfDir).events
+        .select(col("event_id"), col("user_id"), col("value"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0), root, "b0")
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1), root, "b1")
+      val (dv, nDel) =
+        SnapshotCatalog.deleteWhere(spark, root, col("event_id") % 13 === 5)
+      val plan = capturePlan(
+        SnapshotCatalog.changeFeedRows(spark, root, dv - 1, dv)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Canon.sumCents(col("value")).as("cents")))
+      sb.append(s"\n## st41_catalog_cdc_ivm (one row-level CDC poll) — $nDel retractions materialized from DV positions semi-joined back; table never rescanned\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     // st38's registry entry returns audit literals; the plan worth
     // auditing is ONE POLL of the change feed — a scan of exactly the
     // version's added files, never the table.

@@ -57,7 +57,8 @@ object ScaleStress {
     // its skipping kernel is src14/src15's, measured above
     "src16_catalog_schema_evolution", "src17_deletion_vectors",
     "src18_merge_on_read", "src20_lakehouse_lifecycle",
-    "src21_table_history", "src22_planned_skipping")
+    "src21_table_history", "src22_planned_skipping",
+    "src23_partitioned_catalog")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -76,7 +77,8 @@ object ScaleStress {
         "st33_stream_importance_gate", "st34_stream_ivm",
         "st35_stream_cdc_compact", "st36_stream_snapshot_publish",
         "st37_session_timers", "st38_catalog_change_feed",
-        "st39_feed_compaction_fallback", "st40_stream_with_maintenance")
+        "st39_feed_compaction_fallback", "st40_stream_with_maintenance",
+        "st41_catalog_cdc_ivm")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */
@@ -96,6 +98,16 @@ object ScaleStress {
     * vs a foreachBatch count sink — attributing the ×100 wall between
     * the StatefulProcessor and the sink collection. */
   val st37SplitName = "st37_sink_split"
+
+  /** Pseudo-name selecting the query-PLANNING cost section (round-14
+    * verdict item 2): wall time to construct [[graft.sources
+    * .SnapshotFileIndex]] and list files under a pushed predicate,
+    * over a table whose FILE COUNT scales ×1/×10/×100. The claim: the
+    * log-carried sizes + stats make planning ONE metadata read — wall
+    * grows only with log BYTES parsed (sub-linear milliseconds), never
+    * with per-file filesystem RPCs (CatalogPlanningSpec pins the RPC
+    * count itself with a counting filesystem). */
+  val planningName = "planning_time"
 
   /** Captures per-run maxima of the state-store metrics from streaming
     * progress events. Progress delivery is async — [[awaitQuiesced]]
@@ -245,7 +257,8 @@ object ScaleStress {
     // members are known to read exclusively the two scaled tables.
     val unknown = selectedQueries
       .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n) ||
-        n == profileTierName || n == catalogCommitName || n == st37SplitName)
+        n == profileTierName || n == catalogCommitName ||
+        n == st37SplitName || n == planningName)
     require(unknown.isEmpty,
       s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
         unknown.mkString(", "))
@@ -463,6 +476,51 @@ object ScaleStress {
         scales.map(s => rows(s)._2.toString).mkString(" | ") + " |")
       println("| commit_wall_sec | " +
         scales.map(s => f"${rows(s)._3}%.3f").mkString(" | ") + " |")
+    }
+    // Query-planning cost (round-14 verdict item 2): index construction
+    // + predicate-pruned file listing over a table whose file count
+    // scales with k — planning resolves ONE checkpoint + <=8 deltas
+    // with log-carried sizes/stats, so wall tracks log bytes, never
+    // per-file RPCs.
+    if (selectedQueries.contains(planningName)) {
+      import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+      import org.apache.spark.sql.types.LongType
+      val rows = scala.collection.mutable.Map[Int, (Int, Double, Int)]()
+      for ((kk, d) <- dirs) {
+        val root = graft.streaming.Streams.dataDir(s"graft_stress_plan_x$kk")
+        val ev = Tables(spark, d).events
+          .select(col("event_id"), col("ts"), col("value"))
+        SnapshotCatalog.append(ev.repartition(8 * kk), root, "seed")
+        val v = SnapshotCatalog.latestVersion(root)
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val id = AttributeReference("event_id", LongType)()
+        val preds = Seq(
+          GreaterThanOrEqual(id, Literal(maxId / 4)),
+          LessThanOrEqual(id, Literal(maxId / 2)))
+        // warmup, then median of 9 full plan passes (index build +
+        // pruned listing — the namenode-facing work of EVERY query plan)
+        def once(): (Double, Int) = {
+          val t0 = System.nanoTime()
+          val idx = new SnapshotFileIndex(spark, root, v)
+          val kept = idx.listFiles(Nil, preds).map(_.files.size).sum
+          ((System.nanoTime() - t0) / 1e6, kept)
+        }
+        once()
+        val runs = (0 until 9).map(_ => once())
+        val med = runs.map(_._1).sorted.apply(4)
+        rows(kk) = (8 * kk, med, runs.head._2)
+        println(f"[scalestress] x$kk planning_time: $med%.1f ms median " +
+          f"(index + pruned listing, ${8 * kk} files, kept ${runs.head._2})")
+      }
+      println("| metric | " + scales.map(s => s"x$s").mkString(" | ") + " |")
+      println("|---|" + scales.map(_ => "---|").mkString)
+      println("| table_files | " +
+        scales.map(s => rows(s)._1.toString).mkString(" | ") + " |")
+      println("| planning_wall_ms_median | " +
+        scales.map(s => f"${rows(s)._2}%.1f").mkString(" | ") + " |")
+      println("| files_kept | " +
+        scales.map(s => rows(s)._3.toString).mkString(" | ") + " |")
     }
     // st37 cost split (round-13 verdict item 6): memory sink (registry
     // form — collects ~every session row to the driver) vs foreachBatch

@@ -23,13 +23,18 @@ class DeltaLogSpec extends SparkTestBase {
     assert(SnapshotCatalog.latestVersion(root) == 20)
     val all = SnapshotCatalog.manifestFiles(root, 20)
     assert(all.size == 20, s"expected 20 one-file batches, got ${all.size}")
-    // O(delta) manifest bytes: the 20th commit is ~one path, not 20
+    // O(delta) manifest bytes: the 20th commit records ITS one file
+    // (path + size + stats + the batch schema), not the table's 20 —
+    // FLAT in table size (≈ the 1st commit's bytes) and far below the
+    // full-state checkpoint
     def fileLen(name: String): Long =
       new java.io.File(s"$root/manifests/$name").length()
     val c20 = fileLen("commit-v20.txt")
-    val avgPath = all.map(_.length + 3).sum / all.size
-    assert(c20 < 2L * avgPath,
-      s"commit-v20 is $c20 bytes — a full-list manifest, not a delta")
+    val c1 = fileLen("commit-v1.txt")
+    assert(c20 <= c1 + 64,
+      s"commit-v20 is $c20 bytes vs commit-v1's $c1 — grew with table size")
+    assert(c20 * 4 < fileLen("checkpoint-v16.txt"),
+      s"commit-v20 ($c20 B) is not O(delta) vs the full-state checkpoint")
     // checkpoints landed on the interval and bound replay depth
     assert(new java.io.File(s"$root/manifests/checkpoint-v8.txt").exists())
     assert(new java.io.File(s"$root/manifests/checkpoint-v16.txt").exists())
@@ -343,13 +348,44 @@ class DeltaLogSpec extends SparkTestBase {
       spark, root, "k", "k020", "k029")
     assert(totS == 3 && nS == 1, s"string pruning read $nS/$totS files")
     assert(dfS.filter(col("k").between("k020", "k029")).count() == 10L)
-    // corrupt one sidecar (the torn-write shape): its file must fall
-    // back to conservatively-read, never a parse failure
-    val side = new java.io.File(s"$root/data/b0/_stats_ts.txt")
-    java.nio.file.Files.writeString(side.toPath, "part-garbage\t12")
+    // a malformed stats CELL in a commit line (the torn-metadata shape)
+    // must read as stats-less — conservatively kept, never a failure:
+    // rewrite b0's add line with garbage where its stats record was
+    val commit1 = new java.io.File(s"$root/manifests/commit-v1.txt")
+    val rewritten = scala.io.Source.fromFile(commit1).getLines().map { l =>
+      if (l.startsWith("A\t")) {
+        val parts = l.split("\t")
+        s"A\t${parts(1)}\t${parts(2)}\tGARBAGE;also:not:a:stats!cell!!"
+      } else l
+    }.mkString("\n") + "\n"
+    java.nio.file.Files.writeString(commit1.toPath, rewritten)
+    SnapshotCatalog.dropCaches() // a fresh reader process sees the torn file
     val (dfC, nC, _) = SnapshotCatalog.readSnapshotPrunedTs(
       spark, root, "ts", ts(11), ts(14))
-    assert(nC == 2, s"corrupt sidecar should force b0 into the read set, read $nC")
+    assert(nC == 2, s"malformed log stats should force b0 into the read set, read $nC")
     assert(dfC.filter(col("ts").between(ts(11), ts(14))).count() == 10L)
+
+    // the SIDECAR tier still serves tables written by the path-only
+    // compatibility surface (commitRetry + writeColumnStats, src14's
+    // shape) — and a corrupt sidecar degrades to conservatively-read
+    val root2 = graft.streaming.Streams.dataDir("graft_typedskip_legacy_")
+    (0 until 3).foreach { b =>
+      val rows = (0 until 10).map { i =>
+        (b * 10L + i, ts(b * 10 + i / 3 + 1), f"k${b * 10 + i}%03d")
+      }
+      val files = SnapshotCatalog.writeData(
+        rows.toDF("id", "ts", "k").coalesce(1), root2, s"b$b")
+      SnapshotCatalog.writeColumnStats(root2, s"b$b", "ts", files)
+      SnapshotCatalog.commitRetry(root2)(prev => (prev ++ files).distinct.sorted)
+    }
+    val (_, nL, totL) = SnapshotCatalog.readSnapshotPrunedTs(
+      spark, root2, "ts", ts(11), ts(14))
+    assert(totL == 3 && nL == 1, s"legacy sidecar pruning read $nL/$totL files")
+    val side = new java.io.File(s"$root2/data/b0/_stats_ts.txt")
+    java.nio.file.Files.writeString(side.toPath, "part-garbage\t12")
+    val (dfC2, nC2, _) = SnapshotCatalog.readSnapshotPrunedTs(
+      spark, root2, "ts", ts(11), ts(14))
+    assert(nC2 == 2, s"corrupt sidecar should force b0 into the read set, read $nC2")
+    assert(dfC2.filter(col("ts").between(ts(11), ts(14))).count() == 10L)
   }
 }

@@ -110,4 +110,77 @@ class SnapshotFileIndexSpec extends SparkTestBase {
     val scanned = SnapshotFileIndex.scannedFiles(df)
     assert(scanned == 1L, s"SQL predicate did not prune: numFiles=$scanned")
   }
+
+  test("partition columns through the catalog: spec rides the log, values serve from dirs, partition filters cut files") {
+    val root = graft.streaming.Streams.dataDir("graft_fidxp_")
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 30L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt), (i % 4).toInt))
+      .toDF("id", "p", "bucket4")
+    SnapshotCatalog.append(df.filter(col("id") <= 15).coalesce(1),
+      root, "b0", partitionBy = Seq("p"))
+    SnapshotCatalog.append(df.filter(col("id") > 15).coalesce(1),
+      root, "b1", partitionBy = Seq("p"))
+    val snap = SnapshotFileIndex.snapshotDF(spark, root)
+    // the partition column is NOT in the data files — it round-trips
+    // from the log-recorded spec + the directory values
+    assert(snap.columns.toSet == Set("id", "p", "bucket4"))
+    val aRows = snap.filter(col("p") === "a").collect()
+    assert(aRows.map(r => r.getLong(r.fieldIndex("id"))).toSet ==
+      (1L to 30L).filter(_ % 3 == 0).toSet,
+      "partition values did not round-trip")
+    // the static partition filter cuts FILES: 2 of 6 (one per batch)
+    val q = snap.filter(col("p") === "a")
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+    q.collect()
+    assert(SnapshotFileIndex.scannedFiles(q) == 2L,
+      "partition filter did not cut the file listing")
+    // a mixed predicate: partition filter × data-stats filter compose
+    val q2 = snap.filter(col("p") === "a" && col("id") <= 15)
+    q2.collect()
+    assert(SnapshotFileIndex.scannedFiles(q2) == 1L,
+      "partition cut and stats cut did not compose")
+    // spec consistency is enforced: an unpartitioned append on a
+    // partitioned table refuses
+    intercept[RuntimeException] {
+      SnapshotCatalog.append(df.coalesce(1), root, "b2")
+    }
+    // readSnapshot — THE catalog read path — serves the same content
+    val viaRead = graft.sources.SnapshotCatalog.readSnapshot(spark, root)
+    assert(viaRead.count() == 30L &&
+      viaRead.filter(col("p") === "b").count() == 10L)
+  }
+
+  test("a dim-filtered join over a partitioned snapshot gets dynamic partition pruning") {
+    val root = graft.streaming.Streams.dataDir("graft_fidxdpp_")
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 300L).map(i => (i, s"p${i % 5}")).toDF("id", "p")
+    SnapshotCatalog.append(df.coalesce(1), root, "b0", partitionBy = Seq("p"))
+    SnapshotCatalog.append(df.withColumn("id", col("id") + 300L).coalesce(1),
+      root, "b1", partitionBy = Seq("p"))
+    val snap = SnapshotFileIndex.snapshotDF(spark, root)
+    // the dim must be a SCANNED table with a surviving Filter node —
+    // a LocalRelation constant-folds its filter away and the pruning
+    // rule then sees no selective predicate (same reason q83 stages
+    // its dim); and it must be the broadcast build side for DPP's
+    // reuse-broadcast path
+    val dimPath = graft.streaming.Streams.dataDir("graft_fidxdpp_dim_")
+    (0 until 5).map(i => (s"p$i", if (i < 1) "hot" else "cold"))
+      .toDF("p", "tier")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val j = snap.join(broadcast(dim.filter(col("tier") === "hot")), Seq("p"))
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val r = j.collect().head
+    val expect = (1L to 600L).filter(_ % 5 == 0)
+    assert(r.getLong(0) == expect.size.toLong && r.getLong(1) == expect.sum)
+    // the executed scan listed only the dim-selected partition's files
+    // (2 of 10) — DPP through the catalog's FileIndex
+    val plan = j.queryExecution.executedPlan.toString
+    val scanned = SnapshotFileIndex.scannedFiles(j)
+    assert(plan.toLowerCase.contains("dynamicpruning") || scanned == 2L,
+      s"no dynamicpruningexpression in plan and scan read $scanned files")
+  }
 }
