@@ -491,7 +491,11 @@ object ScaleStress {
         val root = graft.streaming.Streams.dataDir(s"graft_stress_plan_x$kk")
         val ev = Tables(spark, d).events
           .select(col("event_id"), col("ts"), col("value"))
-        SnapshotCatalog.append(ev.repartition(8 * kk), root, "seed")
+        // range-clustered seed: per-file id ranges are tight, so the
+        // listing's stats consult actually cuts (the ingest-clustered
+        // shape src04/src15 serve)
+        SnapshotCatalog.append(
+          ev.repartitionByRange(8 * kk, col("event_id")), root, "seed")
         val v = SnapshotCatalog.latestVersion(root)
         val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
         val id = AttributeReference("event_id", LongType)()
