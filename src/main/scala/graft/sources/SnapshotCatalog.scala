@@ -919,6 +919,55 @@ object SnapshotCatalog {
     }
   }
 
+  /** The hive-style `col=value` segments in a staged file's path, in
+    * directory order — the partition identity [[replacePartitions]]
+    * matches on (raw segments: both sides are written by the same
+    * writer with the same escaping, so no decode is needed). */
+  private def partitionVecOf(path: String): Seq[String] =
+    path.split('/').dropRight(1).filter(_.contains('=')).toSeq
+
+  /** DYNAMIC PARTITION OVERWRITE through the catalog — src10's
+    * semantics (a correction batch re-lands exactly its touched
+    * partitions) under snapshot isolation: `updates` is laid out per
+    * the table's committed partition spec, and ONE commit removes
+    * every live file in the partitions `updates` touches while adding
+    * the new files. Untouched partitions keep their very files
+    * (reused by the new version — O(touched partitions), never a
+    * table rewrite), prior versions time-travel to the pre-correction
+    * content, and the change feed refuses across it like any rewrite.
+    * Deletion vectors on untouched files stay in effect; DV positions
+    * into replaced files go dangling harmlessly (they match no served
+    * row). Last-writer-wins per partition: the remove set is
+    * recomputed from the latest version on every CAS attempt, so a
+    * racing append into a touched partition is superseded — the
+    * overwrite DEFINES those partitions' content (Spark's dynamic
+    * overwrite contract). Returns (version, touched partitions). */
+  def replacePartitions(spark: SparkSession, root: String,
+                        updates: DataFrame, batch: String): (Int, Int) = {
+    if (isBatchCommitted(root, batch)) return (latestVersion(root), 0)
+    val spec = partitionSpecAt(root, latestVersion(root)).getOrElse(
+      sys.error(s"replacePartitions on $root: table has no partition spec — " +
+        "use replace() for whole-table rewrites"))
+    val cols = spec.fieldNames.toSeq
+    val (entries, schemaJson, partJson) =
+      stageBatch(updates, root, batch, cols, recordStats = true)
+    val touched: Set[Seq[String]] =
+      entries.map(e => partitionVecOf(e.path)).toSet
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersionOption(root).getOrElse(0)
+      val prev = if (pv == 0) Seq.empty else manifestEntries(root, pv)
+      val removes = prev.collect {
+        case e if touched.contains(partitionVecOf(e.path)) => e.path }
+      if (tryCommitEntries(root, pv + 1,
+            adds = entries.distinct.sortBy(_.path), removes = removes,
+            schemaJson = schemaJson, partJson = partJson))
+        return (pv + 1, touched.size)
+      attempt += 1
+    }
+    sys.error(s"replacePartitions on $root lost 100 consecutive CAS races")
+  }
+
   /** Snapshot expiry / GC — the maintenance job every table format
     * ships separately. Keeps the newest `keepLast` versions AND every
     * version younger than `minAgeMs` (the vacuum-retention window: an
@@ -1171,8 +1220,23 @@ object SnapshotCatalog {
     * fell off retention. */
   def changeFeedRows(spark: SparkSession, root: String,
                      fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract, regexp_replace, url_decode}
     require(fromV < toV, s"changeFeedRows: empty interval $fromV -> $toV")
+    // hive-partitioned tables: the data files don't CONTAIN the
+    // partition columns — reconstruct them from each row's file path
+    // (the same directory values the serve path casts), so feed rows
+    // carry the full table schema on both the insert and delete side
+    def withPartCols(df0: DataFrame, v: Int): DataFrame =
+      partitionSpecAt(root, v).fold(df0) { sp =>
+        sp.fields.foldLeft(df0) { (df, f) =>
+          val raw = regexp_extract(col("_metadata.file_path"),
+            java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1)
+          // %XX-only decode (hive's escapePathName): shield literal '+'
+          // first — url_decode would turn it into a space
+          df.withColumn(f.name,
+            url_decode(regexp_replace(raw, "\\+", "%2B")).cast(f.dataType))
+        }
+      }
     val frames = ((fromV + 1) to toV).flatMap { v =>
       if (!commitExists(root, v))
         throw new IllegalStateException(
@@ -1186,7 +1250,7 @@ object SnapshotCatalog {
             "rewrite — re-read the snapshot and re-baseline")
       val inserts =
         if (d.adds.isEmpty) None
-        else Some(spark.read.parquet(d.adds.map(_.path): _*)
+        else Some(withPartCols(spark.read.parquet(d.adds.map(_.path): _*), v)
           .withColumn("_change_type", lit("insert")))
       val deletes =
         if (d.dvAdds.isEmpty) None
@@ -1199,7 +1263,7 @@ object SnapshotCatalog {
           // only the files the positions reference are opened
           val touched = dv0.select("__dv_file").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
-          Some(spark.read.parquet(touched: _*)
+          Some(withPartCols(spark.read.parquet(touched: _*), v)
             .withColumn("__dv_file", col("_metadata.file_path"))
             .withColumn("__dv_pos", col("_metadata.row_index"))
             .join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
@@ -1250,9 +1314,16 @@ object SnapshotCatalog {
         (liveRows > 0 && delRows.toDouble / liveRows > maxDeletedFrac) ||
         entries.size > maxLiveFiles
     if (!due) None
-    else Some(replace(
-      readSnapshotWithDeletes(spark, root, Some(v)).repartition(compactTo),
-      root, batch))
+    else {
+      // compaction must PRESERVE the table's layout: a partitioned
+      // table is rewritten per its committed spec (losing it would
+      // silently turn off partition pruning for every later read)
+      val spec = partitionSpecAt(root, v)
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+      Some(replace(
+        readSnapshotWithDeletes(spark, root, Some(v)).repartition(compactTo),
+        root, batch, partitionBy = spec))
+    }
   }
 
   /** Read `dir` as a catalog table when it has a committed manifest,
@@ -1527,7 +1598,29 @@ object SnapshotCatalog {
     * never a correctness gate. */
   private def footerStats(files: Seq[String])
       : Seq[(String, Long, Map[String, (String, String, String)])] = {
+    // footer reads are independent metadata RPCs — run them on a
+    // bounded pool so committing a wide batch (hundreds of staged
+    // files) isn't serial driver IO; traverse preserves input order
+    // capture the session's conf HERE: the active session is
+    // thread-local and invisible from pool threads
     val conf = hadoopConf
+    if (files.size <= 1) footerStatsSeq(files, conf)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.traverse(files)(f => Future(footerStatsSeq(Seq(f), conf).head)),
+        Duration.Inf)
+      finally pool.shutdown()
+    }
+  }
+
+  private def footerStatsSeq(files: Seq[String], conf: Configuration)
+      : Seq[(String, Long, Map[String, (String, String, String)])] = {
     files.map { f =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(f), conf)

@@ -1294,5 +1294,65 @@ object SourceQueries extends QueryPack {
              |  (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              |     FROM events WHERE event_type IN ('signup', 'error')) AS sum_audited_cents,
              |  TRUE AS partition_filter_cut_files""".stripMargin),
-      "S-partitions: hive-style partition columns through the catalog — spec in the log, planning-time file cut, DPP-eligible joins"))
+      "S-partitions: hive-style partition columns through the catalog — spec in the log, planning-time file cut, DPP-eligible joins"),
+
+    GraftQuery(
+      "src24_partition_overwrite",
+      (spark, dir) => {
+        // DYNAMIC PARTITION OVERWRITE UNDER SNAPSHOT ISOLATION —
+        // src10's correction semantics moved INSIDE the catalog: a
+        // correction batch re-lands exactly its touched partitions in
+        // ONE commit (removes = the touched partitions' live files,
+        // adds = the new generation), untouched partitions keep their
+        // VERY files (identity-audited), and the pre-correction
+        // version still time-travels (src10's plain dynamic overwrite
+        // can't — the old files are gone). At 100 TB this is the
+        // nightly restatement path: O(touched partitions), never a
+        // table rewrite, with readers never observing a half-corrected
+        // table. The change feed refuses across it like any rewrite
+        // (st39's consumer contract applies unchanged).
+        import graft.sources.SnapshotCatalog
+        val root = graft.streaming.Streams.dataDir("graft_snapovr_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(1), root, "b0",
+          partitionBy = Seq("event_type"))
+        val v1 = SnapshotCatalog.latestVersion(root)
+        val preSignup = SnapshotCatalog.readSnapshot(spark, root)
+          .filter(col("event_type") === "signup")
+          .agg(graft.functions.Canon.sumCents(col("value"))).head().getLong(0)
+        val untouchedBefore = SnapshotCatalog.manifestFiles(root, v1)
+          .filterNot(_.contains("event_type=signup")).toSet
+        // the correction: signup's values restate by +10%
+        val (v2, nTouched) = SnapshotCatalog.replacePartitions(spark, root,
+          ev.filter(col("event_type") === "signup")
+            .withColumn("value", col("value") * 1.1).coalesce(1), "fix0")
+        val untouchedAfter = SnapshotCatalog.manifestFiles(root, v2)
+          .filterNot(_.contains("event_type=signup")).toSet
+        val live = SnapshotCatalog.readSnapshot(spark, root)
+        val corrected = live.filter(col("event_type") === "signup")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Canon.sumCents(col("value")).as("c")).head()
+        val others = live.filter(col("event_type") =!= "signup")
+          .agg(graft.functions.Canon.sumCents(col("value"))).head().getLong(0)
+        val v1Signup = SnapshotCatalog.readSnapshot(spark, root, Some(v1))
+          .filter(col("event_type") === "signup")
+          .agg(graft.functions.Canon.sumCents(col("value"))).head().getLong(0)
+        spark.range(1).select(
+          lit(live.count()).as("n_rows"),
+          lit(corrected.getLong(1)).as("signup_corrected_cents"),
+          lit(others).as("others_cents"),
+          lit(untouchedBefore == untouchedAfter && nTouched == 1)
+            .as("untouched_files_reused"),
+          lit(v1Signup == preSignup).as("prior_version_intact"))
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM events) AS n_rows,
+             |  (SELECT CAST(sum(CAST(floor(value * 1.1 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM events WHERE event_type = 'signup') AS signup_corrected_cents,
+             |  (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM events WHERE event_type <> 'signup') AS others_cents,
+             |  TRUE AS untouched_files_reused,
+             |  TRUE AS prior_version_intact""".stripMargin),
+      "S-partitions: dynamic partition overwrite under snapshot isolation — one commit swaps exactly the touched partition, old version time-travels"))
 }

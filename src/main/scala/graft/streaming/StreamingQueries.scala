@@ -2413,7 +2413,76 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS cdc_fold_equals_recompute,
              |  TRUE AS replace_refused_then_rebaselined
              |FROM live GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "North star/T: row-level CDC from the delta log — catalog-fed IVM, retractions included, rewrite refusal + re-baseline"))
+      "North star/T: row-level CDC from the delta log — catalog-fed IVM, retractions included, rewrite refusal + re-baseline"),
+
+    GraftQuery(
+      "st42_stream_partitioned_ingest",
+      (spark, dir) => {
+        // STREAMING INGEST INTO A HIVE-PARTITIONED CATALOG TABLE — the
+        // production lakehouse write path end-to-end: every micro-batch
+        // lands as ONE commit laid out per the table's partition spec,
+        // the threshold-driven OPTIMIZE decision compacts the ingest
+        // litter WITHOUT losing the spec (a flattening compaction
+        // would silently turn off partition pruning for every later
+        // read — the exact regression this audits), and the serve side
+        // proves the payoff: a partition-filtered read over the live
+        // table lists only that partition's files. At 100 TB this is
+        // the hourly-ingest shape: commits O(batch), maintenance
+        // O(live data) only when a bound is crossed, dashboards
+        // reading one partition's slice at planning time.
+        import graft.sources.{SnapshotCatalog, SnapshotFileIndex}
+        val root = Streams.dataDir("graft_st42_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = Streams.eventsStream(spark, dir, maxFilesPerTrigger = 1)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", Streams.scratchDir("graft_cp_st42_"))
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+              if (!b.isEmpty) {
+                SnapshotCatalog.append(b.coalesce(1), root, s"batch$bid",
+                  partitionBy = Seq("event_type"))
+                SnapshotCatalog.maintainIfNeeded(spark, root,
+                    s"compact$bid", maxLiveFiles = 12).foreach { _ =>
+                  SnapshotCatalog.expire(root, keepLast = 2,
+                    minAgeMs = SnapshotCatalog.maintenanceRetentionMs)
+                  ()
+                }
+              }
+              ()
+            }
+            .start()
+          Streams.awaitDrained(q)
+          q.stop()
+        }
+        val latest = SnapshotCatalog.latestVersion(root)
+        val spec = SnapshotCatalog.partitionSpecAt(root, latest)
+        val snap = SnapshotFileIndex.snapshotDF(spark, root)
+        val nRows = snap.count()
+        val q2 = snap.filter(col("event_type") === "signup")
+          .agg(count(lit(1)).as("n"), Canon.sumCents(col("value")).as("c"))
+        val r = q2.collect().head
+        val scanned = SnapshotFileIndex.scannedFiles(q2)
+        val total = SnapshotCatalog.manifestFiles(root, latest).size
+        val kinds = SnapshotCatalog.history(root).map(_._2).toSet
+        spark.range(1).select(
+          lit(nRows).as("n_rows"),
+          lit(r.getLong(0)).as("n_signup"),
+          lit(r.getLong(1)).as("signup_cents"),
+          lit(spec.exists(_.fieldNames.sameElements(Array("event_type"))))
+            .as("spec_survived_maintenance"),
+          lit(scanned < total).as("partition_cut_after_ingest"),
+          lit(kinds == Set("append", "replace"))
+            .as("threshold_compaction_fired"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  (SELECT count(*) FROM events WHERE event_type = 'signup') AS n_signup,
+             |  (SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |     FROM events WHERE event_type = 'signup') AS signup_cents,
+             |  TRUE AS spec_survived_maintenance,
+             |  TRUE AS partition_cut_after_ingest,
+             |  TRUE AS threshold_compaction_fired
+             |FROM events""".stripMargin),
+      "North star/T: streaming ingest into a partitioned catalog table — per-batch commits, spec-preserving threshold compaction, partition-cut serve"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared

@@ -58,7 +58,7 @@ object ScaleStress {
     "src16_catalog_schema_evolution", "src17_deletion_vectors",
     "src18_merge_on_read", "src20_lakehouse_lifecycle",
     "src21_table_history", "src22_planned_skipping",
-    "src23_partitioned_catalog")
+    "src23_partitioned_catalog", "src24_partition_overwrite")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -78,7 +78,7 @@ object ScaleStress {
         "st35_stream_cdc_compact", "st36_stream_snapshot_publish",
         "st37_session_timers", "st38_catalog_change_feed",
         "st39_feed_compaction_fallback", "st40_stream_with_maintenance",
-        "st41_catalog_cdc_ivm")
+        "st41_catalog_cdc_ivm", "st42_stream_partitioned_ingest")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */

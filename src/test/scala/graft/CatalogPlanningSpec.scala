@@ -136,6 +136,59 @@ class CatalogPlanningSpec extends SparkTestBase {
     assert(SnapshotCatalog.manifestFiles(root, fired3.get).size == 1)
   }
 
+  test("replacePartitions: one commit swaps exactly the touched partition's files; untouched files reused; feed refuses") {
+    val root = graft.streaming.Streams.dataDir("graft_povr_")
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 30L).map(i => (i, Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("id", "p")
+    SnapshotCatalog.append(df.coalesce(1), root, "b0", partitionBy = Seq("p"))
+    val v1 = SnapshotCatalog.latestVersion(root)
+    val before = SnapshotCatalog.manifestFiles(root, v1)
+    // the row-level feed reconstructs the partition column from the
+    // file paths (partitioned data files don't contain it)
+    val feed0 = SnapshotCatalog.changeFeedRows(spark, root, 0, v1)
+    assert(feed0.filter(col("p") === "a").count() == 10L,
+      "feed lost the partition column on a partitioned table")
+    // restate partition a: its ids shift by 1000
+    val (v2, nTouched) = SnapshotCatalog.replacePartitions(spark, root,
+      df.filter(col("p") === "a").withColumn("id", col("id") + 1000L)
+        .coalesce(1), "fix0")
+    assert(nTouched == 1 && v2 == v1 + 1)
+    val after = SnapshotCatalog.manifestFiles(root, v2)
+    // untouched partitions keep their VERY files; a's are all new
+    assert(before.filterNot(_.contains("p=a")).toSet ==
+      after.filterNot(_.contains("p=a")).toSet,
+      "an untouched partition's files changed")
+    assert(after.filter(_.contains("p=a"))
+      .forall(!before.contains(_)), "a replaced file survived")
+    // content: a restated, b/c untouched, v1 time-travels to the original
+    val live = SnapshotCatalog.readSnapshot(spark, root)
+    assert(live.filter(col("p") === "a").agg(min("id")).head().getLong(0) > 1000L)
+    assert(live.filter(col("p") =!= "a").count() == 20L)
+    assert(SnapshotCatalog.readSnapshot(spark, root, Some(v1))
+      .filter(col("p") === "a").agg(max("id")).head().getLong(0) <= 30L,
+      "time travel lost the pre-correction partition")
+    // the rewrite refuses row-level derivation, like any replace
+    intercept[IllegalStateException] {
+      SnapshotCatalog.changeFeedRows(spark, root, v1, v2)
+    }
+    assert(SnapshotCatalog.history(root).last._2 == "replace")
+    // retractions carry the partition column too
+    val (v3, nd) = SnapshotCatalog.deleteWhere(spark, root, col("id") === 1003L)
+    assert(nd == 1L)
+    val feed3 = SnapshotCatalog.changeFeedRows(spark, root, v2, v3)
+      .filter(col("_change_type") === "delete").select("id", "p").collect()
+    assert(feed3.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1003L, "a")), "retraction lost the partition column")
+    // an unpartitioned table refuses the op outright
+    val flat = graft.streaming.Streams.dataDir("graft_povrflat_")
+    SnapshotCatalog.append((1L to 5L).toDF("id").coalesce(1), flat, "b0")
+    intercept[RuntimeException] {
+      SnapshotCatalog.replacePartitions(spark, flat, (1L to 5L).toDF("id"), "x")
+    }
+  }
+
   test("changeFeedRows: inserts and retractions from the log; a merge emits both; a rewrite refuses; expiry bounds the horizon") {
     val root = graft.streaming.Streams.dataDir("graft_cdcrows_")
     val spark2 = spark
