@@ -37,9 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Predicate extraction is deliberately conservative: per-column
   * [lo, hi] bounds from `attr (=,<,<=,>,>=) literal` conjuncts (longs,
-  * ints, timestamp micros, strings), `And` recursion; anything else —
-  * `Or`, casts, functions — contributes no bound and the affected files
-  * are read. Skipping is an optimization, never a correctness gate
+  * ints, timestamp micros, strings), IN-list/IN-set envelopes, string
+  * prefix ranges (`StartsWith` → [prefix, successor)), `And`
+  * recursion; anything else — `Or`, casts, functions — contributes no
+  * bound and the affected files are read. Skipping is an optimization, never a correctness gate
   * (files without stats are kept), which is what lets this sit in the
   * planner without an audit burden.
   *
@@ -180,6 +181,28 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
       case b: Byte => Some(b.toLong)
       case _ => None
     }
+    def narrowFromValues(c: String, vs: Seq[Any]): Unit = {
+      val ls = vs.flatMap(asLong)
+      if (ls.size == vs.size) narrowL(c, ls.min, ls.max)
+      else if (vs.forall(_.isInstanceOf[UTF8String])) {
+        val bs = vs.map(_.asInstanceOf[UTF8String].getBytes)
+        narrowS(c,
+          Some(bs.reduce((a, b) => if (SnapshotCatalog.cmpUtf8(a, b) <= 0) a else b)),
+          Some(bs.reduce((a, b) => if (SnapshotCatalog.cmpUtf8(a, b) >= 0) a else b)))
+      }
+    }
+    // the smallest byte string every `prefix`-prefixed string is below:
+    // increment the last non-0xFF byte and truncate (None when the
+    // prefix is all 0xFF — upper side unbounded)
+    def prefixUpper(p: Array[Byte]): Option[Array[Byte]] = {
+      val i = p.lastIndexWhere(b => (b & 0xFF) != 0xFF)
+      if (i < 0) None
+      else {
+        val q = java.util.Arrays.copyOf(p, i + 1)
+        q(i) = (q(i) + 1).toByte
+        Some(q)
+      }
+    }
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -202,6 +225,20 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
         asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
         asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
+      // IN-list: the [min, max] envelope of the literals is a sound
+      // (if loose) bound — a file disjoint from the envelope cannot
+      // hold any listed value
+      case In(a: AttributeReference, list) if list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        narrowFromValues(a.name, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        narrowFromValues(a.name, hset.toSeq)
+      // prefix match: candidates are bytewise >= the prefix and < the
+      // prefix's successor (last non-0xFF byte incremented, tail
+      // truncated); an all-0xFF prefix leaves the upper side unbounded
+      case StartsWith(a: AttributeReference, Literal(u: UTF8String, _)) =>
+        val p = u.getBytes
+        narrowS(a.name, Some(p), prefixUpper(p))
       case _ => () // Or / casts / functions: no bound — never unsound
     }
     dataFilters.foreach(walk)

@@ -53,6 +53,18 @@ class SnapshotFileIndexSpec extends SparkTestBase {
       LessThanOrEqual(k, Literal(UTF8String.fromString("k055"), StringType))) == 1)
     // disjoint range: nothing read
     assert(filesFor(GreaterThanOrEqual(id, Literal(1000L))) == 0)
+    // IN-list: the literal envelope prunes (both files of 25..34 kept)
+    assert(filesFor(org.apache.spark.sql.catalyst.expressions.In(id,
+      Seq(Literal(27L), Literal(33L)))) == 2, "IN-list envelope did not prune")
+    // string IN-list
+    assert(filesFor(org.apache.spark.sql.catalyst.expressions.In(k,
+      Seq(Literal(UTF8String.fromString("k052"), StringType),
+        Literal(UTF8String.fromString("k054"), StringType)))) == 1)
+    // StartsWith: prefix range [k05, k06) spans k050 (batch 4) and
+    // k051-k059 (batch 5) — exactly 2 of 6 files kept
+    assert(filesFor(org.apache.spark.sql.catalyst.expressions.StartsWith(k,
+      Literal(UTF8String.fromString("k05"), StringType))) == 2,
+      "prefix predicate did not prune")
     // a shape the extractor doesn't understand → conservative full read
     val weird = org.apache.spark.sql.catalyst.expressions.Or(
       EqualTo(id, Literal(1L)), EqualTo(id, Literal(60L)))
