@@ -1298,7 +1298,8 @@ object SnapshotCatalog {
                        maxDvBytes: Long = dvBroadcastMaxBytes,
                        maxDeletedFrac: Double = 0.5,
                        maxLiveFiles: Int = Int.MaxValue,
-                       compactTo: Int = 2): Option[Int] = {
+                       compactTo: Int = 2,
+                       clusterBy: Seq[String] = Seq.empty): Option[Int] = {
     val vOpt = latestVersionOption(root)
     if (vOpt.isEmpty) return None
     val v = vOpt.get
@@ -1317,12 +1318,24 @@ object SnapshotCatalog {
     else {
       // compaction must PRESERVE the table's layout: a partitioned
       // table is rewritten per its committed spec (losing it would
-      // silently turn off partition pruning for every later read)
+      // silently turn off partition pruning for every later read).
+      // `clusterBy` makes the rewrite an OPTIMIZE-with-clustering:
+      // range-partition + sort on the given columns, so the refreshed
+      // per-file stats come out TIGHT and the planning-time index cuts
+      // files on those columns afterwards (src19's insight — a rewrite
+      // is exactly when stats get sharp, wired into the threshold
+      // decision instead of a separate job)
       val spec = partitionSpecAt(root, v)
         .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-      Some(replace(
-        readSnapshotWithDeletes(spark, root, Some(v)).repartition(compactTo),
-        root, batch, partitionBy = spec))
+      val base = readSnapshotWithDeletes(spark, root, Some(v))
+      val rewritten =
+        if (clusterBy.isEmpty) base.repartition(compactTo)
+        else {
+          import org.apache.spark.sql.functions.col
+          base.repartitionByRange(compactTo, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        }
+      Some(replace(rewritten, root, batch, partitionBy = spec))
     }
   }
 

@@ -136,6 +136,34 @@ class CatalogPlanningSpec extends SparkTestBase {
     assert(SnapshotCatalog.manifestFiles(root, fired3.get).size == 1)
   }
 
+  test("maintainIfNeeded(clusterBy): the fired compaction comes out range-clustered — the planning index cuts files afterwards") {
+    val root = graft.streaming.Streams.dataDir("graft_maintcl_")
+    val spark2 = spark
+    import spark2.implicits._
+    // ingest litter: ids shuffled across 4 batches, every file spans
+    // ~the full id range, so BEFORE compaction a range predicate keeps
+    // every file
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle((1L to 400L).toVector)
+    shuffled.grouped(100).zipWithIndex.foreach { case (g, i) =>
+      SnapshotCatalog.append(g.toDF("id").coalesce(1), root, s"b$i")
+    }
+    def cutFor(lo: Long, hi: Long): Long = {
+      val q = SnapshotFileIndex.snapshotDF(spark, root)
+        .filter(col("id").between(lo, hi)).agg(count(lit(1)))
+      assert(q.collect().head.getLong(0) == hi - lo + 1)
+      SnapshotFileIndex.scannedFiles(q)
+    }
+    assert(cutFor(1L, 100L) == 4L, "shuffled litter should defeat skipping")
+    // threshold OPTIMIZE with clustering: one commit, tight new stats
+    val fired = SnapshotCatalog.maintainIfNeeded(spark, root, "c0",
+      maxLiveFiles = 3, compactTo = 4, clusterBy = Seq("id"))
+    assert(fired.isDefined)
+    assert(SnapshotCatalog.manifestFiles(root, fired.get).size == 4)
+    assert(cutFor(1L, 100L) == 1L,
+      "clustered compaction did not tighten the per-file ranges")
+  }
+
   test("replacePartitions: one commit swaps exactly the touched partition's files; untouched files reused; feed refuses") {
     val root = graft.streaming.Streams.dataDir("graft_povr_")
     val spark2 = spark
