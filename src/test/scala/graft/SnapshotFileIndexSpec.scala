@@ -162,6 +162,23 @@ class SnapshotFileIndexSpec extends SparkTestBase {
     val viaRead = graft.sources.SnapshotCatalog.readSnapshot(spark, root)
     assert(viaRead.count() == 30L &&
       viaRead.filter(col("p") === "b").count() == 10L)
+    // the partition spec is VERSIONED: a flattening replace serves p as
+    // an ordinary data column at the new version, while time travel to
+    // the partitioned version still serves ITS hive layout
+    val vPart = SnapshotCatalog.latestVersion(root)
+    SnapshotCatalog.replace(viaRead.coalesce(1), root, "flat0")
+    val vFlat = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.partitionSpecAt(root, vFlat).isEmpty &&
+      SnapshotCatalog.partitionSpecAt(root, vPart).isDefined,
+      "spec change did not version")
+    val flatRead = SnapshotFileIndex.snapshotDF(spark, root, Some(vFlat))
+    assert(flatRead.filter(col("p") === "c").count() == 10L,
+      "flattened layout lost the former partition column's values")
+    val oldRead = SnapshotFileIndex.snapshotDF(spark, root, Some(vPart))
+      .filter(col("p") === "a")
+    oldRead.collect()
+    assert(SnapshotFileIndex.scannedFiles(oldRead) == 2L,
+      "time travel to the partitioned version lost its partition cut")
   }
 
   test("a dim-filtered join over a partitioned snapshot gets dynamic partition pruning") {
