@@ -349,17 +349,20 @@ object SnapshotCatalog {
   }
 
   /** Everything a commit recorded: data-file adds/removes, the
-    * row-level delete side — deletion-vector file adds (`V` lines) and
-    * the DV reset marker (`X` line, written by [[replace]]: a rewrite
-    * applies pending deletes physically, so inherited DVs must stop
-    * applying at that version) — plus the metadata lines that make
-    * planning log-only: the committed batch's schema (`S`, base64'd
-    * Spark schema JSON) and the table's hive-style partition spec
-    * (`P`). */
+    * row-level delete side — deletion-vector file adds (`V` lines),
+    * targeted DV withdrawals (`W` lines, written by
+    * [[replacePartitions]] when it restructures the DV set so stale
+    * positions into replaced files don't dangle), and the DV reset
+    * marker (`X` line, written by [[replace]]: a rewrite applies
+    * pending deletes physically, so inherited DVs must stop applying
+    * at that version) — plus the metadata lines that make planning
+    * log-only: the committed batch's schema (`S`, base64'd Spark
+    * schema JSON) and the table's hive-style partition spec (`P`). */
   private case class CommitDelta(adds: Seq[FileEntry], removes: Seq[String],
                                  dvAdds: Seq[FileEntry], dvReset: Boolean,
                                  schemaJson: Option[String],
-                                 partJson: Option[String])
+                                 partJson: Option[String],
+                                 dvRemoves: Seq[String] = Seq.empty)
 
   /** Memo for parsed commit deltas and checkpoints — sound because BOTH
     * are immutable once published (the publish seam is exclusive-create;
@@ -407,6 +410,7 @@ object SnapshotCatalog {
     val adds = Seq.newBuilder[FileEntry]
     val removes = Seq.newBuilder[String]
     val dvAdds = Seq.newBuilder[FileEntry]
+    val dvRemoves = Seq.newBuilder[String]
     var dvReset = false
     var schemaJson: Option[String] = None
     var partJson: Option[String] = None
@@ -414,13 +418,14 @@ object SnapshotCatalog {
       if (l.startsWith("A\t")) adds += decodeEntry(l.substring(2))
       else if (l.startsWith("R\t")) removes += l.substring(2)
       else if (l.startsWith("V\t")) dvAdds += decodeEntry(l.substring(2))
+      else if (l.startsWith("W\t")) dvRemoves += l.substring(2)
       else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
       else if (l == "X\tdvreset") dvReset = true
       else sys.error(s"malformed commit line in $p: $l")
     }
     CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset,
-      schemaJson, partJson)
+      schemaJson, partJson, dvRemoves.result())
   }
 
   /** The (data add paths, data remove paths) a commit recorded. */
@@ -502,6 +507,7 @@ object SnapshotCatalog {
         sys.error(s"version $v unresolvable: commit $cv expired under $root")
       val d = commitDeltaFull(root, cv)
       if (d.dvReset) base.clear()
+      d.dvRemoves.foreach(base -= _)
       d.dvAdds.foreach(e => base(e.path) = e)
     }
     base.values.toSeq.sortBy(_.path)
@@ -528,8 +534,11 @@ object SnapshotCatalog {
 
   /** Union of every surviving version's in-effect DV files, same lemma
     * as [[survivingUnion]]: dv-in-effect at any v ≥ base ⊆
-    * dvFiles(base) ∪ V-adds since (a replace's reset only shrinks
-    * per-version sets, never the union). */
+    * dvFiles(base) ∪ V-adds since (a replace's reset and `W`
+    * withdrawals only shrink per-version sets, never the union — and
+    * because versions survive as a contiguous suffix, every V-add
+    * since base was in effect at its own add version, so the bound is
+    * exact, not just an over-approximation). */
   private def survivingDvUnion(root: String): Set[String] = {
     val vs = versions(root)
     if (vs.isEmpty) Set.empty
@@ -650,17 +659,28 @@ object SnapshotCatalog {
       adds: Seq[FileEntry], removes: Seq[String],
       dvAdds: Seq[FileEntry] = Seq.empty, dvReset: Boolean = false,
       schemaJson: Option[String] = None,
-      partJson: Option[String] = None): Boolean = {
+      partJson: Option[String] = None,
+      dvRemoves: Seq[String] = Seq.empty): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val body = ((if (dvReset) Seq("X\tdvreset") else Seq.empty) ++
       removes.map("R\t" + _) ++ adds.map(e => "A\t" + encodeEntry(e)) ++
+      dvRemoves.map("W\t" + _) ++
       dvAdds.map(e => "V\t" + encodeEntry(e)) ++
       schemaJson.map(j => "S\t" + b64(j)).toSeq ++
       partJson.map(j => "P\t" + b64(j)).toSeq)
       .mkString("\n") + "\n"
     val won = publishUtf8(fs, commitPath(root, v), body)
+    if (won && v == 1) {
+      // a table RECREATED at a root a previous table lived at (delete +
+      // re-commit from version 1) must not serve the dead table's
+      // cached commit content — same-numbered commit files would pass
+      // commitExists against the new table (the caches are otherwise
+      // sound because published commits are immutable)
+      deltaCache.keySet.removeIf(_._1 == root)
+      checkpointCache.keySet.removeIf(_._1 == root)
+    }
     if (won && v % checkpointEvery == 0) writeCheckpoint(root, v)
     won
   }
@@ -753,11 +773,18 @@ object SnapshotCatalog {
 
   /** The hive-style partition spec at version `v` (column names +
     * types, from the log's `P` lines): the latest data-defining
-    * commit's spec wins — a replace without one resets the table to
-    * unpartitioned (its rewrite defined the layout), DV-only commits
-    * leave it untouched. None = unpartitioned. [[append]]/[[replace]]
-    * enforce spec consistency at write time, so a resolved spec
-    * describes EVERY live file's directory layout. */
+    * commit's spec wins — a REPLACE-shaped commit (removes/dvReset)
+    * without one resets the table to unpartitioned (its rewrite
+    * defined the layout outright), while an adds-only commit without a
+    * P line CARRIES the current spec forward: a legacy path-only
+    * append ([[tryCommit]]/[[commitRetry]]) onto a partitioned table
+    * must not silently flatten the spec — its flat-laid files then
+    * serve null partition values (visible, auditable) instead of the
+    * whole table losing the partition column's values (hive-laid data
+    * files don't contain it). DV-only commits leave the spec
+    * untouched. None = unpartitioned. [[append]]/[[replace]] enforce
+    * spec consistency at write time, so a resolved spec describes
+    * every catalog-written live file's directory layout. */
   def partitionSpecAt(root: String, v: Int): Option[StructType] = {
     val cp = checkpointVersions(root).filter(_ <= v).lastOption
     var spec: Option[StructType] =
@@ -765,8 +792,9 @@ object SnapshotCatalog {
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
       if (commitExists(root, cv)) {
         val d = commitDeltaFull(root, cv)
-        if (d.adds.nonEmpty || d.removes.nonEmpty || d.dvReset)
-          spec = d.partJson.flatMap(parseSchema)
+        val declared = d.partJson.flatMap(parseSchema)
+        if (d.removes.nonEmpty || d.dvReset) spec = declared
+        else if (d.adds.nonEmpty && declared.isDefined) spec = declared
       }
     }
     spec
@@ -813,10 +841,28 @@ object SnapshotCatalog {
   private def commitAppendEntries(root: String, entries: Seq[FileEntry],
                                   schemaJson: Option[String],
                                   partJson: Option[String],
-                                  maxAttempts: Int = 100): Int = {
+                                  maxAttempts: Int = 100,
+                                  expectSpec: Option[Option[StructType]] = None)
+      : Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
       val pv = latestVersionOption(root).getOrElse(0)
+      // the staged batch's LAYOUT is fixed by the time we commit, so
+      // the spec check must hold against the version we actually land
+      // on: a concurrent replace changing the spec between [[append]]'s
+      // pre-stage check and the winning commit would otherwise produce
+      // exactly the mixed hive/flat layout the check exists to prevent
+      // — re-validate inside every CAS attempt (observed-latest), fail
+      // loudly if the table's spec moved under the append
+      expectSpec.foreach { expected =>
+        val cur =
+          if (pv == 0) None
+          else partitionSpecAt(root, pv).map(specShape)
+        if (pv != 0 && cur != expected.map(specShape))
+          sys.error(s"append on $root: the table's partition spec changed " +
+            s"under the append (now $cur, staged for ${expected.map(specShape)}) " +
+            "— restage against the new spec")
+      }
       if (tryCommitEntries(root, pv + 1,
             adds = entries.distinct.sortBy(_.path), removes = Seq.empty,
             schemaJson = schemaJson, partJson = partJson)) return pv + 1
@@ -824,6 +870,14 @@ object SnapshotCatalog {
     }
     sys.error(s"append on $root lost $maxAttempts consecutive CAS races")
   }
+
+  /** A partition spec's identity for consistency checks: field names +
+    * types, nullability normalized away (parquet reads everything
+    * nullable). Matching NAMES only would let an append re-declare a
+    * partition column at a different type and corrupt the directory-
+    * value casting every later read performs. */
+  private def specShape(s: StructType): Seq[(String, DataType)] =
+    s.fields.toSeq.map(f => (f.name, f.dataType))
 
   /** Stage `df` as an immutable batch and build its log record: file
     * entries (path + size from the ONE directory listing the write
@@ -868,17 +922,24 @@ object SnapshotCatalog {
              partitionBy: Seq[String] = Seq.empty): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
+      // FULL-SHAPE spec check (names AND types): a same-named partition
+      // column at a different type would corrupt the directory-value
+      // casting downstream even though the layout looks consistent
+      val staged: Option[StructType] =
+        if (partitionBy.isEmpty) None
+        else Some(StructType(partitionBy.map(c => df.schema(c)).toArray))
       latestVersionOption(root).foreach { v =>
-        val cur = partitionSpecAt(root, v)
-          .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-        if (cur != partitionBy)
-          sys.error(s"append on $root: partitionBy $partitionBy does not " +
-            s"match the table's committed partition spec $cur — a mixed " +
-            "layout would break hive-style pruning; replace() to change it")
+        val cur = partitionSpecAt(root, v).map(specShape)
+        if (cur != staged.map(specShape))
+          sys.error(s"append on $root: partitionBy ${staged.map(specShape)} " +
+            s"does not match the table's committed partition spec $cur — a " +
+            "mixed layout (or a re-typed partition column) would break " +
+            "hive-style pruning; replace() to change it")
       }
       val (entries, schemaJson, partJson) =
         stageBatch(df, root, batch, partitionBy, recordStats)
-      commitAppendEntries(root, entries, schemaJson, partJson)
+      commitAppendEntries(root, entries, schemaJson, partJson,
+        expectSpec = Some(staged))
     }
   }
 
@@ -922,9 +983,12 @@ object SnapshotCatalog {
   /** The hive-style `col=value` segments in a staged file's path, in
     * directory order — the partition identity [[replacePartitions]]
     * matches on (raw segments: both sides are written by the same
-    * writer with the same escaping, so no decode is needed). */
+    * writer with the same escaping, so no decode is needed). Only the
+    * CONTIGUOUS trailing run of `=`-bearing directories counts —
+    * partition dirs sit directly above the file, so an `x=y` segment
+    * somewhere in the table root can never leak into the identity. */
   private def partitionVecOf(path: String): Seq[String] =
-    path.split('/').dropRight(1).filter(_.contains('=')).toSeq
+    path.split('/').dropRight(1).reverse.takeWhile(_.contains('=')).reverse.toSeq
 
   /** DYNAMIC PARTITION OVERWRITE through the catalog — src10's
     * semantics (a correction batch re-lands exactly its touched
@@ -944,12 +1008,13 @@ object SnapshotCatalog {
     * overwrite contract). Returns (version, touched partitions). */
   def replacePartitions(spark: SparkSession, root: String,
                         updates: DataFrame, batch: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
     if (isBatchCommitted(root, batch)) return (latestVersion(root), 0)
     val spec = partitionSpecAt(root, latestVersion(root)).getOrElse(
       sys.error(s"replacePartitions on $root: table has no partition spec — " +
         "use replace() for whole-table rewrites"))
     val cols = spec.fieldNames.toSeq
-    val (entries, schemaJson, partJson) =
+    val (entries, _, partJson) =
       stageBatch(updates, root, batch, cols, recordStats = true)
     val touched: Set[Seq[String]] =
       entries.map(e => partitionVecOf(e.path)).toSet
@@ -959,8 +1024,58 @@ object SnapshotCatalog {
       val prev = if (pv == 0) Seq.empty else manifestEntries(root, pv)
       val removes = prev.collect {
         case e if touched.contains(partitionVecOf(e.path)) => e.path }
+      // a PARTIAL rewrite must not narrow the served schema: untouched
+      // partitions' live files still carry every accreted column, so
+      // the commit's S line is the UNION of the table schema and the
+      // updates schema (replace-shaped commits REPLACE schema — raw
+      // updates.schema would silently drop a column the correction
+      // batch happens to lack). A dataType conflict refuses outright.
+      val schemaJson = schemaAt(root, pv) match {
+        case None => Some(updates.schema.json)
+        case Some(ts) => unionByName(ts, updates.schema) match {
+          case Some(u) => Some(u.json)
+          case None => sys.error(s"replacePartitions on $root: updates " +
+            "re-type an existing column — a partial rewrite cannot change " +
+            "a column's type while untouched partitions keep the old one")
+        }
+      }
+      // DV positions into the replaced files would DANGLE: harmless to
+      // serving (they match no served row) but they inflate the
+      // threshold-OPTIMIZE decision's deleted-fraction/DV-bytes reads
+      // (a big overwrite could trigger a spurious compaction). The
+      // commit already knows the removed set, so restructure the DV
+      // side here: withdraw every in-effect DV entry (`W` lines) and
+      // re-land only the positions referencing SURVIVING files —
+      // O(deleted rows), paid by the op that created the dangling.
+      val dvsInEffect = if (pv == 0) Seq.empty else dvEntries(root, pv)
+      val (dvRemoves, dvAdds) =
+        if (dvsInEffect.isEmpty) (Seq.empty[String], Seq.empty[FileEntry])
+        else {
+          val removedUri = removes.map(f => new Path(f).toUri.getPath).toSet
+          val dv0 = spark.read.parquet(dvsInEffect.map(_.path): _*)
+          val refd = dv0.select("__dv_file").distinct()
+            .collect().map(_.getString(0))
+          val surviving = refd.filterNot(f =>
+            removedUri.contains(new Path(f).toUri.getPath))
+          if (surviving.length == refd.length)
+            (Seq.empty[String], Seq.empty[FileEntry]) // nothing dangles
+          else {
+            val keep = dv0.filter(col("__dv_file").isin(surviving.toSeq: _*))
+            val dvDir = s"$root/dv/w${java.util.UUID.randomUUID().toString.take(8)}"
+            keep.coalesce(1).write.mode("overwrite").parquet(dvDir)
+            val sized = listDataEntries(dvDir)
+            val nKeep = spark.read.parquet(sized.map(_._1): _*).count()
+            if (nKeep == 0L) {
+              fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
+              (dvsInEffect.map(_.path), Seq.empty[FileEntry])
+            } else
+              (dvsInEffect.map(_.path), sized.map { case (f, sz) =>
+                FileEntry(f, sz, if (sized.size == 1) nKeep else -1L) })
+          }
+        }
       if (tryCommitEntries(root, pv + 1,
             adds = entries.distinct.sortBy(_.path), removes = removes,
+            dvAdds = dvAdds, dvRemoves = dvRemoves,
             schemaJson = schemaJson, partJson = partJson))
         return (pv + 1, touched.size)
       attempt += 1
@@ -1189,7 +1304,7 @@ object SnapshotCatalog {
                 s"at version $v (${d.removes.size} files rewritten): added " +
                 "files would double-count surviving rows — re-read the " +
                 "snapshot (or consume a row-level changelog) instead")
-          if (d.dvAdds.nonEmpty || d.dvReset)
+          if (d.dvAdds.nonEmpty || d.dvReset || d.dvRemoves.nonEmpty)
             throw new IllegalStateException(
               s"change feed $f->$toV on $root crossed a row-level DELETE " +
                 s"at version $v: an adds-only fold would keep serving the " +
@@ -1220,30 +1335,21 @@ object SnapshotCatalog {
     * fell off retention. */
   def changeFeedRows(spark: SparkSession, root: String,
                      fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract, regexp_replace, url_decode}
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     require(fromV < toV, s"changeFeedRows: empty interval $fromV -> $toV")
     // hive-partitioned tables: the data files don't CONTAIN the
     // partition columns — reconstruct them from each row's file path
-    // (the same directory values the serve path casts), so feed rows
-    // carry the full table schema on both the insert and delete side
+    // ([[reconstructPartCols]]), so feed rows carry the full table
+    // schema on both the insert and delete side
     def withPartCols(df0: DataFrame, v: Int): DataFrame =
-      partitionSpecAt(root, v).fold(df0) { sp =>
-        sp.fields.foldLeft(df0) { (df, f) =>
-          val raw = regexp_extract(col("_metadata.file_path"),
-            java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1)
-          // %XX-only decode (hive's escapePathName): shield literal '+'
-          // first — url_decode would turn it into a space
-          df.withColumn(f.name,
-            url_decode(regexp_replace(raw, "\\+", "%2B")).cast(f.dataType))
-        }
-      }
+      partitionSpecAt(root, v).fold(df0)(sp => reconstructPartCols(df0, sp))
     val frames = ((fromV + 1) to toV).flatMap { v =>
       if (!commitExists(root, v))
         throw new IllegalStateException(
           s"change feed $fromV->$toV on $root: commit $v expired — poll " +
             "horizon exceeded retention; re-read the snapshot")
       val d = commitDeltaFull(root, v)
-      if (d.removes.nonEmpty || d.dvReset)
+      if (d.removes.nonEmpty || d.dvReset || d.dvRemoves.nonEmpty)
         throw new IllegalStateException(
           s"change feed $fromV->$toV on $root crossed a replace/compaction " +
             s"at version $v: row-level deltas are not derivable from a " +
@@ -1279,27 +1385,68 @@ object SnapshotCatalog {
     frames.reduce(_ unionByName _)
   }
 
-  /** Threshold-driven OPTIMIZE — the maintenance DECISION, from log
+  /** Default lower bound for the incremental-OPTIMIZE small-file
+    * selection: live files under this are ingest litter eligible for
+    * bin-packing; files at-or-over it are NEVER rewritten unless they
+    * carry deletion vectors. Keep it ≤ [[optimizeTargetFileBytes]]/2
+    * so a file a previous pass wrote at target size can never become a
+    * candidate again. */
+  val optimizeMinFileBytes: Long = 32L * 1024 * 1024
+
+  /** Target output size for OPTIMIZE rewrites: a selection larger than
+    * this splits into ~target-sized files (which then sit above
+    * [[optimizeMinFileBytes]] and are permanently out of the rewrite
+    * set). */
+  val optimizeTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Threshold-driven INCREMENTAL OPTIMIZE. The DECISION is from log
     * metadata alone (no scan, no data IO): compact when accumulated
     * deletion vectors cross `maxDvBytes` (the serve-side broadcast
     * gate: past it every read pays a shuffled anti-join), when the
     * DELETED FRACTION of live rows crosses `maxDeletedFrac` (read
     * amplification: scans keep decoding rows the anti-join then
     * drops), or when the live file count crosses `maxLiveFiles`
-    * (small-file ingest litter — st40's shape). The compaction itself
-    * is [[replace]] of the DV-applied content: ONE commit that
-    * rewrites the survivors and RESETS the DV set (src17 semantics).
-    * Returns the compacting commit's version, or None when no
-    * threshold was crossed — callers wire this into their inline
-    * maintenance instead of compacting unconditionally on a schedule.
-    * Row counts ride the log ([[FileEntry.rows]]); entries lacking
-    * them contribute conservatively nothing to the fraction. */
+    * (small-file ingest litter — st40's shape).
+    *
+    * The ACTION rewrites only what needs it — never the whole table:
+    *   - every live file CARRYING in-effect DV positions is rewritten
+    *     with its deletes applied, and the DV set resets in the same
+    *     commit (src17's semantics, scoped to exactly the bearing
+    *     files; dangling positions into already-removed files clear
+    *     with the reset);
+    *   - files under `minFileBytes` bin-pack under a SIZE-TIERED
+    *     doubling rule: the selected set S must satisfy
+    *     `sum(S) ≥ 2 × max(S)` (largest members drop out until it
+    *     holds), so every byte's file at least doubles per rewrite it
+    *     participates in — O(log table) rewrites per byte over the
+    *     life of an ingest stream, where rewriting everything each
+    *     fire is O(N²) total (the round-15 scale defect). Outputs
+    *     split at `targetFileBytes`, putting them above the candidate
+    *     bound for good;
+    *   - large clean files are NEVER rewritten — a file a previous
+    *     pass produced survives later fires byte-identical.
+    *
+    * The rewrite preserves the table's hive partition layout (spec and
+    * values ride the commit), and `clusterBy` makes it an
+    * OPTIMIZE-with-clustering over the selected files: range-partition
+    * + sort into `compactTo` output files, so the refreshed per-file
+    * stats come out tight and the planning-time index cuts files on
+    * those columns afterwards. Returns the compacting commit's
+    * version; None when no threshold was crossed OR nothing qualifies
+    * for rewriting (a table of large clean files over `maxLiveFiles`
+    * is not litter — rewriting it would be the quadratic this
+    * replaced). Row counts ride the log ([[FileEntry.rows]]); entries
+    * lacking them contribute conservatively nothing to the fraction. */
   def maintainIfNeeded(spark: SparkSession, root: String, batch: String,
                        maxDvBytes: Long = dvBroadcastMaxBytes,
                        maxDeletedFrac: Double = 0.5,
                        maxLiveFiles: Int = Int.MaxValue,
                        compactTo: Int = 2,
-                       clusterBy: Seq[String] = Seq.empty): Option[Int] = {
+                       clusterBy: Seq[String] = Seq.empty,
+                       minFileBytes: Long = optimizeMinFileBytes,
+                       targetFileBytes: Long = optimizeTargetFileBytes)
+      : Option[Int] = {
+    import org.apache.spark.sql.functions.col
     val vOpt = latestVersionOption(root)
     if (vOpt.isEmpty) return None
     val v = vOpt.get
@@ -1314,28 +1461,127 @@ object SnapshotCatalog {
       dvBytes > maxDvBytes ||
         (liveRows > 0 && delRows.toDouble / liveRows > maxDeletedFrac) ||
         entries.size > maxLiveFiles
-    if (!due) None
-    else {
-      // compaction must PRESERVE the table's layout: a partitioned
-      // table is rewritten per its committed spec (losing it would
-      // silently turn off partition pruning for every later read).
-      // `clusterBy` makes the rewrite an OPTIMIZE-with-clustering:
-      // range-partition + sort on the given columns, so the refreshed
-      // per-file stats come out TIGHT and the planning-time index cuts
-      // files on those columns afterwards (src19's insight — a rewrite
-      // is exactly when stats get sharp, wired into the threshold
-      // decision instead of a separate job)
-      val spec = partitionSpecAt(root, v)
-        .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
-      val base = readSnapshotWithDeletes(spark, root, Some(v))
-      val rewritten =
-        if (clusterBy.isEmpty) base.repartition(compactTo)
-        else {
-          import org.apache.spark.sql.functions.col
-          base.repartitionByRange(compactTo, clusterBy.map(col): _*)
-            .sortWithinPartitions(clusterBy.map(col): _*)
+    if (!due) return None
+
+    def sizeOf(e: FileEntry): Long =
+      if (e.size >= 0) e.size
+      else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }
+    def uriOf(p: String): String = new Path(p).toUri.getPath
+
+    // files bearing live DV positions (O(deleted rows) metadata read —
+    // the only data IO the selection itself costs)
+    val bearingUris: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else spark.read.parquet(dvs.map(_.path): _*)
+        .select("__dv_file").distinct()
+        .collect().map(r => uriOf(r.getString(0))).toSet
+    val liveBearing = entries.filter(e => bearingUris.contains(uriOf(e.path)))
+    // size-tiered small-file selection among the CLEAN files
+    val smallsAsc = entries
+      .filterNot(e => bearingUris.contains(uriOf(e.path)))
+      .filter(e => sizeOf(e) < minFileBytes)
+      .sortBy(sizeOf)
+    var nSel = smallsAsc.length
+    var selSum = smallsAsc.iterator.map(sizeOf).sum
+    while (nSel >= 2 && selSum < 2L * sizeOf(smallsAsc(nSel - 1))) {
+      selSum -= sizeOf(smallsAsc(nSel - 1)); nSel -= 1
+    }
+    val smallSel = if (nSel >= 2) smallsAsc.take(nSel) else Seq.empty
+    val selection = liveBearing ++ smallSel
+
+    if (selection.isEmpty && dvs.isEmpty) return None
+    val spec = partitionSpecAt(root, v)
+    val specCols = spec.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    val fullSchema = schemaAt(root, v)
+
+    val (newEntries, schemaJson) =
+      if (selection.isEmpty) {
+        // every in-effect DV position dangles (references files already
+        // removed by a partition overwrite under the pre-`W` format):
+        // clear the litter with a METADATA-ONLY reset commit
+        (Seq.empty[FileEntry], fullSchema.map(_.json))
+      } else {
+        val dataSchema = fullSchema.map(s =>
+          StructType(s.fields.filterNot(f => specCols.contains(f.name))))
+        val raw0 = dataSchema match {
+          case Some(ds) =>
+            spark.read.schema(ds).parquet(selection.map(_.path): _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(selection.map(_.path): _*)
         }
-      Some(replace(rewritten, root, batch, partitionBy = spec))
+        val raw = spec.fold(raw0)(sp => reconstructPartCols(raw0, sp))
+        val applied =
+          if (liveBearing.isEmpty) raw
+          else {
+            import org.apache.spark.sql.functions.broadcast
+            val dv0 = spark.read.parquet(dvs.map(_.path): _*)
+            val dv = if (dvBytes <= dvBroadcastMaxBytes) broadcast(dv0) else dv0
+            raw.withColumn("__dv_file", col("_metadata.file_path"))
+              .withColumn("__dv_pos", col("_metadata.row_index"))
+              .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
+              .drop("__dv_file", "__dv_pos")
+          }
+        val selBytes = selection.iterator.map(sizeOf).sum
+        val byTarget = math.max(1L,
+          (selBytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val rewritten =
+          if (clusterBy.isEmpty) applied.repartition(math.max(1, byTarget))
+          else applied
+            .repartitionByRange(math.max(compactTo, byTarget), clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        val (staged, stagedSchema, _) =
+          stageBatch(rewritten, root, batch, specCols, recordStats = true)
+        (staged, fullSchema.map(_.json).orElse(stagedSchema))
+      }
+
+    val selPaths = selection.map(_.path).toSet
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      if (pv != v) {
+        // the rewrite was computed against v: intervening APPENDS are
+        // safe (their files are disjoint from the selection and carry
+        // no DV positions), but any intervening remove/DV commit
+        // invalidates the selection or the reset — abort like any
+        // row-level op
+        ((v + 1) to pv).foreach { cv =>
+          val d = if (commitExists(root, cv)) commitDeltaFull(root, cv)
+            else throw new IllegalStateException(
+              s"maintainIfNeeded on $root: commit $cv expired mid-op")
+          if (d.removes.nonEmpty || d.dvReset || d.dvAdds.nonEmpty ||
+              d.dvRemoves.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"maintainIfNeeded on $root: a concurrent non-append commit " +
+                s"landed at $cv under the rewrite — retry against the new " +
+                "snapshot")
+        }
+      }
+      if (tryCommitEntries(root, pv + 1,
+            adds = newEntries.distinct.sortBy(_.path),
+            removes = selPaths.toSeq.sorted,
+            dvReset = dvs.nonEmpty,
+            schemaJson = schemaJson,
+            partJson = spec.map(_.json)))
+        return Some(pv + 1)
+      attempt += 1
+    }
+    sys.error(s"maintainIfNeeded on $root lost 100 consecutive CAS races")
+  }
+
+  /** Reconstruct hive partition columns from each row's file path (the
+    * data files of a partitioned layout don't contain them) — the same
+    * directory values the serve path casts, anchored under the data
+    * dir so a column name that suffixes another (`type` vs
+    * `event_type`) or a `col=value` segment in the table root can
+    * never mis-match. */
+  private def reconstructPartCols(df0: DataFrame,
+                                  sp: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract, regexp_replace, url_decode}
+    sp.fields.foldLeft(df0) { (df, f) =>
+      val raw = regexp_extract(col("_metadata.file_path"),
+        "/data/.*/" + java.util.regex.Pattern.quote(f.name) + "=([^/]+)/", 1)
+      df.withColumn(f.name,
+        url_decode(regexp_replace(raw, "\\+", "%2B")).cast(f.dataType))
     }
   }
 
@@ -1440,17 +1686,24 @@ object SnapshotCatalog {
     // files the positions refer to — for the write-conflict check
     val touched = readBack.select("__dv_file").distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    // the predicate's necessary envelope, for narrowing concurrent-
+    // append conflicts: an appended file whose stats are disjoint from
+    // `cond`'s bounds provably holds no row this delete should have
+    // matched, so skipping it is safe (the Delta ConcurrentAppend
+    // narrowing); unprovable shapes keep the conservative abort
+    val (condLb, condSb) = SnapshotFileIndex.predicateBounds(
+      Seq(org.apache.spark.sql.graftbridge.Bridge.expression(cond)))
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
-      // a row-level delete computed its matches against version v; ANY
+      // a row-level delete computed its matches against version v; a
       // commit that landed since can change which rows match `cond`
       // (an append adds candidate rows; another delete/merge shifts
       // liveness; a replace rewrites the positions' files), so the
-      // matched-position set is stale — abort, the Delta
-      // ConcurrentAppend/ConcurrentDelete shape, and let the caller
-      // recompute against the new snapshot
-      abortOnIntervening("deleteWhere", root, v, pv)
+      // matched-position set is stale — abort, UNLESS every intervening
+      // commit is an append whose files provably cannot match
+      abortOnIntervening("deleteWhere", root, v, pv,
+        provablyUnmatched = entryProvablyUnmatched(_, condLb, condSb))
       val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
       if (!touched.subsetOf(cur))
         throw new java.util.ConcurrentModificationException(
@@ -1469,26 +1722,64 @@ object SnapshotCatalog {
     * positions were computed at `readV`, but `latest` has moved — the
     * intervening commit may have added rows that match (append/merge),
     * removed rows the match relied on (delete), or rewritten the files
-    * the positions index (replace). Conservative by design: ANY
-    * intervening commit aborts (Delta narrows appends via predicate
-    * disjointness proofs; refusing is always sound). */
+    * the positions index (replace).
+    *
+    * NARROWED the way Delta narrows ConcurrentAppend: an intervening
+    * ADDS-ONLY commit whose every added file PROVABLY holds no row the
+    * op could match (per `provablyUnmatched`, from the log-carried
+    * stats — no data IO) is safe to skip: the op's positions stay
+    * valid (appends never touch existing files) and none of the new
+    * rows belong in its matched set, so a hot appender no longer
+    * livelocks a delete/merge out of its 100 retries. Everything else
+    * — replaces, DV commits, appends without a disjointness proof —
+    * aborts (refusing is always sound). */
   private def abortOnIntervening(op: String, root: String,
-                                 readV: Int, latest: Int): Unit =
+                                 readV: Int, latest: Int,
+                                 provablyUnmatched: FileEntry => Boolean =
+                                   _ => false): Unit =
     if (latest != readV) {
-      val kinds = ((readV + 1) to latest).map { cv =>
-        if (!commitExists(root, cv)) "expired"
+      val kinds = ((readV + 1) to latest).flatMap { cv =>
+        if (!commitExists(root, cv)) Some("expired")
         else {
           val d = commitDeltaFull(root, cv)
-          if (d.removes.nonEmpty || d.dvReset) "replace"
-          else if (d.dvAdds.nonEmpty) "delete/merge"
-          else "append"
+          if (d.removes.nonEmpty || d.dvReset) Some("replace")
+          else if (d.dvAdds.nonEmpty || d.dvRemoves.nonEmpty) Some("delete/merge")
+          else if (d.adds.forall(provablyUnmatched)) None // disjoint append
+          else Some("append")
         }
       }
-      throw new java.util.ConcurrentModificationException(
-        s"$op on $root: version moved $readV -> $latest under the op " +
-          s"(intervening: ${kinds.mkString(", ")}) — matched positions " +
-          "are stale; retry against the new snapshot")
+      if (kinds.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op on $root: version moved $readV -> $latest under the op " +
+            s"(intervening: ${kinds.mkString(", ")}) — matched positions " +
+            "are stale; retry against the new snapshot")
     }
+
+  /** True when `e`'s log-carried stats prove NO row of the file can
+    * satisfy the envelope `(longBounds, strBounds)` (a necessary
+    * condition extracted from a predicate or key set): disjoint in ANY
+    * bound column suffices. Files lacking stats for every bound column
+    * prove nothing (false — the caller aborts, conservatively). */
+  private def entryProvablyUnmatched(
+      e: FileEntry,
+      lb: Map[String, (Long, Long)],
+      sb: Map[String, (Option[Array[Byte]], Option[Array[Byte]])]): Boolean = {
+    val longDisjoint = lb.exists { case (c, (lo, hi)) =>
+      e.stats.get(c) match {
+        case Some(("long", mn, mx)) => mx.toLong < lo || mn.toLong > hi
+        case _                      => false
+      }
+    }
+    def strDisjoint = sb.exists { case (c, (lo, hi)) =>
+      e.stats.get(c) match {
+        case Some(("string", mn, mx)) =>
+          lo.exists(l => cmpUtf8(statStrBytes(mx), l) < 0) ||
+            hi.exists(h => cmpUtf8(statStrBytes(mn), h) > 0)
+        case _ => false
+      }
+    }
+    longDisjoint || strDisjoint
+  }
 
   /** MERGE-on-read (upsert): rows of the live snapshot whose key
     * matches a row in `updates` are DV-deleted and `updates` lands
@@ -1545,14 +1836,39 @@ object SnapshotCatalog {
       if (isBatchCommitted(root, batch))
         (committedBatchFiles(root, batch).map(FileEntry(_)), None, None)
       else stageBatch(updates, root, batch, spec, recordStats = true)
+    // the key set's necessary envelope (per-keyCol [min, max] over the
+    // update keys), for the same concurrent-append narrowing as
+    // [[deleteWhere]]: an appended file disjoint from the envelope in
+    // any key column cannot contain a row whose full key matches any
+    // update. Computed lazily — only a CAS collision pays the tiny agg.
+    lazy val (keyLb, keySb) = {
+      import org.apache.spark.sql.functions.{max => smax, min => smin}
+      val aggs = keyCols.flatMap(c => Seq(smin(col(c)), smax(col(c))))
+      val r = keys.agg(aggs.head, aggs.tail: _*).head()
+      val lb = collection.mutable.Map.empty[String, (Long, Long)]
+      val sb = collection.mutable.Map
+        .empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
+      keyCols.zipWithIndex.foreach { case (c, i) =>
+        (r.get(2 * i), r.get(2 * i + 1)) match {
+          case (mn: Long, mx: Long) => lb(c) = (mn, mx)
+          case (mn: Integer, mx: Integer) => lb(c) = (mn.toLong, mx.toLong)
+          case (mn: String, mx: String) =>
+            sb(c) = (Some(mn.getBytes("UTF-8")), Some(mx.getBytes("UTF-8")))
+          case _ => () // no envelope for this key column's type
+        }
+      }
+      (lb.toMap, sb.toMap)
+    }
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
       // same staleness rule as [[deleteWhere]]: matched positions were
       // computed at v — a concurrent append/merge can land rows with
       // matching keys between v and the winning commit, leaving
-      // duplicate keys the upsert contract forbids; abort instead
-      abortOnIntervening("mergeOnRead", root, v, pv)
+      // duplicate keys the upsert contract forbids; abort unless the
+      // intervening appends are provably key-disjoint
+      abortOnIntervening("mergeOnRead", root, v, pv,
+        provablyUnmatched = entryProvablyUnmatched(_, keyLb, keySb))
       val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
       if (!touched.subsetOf(cur))
         throw new java.util.ConcurrentModificationException(

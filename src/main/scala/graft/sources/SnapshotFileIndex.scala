@@ -104,13 +104,17 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
       sb.toString
     }
 
-  /** The raw `col -> string` partition assignment in a file's path. */
+  /** The raw `col -> string` partition assignment in a file's path —
+    * only the CONTIGUOUS trailing run of `col=value` directories, so an
+    * `x=y` segment in the table root path can never masquerade as a
+    * partition value. */
   private def partStringsOf(path: String): Map[String, String] =
-    path.split('/').dropRight(1).iterator.flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i > 0) Some(unescapePart(seg.take(i)) -> unescapePart(seg.drop(i + 1)))
-      else None
-    }.toMap
+    path.split('/').dropRight(1).reverse.takeWhile(_.contains('='))
+      .reverse.iterator.flatMap { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) Some(unescapePart(seg.take(i)) -> unescapePart(seg.drop(i + 1)))
+        else None
+      }.toMap
 
   /** Partition values as an [[InternalRow]] in spec order, cast from
     * the path strings exactly as Spark's own partition inference casts
@@ -146,14 +150,79 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
       } catch { case scala.util.control.NonFatal(_) => true }
     }
 
-  /** Per-column closed bounds extracted from the pushed data filters.
-    * Long bounds cover int/long/timestamp-micros columns; string bounds
-    * are raw UTF-8 BYTES compared unsigned — the order parquet UTF8
+  private def bounds(dataFilters: Seq[Expression]) =
+    SnapshotFileIndex.predicateBounds(dataFilters)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (lb, sb) = bounds(dataFilters)
+    // stats skipping straight off the log-carried entry stats — no
+    // sidecar or footer IO at plan time; entries without stats for a
+    // bound column are conservatively kept
+    val kept =
+      if (lb.isEmpty && sb.isEmpty) statuses
+      else statuses.filter { case (_, e) =>
+        val longOk = lb.forall { case (c, (lo, hi)) =>
+          e.stats.get(c) match {
+            case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
+            case _                      => true
+          }
+        }
+        val strOk = sb.forall { case (c, (lo, hi)) =>
+          e.stats.get(c) match {
+            case Some(("string", mn, mx)) =>
+              lo.forall(SnapshotCatalog.cmpUtf8(
+                SnapshotCatalog.statStrBytes(mx), _) >= 0) &&
+                hi.forall(SnapshotCatalog.cmpUtf8(
+                  SnapshotCatalog.statStrBytes(mn), _) <= 0)
+            case _ => true
+          }
+        }
+        longOk && strOk
+      }
+    if (partSpec.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
+    else {
+      // hive-style partition pruning: group kept files by their path's
+      // partition assignment, evaluate the pushed partition filters
+      // (static AND dynamic) once per partition
+      kept.groupBy { case (_, e) => partStringsOf(e.path) }.toSeq
+        .map { case (raw, group) => (partRowOf(raw), group) }
+        .filter { case (row, _) => keepPartition(partitionFilters, row) }
+        .map { case (row, group) =>
+          PartitionDirectory(row, group.map(_._1).toArray) }
+    }
+  }
+}
+
+object SnapshotFileIndex {
+
+  /** Column-name extractor accepting both resolved references (the
+    * planner's pushed filters) and unresolved ones (a raw
+    * `Column.expr` handed to the conflict-narrowing check before any
+    * analysis ran). */
+  private object AttrName {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.name)
+      case _ => None
+    }
+  }
+
+  /** Per-column closed bounds extracted from predicate conjuncts — a
+    * NECESSARY envelope: any row satisfying the predicates lies inside
+    * every returned bound, so a file whose recorded [min, max] is
+    * disjoint from any bound provably holds no matching row. Long
+    * bounds cover int/long/timestamp-micros columns; string bounds are
+    * raw UTF-8 BYTES compared unsigned — the order parquet UTF8
     * statistics (and Spark's own `UTF8String.compareTo`) use. A Java
     * `String` comparison here would order by UTF-16 code units, which
     * diverges for non-ASCII data and could wrongly SKIP a file whose
-    * byte-order bounds contain matching rows. */
-  private def bounds(dataFilters: Seq[Expression])
+    * byte-order bounds contain matching rows. Shapes the extractor
+    * doesn't understand (`Or`, casts, functions) contribute no bound —
+    * never unsound. */
+  private[sources] def predicateBounds(dataFilters: Seq[Expression])
       : (Map[String, (Long, Long)], Map[String, (Option[Array[Byte]], Option[Array[Byte]])]) = {
     val longs = collection.mutable.Map.empty[String, (Long, Long)]
     // string bounds are Options, NOT sentinels: a max-string sentinel
@@ -205,89 +274,45 @@ class SnapshotFileIndex(spark: SparkSession, root: String, version: Int)
     }
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), None); case _ => () }
-      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-        asLong(v).foreach(x => narrowL(a.name, x + 1L, Long.MaxValue))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), None); case _ => () }
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-        asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
-        v match { case u: UTF8String => narrowS(a.name, None, Some(u.getBytes)); case _ => () }
-      case LessThan(a: AttributeReference, Literal(v, _)) =>
-        asLong(v).foreach(x => narrowL(a.name, Long.MinValue, x - 1L))
-        v match { case u: UTF8String => narrowS(a.name, None, Some(u.getBytes)); case _ => () }
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        asLong(v).foreach(x => narrowL(a.name, x, x))
-        v match { case u: UTF8String => narrowS(a.name, Some(u.getBytes), Some(u.getBytes)); case _ => () }
+      case GreaterThanOrEqual(AttrName(n), Literal(v, _)) =>
+        asLong(v).foreach(narrowL(n, _, Long.MaxValue))
+        v match { case u: UTF8String => narrowS(n, Some(u.getBytes), None); case _ => () }
+      case GreaterThan(AttrName(n), Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(n, x + 1L, Long.MaxValue))
+        v match { case u: UTF8String => narrowS(n, Some(u.getBytes), None); case _ => () }
+      case LessThanOrEqual(AttrName(n), Literal(v, _)) =>
+        asLong(v).foreach(narrowL(n, Long.MinValue, _))
+        v match { case u: UTF8String => narrowS(n, None, Some(u.getBytes)); case _ => () }
+      case LessThan(AttrName(n), Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(n, Long.MinValue, x - 1L))
+        v match { case u: UTF8String => narrowS(n, None, Some(u.getBytes)); case _ => () }
+      case EqualTo(AttrName(n), Literal(v, _)) =>
+        asLong(v).foreach(x => narrowL(n, x, x))
+        v match { case u: UTF8String => narrowS(n, Some(u.getBytes), Some(u.getBytes)); case _ => () }
       // mirrored literal-first forms
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        asLong(v).foreach(narrowL(a.name, Long.MinValue, _))
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-        asLong(v).foreach(narrowL(a.name, _, Long.MaxValue))
+      case GreaterThanOrEqual(Literal(v, _), AttrName(n)) =>
+        asLong(v).foreach(narrowL(n, Long.MinValue, _))
+      case LessThanOrEqual(Literal(v, _), AttrName(n)) =>
+        asLong(v).foreach(narrowL(n, _, Long.MaxValue))
       // IN-list: the [min, max] envelope of the literals is a sound
       // (if loose) bound — a file disjoint from the envelope cannot
       // hold any listed value
-      case In(a: AttributeReference, list) if list.nonEmpty &&
+      case In(AttrName(n), list) if list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
-        narrowFromValues(a.name, list.map(_.asInstanceOf[Literal].value))
-      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
-        narrowFromValues(a.name, hset.toSeq)
+        narrowFromValues(n, list.map(_.asInstanceOf[Literal].value))
+      case InSet(AttrName(n), hset) if hset.nonEmpty =>
+        narrowFromValues(n, hset.toSeq)
       // prefix match: candidates are bytewise >= the prefix and < the
       // prefix's successor (last non-0xFF byte incremented, tail
       // truncated); an all-0xFF prefix leaves the upper side unbounded
-      case StartsWith(a: AttributeReference, Literal(u: UTF8String, _)) =>
+      case StartsWith(AttrName(n), Literal(u: UTF8String, _)) =>
         val p = u.getBytes
-        narrowS(a.name, Some(p), prefixUpper(p))
+        narrowS(n, Some(p), prefixUpper(p))
       case _ => () // Or / casts / functions: no bound — never unsound
     }
     dataFilters.foreach(walk)
     (longs.toMap, strs.toMap)
   }
-
-  override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (lb, sb) = bounds(dataFilters)
-    // stats skipping straight off the log-carried entry stats — no
-    // sidecar or footer IO at plan time; entries without stats for a
-    // bound column are conservatively kept
-    val kept =
-      if (lb.isEmpty && sb.isEmpty) statuses
-      else statuses.filter { case (_, e) =>
-        val longOk = lb.forall { case (c, (lo, hi)) =>
-          e.stats.get(c) match {
-            case Some(("long", mn, mx)) => mx.toLong >= lo && mn.toLong <= hi
-            case _                      => true
-          }
-        }
-        val strOk = sb.forall { case (c, (lo, hi)) =>
-          e.stats.get(c) match {
-            case Some(("string", mn, mx)) =>
-              lo.forall(SnapshotCatalog.cmpUtf8(
-                SnapshotCatalog.statStrBytes(mx), _) >= 0) &&
-                hi.forall(SnapshotCatalog.cmpUtf8(
-                  SnapshotCatalog.statStrBytes(mn), _) <= 0)
-            case _ => true
-          }
-        }
-        longOk && strOk
-      }
-    if (partSpec.isEmpty)
-      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
-    else {
-      // hive-style partition pruning: group kept files by their path's
-      // partition assignment, evaluate the pushed partition filters
-      // (static AND dynamic) once per partition
-      kept.groupBy { case (_, e) => partStringsOf(e.path) }.toSeq
-        .map { case (raw, group) => (partRowOf(raw), group) }
-        .filter { case (row, _) => keepPartition(partitionFilters, row) }
-        .map { case (row, group) =>
-          PartitionDirectory(row, group.map(_._1).toArray) }
-    }
-  }
-}
-
-object SnapshotFileIndex {
 
   /** `numFiles` summed over every executed FileSourceScanExec in `df`'s
     * plan, unwrapping AQE (whose leaves are only reachable through each
