@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.ngramsDescriptor)
     ext.injectFunction(GraftExtensions.zorderDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.SelfCosineFold)
+    // named-table SQL over the snapshot catalog: rewrite GraftTable
+    // reads into the SnapshotFileIndex relation during analysis (the
+    // DeltaAnalysis pattern) so `SELECT ... FROM graft.db.t` plans the
+    // same pruned scan as the programmatic API
+    ext.injectResolutionRule(s => graft.sources.GraftCatalogResolution(s))
   }
 }
 

@@ -19,6 +19,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft-engine")
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

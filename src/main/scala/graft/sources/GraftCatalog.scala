@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark `TableCatalog` plugin over [[SnapshotCatalog]] tables — the SQL
+  * surface a real lakehouse user reaches for first (the reference's
+  * dashboards query tables BY NAME — `fire_detection_app.py:64-74`,
+  * `streamlit_app.py:42` — they never see file paths):
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  *   SELECT ... FROM graft.db.events                  -- latest snapshot
+  *   SELECT ... FROM graft.db.events VERSION AS OF 3  -- time travel
+  *   SELECT ... FROM graft.db.events TIMESTAMP AS OF '...'
+  *   INSERT INTO graft.db.events SELECT ...           -- catalog append
+  *   INSERT OVERWRITE graft.db.events SELECT ...      -- catalog replace
+  *   CREATE TABLE graft.db.t (id BIGINT, p STRING) PARTITIONED BY (p)
+  * }}}
+  *
+  * A table maps to `warehouse/<namespace...>/<name>` — the same delta-log
+  * root every Scala-API call uses, so SQL and programmatic access see one
+  * table with one commit protocol. READS are rewritten during analysis
+  * ([[GraftCatalogResolution]], the Delta `DeltaAnalysis` pattern) into
+  * the planner-integrated [[SnapshotFileIndex]] relation — stats-based
+  * file skipping, hive partition pruning, DPP, and the gated DV
+  * anti-join all apply to named-table SQL exactly as to `snapshotDF`.
+  * WRITES go through the V1 write fallback ([[V1Write]] →
+  * [[InsertableRelation]], the JDBC-connector seam): an INSERT lands as
+  * one [[SnapshotCatalog.append]] commit (laid out per the table's
+  * partition spec), an INSERT OVERWRITE as one [[SnapshotCatalog.replace]].
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = "graft"
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(sys.error(
+      s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catName
+
+  /** The table's delta-log root — shared with the Scala API. */
+  def tableRoot(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def fs(p: String) = {
+    val path = new Path(p)
+    path.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val f = fs(dir)
+    if (!f.exists(new Path(dir))) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && SnapshotCatalog.isTable(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
+    GraftTable(root, ident.toString, None)
+  }
+
+  /** `VERSION AS OF n` — the log's snapshot version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"graft version must be a snapshot number, got '$version'")
+    }
+    if (!SnapshotCatalog.versions(root).contains(v))
+      sys.error(s"$ident has no resolvable version $v " +
+        s"(surviving: ${SnapshotCatalog.versions(root).mkString(", ")})")
+    GraftTable(root, ident.toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
+    val v = SnapshotCatalog.versionAsOf(root, timestamp / 1000L).getOrElse(
+      sys.error(s"$ident has no version at or before timestamp $timestamp"))
+    GraftTable(root, ident.toString, Some(v))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val root = tableRoot(ident)
+    if (SnapshotCatalog.isTable(root)) throw new TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        sys.error(s"graft tables support identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    partCols.filterNot(c => schema.fieldNames.contains(c)) match {
+      case Nil => ()
+      case missing => sys.error(s"partition columns $missing not in schema")
+    }
+    val partJson =
+      if (partCols.isEmpty) None
+      else Some(StructType(partCols.map(schema(_)).toArray).json)
+    // the creation commit is metadata-only: the schema (S) and partition
+    // spec (P) land in the log; the first INSERT is an ordinary append
+    if (!SnapshotCatalog.tryCommitEntries(root, 1, adds = Seq.empty,
+          removes = Seq.empty, schemaJson = Some(schema.json),
+          partJson = partJson))
+      throw new TableAlreadyExistsException(ident)
+    GraftTable(root, ident.toString, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    createTable(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    sys.error("graft catalog: ALTER TABLE is not supported — schema " +
+      "evolution happens through append/replace commits")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) false
+    else fs(root).delete(new Path(root), true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    sys.error("graft catalog: RENAME TABLE is not supported — table " +
+      "identity is its warehouse path")
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = fs(warehouse)
+    if (!f.exists(new Path(warehouse))) Array.empty
+    else f.listStatus(new Path(warehouse)).toSeq.filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs(warehouse).exists(new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    fs(warehouse).mkdirs(new Path((warehouse +: namespace.toSeq).mkString("/")))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    sys.error("graft catalog: namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir.toString)
+    if (!f.exists(dir)) false
+    else if (!cascade && f.listStatus(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    else f.delete(dir, true)
+  }
+}
+
+/** One named snapshot-catalog table, optionally pinned to a version
+  * (time travel). Reads never reach its (absent) scan builder — the
+  * analysis rule [[GraftCatalogResolution]] rewrites the relation into
+  * the [[SnapshotFileIndex]]-backed v1 plan first; writes use the V1
+  * fallback so an INSERT is exactly one catalog commit. */
+case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int])
+    extends Table with SupportsWrite {
+
+  override def name(): String = fullName
+
+  /** The pinned version, or the latest at load time for writes. */
+  private def resolvedVersion: Int =
+    pinnedVersion.getOrElse(SnapshotCatalog.latestVersion(root))
+
+  private lazy val partSpec: Option[StructType] =
+    SnapshotCatalog.partitionSpecAt(root, resolvedVersion)
+
+  /** Served schema = data columns then partition columns — exactly the
+    * order [[SnapshotFileIndex.snapshotDF]] outputs, so the analysis
+    * rewrite maps attributes one-to-one. */
+  override lazy val schema: StructType = {
+    val spark = SparkSession.active
+    StructType(SnapshotFileIndex.servedSchemas(spark, root, resolvedVersion)
+      match { case (data, part) => data.fields ++ part.fields })
+  }
+
+  override def partitioning(): Array[Transform] =
+    partSpec.map(_.fieldNames.map(Expressions.identity(_)): Array[Transform])
+      .getOrElse(Array.empty)
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+            if (pinnedVersion.isDefined)
+              sys.error(s"cannot write to $fullName at a pinned version")
+            val cols = partSpec.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+            val batch = "sql" + java.util.UUID.randomUUID().toString.take(12)
+            if (overwrite || overwriteFlag)
+              SnapshotCatalog.replace(data, root, batch, partitionBy = cols)
+            else
+              SnapshotCatalog.append(data, root, batch, partitionBy = cols)
+            ()
+          }
+      }
+    }
+}
+
+/** Analysis rule (injected via `GraftExtensions`): rewrites every READ
+  * of a [[GraftTable]] into the v1 [[SnapshotFileIndex]] relation — the
+  * Delta `DeltaAnalysis` pattern — so named-table SQL plans the SAME
+  * pruned FileScan as the programmatic API, deletion vectors
+  * subtracted. Write commands keep their v2 relation (the V1 write
+  * fallback needs it): `V2WriteCommand` holds its table outside the
+  * child list, and `InsertIntoStatement`'s table child is guarded
+  * explicitly. */
+case class GraftCatalogResolution(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case i: InsertIntoStatement =>
+      // the write-side relation must stay v2 for ResolveInsertInto
+      i.copy(query = apply(i.query))
+    case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
+      val t = rel.table.asInstanceOf[GraftTable]
+      val v1 = SnapshotFileIndex
+        .snapshotDF(spark, t.root, t.pinnedVersion, subtractDeletes = true)
+        .queryExecution.analyzed
+      require(v1.output.length == rel.output.length,
+        s"graft rewrite arity mismatch for ${t.fullName}")
+      // re-expose the v1 plan under the v2 relation's attribute ids so
+      // every already-resolved reference upstream stays valid
+      Project(rel.output.zip(v1.output).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }, v1)
+    case other =>
+      val mapped = other.mapChildren(apply)
+      mapped.transformExpressionsUp {
+        case se: SubqueryExpression => se.withNewPlan(apply(se.plan))
+      }
+  }
+}

@@ -794,7 +794,8 @@ object SnapshotCatalog {
         val d = commitDeltaFull(root, cv)
         val declared = d.partJson.flatMap(parseSchema)
         if (d.removes.nonEmpty || d.dvReset) spec = declared
-        else if (d.adds.nonEmpty && declared.isDefined) spec = declared
+        else if (declared.isDefined && d.dvAdds.isEmpty && d.dvRemoves.isEmpty)
+          spec = declared // append — or a metadata-only CREATE TABLE commit
       }
     }
     spec
@@ -1574,7 +1575,7 @@ object SnapshotCatalog {
     * dir so a column name that suffixes another (`type` vs
     * `event_type`) or a `col=value` segment in the table root can
     * never mis-match. */
-  private def reconstructPartCols(df0: DataFrame,
+  private[sources] def reconstructPartCols(df0: DataFrame,
                                   sp: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract, regexp_replace, url_decode}
     sp.fields.foldLeft(df0) { (df, f) =>
@@ -1690,9 +1691,16 @@ object SnapshotCatalog {
     // append conflicts: an appended file whose stats are disjoint from
     // `cond`'s bounds provably holds no row this delete should have
     // matched, so skipping it is safe (the Delta ConcurrentAppend
-    // narrowing); unprovable shapes keep the conservative abort
-    val (condLb, condSb) = SnapshotFileIndex.predicateBounds(
-      Seq(org.apache.spark.sql.graftbridge.Bridge.expression(cond)))
+    // narrowing); unprovable shapes keep the conservative abort. The
+    // RESOLVED condition comes off the analyzed filter plan — a Spark 4
+    // Column is a lazy node tree, not a catalyst expression.
+    val (condLb, condSb) = base.filter(cond).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          SnapshotFileIndex.predicateBounds(Seq(f.condition))
+      }
+      .getOrElse((Map.empty[String, (Long, Long)],
+        Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]))
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)

@@ -340,18 +340,20 @@ object SnapshotFileIndex {
     * resolves from the log's `S` lines — per-version, evolution-aware —
     * with a footer read only for tables whose commits predate schema
     * recording. */
-  def snapshotDF(spark: SparkSession, root: String,
-                 version: Option[Int] = None,
-                 mergeSchema: Boolean = false,
-                 subtractDeletes: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val v = version.getOrElse(SnapshotCatalog.latestVersion(root))
-    val index = new SnapshotFileIndex(spark, root, v)
-    val partNames = index.partitionSchema.fieldNames.toSet
-    // schema: the log's S lines when every live commit recorded one
-    // (zero IO; a time-traveled version serves ITS schema — src16);
-    // else one footer for a fixed-schema table / the union-by-name
-    // footer merge for an evolved one (src08's accreted columns)
+  /** (data schema, partition schema) a snapshot serves — the log's `S`
+    * lines when every live commit recorded one (zero IO; a
+    * time-traveled version serves ITS schema — src16); else one footer
+    * for a fixed-schema table / the union-by-name footer merge for an
+    * evolved one (src08's accreted columns). The served output is
+    * data fields then partition fields — [[graft.sources.GraftTable]]
+    * derives its DSv2 schema from the same resolution so the analysis
+    * rewrite maps attributes one-to-one. */
+  private[sources] def servedSchemas(spark: SparkSession, root: String,
+                                     v: Int, mergeSchema: Boolean = false)
+      : (StructType, StructType) = {
+    val partSchema = SnapshotCatalog.partitionSpecAt(root, v)
+      .getOrElse(StructType(Nil))
+    val partNames = partSchema.fieldNames.toSet
     val dataSchema: StructType = SnapshotCatalog.schemaAt(root, v) match {
       case Some(full) =>
         StructType(full.fields.filterNot(f => partNames.contains(f.name)))
@@ -362,6 +364,17 @@ object SnapshotFileIndex {
         else spark.read
           .parquet(SnapshotCatalog.manifestFiles(root, v).head).schema
     }
+    (dataSchema, partSchema)
+  }
+
+  def snapshotDF(spark: SparkSession, root: String,
+                 version: Option[Int] = None,
+                 mergeSchema: Boolean = false,
+                 subtractDeletes: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val v = version.getOrElse(SnapshotCatalog.latestVersion(root))
+    val index = new SnapshotFileIndex(spark, root, v)
+    val (dataSchema, _) = servedSchemas(spark, root, v, mergeSchema)
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,

@@ -2482,7 +2482,110 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS partition_cut_after_ingest,
              |  TRUE AS threshold_compaction_fired
              |FROM events""".stripMargin),
-      "North star/T: streaming ingest into a partitioned catalog table — per-batch commits, spec-preserving threshold compaction, partition-cut serve"))
+      "North star/T: streaming ingest into a partitioned catalog table — per-batch commits, spec-preserving threshold compaction, partition-cut serve"),
+
+    GraftQuery(
+      "st43_catalog_feed_source",
+      (spark, dir) => {
+        // THE CATALOG AS A STREAMING SOURCE — st38/st41 polled the
+        // change feed by hand; the production shape is
+        // `spark.readStream.format("graft-feed")` ([[graft.sources
+        // .GraftFeedSourceProvider]], the Delta streaming-source
+        // pattern): offsets are LOG VERSIONS, each micro-batch reads
+        // exactly the files its version range ADDED (O(delta) — the
+        // table is never rescanned), rate-limited one version per
+        // trigger. The st39 refusal contract surfaces as STREAM
+        // semantics: a compaction inside a polled range FAILS the
+        // query loudly (an adds-only fold would double-count
+        // survivors), and the operator's restart with a fresh
+        // checkpoint re-baselines from the complete snapshot — audited
+        // here by the fold-after-restart equalling the direct snapshot
+        // aggregate. At 100 TB this is the downstream-consumer shape:
+        // incremental O(batch) reads of a live ingest table with
+        // rewrite safety enforced by the source itself.
+        import graft.sources.{GraftFeedSourceProvider, SnapshotCatalog}
+        val root = Streams.dataDir("graft_st43_")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val cut = maxId * 4 / 5
+        val w = (cut + 4) / 4
+        (0L until 4L).foreach { b =>
+          SnapshotCatalog.append(ev.filter(col("event_id") >= b * w &&
+            col("event_id") < math.min((b + 1) * w, cut)).coalesce(1),
+            root, s"b$b")
+        }
+        val nRows = new java.util.concurrent.atomic.AtomicLong()
+        val cents = new java.util.concurrent.atomic.AtomicLong()
+        val nonEmptyBatches = new java.util.concurrent.atomic.AtomicLong()
+        def fold(b: org.apache.spark.sql.DataFrame): Unit = {
+          val r = b.agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+          if (r.getLong(0) > 0L) {
+            nonEmptyBatches.incrementAndGet()
+            nRows.addAndGet(r.getLong(0))
+            cents.addAndGet(r.getLong(1))
+          }
+          ()
+        }
+        def drain(cp: String, maxPer: Int): Unit =
+          Streams.withStreamShufflePartitions(spark) {
+            val q = spark.readStream
+              .format(classOf[GraftFeedSourceProvider].getName)
+              .option("root", root)
+              .option("maxVersionsPerTrigger", maxPer.toString)
+              .load()
+              .writeStream.option("checkpointLocation", cp)
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                fold(b) }
+              .start()
+            try { q.processAllAvailable() } finally q.stop()
+          }
+        val cp1 = Streams.scratchDir("graft_cp_st43_")
+        drain(cp1, maxPer = 1)
+        // rate limiting made the catch-up INCREMENTAL: >= 4 ranges
+        val incremental = nonEmptyBatches.get() >= 4L
+        val preRows = nRows.get()
+        // maintenance rewrites the table while the consumer is down,
+        // then fresh rows land
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshot(spark, root).repartition(2), root, "c0")
+        SnapshotCatalog.append(ev.filter(col("event_id") >= cut).coalesce(1),
+          root, "b4")
+        // resuming on the SAME checkpoint crosses the rewrite: the
+        // SOURCE fails the query (never a silent double-count)
+        var refused = false
+        try drain(cp1, maxPer = 10)
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            var c: Throwable = e
+            while (c != null && !refused) {
+              refused = c.isInstanceOf[IllegalStateException]
+              c = c.getCause
+            }
+        }
+        val unchangedAcrossRefusal = nRows.get() == preRows
+        // the operator restarts with a FRESH checkpoint: bootstrap =
+        // the complete current snapshot, folded from zero
+        nRows.set(0L); cents.set(0L); nonEmptyBatches.set(0L)
+        drain(Streams.scratchDir("graft_cp_st43b_"), maxPer = 100)
+        val snap = SnapshotCatalog.readSnapshot(spark, root)
+          .agg(count(lit(1)), Canon.sumCents(col("value"))).head()
+        spark.range(1).select(
+          lit(nRows.get()).as("n_rows"),
+          lit(cents.get()).as("sum_value_cents"),
+          lit(incremental).as("rate_limited_incremental_catchup"),
+          lit(refused && unchangedAcrossRefusal)
+            .as("rewrite_failed_stream_without_double_count"),
+          lit(nRows.get() == snap.getLong(0) && cents.get() == snap.getLong(1))
+            .as("rebaseline_equals_snapshot"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS rate_limited_incremental_catchup,
+             |  TRUE AS rewrite_failed_stream_without_double_count,
+             |  TRUE AS rebaseline_equals_snapshot
+             |FROM events""".stripMargin),
+      "North star/T: the catalog change feed as a readStream source — version-ranged O(delta) micro-batches, rewrite refusal as stream failure, fresh-checkpoint re-baseline"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared

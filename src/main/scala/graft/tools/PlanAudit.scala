@@ -108,6 +108,7 @@ object PlanAudit {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val outFile = if (args.length > 1) args(1) else "PLANS.md"
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

@@ -14,6 +14,7 @@ object SchemaAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.core.GraftExtensions")
       .master("local[4]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -23,4 +23,17 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** An empty STREAMING DataFrame of `schema` — a V1 streaming Source
+    * must return `isStreaming = true` frames from `getBatch`, and the
+    * only constructor (`internalCreateDataFrame`) went `private[sql]`
+    * in Spark 4's classic module. */
+  def emptyStreamingDF(spark: org.apache.spark.sql.SparkSession,
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      classic.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }

@@ -159,6 +159,68 @@ class CatalogHardeningSpec extends SparkTestBase {
     assert(served.filter(col("id") === 999L).head().getLong(1) == 100L)
   }
 
+  test("deleteWhere proceeds past a concurrent append PROVABLY disjoint from its predicate; still aborts on overlap") {
+    val root = graft.streaming.Streams.dataDir("graft_delnarrow_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 50L).toDF("id").coalesce(1), root, "b0")
+    // the racer's file carries log stats [1000, 1010] — disjoint from
+    // the delete's envelope id <= 10, so the Delta-style narrowing
+    // skips the conflict: the delete commits WITHOUT losing its CAS
+    val injector = new RaceInjector(root,
+      () => SnapshotCatalog.append((1000L to 1010L).toDF("id").coalesce(1),
+        root, "race"),
+      armFor = "commit-v2.txt")
+    SnapshotCatalog.withPublisher(injector) {
+      val (v, nDel) = SnapshotCatalog.deleteWhere(spark, root, col("id") <= 10L)
+      assert(nDel == 10L, s"delete matched $nDel rows")
+      assert(v == 3, "the delete should land AFTER the racer's append")
+    }
+    val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+    assert(served.count() == 40L + 11L,
+      "narrowed delete lost rows or kept deleted ones")
+    assert(served.filter(col("id") <= 10L).count() == 0L)
+    assert(served.filter(col("id") >= 1000L).count() == 11L,
+      "the disjoint append's rows must survive whole")
+    // an OVERLAPPING append (ids 15..17 inside the new envelope id <= 20)
+    // still aborts — the narrowing must not over-skip
+    val injector2 = new RaceInjector(root,
+      () => SnapshotCatalog.append((15L to 17L).toDF("id").coalesce(1),
+        root, "race2"),
+      armFor = "commit-v4.txt")
+    SnapshotCatalog.withPublisher(injector2) {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        SnapshotCatalog.deleteWhere(spark, root, col("id") <= 20L)
+      }
+      assert(e.getMessage.contains("stale"), e.getMessage)
+    }
+  }
+
+  test("mergeOnRead proceeds past a concurrent append provably outside its key envelope") {
+    val root = graft.streaming.Streams.dataDir("graft_mornarrow_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").coalesce(1), root, "b0")
+    // update keys {5, 9} → envelope [5, 9]; the racer appends id 2000 —
+    // provably key-disjoint from the stats, so the merge proceeds
+    val injector = new RaceInjector(root,
+      () => SnapshotCatalog.append(
+        Seq((2000L, 1L)).toDF("id", "v").coalesce(1), root, "race"),
+      armFor = "commit-v2.txt")
+    SnapshotCatalog.withPublisher(injector) {
+      val (_, nM) = SnapshotCatalog.mergeOnRead(spark, root,
+        Seq((5L, 100L), (9L, 100L)).toDF("id", "v"), Seq("id"), "u0")
+      assert(nM == 2L, s"merge matched $nM")
+    }
+    val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+    assert(served.count() == 21L)
+    assert(served.groupBy("id").count().agg(max("count")).head().getLong(0) == 1L,
+      "the narrowed merge left duplicate keys")
+    assert(served.filter(col("id") === 5L).head().getLong(1) == 100L)
+    assert(served.filter(col("id") === 2000L).count() == 1L)
+  }
+
   // -- DV orphan GC ------------------------------------------------------
 
   test("a zero-match merge leaves no DV batch behind; sweepOrphans GCs uncommitted DV litter past the grace window") {

@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.{GraftCatalog, SnapshotCatalog, SnapshotFileIndex}
+import org.apache.spark.sql.functions._
+
+/** The DSv2 `TableCatalog` surface: named-table SQL over snapshot-
+  * catalog tables — reads rewritten to the planner-integrated FileIndex
+  * relation (same pruned scan as the programmatic API), writes through
+  * the V1 fallback as single catalog commits, time travel via
+  * VERSION/TIMESTAMP AS OF. */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val dir = graft.streaming.Streams.dataDir("graft_warehouse_sql_")
+    spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    dir
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT by name: one commit per insert, reads serve the snapshot") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.t1 (id BIGINT, k STRING)")
+    val root = s"$wh/db/t1"
+    assert(SnapshotCatalog.isTable(root), "CREATE TABLE did not commit")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db.t1 VALUES (3, 'c')")
+    // one catalog commit per INSERT: creation + 2 appends
+    assert(SnapshotCatalog.versions(root) == Seq(1, 2, 3))
+    assert(SnapshotCatalog.history(root).map(_._2) == Seq("append", "append", "append"))
+    val got = spark.sql("SELECT id, k FROM graft.db.t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // INSERT OVERWRITE is one replace commit; time travel still serves v2
+    spark.sql("INSERT OVERWRITE graft.db.t1 VALUES (9, 'z')")
+    assert(SnapshotCatalog.history(root).last._2 == "replace")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t1").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.t1 VERSION AS OF 2")
+      .head().getLong(0) == 2L, "VERSION AS OF lost the pre-overwrite snapshot")
+  }
+
+  test("named-table SQL plans the SAME pruned FileIndex scan as the programmatic API") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    // stage through the SCALA API — SQL must see the same table
+    val root = s"$wh/db/events_sql"
+    (0 until 6).foreach { b =>
+      val lo = b * 10L + 1L
+      SnapshotCatalog.append(
+        (lo to lo + 9L).map(i => (i, f"k$i%03d")).toDF("id", "k").coalesce(1),
+        root, s"b$b")
+    }
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS s FROM graft.db.events_sql WHERE id BETWEEN 25 AND 34")
+    val r = q.collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == (25L to 34L).sum)
+    // the rewrite produced a v1 FileScan whose listing the log stats cut
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet"), s"named read did not plan a FileScan:\n$plan")
+    assert(SnapshotFileIndex.scannedFiles(q) == 2L,
+      s"named-table SQL lost planning-time file skipping")
+    // deletion vectors apply to named reads with zero opt-in
+    SnapshotCatalog.deleteWhere(spark, root, col("id") % 2 === 0)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.events_sql").head().getLong(0) == 30L)
+  }
+
+  test("a partitioned named table: CREATE PARTITIONED BY, INSERT lays out hive-style, partition filters cut files") {
+    val wh = warehouse
+    spark.sql(
+      "CREATE TABLE graft.db.part1 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    val root = s"$wh/db/part1"
+    assert(SnapshotCatalog.partitionSpecAt(root, 1).exists(
+      _.fieldNames.sameElements(Array("p"))), "creation commit lost the spec")
+    spark.sql("INSERT INTO graft.db.part1 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(1, 21)")
+    spark.sql("INSERT INTO graft.db.part1 SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(21, 41)")
+    // hive layout on disk + spec in the log
+    val files = SnapshotCatalog.manifestFiles(root, SnapshotCatalog.latestVersion(root))
+    assert(files.forall(f => f.contains("/p=a/") || f.contains("/p=b/")),
+      "SQL insert did not lay out hive-style")
+    val q = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS s FROM graft.db.part1 WHERE p = 'a'")
+    val r = q.collect().head
+    val evens = (1L until 41L).filter(_ % 2 == 0)
+    assert(r.getLong(0) == evens.size.toLong && r.getLong(1) == evens.sum)
+    val scanned = SnapshotFileIndex.scannedFiles(q)
+    assert(scanned < files.size,
+      s"partition filter did not cut the named scan: $scanned of ${files.size}")
+    // TIMESTAMP AS OF now resolves the latest version
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft.db.part1 TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0)
+    assert(n == 40L)
+  }
+
+  test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")
+    spark.sql("INSERT INTO graft.db.tmp1 VALUES (1)")
+    val names = spark.sql("SHOW TABLES IN graft.db").collect()
+      .map(_.getString(1)).toSet
+    assert(names.contains("tmp1"), s"SHOW TABLES missed tmp1: $names")
+    spark.sql("DROP TABLE graft.db.tmp1")
+    assert(!SnapshotCatalog.isTable(s"$wh/db/tmp1"), "DROP TABLE left the root")
+    val e = intercept[Exception] { spark.sql("SELECT * FROM graft.db.tmp1").collect() }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+}

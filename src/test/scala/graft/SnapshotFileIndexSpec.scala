@@ -206,10 +206,19 @@ class SnapshotFileIndexSpec extends SparkTestBase {
     val expect = (1L to 600L).filter(_ % 5 == 0)
     assert(r.getLong(0) == expect.size.toLong && r.getLong(1) == expect.sum)
     // the executed scan listed only the dim-selected partition's files
-    // (2 of 10) — DPP through the catalog's FileIndex
+    // (2 of 10) — DPP through the catalog's FileIndex. BOTH observables
+    // are asserted unconditionally: the planned DynamicPruningExpression
+    // (the rule genuinely fired — static pruning alone could produce
+    // the file cut) AND the executed 2-of-10 listing (the subquery's
+    // IN-set actually reached listFiles and cut the files)
     val plan = j.queryExecution.executedPlan.toString
     val scanned = SnapshotFileIndex.scannedFiles(j)
-    assert(plan.toLowerCase.contains("dynamicpruning") || scanned == 2L,
-      s"no dynamicpruningexpression in plan and scan read $scanned files")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression planned over the catalog FileIndex:\n$plan")
+    // scannedFiles sums EVERY scan in the plan: the dim's 1 parquet
+    // file + the fact side, so 3 total means the catalog scan listed
+    // only the dim-selected partition's 2 files (of 10)
+    assert(scanned == 3L,
+      s"DPP planned but the plan read $scanned files, want 2-of-10 fact + 1 dim")
   }
 }
