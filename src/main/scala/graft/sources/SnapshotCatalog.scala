@@ -1445,7 +1445,8 @@ object SnapshotCatalog {
                        compactTo: Int = 2,
                        clusterBy: Seq[String] = Seq.empty,
                        minFileBytes: Long = optimizeMinFileBytes,
-                       targetFileBytes: Long = optimizeTargetFileBytes)
+                       targetFileBytes: Long = optimizeTargetFileBytes,
+                       minMergeFanout: Int = 4)
       : Option[Int] = {
     import org.apache.spark.sql.functions.col
     val vOpt = latestVersionOption(root)
@@ -1477,17 +1478,32 @@ object SnapshotCatalog {
         .select("__dv_file").distinct()
         .collect().map(r => uriOf(r.getString(0))).toSet
     val liveBearing = entries.filter(e => bearingUris.contains(uriOf(e.path)))
-    // size-tiered small-file selection among the CLEAN files
-    val smallsAsc = entries
+    // size-tiered small-file selection among the CLEAN files, SCOPED
+    // PER PARTITION: a merged generation of a partitioned table is
+    // split across its partitions' files, so a TABLE-WIDE doubling
+    // check against the largest single file would pass on every fire
+    // (P equal outputs always sum past 2x any one of them) and
+    // quietly reintroduce the full-table rewrite. Per partition, the
+    // previous pass's single output only re-merges once the new litter
+    // has caught up to it — the O(log) write amplification holds for
+    // partitioned and flat tables alike.
+    val smallSel = entries
       .filterNot(e => bearingUris.contains(uriOf(e.path)))
       .filter(e => sizeOf(e) < minFileBytes)
-      .sortBy(sizeOf)
-    var nSel = smallsAsc.length
-    var selSum = smallsAsc.iterator.map(sizeOf).sum
-    while (nSel >= 2 && selSum < 2L * sizeOf(smallsAsc(nSel - 1))) {
-      selSum -= sizeOf(smallsAsc(nSel - 1)); nSel -= 1
-    }
-    val smallSel = if (nSel >= 2) smallsAsc.take(nSel) else Seq.empty
+      .groupBy(e => partitionVecOf(e.path)).values.flatMap { group =>
+        val asc = group.sortBy(sizeOf)
+        var n = asc.length
+        var sum = asc.iterator.map(sizeOf).sum
+        while (n >= 2 && sum < 2L * sizeOf(asc(n - 1))) {
+          sum -= sizeOf(asc(n - 1)); n -= 1
+        }
+        // fan-out floor: a merge must claim at least minMergeFanout
+        // files — pair-merges buy almost no file-count reduction per
+        // rewrite job (LSM stores use a 4-10 fan-out for the same
+        // reason); litter below the floor waits for company, bounding
+        // per-partition residue at fanout-1 small files
+        if (n >= math.max(2, minMergeFanout)) asc.take(n) else Seq.empty
+      }.toSeq
     val selection = liveBearing ++ smallSel
 
     if (selection.isEmpty && dvs.isEmpty) return None

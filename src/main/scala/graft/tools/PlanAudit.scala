@@ -299,6 +299,38 @@ object PlanAudit {
       sb.append(s"\n## src23_partitioned_catalog (hive-partitioned catalog scan) — partition filter cut the listing to $scanned of $total files; partition values served from the log\n\n")
       sb.append(s"```\n$plan\n```\n")
     }
+    // src25's registry entry returns audit literals; the plan worth
+    // auditing is the NAMED-TABLE SQL read — the analysis rewrite must
+    // plan the very same pruned FileIndex scan as the programmatic
+    // API (a v1 FileScan, partition listing cut by the predicate),
+    // proving the TableCatalog surface adds zero plan overhead.
+    locally {
+      import graft.sources.{GraftCatalog, SnapshotCatalog, SnapshotFileIndex}
+      import org.apache.spark.sql.functions._
+      val wh = graft.streaming.Streams.dataDir("graft_plan_sqlcat_")
+      spark.conf.set("spark.sql.catalog.graft_plan",
+        classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_plan.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_plan.db")
+      val root = s"$wh/db/events"
+      val ev = graft.core.Tables(spark, sfDir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 0).coalesce(1),
+        root, "b0", partitionBy = Seq("event_type"))
+      SnapshotCatalog.append(ev.filter(col("event_id") % 2 === 1).coalesce(1),
+        root, "b1", partitionBy = Seq("event_type"))
+      val q = spark.sql(
+        """SELECT count(*) AS n,
+          |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |FROM graft_plan.db.events WHERE event_type = 'signup'""".stripMargin)
+      q.collect()
+      val scanned = SnapshotFileIndex.scannedFiles(q)
+      val total = SnapshotCatalog
+        .manifestFiles(root, SnapshotCatalog.latestVersion(root)).size
+      val plan = capturePlan(q)
+      sb.append(s"\n## src25_sql_catalog (named-table SQL through the TableCatalog) — analysis rewrite planned the v1 FileIndex scan; partition filter cut $scanned of $total files\n\n")
+      sb.append(s"```\n$plan\n```\n")
+    }
     // st41's registry entry returns audit literals; the plan worth
     // auditing is ONE ROW-LEVEL CDC POLL across a DV-delete commit —
     // the retraction side scans only the files the deleted positions
