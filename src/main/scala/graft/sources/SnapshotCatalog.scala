@@ -274,14 +274,75 @@ object SnapshotCatalog {
     else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
   }
 
-  /** All committed versions, ascending (empty before the first commit). */
+  /** All committed versions, ascending (empty before the first commit).
+    * This is the GROUND-TRUTH full listing — maintenance ops (expire,
+    * history, orphan sweep) and external audits read it; the hot paths
+    * below use the validated [[LogHint]] instead, because a full
+    * directory listing is O(surviving versions) — per-child stat
+    * syscalls on a local FS, paged LIST calls on an object store —
+    * and the read/commit paths would otherwise pay it several times
+    * per operation on every query over a long-lived table. */
   def versions(root: String): Seq[Int] =
     listManifestNames(root).collect {
       case CommitName(n)     => n.toInt
       case CheckpointName(n) => n.toInt
     }.distinct.sorted
 
-  def latestVersionOption(root: String): Option[Int] = versions(root).lastOption
+  /** Advisory per-root memo of the log's SHAPE (not its content):
+    * the latest version and the known checkpoint versions. Always
+    * VALIDATED against the filesystem with O(1) existence probes
+    * before use — the invariants that make a stale hint detectable:
+    *   - commit versions are CONTIGUOUS from some floor (a commit only
+    *     ever lands at latest+1; [[expire]] removes a PREFIX), so the
+    *     true latest is reachable from any surviving cached latest by
+    *     probing upward, and "commits (cp, v] all exist" reduces to
+    *     ONE probe of cp+1;
+    *   - periodic checkpoints land at multiples of [[checkpointEvery]],
+    *     so newer ones than the cache knows are discoverable by
+    *     probing those slots; an expiry-floor checkpoint at an
+    *     arbitrary version is found via the refresh-on-invalid path.
+    * A hint that fails validation falls back to the full listing —
+    * the hint is a fast path, never a source of truth. */
+  private case class LogHint(latest: Int, checkpoints: Vector[Int])
+
+  private val logHints =
+    new java.util.concurrent.ConcurrentHashMap[String, LogHint]()
+
+  private[graft] def dropLogHints(): Unit = logHints.clear()
+
+  private def refreshHint(root: String): Option[LogHint] = {
+    val names = listManifestNames(root)
+    val commits = names.collect { case CommitName(n) => n.toInt }
+    val cps = names.collect { case CheckpointName(n) => n.toInt }
+    if (commits.isEmpty && cps.isEmpty) { logHints.remove(root); None }
+    else {
+      val h = LogHint((commits ++ cps).max, cps.sorted.toVector)
+      logHints.put(root, h)
+      Some(h)
+    }
+  }
+
+  private def checkpointExists(root: String, c: Int): Boolean = {
+    val p = checkpointPath(root, c); fsFor(p).exists(p)
+  }
+
+  def latestVersionOption(root: String): Option[Int] = {
+    val cached = Option(logHints.get(root))
+      .filter(h => commitExists(root, h.latest) ||
+        checkpointExists(root, h.latest))
+    cached.orElse(refreshHint(root)).map { h =>
+      // the latest may have advanced since the hint: commits are
+      // contiguous, so probe upward until the first missing version
+      var v = h.latest
+      while (commitExists(root, v + 1)) v += 1
+      if (v != h.latest)
+        logHints.merge(root, LogHint(v, h.checkpoints), (a, b) =>
+          LogHint(math.max(a.latest, b.latest),
+            if (a.checkpoints.length >= b.checkpoints.length) a.checkpoints
+            else b.checkpoints))
+      v
+    }
+  }
 
   def latestVersion(root: String): Int =
     latestVersionOption(root).getOrElse(
@@ -292,6 +353,59 @@ object SnapshotCatalog {
 
   private def checkpointVersions(root: String): Seq[Int] =
     listManifestNames(root).collect { case CheckpointName(n) => n.toInt }.sorted
+
+  /** The newest checkpoint ≤ v that resolution can SOUNDLY start from,
+    * via the validated hint: the chosen checkpoint must exist and —
+    * by the contiguous-prefix expiry invariant — `cp == v ||
+    * commitExists(cp+1)` proves every commit in (cp, v] survives.
+    * Newer periodic checkpoints than the cache knows are discovered by
+    * probing the [[checkpointEvery]] slots above it; a hint that fails
+    * validation (an expiry landed, or a floor checkpoint at an
+    * off-slot version appeared) refreshes from the full listing once.
+    * Returns None for "no usable checkpoint — start from commit 1"
+    * (the caller's existing loud-failure path covers a truly
+    * unresolvable version). */
+  private def checkpointAtOrBelow(root: String, v: Int): Option[Int] = {
+    def discover(h: LogHint): LogHint = {
+      var cps = h.checkpoints
+      var slot = (cps.lastOption.getOrElse(0) / checkpointEvery + 1) * checkpointEvery
+      var changed = false
+      while (slot <= v) {
+        if (checkpointExists(root, slot)) { cps = cps :+ slot; changed = true }
+        slot += checkpointEvery
+      }
+      val h2 = LogHint(math.max(h.latest, cps.lastOption.getOrElse(0)), cps)
+      if (changed) logHints.put(root, h2)
+      h2
+    }
+    def pick(h: LogHint): Either[Unit, Option[Int]] = {
+      val cand = h.checkpoints.filter(_ <= v).lastOption
+      cand match {
+        case Some(cp) =>
+          if (checkpointExists(root, cp) && (cp == v || commitExists(root, cp + 1)))
+            Right(Some(cp))
+          else Left(()) // stale: an expiry moved the floor — refresh
+        case None =>
+          if (v == 0 || commitExists(root, 1)) Right(None) // full replay OK
+          else Left(()) // commit 1 gone: a floor checkpoint must exist
+      }
+    }
+    val first = Option(logHints.get(root)).map(h => pick(discover(h)))
+    first match {
+      case Some(Right(r)) => r
+      case _ => // cold cache or stale hint: ONE full listing, re-pick
+        refreshHint(root) match {
+          case None => None
+          case Some(h) => pick(h) match {
+            case Right(r) => r
+            // still unresolvable: surface the same choice the listing
+            // gives (newest listed checkpoint ≤ v) and let the caller's
+            // expired-commit check fail loudly as before
+            case Left(_) => h.checkpoints.filter(_ <= v).lastOption
+          }
+        }
+    }
+  }
 
   /** A data (or deletion-vector) file exactly as the delta log records
     * it: path plus the PLANNING metadata Delta-style checkpoints carry —
@@ -394,6 +508,7 @@ object SnapshotCatalog {
   private[graft] def dropCaches(): Unit = {
     deltaCache.clear()
     checkpointCache.clear()
+    logHints.clear()
   }
 
   private def commitDeltaFull(root: String, v: Int): CommitDelta = {
@@ -477,7 +592,7 @@ object SnapshotCatalog {
     * deltas) metadata reads, independent of how many versions the
     * table has lived and with ZERO per-file filesystem RPCs. */
   def manifestEntries(root: String, v: Int): Seq[FileEntry] = {
-    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val cp = checkpointAtOrBelow(root, v)
     val base = collection.mutable.LinkedHashMap.empty[String, FileEntry]
     cp.foreach(c => readCheckpoint(root, c).entries.foreach(e => base(e.path) = e))
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
@@ -499,7 +614,7 @@ object SnapshotCatalog {
     * like [[manifestEntries]] (checkpoint `V` lines + commit deltas,
     * with a [[replace]]'s reset clearing inherited DVs). */
   def dvEntries(root: String, v: Int): Seq[FileEntry] = {
-    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val cp = checkpointAtOrBelow(root, v)
     val base = collection.mutable.LinkedHashMap.empty[String, FileEntry]
     cp.foreach(c => readCheckpoint(root, c).dvEntries.foreach(e => base(e.path) = e))
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
@@ -680,7 +795,11 @@ object SnapshotCatalog {
       // sound because published commits are immutable)
       deltaCache.keySet.removeIf(_._1 == root)
       checkpointCache.keySet.removeIf(_._1 == root)
+      logHints.remove(root)
     }
+    if (won)
+      logHints.merge(root, LogHint(v, Vector.empty), (a, b) =>
+        LogHint(math.max(a.latest, b.latest), a.checkpoints))
     if (won && v % checkpointEvery == 0) writeCheckpoint(root, v)
     won
   }
@@ -699,6 +818,10 @@ object SnapshotCatalog {
         schemaAt(root, v).map(s => "S\t" + b64(s.json)).toSeq ++
         partitionSpecAt(root, v).map(s => "P\t" + b64(s.json)).toSeq
       publishUtf8(fs, dest, lines.mkString("\n") + "\n")
+      logHints.merge(root, LogHint(v, Vector(v)), (a, b) =>
+        LogHint(math.max(a.latest, b.latest),
+          if (a.checkpoints.contains(v)) a.checkpoints
+          else (a.checkpoints :+ v).sorted))
       ()
     }
   }
@@ -736,7 +859,7 @@ object SnapshotCatalog {
     * schema from footers exactly as before. Returned nullable-
     * normalized (see [[unionByName]]). */
   def schemaAt(root: String, v: Int): Option[StructType] = {
-    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val cp = checkpointAtOrBelow(root, v)
     var known = true
     var schema: Option[StructType] = None
     cp.foreach { c =>
@@ -786,7 +909,7 @@ object SnapshotCatalog {
     * spec consistency at write time, so a resolved spec describes
     * every catalog-written live file's directory layout. */
   def partitionSpecAt(root: String, v: Int): Option[StructType] = {
-    val cp = checkpointVersions(root).filter(_ <= v).lastOption
+    val cp = checkpointAtOrBelow(root, v)
     var spec: Option[StructType] =
       cp.flatMap(c => readCheckpoint(root, c).partJson).flatMap(parseSchema)
     ((cp.getOrElse(0) + 1) to v).foreach { cv =>
@@ -1168,6 +1291,10 @@ object SnapshotCatalog {
         val c = commitPath(root, v); fsFor(c).delete(c, false)
         val k = checkpointPath(root, v); fsFor(k).delete(k, false)
       }
+      // the log's shape changed under the hint (the floor moved and old
+      // checkpoints are gone): drop it rather than trusting validation
+      // alone — the next access relists once
+      logHints.remove(root)
       // (3) then the data (and DV) files no surviving version references
       (dead ++ deadDv).foreach { f =>
         val p = new Path(f); fsFor(p).delete(p, false)

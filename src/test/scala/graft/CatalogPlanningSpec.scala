@@ -84,6 +84,53 @@ class CatalogPlanningSpec extends SparkTestBase {
     assert(stB < 24, s"getFileStatus ($stB) ~ file count (24): per-file probing")
   }
 
+  test("log-shape hints: reads and appends on a warm table issue ZERO directory listings, flat in version count") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.countfs.impl", classOf[CountingLocalFileSystem].getName)
+    val spark2 = spark
+    import spark2.implicits._
+    def build(n: Int): String = {
+      val root = "countfs:" + graft.streaming.Streams.dataDir("graft_lists_")
+      (0 until n).foreach(b => SnapshotCatalog.append(
+        Seq(b.toLong).toDF("id").coalesce(1), root, s"b$b"))
+      root
+    }
+    val small = build(6)
+    val big = build(60) // 60 commits + 7 checkpoints in the log dir
+    def listingsFor(root: String): (Long, Long) = {
+      // warm the hint with one untimed read
+      SnapshotFileIndex.snapshotDF(spark, root).count()
+      CountingLocalFileSystem.reset()
+      assert(SnapshotFileIndex.snapshotDF(spark, root)
+        .filter(col("id") >= 0L).count() > 0L)
+      val read = CountingLocalFileSystem.listCalls.get()
+      CountingLocalFileSystem.reset()
+      SnapshotCatalog.append(Seq(999999L).toDF("id").coalesce(1), root,
+        "warmprobe")
+      val append = CountingLocalFileSystem.listCalls.get()
+      (read, append)
+    }
+    val (rS, aS) = listingsFor(small)
+    val (rB, aB) = listingsFor(big)
+    // a warm READ resolves latest + checkpoint + deltas from validated
+    // hints: zero manifest-dir listings at either size
+    assert(rS == 0 && rB == 0,
+      s"warm reads listed the manifest dir ($rS / $rB times) — the " +
+        "O(versions) listing is back on the hot path")
+    // an append stages data (its own dir IO) but its commit path must
+    // not relist the manifest dir per CAS attempt — and crucially the
+    // count must be FLAT in version count (60 commits vs 6)
+    assert(aB <= aS,
+      s"append listings grew with version count: $aS -> $aB")
+    // a COLD reader (fresh process) pays exactly one listing to seed
+    // the hint, not one per resolution step
+    SnapshotCatalog.dropCaches()
+    CountingLocalFileSystem.reset()
+    assert(SnapshotFileIndex.snapshotDF(spark, big).count() > 0L)
+    val cold = CountingLocalFileSystem.listCalls.get()
+    assert(cold <= 2, s"cold read listed the manifest dir $cold times")
+  }
+
   test("maintainIfNeeded: thresholds decide from log metadata; a fired compaction resets DVs; under-threshold is a no-op") {
     val root = graft.streaming.Streams.dataDir("graft_maint_")
     val spark2 = spark
