@@ -197,9 +197,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * (time travel). Reads never reach its (absent) scan builder — the
   * analysis rule [[GraftCatalogResolution]] rewrites the relation into
   * the [[SnapshotFileIndex]]-backed v1 plan first; writes use the V1
-  * fallback so an INSERT is exactly one catalog commit. */
+  * fallback so an INSERT is exactly one catalog commit. `DELETE FROM`
+  * routes through [[org.apache.spark.sql.connector.catalog.SupportsDelete]]
+  * into the deletion-vector tier — one O(matched rows) commit, no data
+  * file rewritten — for any predicate expressible as pushed filters
+  * (an inexpressible one fails analysis loudly rather than deleting
+  * the wrong rows); `TRUNCATE TABLE` is one replace commit to the
+  * empty content (prior versions still time-travel). */
 case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** PLANNING-ONLY scan: DELETE's filter-pushdown pass builds a scan on
+    * the v2 relation before the metadata-only delete conversion runs.
+    * Actual READS never reach this — [[GraftCatalogResolution]] rewrote
+    * them to the FileIndex relation during analysis — and executing it
+    * throws (no toBatch), loud rather than silently empty. */
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = schema
+          override def description(): String =
+            s"GraftTable($fullName) delete-planning scan"
+        }
+    }
 
   override def name(): String = fullName
 
@@ -226,6 +251,69 @@ case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int]
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** A pushed v1 filter as a Column, for routing SQL DELETE into the
+    * DV tier. None = not expressible — [[canDeleteWhere]] then refuses
+    * and Spark raises an analysis error instead of a wrong delete. */
+  private def filterToColumn(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Boolean = filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit = {
+    if (pinnedVersion.isDefined)
+      sys.error(s"cannot DELETE from $fullName at a pinned version")
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.foldLeft(lit(true)) { (acc, f) =>
+      acc && filterToColumn(f).getOrElse(
+        sys.error(s"DELETE predicate not expressible as filters: $f"))
+    }
+    SnapshotCatalog.deleteWhere(SparkSession.active, root, cond)
+    ()
+  }
+
+  /** `TRUNCATE TABLE`: one replace commit to the empty content — the
+    * default (DV-delete every row) would write O(table rows) of
+    * deletion vectors for what is a metadata-level operation; prior
+    * versions still time-travel to the pre-truncate content. */
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    // full schema INCLUDING partition columns, so the spec survives
+    // the truncate (an empty partitioned table stays partitioned)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    SnapshotCatalog.replace(empty, root,
+      "trunc" + java.util.UUID.randomUUID().toString.take(12),
+      partitionBy = partSpec.map(_.fieldNames.toSeq).getOrElse(Seq.empty))
+    true
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -267,6 +355,15 @@ case class GraftCatalogResolution(spark: SparkSession)
     case i: InsertIntoStatement =>
       // the write-side relation must stay v2 for ResolveInsertInto
       i.copy(query = apply(i.query))
+    case d @ (_: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
+              _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
+              _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable) =>
+      // row-level commands keep their v2 relation (DELETE plans through
+      // SupportsDelete; UPDATE/MERGE surface Spark's own unsupported
+      // error) — only condition subqueries get the read rewrite
+      d.transformExpressionsUp {
+        case se: SubqueryExpression => se.withNewPlan(apply(se.plan))
+      }
     case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
       val t = rel.table.asInstanceOf[GraftTable]
       val v1 = SnapshotFileIndex

@@ -1436,5 +1436,73 @@ object SourceQueries extends QueryPack {
              |  TRUE AS version_as_of_served_old_snapshot,
              |  TRUE AS named_read_cut_partitions
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: DSv2 TableCatalog — dashboard SQL by table name over the delta log, VERSION AS OF, INSERT INTO as one commit, pruned FileIndex scan"))
+      "S-catalog: DSv2 TableCatalog — dashboard SQL by table name over the delta log, VERSION AS OF, INSERT INTO as one commit, pruned FileIndex scan"),
+
+    GraftQuery(
+      "src26_sql_dml",
+      (spark, dir) => {
+        // SQL ROW-LEVEL DML THROUGH THE CATALOG — `DELETE FROM` routes
+        // into the deletion-vector tier via the DSv2 SupportsDelete
+        // seam: ONE O(matched rows) commit, NO data file rewritten
+        // (manifest identity audited across the delete — at 100 TB a
+        // takedown costs the matched rows, never a rewrite), time
+        // travel still serves the pre-delete content, and an
+        // inexpressible predicate REFUSES at analysis instead of
+        // deleting the wrong rows. `TRUNCATE TABLE` is one replace
+        // commit to empty with the prior version intact. The Delta-user
+        // migration surface: DELETE/TRUNCATE/INSERT by table name with
+        // the same semantics.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "dml_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), root, "b0")
+        val v1 = SnapshotCatalog.latestVersion(root)
+        val filesBefore = SnapshotCatalog.manifestFiles(root, v1)
+        spark.sql(s"DELETE FROM graft_src25.db.$tbl " +
+          "WHERE event_type = 'click' OR value < 1.0")
+        val v2 = SnapshotCatalog.latestVersion(root)
+        val dvDelete = SnapshotCatalog.history(root)
+          .find(_._1 == v2).exists(_._2 == "delete")
+        val filesUntouched =
+          SnapshotCatalog.manifestFiles(root, v2) == filesBefore
+        // an inexpressible predicate refuses at analysis, loudly
+        val refused =
+          try { spark.sql(s"DELETE FROM graft_src25.db.$tbl WHERE event_id % 2 = 0")
+                false }
+          catch { case _: Exception => true }
+        val after = spark.sql(
+          s"""SELECT count(*) AS n,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM graft_src25.db.$tbl""".stripMargin).head()
+        val preDelete = spark.sql(
+          s"SELECT count(*) AS n FROM graft_src25.db.$tbl VERSION AS OF $v1")
+          .head().getLong(0)
+        val total = ev.count()
+        spark.sql(s"TRUNCATE TABLE graft_src25.db.$tbl")
+        val postTrunc = spark.sql(
+          s"SELECT count(*) AS n FROM graft_src25.db.$tbl").head().getLong(0)
+        spark.range(1).select(
+          lit(after.getLong(0)).as("n_after_delete"),
+          lit(after.getLong(1)).as("cents_after_delete"),
+          lit(dvDelete && filesUntouched)
+            .as("delete_landed_as_dv_no_rewrite"),
+          lit(refused).as("inexpressible_predicate_refused"),
+          lit(preDelete == total).as("time_travel_served_predelete"),
+          lit(postTrunc == 0L).as("truncate_emptied_live"))
+      },
+      Some("""SELECT count(*) AS n_after_delete,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_after_delete,
+             |  TRUE AS delete_landed_as_dv_no_rewrite,
+             |  TRUE AS inexpressible_predicate_refused,
+             |  TRUE AS time_travel_served_predelete,
+             |  TRUE AS truncate_emptied_live
+             |FROM events WHERE NOT (event_type = 'click' OR value < 1.0)""".stripMargin),
+      "S-catalog: SQL row-level DML — DELETE FROM lands as one deletion-vector commit (no rewrite), inexpressible predicates refuse, TRUNCATE keeps time travel"))
 }

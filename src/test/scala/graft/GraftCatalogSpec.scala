@@ -93,6 +93,41 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(n == 40L)
   }
 
+  test("SQL DELETE routes into the deletion-vector tier: one O(matched) commit, no data file rewritten; inexpressible predicates refuse") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/del1"
+    SnapshotCatalog.append(
+      (1L to 40L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(1), root, "b0")
+    val filesBefore = SnapshotCatalog.manifestFiles(root, 1)
+    spark.sql("DELETE FROM graft.db.del1 WHERE id <= 10 OR k = 'k15'")
+    // the delete landed as DVs: history kind, data files untouched
+    assert(SnapshotCatalog.history(root).last._2 == "delete",
+      "SQL DELETE did not land as a deletion-vector commit")
+    val v2 = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.manifestFiles(root, v2) == filesBefore,
+      "SQL DELETE rewrote data files")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 29L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.db.del1 VERSION AS OF 1")
+      .head().getLong(0) == 40L, "time travel lost the pre-delete rows")
+    // a predicate NOT expressible as pushed filters must refuse at
+    // analysis — never silently delete the wrong rows
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.db.del1 WHERE id % 2 = 0")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|filter|condition).*"),
+      e.getMessage)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 29L,
+      "the refused DELETE changed the table")
+    // TRUNCATE: one replace commit to empty; the old version survives
+    spark.sql("TRUNCATE TABLE graft.db.del1")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 0L)
+    assert(SnapshotCatalog.history(root).last._2 == "replace")
+    assert(SnapshotCatalog.readSnapshot(spark, root, Some(v2)).count() == 40L,
+      "truncate destroyed the prior version")
+  }
+
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")
