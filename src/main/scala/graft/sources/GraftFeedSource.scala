@@ -69,11 +69,13 @@ class GraftFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toInt)
       .getOrElse(Int.MaxValue)
     require(maxPer >= 1, "maxVersionsPerTrigger must be >= 1")
-    new GraftFeedSource(sqlContext.sparkSession, rootOf(parameters), maxPer)
+    new GraftFeedSource(sqlContext.sparkSession, rootOf(parameters), maxPer,
+      metadataPath)
   }
 }
 
-class GraftFeedSource(spark: SparkSession, root: String, maxVersionsPerTrigger: Int)
+class GraftFeedSource(spark: SparkSession, root: String,
+                      maxVersionsPerTrigger: Int, metadataPath: String)
     extends Source {
 
   override val schema: StructType = {
@@ -83,9 +85,45 @@ class GraftFeedSource(spark: SparkSession, root: String, maxVersionsPerTrigger: 
   }
 
   /** Highest version already handed out via [[getOffset]]/[[getBatch]]
-    * — the rate-limit base. 0 until the first batch; recovery resets it
-    * from the checkpointed range's end inside [[getBatch]]. */
-  @volatile private var servedThrough: Long = 0L
+    * — the rate-limit base. PERSISTED under the source's checkpoint-
+    * scoped metadataPath (atomic tmp+rename): a RESTARTED query must
+    * not see this reset to 0 — `getOffset` would then report an offset
+    * BELOW the engine's committed one, regress it, and re-deliver an
+    * already-processed version on the climb back up. A fresh
+    * checkpoint has no watermark file, which is exactly the bootstrap
+    * case. */
+  private val hwmPath = {
+    val p = new Path(metadataPath, "graft-feed-hwm")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p.getParent)) fs.mkdirs(p.getParent)
+    p
+  }
+
+  @volatile private var servedThrough: Long = {
+    val fs = hwmPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hwmPath)) 0L
+    else try {
+      val in = fs.open(hwmPath)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](64)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        new String(buf.toByteArray, "UTF-8").trim.toLong
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+  }
+
+  private def advanceServed(v: Long): Unit = if (v > servedThrough) {
+    servedThrough = v
+    val fs = hwmPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(hwmPath.getParent, s".${hwmPath.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(hwmPath, false)
+    fs.rename(tmp, hwmPath)
+    ()
+  }
 
   private def toVersion(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -101,10 +139,12 @@ class GraftFeedSource(spark: SparkSession, root: String, maxVersionsPerTrigger: 
     }.filter(_.offset > 0L)
   }
 
+  override def commit(end: Offset): Unit = advanceServed(toVersion(end))
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toVersion)
     val to = toVersion(end)
-    servedThrough = math.max(servedThrough, to)
+    advanceServed(math.max(from.getOrElse(0L), to))
     // addedFiles IS the contract: O(delta) commit reads for an
     // incremental range, the full manifest for a bootstrap, and a loud
     // IllegalStateException across a rewrite/delete or past retention

@@ -54,6 +54,18 @@ class GraftFeedSourceSpec extends SparkTestBase {
       assert(sink.asScala.map(_._2).sum == 50L,
         "live appends did not flow through the feed")
     } finally q.stop()
+    // RESTART on the same checkpoint with the rate limit still on: the
+    // source's high-watermark must survive the restart — a reset-to-0
+    // watermark would report an offset below the committed one and
+    // re-deliver an already-processed version on the climb back up
+    SnapshotCatalog.append((51L to 53L).toDF("id").coalesce(1), root, "b6")
+    val q2 = drainInto(root, cp, sink)
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(sink.asScala.map(_._2).sum == 53L,
+        s"restart replayed or lost rows: ${sink.asScala.toVector}")
+    } finally q2.stop()
   }
 
   test("a compaction inside the polled range FAILS the stream; a fresh checkpoint re-baselines from the snapshot") {
