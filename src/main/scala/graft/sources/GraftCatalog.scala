@@ -347,20 +347,97 @@ case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int]
 case class GraftCatalogResolution(spark: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
 
-  import org.apache.spark.sql.catalyst.expressions.{Alias, SubqueryExpression}
-  import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  private def graftTableIn(plan: LogicalPlan): Option[GraftTable] =
+    plan.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        r.table.asInstanceOf[GraftTable]
+    }
+
+  /** A resolved expression as a Column that re-resolves BY NAME over a
+    * fresh snapshot read: the command executes against its own read of
+    * the table, whose attribute ids differ from the SQL plan's. */
+  private def byNameColumn(e: Expression): Column =
+    Bridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  /** The `ON t.k = s.k [AND ...]` equality key columns of an upsert
+    * MERGE — every conjunct must equate same-named columns of the two
+    * sides. None = not the upsert shape. */
+  private def upsertKeys(cond: Expression): Option[Seq[String]] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val keys = split(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name => Some(a.name)
+      case _ => None
+    }
+    if (keys.forall(_.isDefined)) Some(keys.flatten.distinct) else None
+  }
+
+  /** True when the assignments are exactly the star expansion: every
+    * target column set from the same-named source attribute. */
+  private def isStarAssignment(as: Seq[Assignment]): Boolean =
+    as.forall {
+      case Assignment(k: AttributeReference, v: AttributeReference) =>
+        k.name == v.name
+      case _ => false
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoStatement =>
       // the write-side relation must stay v2 for ResolveInsertInto
       i.copy(query = apply(i.query))
-    case d @ (_: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable |
-              _: org.apache.spark.sql.catalyst.plans.logical.UpdateTable |
-              _: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable) =>
-      // row-level commands keep their v2 relation (DELETE plans through
-      // SupportsDelete; UPDATE/MERGE surface Spark's own unsupported
-      // error) — only condition subqueries get the read rewrite
+    case u: UpdateTable if u.resolved && graftTableIn(u.table).isDefined =>
+      // UPDATE → one merge-on-read commit (DV-delete matched positions
+      // + append the transformed copies), through updateWhere
+      val t = graftTableIn(u.table).get
+      val set = u.assignments.map {
+        case Assignment(k: AttributeReference, v) => k.name -> byNameColumn(v)
+        case a => sys.error(s"graft UPDATE supports top-level column " +
+          s"assignments only, got ${a.key.sql}")
+      }
+      GraftUpdateCommand(t.root, t.fullName,
+        u.condition.map(byNameColumn), set)
+    case m: MergeIntoTable if m.resolved &&
+        graftTableIn(m.targetTable).isDefined =>
+      // the canonical UPSERT shape routes to mergeOnRead: ON same-named
+      // key equality, WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED
+      // INSERT * (other MERGE shapes refuse loudly — a partial merge
+      // needs a row-level rewrite plan this engine expresses as
+      // updateWhere/deleteWhere instead)
+      val t = graftTableIn(m.targetTable).get
+      val keys = upsertKeys(m.mergeCondition).getOrElse(
+        sys.error("graft MERGE needs an equality join on same-named " +
+          s"columns, got: ${m.mergeCondition.sql}"))
+      val shapeOk = m.notMatchedBySourceActions.isEmpty &&
+        (m.matchedActions match {
+          case Seq(UpdateAction(None, as, _)) => isStarAssignment(as)
+          case _ => false
+        }) &&
+        (m.notMatchedActions match {
+          case Seq(InsertAction(None, as)) => isStarAssignment(as)
+          case _ => false
+        })
+      if (!shapeOk)
+        sys.error("graft MERGE supports the upsert shape only: WHEN " +
+          "MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * " +
+          "(unconditioned); use UPDATE/DELETE for partial row-level ops")
+      GraftMergeCommand(t.root, t.fullName, apply(m.sourceTable), keys)
+    case d @ (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable) =>
+      // row-level commands keep their v2 relation until resolved
+      // (DELETE plans through SupportsDelete; UPDATE/MERGE convert
+      // above once their assignments resolve) — only condition
+      // subqueries get the read rewrite here
       d.transformExpressionsUp {
         case se: SubqueryExpression => se.withNewPlan(apply(se.plan))
       }
@@ -381,5 +458,47 @@ case class GraftCatalogResolution(spark: SparkSession)
       mapped.transformExpressionsUp {
         case se: SubqueryExpression => se.withNewPlan(apply(se.plan))
       }
+  }
+}
+
+/** `UPDATE graft.db.t SET ... WHERE ...` as one merge-on-read commit:
+  * DV-delete the matched positions + append the transformed copies
+  * atomically ([[SnapshotCatalog.updateWhere]]) — O(matched rows),
+  * no target file rewritten, CDC-derivable (the commit emits the old
+  * rows as retractions and the new as inserts). */
+case class GraftUpdateCommand(root: String, tableName: String,
+                              condition: Option[org.apache.spark.sql.Column],
+                              set: Seq[(String, org.apache.spark.sql.Column)])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.lit
+    SnapshotCatalog.updateWhere(spark, root, condition.getOrElse(lit(true)),
+      set, "squpd" + java.util.UUID.randomUUID().toString.take(12))
+    Seq.empty
+  }
+}
+
+/** Upsert `MERGE INTO graft.db.t USING s ON t.k = s.k WHEN MATCHED
+  * UPDATE SET * WHEN NOT MATCHED INSERT *` as ONE
+  * [[SnapshotCatalog.mergeOnRead]] commit: matched target rows
+  * DV-deleted, the whole source landing as the update batch. */
+case class GraftMergeCommand(root: String, tableName: String,
+                             source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                             keyCols: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(source)
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val updates0 = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, source)
+    // align the source to the table's column set and order (the star
+    // expansion guaranteed same-named coverage)
+    val v = SnapshotCatalog.latestVersion(root)
+    val (data, part) = SnapshotFileIndex.servedSchemas(spark, root, v)
+    val tableCols = (data.fields ++ part.fields).map(_.name).toSeq
+    val updates = updates0.select(tableCols.map(col): _*)
+    SnapshotCatalog.mergeOnRead(spark, root, updates, keyCols,
+      "sqmrg" + java.util.UUID.randomUUID().toString.take(12))
+    Seq.empty
   }
 }

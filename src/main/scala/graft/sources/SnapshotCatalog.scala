@@ -2036,6 +2036,85 @@ object SnapshotCatalog {
     sys.error(s"mergeOnRead on $root lost 100 consecutive CAS races")
   }
 
+  /** Row-level UPDATE on read (the DV twin of [[mergeOnRead]]): live
+    * rows matching `cond` are DV-deleted and their TRANSFORMED copies
+    * (each `set` assignment applied) land as a new data batch — both
+    * in ONE atomic commit, so a reader resolves the pre- or post-update
+    * table, never one missing (or duplicating) the touched rows. Cost
+    * is O(matched rows): no target file is rewritten. Partitioned
+    * tables re-lay the updated rows per the committed spec (an
+    * assignment may MOVE a row across partitions — the hive layout
+    * follows the new values). Same narrowed concurrent-commit abort as
+    * [[deleteWhere]], keyed on `cond`'s envelope. Returns (version,
+    * updated row count). */
+  def updateWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column,
+                  set: Seq[(String, org.apache.spark.sql.Column)],
+                  batch: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    if (isBatchCommitted(root, batch)) return (latestVersion(root), 0L)
+    val v = latestVersion(root)
+    val base = SnapshotFileIndex
+      .snapshotDF(spark, root, Some(v), subtractDeletes = false)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val existing = dvFiles(root, v)
+    val live =
+      if (existing.isEmpty) base
+      else base.join(spark.read.parquet(existing: _*),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val tableCols = base.columns.filterNot(Set("__dv_file", "__dv_pos"))
+    val matched = live.filter(cond)
+    val dvDir = s"$root/dv/u${java.util.UUID.randomUUID().toString.take(8)}"
+    matched.select(col("__dv_file"), col("__dv_pos"))
+      .coalesce(1).write.mode("overwrite").parquet(dvDir)
+    val sizedDv = listDataEntries(dvDir)
+    val dvBack = spark.read.parquet(sizedDv.map(_._1): _*)
+    val nMatched = dvBack.count()
+    if (nMatched == 0L) {
+      fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
+      return (v, 0L)
+    }
+    val dvAdds = sizedDv.map { case (f, sz) =>
+      FileEntry(f, sz, if (sizedDv.size == 1) nMatched else -1L) }
+    val touched = dvBack.select("__dv_file").distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    // the transformed copies: assignments applied, metadata dropped,
+    // original column order restored
+    val updated = set.foldLeft(matched) { case (df, (c, expr)) =>
+      df.withColumn(c, expr) }
+      .select(tableCols.map(col): _*)
+    val spec = partitionSpecAt(root, v).map(_.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val (newEntries, schemaJson, partJson) =
+      stageBatch(updated, root, batch, spec, recordStats = true)
+    val (condLb, condSb) = base.filter(cond).queryExecution.analyzed
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          SnapshotFileIndex.predicateBounds(Seq(f.condition))
+      }
+      .getOrElse((Map.empty[String, (Long, Long)],
+        Map.empty[String, (Option[Array[Byte]], Option[Array[Byte]])]))
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      abortOnIntervening("updateWhere", root, v, pv,
+        provablyUnmatched = entryProvablyUnmatched(_, condLb, condSb))
+      val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
+      if (!touched.subsetOf(cur))
+        throw new java.util.ConcurrentModificationException(
+          s"updateWhere on $root: a concurrent replace/compaction rewrote " +
+            "files the update's matched positions reference — retry " +
+            "against the new snapshot")
+      if (tryCommitEntries(root, pv + 1,
+            adds = newEntries.distinct.sortBy(_.path), removes = Seq.empty,
+            dvAdds = dvAdds, schemaJson = schemaJson, partJson = partJson))
+        return (pv + 1, nMatched)
+      attempt += 1
+    }
+    sys.error(s"updateWhere on $root lost 100 consecutive CAS races")
+  }
+
   /** Read a snapshot with its deletion vectors applied — the data scan
     * anti-joined against the in-effect (file, position) pairs. The DV
     * side is O(deleted rows) and broadcasts under 64 MB (the common

@@ -1504,5 +1504,91 @@ object SourceQueries extends QueryPack {
              |  TRUE AS time_travel_served_predelete,
              |  TRUE AS truncate_emptied_live
              |FROM events WHERE NOT (event_type = 'click' OR value < 1.0)""".stripMargin),
-      "S-catalog: SQL row-level DML — DELETE FROM lands as one deletion-vector commit (no rewrite), inexpressible predicates refuse, TRUNCATE keeps time travel"))
+      "S-catalog: SQL row-level DML — DELETE FROM lands as one deletion-vector commit (no rewrite), inexpressible predicates refuse, TRUNCATE keeps time travel"),
+
+    GraftQuery(
+      "src27_sql_update_merge",
+      (spark, dir) => {
+        // SQL UPDATE + MERGE INTO through the catalog — the rest of the
+        // Delta-user DML matrix: UPDATE lands as ONE merge-on-read
+        // commit (matched positions DV-deleted + transformed copies
+        // appended atomically — O(matched rows), untouched files
+        // byte-reused, and the change feed derives it as retractions +
+        // inserts), and the canonical upsert MERGE (ON key equality,
+        // UPDATE SET *, INSERT *) routes to the same mergeOnRead the
+        // Scala API uses; a non-upsert MERGE shape refuses loudly.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "updmrg_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), root, "b0")
+        val filesBefore = SnapshotCatalog.manifestFiles(root, 1)
+        // UPDATE: one O(matched) commit
+        spark.sql(s"UPDATE graft_src25.db.$tbl SET value = value * 2 " +
+          "WHERE event_type = 'error'")
+        val vUpd = SnapshotCatalog.latestVersion(root)
+        val updAudit = SnapshotCatalog.history(root).last._2 == "merge" &&
+          filesBefore.forall(
+            SnapshotCatalog.manifestFiles(root, vUpd).contains)
+        // the upsert MERGE: restate every 50th row (+100) and add 5
+        // synthetic rows past the id space
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val spark2 = spark
+        import spark2.implicits._
+        spark.sql(s"SELECT event_id, event_type, value + 100 AS value " +
+            s"FROM graft_src25.db.$tbl WHERE event_id % 50 = 0")
+          .unionByName((1L to 5L).map(i =>
+            (maxId + i, "synthetic", 1.0)).toDF("event_id", "event_type", "value"))
+          .createOrReplaceTempView("src27_src")
+        spark.sql(
+          s"""MERGE INTO graft_src25.db.$tbl t USING src27_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val mrgAudit = SnapshotCatalog.history(root).last._2 == "merge"
+        // a partial MERGE shape refuses loudly (no silent wrong merge)
+        val refused =
+          try { spark.sql(
+            s"""MERGE INTO graft_src25.db.$tbl t USING src27_src s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED AND s.value > 5 THEN DELETE""".stripMargin)
+            false }
+          catch { case _: Exception => true }
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $updAudit AS update_one_commit_no_rewrite,
+             |  $mrgAudit AS merge_landed_as_merge_commit,
+             |  $refused AS partial_merge_refused
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH up AS (
+             |  SELECT event_id,
+             |    event_type,
+             |    CASE WHEN event_type = 'error' THEN value * 2 ELSE value END AS value
+             |  FROM events),
+             |src AS (
+             |  SELECT event_id, event_type, value + 100 AS value
+             |  FROM up WHERE event_id % 50 = 0
+             |  UNION ALL
+             |  SELECT (SELECT max(event_id) FROM events) + i, 'synthetic', 1.0
+             |  FROM range(1, 6) t(i)),
+             |final AS (
+             |  SELECT * FROM up
+             |  WHERE event_id NOT IN (SELECT event_id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS update_one_commit_no_rewrite,
+             |  TRUE AS merge_landed_as_merge_commit,
+             |  TRUE AS partial_merge_refused
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: SQL UPDATE (one merge-on-read commit, CDC-derivable) + upsert MERGE INTO routed to mergeOnRead; partial shapes refuse"))
 }

@@ -59,7 +59,7 @@ object ScaleStress {
     "src18_merge_on_read", "src20_lakehouse_lifecycle",
     "src21_table_history", "src22_planned_skipping",
     "src23_partitioned_catalog", "src24_partition_overwrite",
-    "src25_sql_catalog", "src26_sql_dml")
+    "src25_sql_catalog", "src26_sql_dml", "src27_sql_update_merge")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the

@@ -128,6 +128,68 @@ class GraftCatalogSpec extends SparkTestBase {
       "truncate destroyed the prior version")
   }
 
+  test("SQL UPDATE: one merge-on-read commit — matched rows DV-deleted, transformed copies appended, CDC-derivable") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/upd1"
+    SnapshotCatalog.append(
+      (1L to 20L).map(i => (i, i * 10L, s"s$i")).toDF("id", "v", "s")
+        .coalesce(1), root, "b0")
+    val filesBefore = SnapshotCatalog.manifestFiles(root, 1)
+    spark.sql("UPDATE graft.db.upd1 SET v = v + 1000, s = concat(s, '!') WHERE id <= 5")
+    val v2 = SnapshotCatalog.latestVersion(root)
+    // ONE commit, kind merge (data adds + DV adds), originals untouched
+    assert(v2 == 2 && SnapshotCatalog.history(root).last._2 == "merge")
+    assert(filesBefore.forall(SnapshotCatalog.manifestFiles(root, v2).contains),
+      "UPDATE rewrote an untouched data file")
+    val got = spark.sql("SELECT id, v, s FROM graft.db.upd1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 20)
+    assert(got.take(5).toSeq ==
+      (1L to 5L).map(i => (i, i * 10L + 1000L, s"s$i!")).toSeq,
+      s"updated rows wrong: ${got.take(5).toSeq}")
+    assert(got.drop(5).toSeq == (6L to 20L).map(i => (i, i * 10L, s"s$i")).toSeq)
+    // the UPDATE is CDC-derivable: retractions of the old rows +
+    // inserts of the new, in one version
+    val feed = SnapshotCatalog.changeFeedRows(spark, root, 1, 2)
+    assert(feed.filter(col("_change_type") === "delete").count() == 5L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .agg(min(col("v"))).head().getLong(0) == 1010L)
+    // zero-match UPDATE commits nothing
+    spark.sql("UPDATE graft.db.upd1 SET v = 0 WHERE id > 999")
+    assert(SnapshotCatalog.latestVersion(root) == v2)
+  }
+
+  test("SQL MERGE INTO (upsert shape) routes to mergeOnRead; non-upsert shapes refuse loudly") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/mrg1"
+    SnapshotCatalog.append(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), root, "b0")
+    Seq((5L, 999L), (11L, 111L)).toDF("id", "v")
+      .createOrReplaceTempView("mrg1_src")
+    spark.sql(
+      """MERGE INTO graft.db.mrg1 t USING mrg1_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(SnapshotCatalog.history(root).last._2 == "merge")
+    val got = spark.sql("SELECT id, v FROM graft.db.mrg1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ((1L to 10L).map(i =>
+      (i, if (i == 5L) 999L else i * 10L)) :+ (11L, 111L)),
+      s"merge result wrong: $got")
+    assert(got.map(_._1).distinct.length == got.length, "merge duplicated a key")
+    // a non-upsert shape (conditional matched action) refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.mrg1 t USING mrg1_src s ON t.id = s.id
+          |WHEN MATCHED AND s.v > 500 THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("upsert"), e.getMessage)
+  }
+
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")
