@@ -138,9 +138,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
       partitions, properties)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    sys.error("graft catalog: ALTER TABLE is not supported — schema " +
-      "evolution happens through append/replace commits")
+  /** `ALTER TABLE ... ADD COLUMNS` — schema accretion as ONE
+    * metadata-only commit (an `S` line unioning the new columns; no
+    * data touched): existing rows null-fill the accreted columns on
+    * read, exactly like an append-side evolution (src08/src16). Other
+    * changes refuse — dropping or re-typing a column would need a
+    * rewrite, which this engine expresses as an explicit replace. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          sys.error("graft ALTER TABLE supports top-level ADD COLUMNS only")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)
+      case other =>
+        sys.error(s"graft catalog: ALTER TABLE supports ADD COLUMNS only " +
+          s"(got $other) — drops/re-types need an explicit rewrite")
+    }
+    var attempt = 0
+    while (attempt < 100) {
+      val v = SnapshotCatalog.latestVersion(root)
+      val cur = SnapshotCatalog.schemaAt(root, v).getOrElse(
+        sys.error(s"$ident: schema not log-carried; ALTER needs an S-lined table"))
+      adds.filter(f => cur.fieldNames.contains(f.name)) match {
+        case Seq() => ()
+        case dup => sys.error(s"$ident: column(s) ${dup.map(_.name)} already exist")
+      }
+      val next = StructType(cur.fields ++ adds)
+      if (SnapshotCatalog.tryCommitEntries(root, v + 1, adds = Seq.empty,
+            removes = Seq.empty, schemaJson = Some(next.json),
+            partJson = SnapshotCatalog.partitionSpecAt(root, v).map(_.json)))
+        return GraftTable(root, ident.toString, None)
+      attempt += 1
+    }
+    sys.error(s"alterTable on $ident lost 100 consecutive CAS races")
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = tableRoot(ident)

@@ -190,6 +190,36 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("upsert"), e.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMNS: one metadata-only commit; old rows null-fill; drops/re-types refuse") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/alt1"
+    SnapshotCatalog.append((1L to 6L).map(i => (i, s"k$i")).toDF("id", "k")
+      .coalesce(1), root, "b0")
+    val filesBefore = SnapshotCatalog.manifestFiles(root, 1)
+    spark.sql("ALTER TABLE graft.db.alt1 ADD COLUMNS (extra BIGINT)")
+    val v2 = SnapshotCatalog.latestVersion(root)
+    assert(v2 == 2 && SnapshotCatalog.manifestFiles(root, v2) == filesBefore,
+      "ADD COLUMNS touched data files")
+    // pre-evolution rows null-fill; the new column is insertable
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.alt1 WHERE extra IS NULL")
+      .head().getLong(0) == 6L)
+    spark.sql("INSERT INTO graft.db.alt1 VALUES (7, 'k7', 700)")
+    val got = spark.sql(
+      "SELECT id, extra FROM graft.db.alt1 WHERE extra IS NOT NULL").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 7L && got.head.getLong(1) == 700L)
+    // time travel to the pre-evolution version serves the OLD schema
+    assert(!spark.sql(s"SELECT * FROM graft.db.alt1 VERSION AS OF 1")
+      .columns.contains("extra"),
+      "time travel leaked the accreted column into the old version")
+    // drops / re-types refuse — they need a rewrite
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.alt1 DROP COLUMN k")
+    }
+    assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+  }
+
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")
