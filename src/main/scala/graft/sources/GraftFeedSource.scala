@@ -34,7 +34,9 @@ import org.apache.spark.sql.types.StructType
   *     .format("graft-feed")                      // or the class name
   *     .option("root", "/data/warehouse/db/t")
   *     .option("maxVersionsPerTrigger", "1")      // rate limit
-  *     .load()
+  *     .option("startingVersion", "7")            // or "latest":
+  *     .load()                                    // incremental from v7,
+  *                                                // skipping the bootstrap
   * }}}
   *
   * Hive-partitioned tables serve their partition columns reconstructed
@@ -69,13 +71,22 @@ class GraftFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toInt)
       .getOrElse(Int.MaxValue)
     require(maxPer >= 1, "maxVersionsPerTrigger must be >= 1")
-    new GraftFeedSource(sqlContext.sparkSession, rootOf(parameters), maxPer,
-      metadataPath)
+    val root = rootOf(parameters)
+    // Delta-parity startingVersion: a FRESH checkpoint begins serving
+    // INCREMENTALLY from this version (inclusive) instead of the
+    // full-snapshot bootstrap; "latest" = only future commits
+    val startingBase = parameters.get("startingVersion").map {
+      case "latest" => SnapshotCatalog.latestVersion(root).toLong
+      case n => n.toLong - 1L
+    }
+    new GraftFeedSource(sqlContext.sparkSession, root, maxPer,
+      metadataPath, startingBase)
   }
 }
 
 class GraftFeedSource(spark: SparkSession, root: String,
-                      maxVersionsPerTrigger: Int, metadataPath: String)
+                      maxVersionsPerTrigger: Int, metadataPath: String,
+                      startingBase: Option[Long] = None)
     extends Source {
 
   override val schema: StructType = {
@@ -101,7 +112,7 @@ class GraftFeedSource(spark: SparkSession, root: String,
 
   @volatile private var servedThrough: Long = {
     val fs = hwmPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hwmPath)) 0L
+    if (!fs.exists(hwmPath)) startingBase.getOrElse(0L)
     else try {
       val in = fs.open(hwmPath)
       try {
@@ -142,13 +153,19 @@ class GraftFeedSource(spark: SparkSession, root: String,
   override def commit(end: Offset): Unit = advanceServed(toVersion(end))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(toVersion)
+    // a fresh checkpoint's first batch has no start offset: with a
+    // startingVersion the range is INCREMENTAL from that base
+    // (inclusive of the base version's own commit); without one it is
+    // the full-snapshot bootstrap
+    val from = start.map(toVersion).orElse(startingBase)
     val to = toVersion(end)
     advanceServed(math.max(from.getOrElse(0L), to))
     // addedFiles IS the contract: O(delta) commit reads for an
     // incremental range, the full manifest for a bootstrap, and a loud
     // IllegalStateException across a rewrite/delete or past retention
-    val files = SnapshotCatalog.addedFiles(root, from.map(_.toInt), to.toInt)
+    val files =
+      if (from.exists(_ >= to)) Seq.empty
+      else SnapshotCatalog.addedFiles(root, from.map(_.toInt), to.toInt)
     if (from.isEmpty && SnapshotCatalog.dvFiles(root, to.toInt).nonEmpty)
       throw new IllegalStateException(
         s"graft-feed bootstrap of $root at version $to: deletion vectors " +

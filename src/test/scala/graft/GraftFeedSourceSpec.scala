@@ -109,6 +109,59 @@ class GraftFeedSourceSpec extends SparkTestBase {
     } finally q3.stop()
   }
 
+  test("startingVersion skips the bootstrap: incremental from the named version; 'latest' serves only future commits") {
+    val root = graft.streaming.Streams.dataDir("graft_feedsv_")
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 3).foreach { b =>
+      val lo = b * 10L + 1L
+      SnapshotCatalog.append((lo to lo + 9L).toDF("id").coalesce(1), root, s"b$b")
+    }
+    def drainFrom(sv: String): Set[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream
+        .format(classOf[GraftFeedSourceProvider].getName)
+        .option("root", root).option("startingVersion", sv).load()
+        .writeStream
+        .option("checkpointLocation",
+          graft.streaming.Streams.scratchDir("graft_feedsvcp_"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(r.getLong(0))); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    // from version 3 (inclusive): only b2's rows — no bootstrap
+    assert(drainFrom("3") == (21L to 30L).toSet,
+      "startingVersion did not begin incrementally at the named version")
+    // from version 1: everything, served INCREMENTALLY (still refuses
+    // rewrites, unlike the snapshot bootstrap)
+    assert(drainFrom("1") == (1L to 30L).toSet)
+    // 'latest': nothing staged is served; a live append flows
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[GraftFeedSourceProvider].getName)
+      .option("root", root).option("startingVersion", "latest").load()
+      .writeStream
+      .option("checkpointLocation",
+        graft.streaming.Streams.scratchDir("graft_feedsvcp2_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.isEmpty, s"'latest' served staged history: ${got.asScala}")
+      SnapshotCatalog.append((31L to 33L).toDF("id").coalesce(1), root, "b3")
+      q.processAllAvailable()
+      assert(got.asScala.toSet == (31L to 33L).toSet,
+        "'latest' did not serve the live append")
+    } finally q.stop()
+  }
+
   test("a partitioned table's feed serves partition values; a bootstrap over in-effect DVs refuses") {
     val root = graft.streaming.Streams.dataDir("graft_feedpart_")
     val spark2 = spark
