@@ -191,7 +191,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val f = fs(warehouse)
     if (!f.exists(new Path(warehouse))) Array.empty
-    else f.listStatus(new Path(warehouse)).toSeq.filter(_.isDirectory)
+    else f.listStatus(new Path(warehouse)).toSeq
+      // a TABLE root under the warehouse is not a namespace — without
+      // the filter SHOW NAMESPACES would list every top-level table
+      .filter(s => s.isDirectory && !SnapshotCatalog.isTable(s.getPath.toString))
       .map(s => Array(s.getPath.getName)).toArray
   }
 
@@ -200,8 +203,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
-  override def namespaceExists(namespace: Array[String]): Boolean =
-    fs(warehouse).exists(new Path((warehouse +: namespace.toSeq).mkString("/")))
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    fs(warehouse).exists(new Path(dir)) && !SnapshotCatalog.isTable(dir)
+  }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava
@@ -338,6 +343,8 @@ case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int]
     * deletion vectors for what is a metadata-level operation; prior
     * versions still time-travel to the pre-truncate content. */
   override def truncateTable(): Boolean = {
+    if (pinnedVersion.isDefined)
+      sys.error(s"cannot TRUNCATE $fullName at a pinned version")
     val spark = SparkSession.active
     // full schema INCLUDING partition columns, so the spec survives
     // the truncate (an empty partitioned table stays partitioned)

@@ -1145,6 +1145,17 @@ object SnapshotCatalog {
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersionOption(root).getOrElse(0)
+      // the batch was STAGED under the spec read at entry: a concurrent
+      // replace() that changed the spec would let this commit land a
+      // mixed hive layout (and compute its removes against the wrong
+      // partition identity) — re-validate inside every CAS attempt,
+      // mirroring commitAppendEntries' expectSpec guard
+      val curSpec = if (pv == 0) None else partitionSpecAt(root, pv)
+      if (curSpec.map(specShape) != Some(specShape(spec)))
+        throw new java.util.ConcurrentModificationException(
+          s"replacePartitions on $root: the table's partition spec moved " +
+            s"under the op (staged ${specShape(spec)}, now " +
+            s"${curSpec.map(specShape)}) — restage against the new spec")
       val prev = if (pv == 0) Seq.empty else manifestEntries(root, pv)
       val removes = prev.collect {
         case e if touched.contains(partitionVecOf(e.path)) => e.path }
@@ -1440,6 +1451,31 @@ object SnapshotCatalog {
                 "row-level changelog) instead")
           d.adds.map(_.path)
         }
+    }
+
+  /** Per-version change-feed PIECES for a streaming consumer
+    * ([[GraftFeedSource]]'s `readChangeFeed` mode, which must build its
+    * frames on STREAMING relations — [[changeFeedRows]]' batch reads
+    * can't ride a micro-batch plan): for each version in `(fromV, toV]`
+    * carrying data changes, (version, added data-file entries, DV-file
+    * entries added). Same refusal contract as [[changeFeedRows]] — a
+    * rewrite (removes / DV reset / DV withdrawal) or an expired commit
+    * inside the range throws, never a silent double-count. */
+  private[sources] def changeCommits(root: String, fromV: Int, toV: Int)
+      : Seq[(Int, Seq[FileEntry], Seq[FileEntry])] =
+    ((fromV + 1) to toV).flatMap { v =>
+      if (!commitExists(root, v))
+        throw new IllegalStateException(
+          s"change feed $fromV->$toV on $root: commit $v expired — poll " +
+            "horizon exceeded retention; re-read the snapshot")
+      val d = commitDeltaFull(root, v)
+      if (d.removes.nonEmpty || d.dvReset || d.dvRemoves.nonEmpty)
+        throw new IllegalStateException(
+          s"change feed $fromV->$toV on $root crossed a replace/compaction " +
+            s"at version $v: row-level deltas are not derivable from a " +
+            "rewrite — re-read the snapshot and re-baseline")
+      if (d.adds.isEmpty && d.dvAdds.isEmpty) None
+      else Some((v, d.adds, d.dvAdds))
     }
 
   /** ROW-LEVEL change feed (the Delta CDF shape) for versions
@@ -2079,11 +2115,19 @@ object SnapshotCatalog {
       FileEntry(f, sz, if (sizedDv.size == 1) nMatched else -1L) }
     val touched = dvBack.select("__dv_file").distinct()
       .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
-    // the transformed copies: assignments applied, metadata dropped,
+    // the transformed copies: ONE projection building every column
+    // against the ORIGINAL row (SQL UPDATE semantics — `SET a = b,
+    // b = a` swaps; a sequential withColumn chain would feed later
+    // assignments the earlier ones' new values), metadata dropped,
     // original column order restored
-    val updated = set.foldLeft(matched) { case (df, (c, expr)) =>
-      df.withColumn(c, expr) }
-      .select(tableCols.map(col): _*)
+    val setMap = set.toMap
+    set.map(_._1).filterNot(tableCols.contains) match {
+      case Seq() => ()
+      case bad => sys.error(s"updateWhere on $root: SET targets " +
+        s"${bad.mkString(", ")} not in the table's columns")
+    }
+    val updated = matched.select(tableCols.map(c =>
+      setMap.getOrElse(c, col(c)).as(c)): _*)
     val spec = partitionSpecAt(root, v).map(_.fieldNames.toSeq)
       .getOrElse(Seq.empty)
     val (newEntries, schemaJson, partJson) =

@@ -2527,12 +2527,14 @@ object StreamingQueries extends QueryPack {
           }
           ()
         }
-        def drain(cp: String, maxPer: Int): Unit =
+        def drain(cp: String, maxPer: Int,
+                  startingVersion: Option[String] = None): Unit =
           Streams.withStreamShufflePartitions(spark) {
-            val q = spark.readStream
+            val r0 = spark.readStream
               .format(classOf[GraftFeedSourceProvider].getName)
               .option("root", root)
               .option("maxVersionsPerTrigger", maxPer.toString)
+            val q = startingVersion.fold(r0)(r0.option("startingVersion", _))
               .load()
               .writeStream.option("checkpointLocation", cp)
               .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2541,7 +2543,11 @@ object StreamingQueries extends QueryPack {
             try { q.processAllAvailable() } finally q.stop()
           }
         val cp1 = Streams.scratchDir("graft_cp_st43_")
-        drain(cp1, maxPer = 1)
+        // startingVersion=1 = EXPLICIT incremental catch-up from the
+        // first commit (a fresh checkpoint WITHOUT it bootstraps the
+        // whole snapshot at the current latest in one batch — Delta's
+        // initial-snapshot semantics, audited by the final drain below)
+        drain(cp1, maxPer = 1, startingVersion = Some("1"))
         // rate limiting made the catch-up INCREMENTAL: >= 4 ranges
         val incremental = nonEmptyBatches.get() >= 4L
         val preRows = nRows.get()

@@ -220,6 +220,60 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
   }
 
+  test("SQL UPDATE evaluates every SET RHS against the PRE-update row: SET a = b, b = a swaps") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/updswap"
+    SnapshotCatalog.append(
+      (1L to 6L).map(i => (i, i * 10L, i * 100L)).toDF("id", "a", "b")
+        .coalesce(1), root, "b0")
+    // SQL UPDATE semantics (and the Delta UpdateCommand pattern): all
+    // assignments see the ORIGINAL row — a sequential withColumn chain
+    // would feed the second assignment the first one's new value and
+    // silently fail to swap
+    spark.sql("UPDATE graft.db.updswap SET a = b, b = a WHERE id <= 3")
+    val got = spark.sql("SELECT id, a, b FROM graft.db.updswap ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == (1L to 6L).map(i =>
+      if (i <= 3L) (i, i * 100L, i * 10L) else (i, i * 10L, i * 100L)),
+      s"swap failed: $got")
+    // a SET target outside the table's columns refuses loudly
+    val e = intercept[Exception] {
+      SnapshotCatalog.updateWhere(spark, root, col("id") === 1L,
+        Seq("nope" -> lit(0L)), "badset")
+    }
+    assert(e.getMessage.contains("not in the table's columns"), e.getMessage)
+  }
+
+  test("SHOW NAMESPACES excludes table roots; TRUNCATE refuses at a pinned version") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    // a top-level TABLE under the warehouse must not list as a namespace
+    SnapshotCatalog.append((1L to 3L).toDF("id").coalesce(1),
+      s"$wh/toplevel_t", "b0")
+    val namespaces = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).toSet
+    assert(namespaces.contains("db"), s"lost the real namespace: $namespaces")
+    assert(!namespaces.contains("toplevel_t"),
+      s"a table root listed as a namespace: $namespaces")
+    // TRUNCATE at a pinned version would execute against the live table
+    // — same guard as writes and DELETE
+    val root = s"$wh/db/trpin"
+    SnapshotCatalog.append((1L to 3L).toDF("id").coalesce(1), root, "b0")
+    SnapshotCatalog.append((4L to 6L).toDF("id").coalesce(1), root, "b1")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "trpin"),
+      "1").asInstanceOf[graft.sources.GraftTable]
+    val e = intercept[Exception] { pinned.truncateTable() }
+    assert(e.getMessage.contains("pinned"), e.getMessage)
+    assert(SnapshotCatalog.readSnapshot(spark, root).count() == 6L,
+      "the guarded TRUNCATE mutated the table")
+  }
+
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")

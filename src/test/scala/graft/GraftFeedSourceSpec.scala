@@ -27,7 +27,7 @@ class GraftFeedSourceSpec extends SparkTestBase {
       .start()
   }
 
-  test("incremental drain: one version per micro-batch, content equals the snapshot, live appends flow through") {
+  test("fresh checkpoint bootstraps at the CURRENT latest in one batch; live appends then rate-limit one version per trigger") {
     val root = graft.streaming.Streams.dataDir("graft_feedsrc_")
     val spark2 = spark
     import spark2.implicits._
@@ -42,17 +42,22 @@ class GraftFeedSourceSpec extends SparkTestBase {
       q.processAllAvailable()
       import scala.jdk.CollectionConverters._
       val drained = sink.asScala.toVector
-      // rate limit: the 4 staged versions arrive as >= 4 batches (the
-      // bootstrap serves v1's files, then one version per trigger)
-      assert(drained.count(_._2 > 0L) >= 4,
-        s"expected >=4 rate-limited batches, got $drained")
+      // the bootstrap is the complete snapshot at latest — ONE batch
+      // regardless of maxVersionsPerTrigger=1 (Delta initial-snapshot
+      // semantics; a rate-capped bootstrap at v1 is the livelock path)
+      assert(drained.count(_._2 > 0L) == 1,
+        s"expected one bootstrap batch at latest, got $drained")
       assert(drained.map(_._2).sum == 40L, s"rows drifted: $drained")
-      // LIVE appends reach the running stream incrementally
+      // LIVE appends reach the running stream incrementally, one
+      // version per trigger now that the bootstrap is done
       SnapshotCatalog.append((41L to 45L).toDF("id").coalesce(1), root, "b4")
       SnapshotCatalog.append((46L to 50L).toDF("id").coalesce(1), root, "b5")
       q.processAllAvailable()
       assert(sink.asScala.map(_._2).sum == 50L,
         "live appends did not flow through the feed")
+      assert(sink.asScala.count(_._2 > 0L) == 3,
+        s"post-bootstrap appends were not rate-limited to one version " +
+          s"per trigger: ${sink.asScala.toVector}")
     } finally q.stop()
     // RESTART on the same checkpoint with the rate limit still on: the
     // source's high-watermark must survive the restart — a reset-to-0
@@ -162,50 +167,184 @@ class GraftFeedSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("a partitioned table's feed serves partition values; a bootstrap over in-effect DVs refuses") {
+  test("a partitioned table's feed serves partition values; a bootstrap over in-effect DVs serves the deletes-applied snapshot") {
     val root = graft.streaming.Streams.dataDir("graft_feedpart_")
     val spark2 = spark
     import spark2.implicits._
     val df = (1L to 20L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "p")
     SnapshotCatalog.append(df.coalesce(1), root, "b0", partitionBy = Seq("p"))
-    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
-    val q = spark.readStream
-      .format(classOf[GraftFeedSourceProvider].getName)
-      .option("root", root).load()
-      .writeStream
-      .option("checkpointLocation", graft.streaming.Streams.scratchDir("graft_feedcp4_"))
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        b.collect().foreach(r => got.add(
-          r.getLong(r.fieldIndex("id")) -> r.getString(r.fieldIndex("p"))))
-        ()
-      }
-      .start()
+    def drainPairs(cp: String): Set[(Long, String)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream
+        .format(classOf[GraftFeedSourceProvider].getName)
+        .option("root", root).load()
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add(
+            r.getLong(r.fieldIndex("id")) -> r.getString(r.fieldIndex("p"))))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSet
+    }
+    assert(drainPairs(graft.streaming.Streams.scratchDir("graft_feedcp4_")) ==
+      (1L to 20L).map(i => i -> (if (i % 2 == 0) "a" else "b")).toSet,
+      "feed lost partition values")
+    // deletion vectors in effect → the bootstrap serves the snapshot
+    // with the deletes SUBTRACTED (Delta's initial snapshot applies
+    // DVs) — refusing here would block streaming consumers on exactly
+    // the live-DML tables most likely to need them
+    SnapshotCatalog.deleteWhere(spark, root, col("id") <= 5L)
+    assert(drainPairs(graft.streaming.Streams.scratchDir("graft_feedcp5_")) ==
+      (6L to 20L).map(i => i -> (if (i % 2 == 0) "a" else "b")).toSet,
+      "DV-bearing bootstrap did not serve the deletes-applied snapshot")
+  }
+
+  test("fresh-checkpoint bootstrap of a rewrite-bearing table at maxVersionsPerTrigger=1 drains cleanly (no livelock)") {
+    val root = graft.streaming.Streams.dataDir("graft_feedboot_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 10L).toDF("id").coalesce(1), root, "b0")
+    SnapshotCatalog.append((11L to 20L).toDF("id").coalesce(1), root, "b1")
+    // history now contains a rewrite: the old rate-capped bootstrap
+    // landed at v1 and died crossing this on the climb — permanently,
+    // since the prescribed fresh-checkpoint restart repeated the path
+    SnapshotCatalog.replace(
+      SnapshotCatalog.readSnapshot(spark, root).coalesce(1), root, "c0")
+    SnapshotCatalog.append((21L to 25L).toDF("id").coalesce(1), root, "b2")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = drainInto(root, graft.streaming.Streams.scratchDir("graft_feedbootcp_"),
+      sink, maxPerTrigger = 1)
     try {
       q.processAllAvailable()
       import scala.jdk.CollectionConverters._
-      assert(got.asScala.toSet ==
-        (1L to 20L).map(i => i -> (if (i % 2 == 0) "a" else "b")).toSet,
-        "feed lost partition values")
+      assert(sink.asScala.map(_._2).sum == 25L,
+        s"rate-limited fresh-checkpoint bootstrap lost rows: ${sink.asScala.toVector}")
     } finally q.stop()
-    // deletion vectors in effect → an adds-only bootstrap would serve
-    // deleted rows: refused loudly until a compaction applies them
-    SnapshotCatalog.deleteWhere(spark, root, col("id") <= 5L)
+  }
+
+  test("a schema-changing commit mid-stream fails the query loudly; a fresh restart serves the accreted column") {
+    val root = graft.streaming.Streams.dataDir("graft_feedevo_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 5L).toDF("id").coalesce(1), root, "b0")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cp = graft.streaming.Streams.scratchDir("graft_feedevocp_")
+    val q = drainInto(root, cp, sink, maxPerTrigger = 10)
+    q.processAllAvailable()
+    // schema accretion lands while the stream runs: serving the new
+    // files silently projected onto the pinned schema would drop the
+    // new column forever — the source fails the query instead
+    SnapshotCatalog.append(
+      (6L to 8L).map(i => (i, s"t$i")).toDF("id", "tag").coalesce(1), root, "b1")
+    val e = intercept[StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      Option(c.getMessage).exists(_.contains("schema changed"))),
+      s"schema evolution did not fail the stream: $e")
+    q.stop()
+    // the operator restarts with a fresh checkpoint: the new source
+    // pins the EVOLVED schema and the bootstrap serves the accreted
+    // column (old files null-fill it)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
     val q2 = spark.readStream
       .format(classOf[GraftFeedSourceProvider].getName)
       .option("root", root).load()
       .writeStream
-      .option("checkpointLocation", graft.streaming.Streams.scratchDir("graft_feedcp5_"))
-      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .option("checkpointLocation",
+        graft.streaming.Streams.scratchDir("graft_feedevocp2_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => rows.add(
+          r.getLong(r.fieldIndex("id")) ->
+            Option(r.getString(r.fieldIndex("tag")))))
+        ()
+      }
       .start()
-    val e = intercept[StreamingQueryException] {
+    try {
       q2.processAllAvailable()
-      q2.awaitTermination(30000)
+      import scala.jdk.CollectionConverters._
+      assert(rows.asScala.toSet ==
+        ((1L to 5L).map(_ -> None) ++ (6L to 8L).map(i => i -> Some(s"t$i"))).toSet,
+        s"restart did not serve the accreted column: ${rows.asScala.toVector}")
+    } finally q2.stop()
+  }
+
+  test("readChangeFeed serves row-level inserts AND deletes with _commit_version; the CDF bootstrap is the snapshot as inserts") {
+    val root = graft.streaming.Streams.dataDir("graft_feedcdf_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), root, "b0")
+    SnapshotCatalog.deleteWhere(spark, root, col("id") <= 3L)
+    SnapshotCatalog.mergeOnRead(spark, root,
+      Seq((5L, 999L)).toDF("id", "v").coalesce(1), Seq("id"), "m0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+    def drainCdc(cp: String, sv: Option[String]): Unit = {
+      val r0 = spark.readStream
+        .format(classOf[GraftFeedSourceProvider].getName)
+        .option("root", root).option("readChangeFeed", "true")
+      val q = sv.fold(r0)(r0.option("startingVersion", _)).load()
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got.add((
+            r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("v")),
+            r.getString(r.fieldIndex("_change_type")),
+            r.getLong(r.fieldIndex("_commit_version")))))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
     }
-    def causes(t: Throwable): Seq[Throwable] =
-      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
-    assert(causes(e).exists(_.getMessage != null) &&
-      causes(e).exists(c => Option(c.getMessage).exists(_.contains("deletion vectors"))),
-      s"DV bootstrap did not refuse: $e")
-    q2.stop()
+    // incremental from v1: every version's row-level delta, stamped
+    drainCdc(graft.streaming.Streams.scratchDir("graft_cdfcp_"), Some("1"))
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSet
+    val expected: Set[(Long, Long, String, Long)] =
+      (1L to 10L).map(i => (i, i * 10L, "insert", 1L)).toSet ++
+        (1L to 3L).map(i => (i, i * 10L, "delete", 2L)).toSet ++
+        Set((5L, 50L, "delete", 3L), (5L, 999L, "insert", 3L))
+    assert(rows == expected, s"CDF rows drifted:\n got $rows\n exp $expected")
+    // signed fold over the feed ≡ the live snapshot
+    val folded = rows.groupBy(r => (r._1, r._2)).collect {
+      case ((id, v), rs)
+          if rs.count(_._3 == "insert") > rs.count(_._3 == "delete") => (id, v)
+    }.toSet
+    val live = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == live, s"CDF fold != snapshot: $folded vs $live")
+    // fresh-checkpoint CDF bootstrap: the initial snapshot as inserts
+    // (DVs applied), stamped at the bootstrap version
+    got.clear()
+    drainCdc(graft.streaming.Streams.scratchDir("graft_cdfcp2_"), None)
+    val boot = got.asScala.toSet
+    assert(boot == live.map { case (id, v) => (id, v, "insert", 3L) },
+      s"CDF bootstrap drifted: $boot")
+  }
+
+  test("startingVersion validates at source construction: '0' and non-numeric refuse with a clear message") {
+    val root = graft.streaming.Streams.dataDir("graft_feedval_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 3L).toDF("id").coalesce(1), root, "b0")
+    val p = new GraftFeedSourceProvider
+    def make(sv: String) = p.createSource(spark.sqlContext,
+      graft.streaming.Streams.scratchDir("graft_feedvalmd_"), None, "graft-feed",
+      Map("root" -> root, "startingVersion" -> sv))
+    val e0 = intercept[RuntimeException] { make("0") }
+    assert(e0.getMessage.contains("startingVersion must be 'latest' or an " +
+      "integer >= 1"), s"wrong message: ${e0.getMessage}")
+    val eN = intercept[RuntimeException] { make("nope") }
+    assert(eN.getMessage.contains("startingVersion must be 'latest' or an " +
+      "integer >= 1"), s"wrong message: ${eN.getMessage}")
+    // a valid construction still works
+    make("1")
+    ()
   }
 }
