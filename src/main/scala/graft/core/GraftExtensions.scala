@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DeltaAnalysis pattern) so `SELECT ... FROM graft.db.t` plans the
     // same pruned scan as the programmatic API
     ext.injectResolutionRule(s => graft.sources.GraftCatalogResolution(s))
+    // maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY) — no
+    // Spark grammar exists for them; everything else delegates
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(delegate))
   }
 }
 

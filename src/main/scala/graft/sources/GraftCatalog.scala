@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * one [[SnapshotCatalog.append]] commit (laid out per the table's
   * partition spec), an INSERT OVERWRITE as one [[SnapshotCatalog.replace]].
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catName: String = "graft"
   private var warehouse: String = _
@@ -175,6 +176,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     sys.error(s"alterTable on $ident lost 100 consecutive CAS races")
   }
+
+  // ---- staged (atomic) CTAS / RTAS -----------------------------------
+
+  private def identityPartCols(partitions: Array[Transform],
+                               schema: StructType): Seq[String] = {
+    val cols = partitions.toSeq.map { t =>
+      if (t.name != "identity")
+        sys.error(s"graft tables support identity partitioning only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    cols.filterNot(schema.fieldNames.contains) match {
+      case Nil => cols
+      case missing => sys.error(s"partition columns $missing not in schema")
+    }
+  }
+
+  /** `CREATE TABLE ... AS SELECT` — the staged table buffers the
+    * query's output as an uncommitted batch; `commitStagedChanges`
+    * lands schema + partition spec + data as ONE version-1 commit, so
+    * a failure mid-CTAS leaves NO table (not the create-then-write
+    * window's empty half-table; the staged files are orphans
+    * [[SnapshotCatalog.sweepOrphans]] collects). */
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable = {
+    val root = tableRoot(ident)
+    if (SnapshotCatalog.isTable(root)) throw new TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    GraftStagedTable(root, ident.toString, schema,
+      identityPartCols(partitions, schema), replaceExisting = false,
+      orCreate = false)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable =
+    stageCreate(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  /** `REPLACE TABLE ... AS SELECT` — ONE replace-shaped commit on the
+    * EXISTING log (new schema/spec/content, removes every live file):
+    * prior versions still time-travel, unlike the non-staging
+    * drop-then-recreate fallback which destroys the table's history. */
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    val root = tableRoot(ident)
+    if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    GraftStagedTable(root, ident.toString, schema,
+      identityPartCols(partitions, schema), replaceExisting = true,
+      orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable =
+    stageReplace(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String]): StagedTable = {
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    GraftStagedTable(tableRoot(ident), ident.toString, schema,
+      identityPartCols(partitions, schema),
+      replaceExisting = SnapshotCatalog.isTable(tableRoot(ident)),
+      orCreate = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String]): StagedTable =
+    stageCreateOrReplace(ident,
+      schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
+      partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = tableRoot(ident)
@@ -377,6 +459,99 @@ case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int]
     }
 }
 
+/** The in-flight table of an atomic CTAS / RTAS ([[StagedTable]]): the
+  * V1 write STAGES the query's output under the table root without
+  * committing; `commitStagedChanges` publishes everything — schema,
+  * partition spec, data files — as ONE log commit (version 1 for
+  * CREATE; a replace-shaped next version for REPLACE, keeping prior
+  * versions time-travelable). A crash or abort before the commit
+  * leaves no resolvable table state: the staged files are orphans
+  * `sweepOrphans` collects (CREATE additionally removes the bare root
+  * directory on abort). */
+case class GraftStagedTable(root: String, fullName: String,
+                            declaredSchema: StructType,
+                            partCols: Seq[String],
+                            replaceExisting: Boolean,
+                            orCreate: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private val batchName =
+    (if (replaceExisting) "rtas" else "ctas") +
+      java.util.UUID.randomUUID().toString.take(12)
+
+  @volatile private var staged
+      : Option[(Seq[SnapshotCatalog.FileEntry], Option[String], Option[String])] =
+    None
+
+  override def name(): String = fullName
+  override def schema: StructType = declaredSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity(_)).toArray
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // SupportsTruncate: the RTAS exec plans its write as truncate-and-
+    // write; the staged commit IS the replace, so the flag is moot
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            staged = Some(SnapshotCatalog.stageBatch(
+              data, root, batchName, partCols, recordStats = true))
+            ()
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val (entries, schemaJson, partJson) = staged.getOrElse(
+      sys.error(s"CTAS/RTAS on $fullName: nothing was staged"))
+    val adds = entries.distinct.sortBy(_.path)
+    if (!replaceExisting) {
+      // CREATE: the whole table IS this one version-1 commit
+      if (!SnapshotCatalog.tryCommitEntries(root, 1, adds = adds,
+            removes = Seq.empty, schemaJson = schemaJson, partJson = partJson))
+        throw new TableAlreadyExistsException(
+          Identifier.of(Array.empty[String], fullName))
+    } else {
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 100) {
+        val pv = SnapshotCatalog.latestVersionOption(root).getOrElse(0)
+        val prev =
+          if (pv == 0) Seq.empty else SnapshotCatalog.manifestFiles(root, pv)
+        if (pv == 0 && !orCreate)
+          sys.error(s"REPLACE TABLE $fullName: the table vanished under " +
+            "the staged replace")
+        done = SnapshotCatalog.tryCommitEntries(root, pv + 1, adds = adds,
+          removes = prev, dvReset = true,
+          schemaJson = schemaJson, partJson = partJson)
+        attempt += 1
+      }
+      if (!done)
+        sys.error(s"REPLACE TABLE $fullName lost 100 consecutive CAS races")
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = new Path(root)
+      .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+    val dataDir = new Path(s"$root/data/$batchName")
+    if (fs.exists(dataDir)) fs.delete(dataDir, true)
+    // a CREATE that staged into a fresh root leaves no table behind
+    if (!replaceExisting && !SnapshotCatalog.isTable(root) &&
+        fs.exists(new Path(root))) {
+      val dataRoot = new Path(s"$root/data")
+      if (!fs.exists(dataRoot) || fs.listStatus(dataRoot).isEmpty)
+        fs.delete(new Path(root), true)
+    }
+    ()
+  }
+}
+
 /** Analysis rule (injected via `GraftExtensions`): rewrites every READ
   * of a [[GraftTable]] into the v1 [[SnapshotFileIndex]] relation — the
   * Delta `DeltaAnalysis` pattern — so named-table SQL plans the SAME
@@ -391,7 +566,7 @@ case class GraftCatalogResolution(spark: SparkSession)
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
   import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, SubqueryExpression}
-  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+  import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -451,16 +626,23 @@ case class GraftCatalogResolution(spark: SparkSession)
         u.condition.map(byNameColumn), set)
     case m: MergeIntoTable if m.resolved &&
         graftTableIn(m.targetTable).isDefined =>
-      // the canonical UPSERT shape routes to mergeOnRead: ON same-named
-      // key equality, WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED
-      // INSERT * (other MERGE shapes refuse loudly — a partial merge
-      // needs a row-level rewrite plan this engine expresses as
-      // updateWhere/deleteWhere instead)
+      // MERGE routes into the merge-on-read tier: the canonical
+      // unconditioned star upsert takes the fast path (broadcast key
+      // set, whole source appended); every other matched/not-matched
+      // shape — conditioned or partial UPDATE, matched DELETE,
+      // conditioned INSERT — converts to one generalized
+      // SnapshotCatalog.mergeInto commit. WHEN NOT MATCHED BY SOURCE
+      // refuses (it acts on the UNMATCHED side of the whole table — an
+      // O(table) rewrite this engine expresses as updateWhere/
+      // deleteWhere instead).
       val t = graftTableIn(m.targetTable).get
       val keys = upsertKeys(m.mergeCondition).getOrElse(
         sys.error("graft MERGE needs an equality join on same-named " +
           s"columns, got: ${m.mergeCondition.sql}"))
-      val shapeOk = m.notMatchedBySourceActions.isEmpty &&
+      if (m.notMatchedBySourceActions.nonEmpty)
+        sys.error("graft MERGE does not support WHEN NOT MATCHED BY " +
+          "SOURCE — use UPDATE/DELETE for whole-table row-level ops")
+      val starShape =
         (m.matchedActions match {
           case Seq(UpdateAction(None, as, _)) => isStarAssignment(as)
           case _ => false
@@ -469,11 +651,43 @@ case class GraftCatalogResolution(spark: SparkSession)
           case Seq(InsertAction(None, as)) => isStarAssignment(as)
           case _ => false
         })
-      if (!shapeOk)
-        sys.error("graft MERGE supports the upsert shape only: WHEN " +
-          "MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * " +
-          "(unconditioned); use UPDATE/DELETE for partial row-level ops")
-      GraftMergeCommand(t.root, t.fullName, apply(m.sourceTable), keys)
+      if (starShape)
+        GraftMergeCommand(t.root, t.fullName, apply(m.sourceTable), keys)
+      else {
+        // side-aware by-name re-resolution: the command evaluates the
+        // clauses over a join frame whose source columns are __src_-
+        // prefixed — map each resolved attribute to its side's name
+        val srcIds = m.sourceTable.output.map(_.exprId).toSet
+        def sideCol(e: Expression): Column = Bridge.column(e.transform {
+          case a: AttributeReference if srcIds.contains(a.exprId) =>
+            UnresolvedAttribute.quoted(s"__src_${a.name}")
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        })
+        def assigns(as: Seq[Assignment], what: String): Seq[(String, Column)] =
+          as.map {
+            case Assignment(k: AttributeReference, v) => k.name -> sideCol(v)
+            case a => sys.error(s"graft MERGE supports top-level column " +
+              s"$what only, got ${a.key.sql}")
+          }
+        val matched = m.matchedActions.map {
+          case UpdateAction(cond, as, _) =>
+            SnapshotCatalog.MergeUpdateClause(cond.map(sideCol),
+              assigns(as, "assignments"))
+          case DeleteAction(cond) =>
+            SnapshotCatalog.MergeDeleteClause(cond.map(sideCol))
+          case other => sys.error(
+            s"graft MERGE: unsupported matched action $other")
+        }
+        val notMatched = m.notMatchedActions.map {
+          case InsertAction(cond, as) =>
+            SnapshotCatalog.MergeInsertClause(cond.map(sideCol),
+              assigns(as, "insert values"))
+          case other => sys.error(
+            s"graft MERGE: unsupported not-matched action $other")
+        }
+        GraftMergeIntoCommand(t.root, t.fullName, apply(m.sourceTable),
+          keys, matched, notMatched)
+      }
     case d @ (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable) =>
       // row-level commands keep their v2 relation until resolved
       // (DELETE plans through SupportsDelete; UPDATE/MERGE convert
@@ -523,6 +737,28 @@ case class GraftUpdateCommand(root: String, tableName: String,
   * UPDATE SET * WHEN NOT MATCHED INSERT *` as ONE
   * [[SnapshotCatalog.mergeOnRead]] commit: matched target rows
   * DV-deleted, the whole source landing as the update batch. */
+/** Generalized `MERGE INTO` (conditioned/partial UPDATE, matched
+  * DELETE, conditioned INSERT) as ONE [[SnapshotCatalog.mergeInto]]
+  * merge-on-read commit: actioned target positions DV-deleted, the
+  * update clauses' transformed copies plus the insert clauses' rows
+  * appended together; clause-order semantics; non-deterministic
+  * multi-match refuses loudly. */
+case class GraftMergeIntoCommand(root: String, tableName: String,
+                                 source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                                 keyCols: Seq[String],
+                                 matched: Seq[SnapshotCatalog.MergeMatchedClause],
+                                 notMatched: Seq[SnapshotCatalog.MergeInsertClause])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Seq(source)
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val src = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, source)
+    SnapshotCatalog.mergeInto(spark, root, src, keyCols, matched, notMatched,
+      "sqmi" + java.util.UUID.randomUUID().toString.take(12))
+    Seq.empty
+  }
+}
+
 case class GraftMergeCommand(root: String, tableName: String,
                              source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                              keyCols: Seq[String])

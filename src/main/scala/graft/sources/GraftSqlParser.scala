@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType, TimestampType}
+
+/** Parser extension (injected via `GraftExtensions`): the maintenance
+  * verbs a migrating Delta user types first — none have a Spark
+  * grammar, so a thin intercept handles exactly these three statements
+  * and delegates EVERYTHING else to Spark's parser:
+  *
+  * {{{
+  *   OPTIMIZE graft.db.t                  -- incremental compaction
+  *   VACUUM graft.db.t [RETAIN n HOURS]   -- snapshot expiry + GC
+  *   DESCRIBE HISTORY graft.db.t          -- one row per commit
+  * }}}
+  *
+  * The Scala spellings are [[SnapshotCatalog.maintainIfNeeded]] /
+  * [[SnapshotCatalog.expire]] / [[SnapshotCatalog.history]]; the SQL
+  * forms resolve the table name through the registered
+  * [[GraftCatalog]] so SQL-only users never touch a path. OPTIMIZE
+  * stays INCREMENTAL (the threshold-OPTIMIZE action with every
+  * threshold forced): DV-bearing files rewritten with deletes applied,
+  * small files bin-packed under the size-tiered doubling rule, large
+  * clean files NEVER rewritten — a user habitually running OPTIMIZE
+  * after every load pays O(new litter), not O(table). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(
+      sqlText: String, params: ParameterContext): LogicalPlan =
+    GraftSqlParser.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, params))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+  private def parse(sqlText: String, delegate: ParserInterface)
+      : Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(name) =>
+      Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name)))
+    case HistoryRe(name) =>
+      Some(GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(name)))
+    case VacuumRe(name, hours) =>
+      Some(GraftVacuumCommand(delegate.parseMultipartIdentifier(name),
+        Option(hours).map(_.toLong).getOrElse(168L)))
+    case _ => None
+  }
+
+  /** Resolve a (possibly catalog-qualified) table name to its delta-log
+    * root through the registered [[GraftCatalog]] plugins. */
+  private[sources] def rootOf(spark: SparkSession,
+                              nameParts: Seq[String]): String = {
+    val cm = spark.sessionState.catalogManager
+    val (catName, rest) =
+      if (nameParts.length >= 2 && cm.isCatalogRegistered(nameParts.head))
+        (nameParts.head, nameParts.tail)
+      else (cm.currentCatalog.name, nameParts)
+    cm.catalog(catName) match {
+      case g: GraftCatalog if rest.nonEmpty =>
+        val root = g.tableRoot(
+          Identifier.of(rest.dropRight(1).toArray, rest.last))
+        if (!SnapshotCatalog.isTable(root))
+          sys.error(s"${nameParts.mkString(".")} is not a graft table " +
+            s"(no committed manifest at $root)")
+        root
+      case _ => sys.error(
+        s"${nameParts.mkString(".")}: graft maintenance SQL (OPTIMIZE / " +
+          "VACUUM / DESCRIBE HISTORY) needs a table in a registered " +
+          "graft catalog")
+    }
+  }
+}
+
+/** `OPTIMIZE <table>` — one incremental compaction pass: every
+  * threshold forced so the pass fires whenever anything QUALIFIES
+  * (in-effect DVs, or more than one live file whose small-file tier
+  * accepts a merge), while the ACTION keeps the size-tiered O(log)
+  * write-amplification rule — large clean files survive byte-identical.
+  * Returns one row: (fired, version). */
+case class GraftOptimizeCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("fired", BooleanType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = true)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v = SnapshotCatalog.maintainIfNeeded(spark, root,
+      "sqopt" + java.util.UUID.randomUUID().toString.take(12),
+      maxDvBytes = 0L, maxDeletedFrac = 0.0, maxLiveFiles = 1)
+    Seq(org.apache.spark.sql.Row(v.isDefined, v.orNull))
+  }
+}
+
+/** `VACUUM <table> [RETAIN n HOURS]` — [[SnapshotCatalog.expire]] with
+  * the retention window (default 168 h, the Delta default): keeps the
+  * latest version plus every version younger than the window, deletes
+  * expired manifests and the data files no surviving version
+  * references. Returns (expired_versions, deleted_files). */
+case class GraftVacuumCommand(nameParts: Seq[String], retainHours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_versions", IntegerType, nullable = false)(),
+    AttributeReference("deleted_files", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val (nv, nf) = SnapshotCatalog.expire(root, keepLast = 1,
+      minAgeMs = retainHours * 3600L * 1000L)
+    Seq(org.apache.spark.sql.Row(nv, nf))
+  }
+}
+
+/** `DESCRIBE HISTORY <table>` — one row per surviving commit, newest
+  * first (the Delta ordering): version, operation kind derived from
+  * the commit's own delta, add/remove/DV file counts, commit time. */
+case class GraftDescribeHistoryCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("files_added", IntegerType, nullable = false)(),
+    AttributeReference("files_removed", IntegerType, nullable = false)(),
+    AttributeReference("dv_files_added", IntegerType, nullable = false)(),
+    AttributeReference("commit_time", TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    SnapshotCatalog.history(root).reverse.map {
+      case (v, kind, nAdd, nRem, nDv, ts) =>
+        org.apache.spark.sql.Row(v, kind, nAdd, nRem, nDv,
+          new java.sql.Timestamp(ts))
+    }
+  }
+}

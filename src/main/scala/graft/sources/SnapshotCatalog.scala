@@ -1010,8 +1010,8 @@ object SnapshotCatalog {
     * `partitionBy` is set (hive-style `col=value` layout). Everything
     * planning needs lands IN the commit — a reader never probes the
     * staged files again. */
-  private def stageBatch(df: DataFrame, root: String, batch: String,
-                         partitionBy: Seq[String], recordStats: Boolean)
+  private[sources] def stageBatch(df: DataFrame, root: String, batch: String,
+                                  partitionBy: Seq[String], recordStats: Boolean)
       : (Seq[FileEntry], Option[String], Option[String]) = {
     val path = s"$root/data/$batch"
     val w = df.write.mode("overwrite")
@@ -2028,24 +2028,7 @@ object SnapshotCatalog {
     // [[deleteWhere]]: an appended file disjoint from the envelope in
     // any key column cannot contain a row whose full key matches any
     // update. Computed lazily — only a CAS collision pays the tiny agg.
-    lazy val (keyLb, keySb) = {
-      import org.apache.spark.sql.functions.{max => smax, min => smin}
-      val aggs = keyCols.flatMap(c => Seq(smin(col(c)), smax(col(c))))
-      val r = keys.agg(aggs.head, aggs.tail: _*).head()
-      val lb = collection.mutable.Map.empty[String, (Long, Long)]
-      val sb = collection.mutable.Map
-        .empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
-      keyCols.zipWithIndex.foreach { case (c, i) =>
-        (r.get(2 * i), r.get(2 * i + 1)) match {
-          case (mn: Long, mx: Long) => lb(c) = (mn, mx)
-          case (mn: Integer, mx: Integer) => lb(c) = (mn.toLong, mx.toLong)
-          case (mn: String, mx: String) =>
-            sb(c) = (Some(mn.getBytes("UTF-8")), Some(mx.getBytes("UTF-8")))
-          case _ => () // no envelope for this key column's type
-        }
-      }
-      (lb.toMap, sb.toMap)
-    }
+    lazy val (keyLb, keySb) = keyEnvelope(keys, keyCols)
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
@@ -2070,6 +2053,198 @@ object SnapshotCatalog {
       attempt += 1
     }
     sys.error(s"mergeOnRead on $root lost 100 consecutive CAS races")
+  }
+
+  /** The per-column [min, max] envelope of a key set — the necessary
+    * condition [[entryProvablyUnmatched]] tests appended files against
+    * in the narrowed concurrent-commit abort. */
+  private def keyEnvelope(keys: DataFrame, keyCols: Seq[String])
+      : (Map[String, (Long, Long)],
+         Map[String, (Option[Array[Byte]], Option[Array[Byte]])]) = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val aggs = keyCols.flatMap(c => Seq(smin(col(c)), smax(col(c))))
+    val r = keys.agg(aggs.head, aggs.tail: _*).head()
+    val lb = collection.mutable.Map.empty[String, (Long, Long)]
+    val sb = collection.mutable.Map
+      .empty[String, (Option[Array[Byte]], Option[Array[Byte]])]
+    keyCols.zipWithIndex.foreach { case (c, i) =>
+      (r.get(2 * i), r.get(2 * i + 1)) match {
+        case (mn: Long, mx: Long) => lb(c) = (mn, mx)
+        case (mn: Integer, mx: Integer) => lb(c) = (mn.toLong, mx.toLong)
+        case (mn: String, mx: String) =>
+          sb(c) = (Some(mn.getBytes("UTF-8")), Some(mx.getBytes("UTF-8")))
+        case _ => () // no envelope for this key column's type
+      }
+    }
+    (lb.toMap, sb.toMap)
+  }
+
+  /** One WHEN clause of a generalized [[mergeInto]]. Conditions and
+    * expressions reference TARGET columns by bare name and SOURCE
+    * columns prefixed `__src_` (the join frame's naming — the SQL
+    * rewrite builds them that way from the resolved sides). */
+  sealed trait MergeMatchedClause { def condition: Option[org.apache.spark.sql.Column] }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET ...` — `set` pairs are
+    * (target column, expression over the joined row). */
+  final case class MergeUpdateClause(
+      condition: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]) extends MergeMatchedClause
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class MergeDeleteClause(
+      condition: Option[org.apache.spark.sql.Column]) extends MergeMatchedClause
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...)` —
+    * unassigned table columns insert NULL. */
+  final case class MergeInsertClause(
+      condition: Option[org.apache.spark.sql.Column],
+      values: Seq[(String, org.apache.spark.sql.Column)])
+
+  /** GENERALIZED MERGE on read — the full Delta-user matched-action
+    * matrix ([[mergeOnRead]] is the unconditioned star-upsert fast
+    * path): conditioned and partial `WHEN MATCHED ... UPDATE`,
+    * `WHEN MATCHED ... DELETE`, and conditioned `WHEN NOT MATCHED ...
+    * INSERT`, all landing as ONE atomic merge-on-read commit — every
+    * ACTIONED target row's position DV-deleted, the update clauses'
+    * transformed copies plus the insert clauses' new rows appended
+    * together. Clause-order semantics (the SQL standard / Delta rule):
+    * a matched row is acted on by the FIRST matched clause whose
+    * condition holds, or left untouched; an unmatched source row
+    * inserts per the first not-matched clause whose condition holds.
+    * A target row matching MULTIPLE source rows (among actioned rows)
+    * REFUSES loudly — the update/delete would be non-deterministic
+    * (Delta raises the same error). Update expressions evaluate
+    * against the PRE-merge row ([[updateWhere]]'s one-projection
+    * rule). Cost is O(matched + inserted rows): no target file is
+    * rewritten. Same narrowed concurrent-commit abort as
+    * [[mergeOnRead]], keyed on the source keys' envelope. Returns
+    * (version, actioned matched-row count). */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keyCols: Seq[String],
+                matched: Seq[MergeMatchedClause],
+                notMatched: Seq[MergeInsertClause],
+                batch: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.types.IntegerType
+    if (isBatchCommitted(root, batch)) return (latestVersion(root), 0L)
+    val v = latestVersion(root)
+    val base = SnapshotFileIndex
+      .snapshotDF(spark, root, Some(v), subtractDeletes = false)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val existing = dvFiles(root, v)
+    val live =
+      if (existing.isEmpty) base
+      else base.join(spark.read.parquet(existing: _*),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val tableCols = base.columns.filterNot(Set("__dv_file", "__dv_pos")).toSeq
+    val colType = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    matched.collect { case MergeUpdateClause(_, set) => set.map(_._1) }
+      .flatten.filterNot(tableCols.contains) match {
+      case Seq() => ()
+      case bad => sys.error(s"mergeInto on $root: UPDATE SET targets " +
+        s"${bad.distinct.mkString(", ")} not in the table's columns")
+    }
+    notMatched.flatMap(_.values.map(_._1)).filterNot(tableCols.contains) match {
+      case Seq() => ()
+      case bad => sys.error(s"mergeInto on $root: INSERT targets " +
+        s"${bad.distinct.mkString(", ")} not in the table's columns")
+    }
+    // the join frame: target columns bare, source columns __src_-
+    // prefixed — both sides addressable from clause expressions. The
+    // source is NOT force-broadcast ([[mergeOnRead]] broadcasts its
+    // key set, which is always small; a generalized merge's source
+    // carries full rows — AQE picks broadcast when it fits)
+    val src = source.select(source.columns.map(c =>
+      col(c).as(s"__src_$c")): _*)
+    val joinCond = keyCols.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+    // first-matching-clause index; null = matched but no clause applies
+    // (the row stays untouched)
+    def firstClause(conds: Seq[Option[org.apache.spark.sql.Column]])
+        : org.apache.spark.sql.Column =
+      conds.zipWithIndex.foldRight(lit(null).cast(IntegerType)) {
+        case ((c, i), acc) => when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+    val actioned = live.join(src, joinCond, "inner")
+      .withColumn("__mrg_action", firstClause(matched.map(_.condition)))
+      .filter(col("__mrg_action").isNotNull)
+    val dvDir = s"$root/dv/g${java.util.UUID.randomUUID().toString.take(8)}"
+    actioned.select(col("__dv_file"), col("__dv_pos"))
+      .coalesce(1).write.mode("overwrite").parquet(dvDir)
+    val sizedDv = listDataEntries(dvDir)
+    val dvBack = spark.read.parquet(sizedDv.map(_._1): _*)
+    val nActioned = dvBack.count()
+    // non-deterministic multi-match refuses BEFORE anything commits: a
+    // target row pairing with several source rows would be updated (or
+    // deleted) per an arbitrary one of them
+    if (dvBack.groupBy("__dv_file", "__dv_pos").count()
+          .filter(col("count") > 1L).limit(1).count() > 0L) {
+      fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
+      throw new IllegalStateException(
+        s"mergeInto on $root: a target row matches multiple source rows " +
+          "under the ON condition — the matched action would be " +
+          "non-deterministic; de-duplicate the source on the merge keys")
+    }
+    val dvAdds = sizedDv.map { case (f, sz) =>
+      FileEntry(f, sz, if (sizedDv.size == 1) nActioned else -1L) }
+    val touched =
+      if (nActioned == 0L) Set.empty[String]
+      else dvBack.select("__dv_file").distinct()
+        .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    if (nActioned == 0L) fsFor(new Path(dvDir)).delete(new Path(dvDir), true)
+    // the appended batch: each update clause's transformed copies (all
+    // columns built against the ORIGINAL row in one projection) plus
+    // each insert clause's new rows (unassigned columns NULL)
+    val updateFrames = matched.zipWithIndex.collect {
+      case (MergeUpdateClause(_, set), i) if nActioned > 0L =>
+        val setMap = set.toMap
+        actioned.filter(col("__mrg_action") === i)
+          .select(tableCols.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
+    }
+    val insertFrames =
+      if (notMatched.isEmpty) Seq.empty
+      else {
+        val unmatched = src.join(live.select(keyCols.map(col): _*),
+            keyCols.map(k => col(s"__src_$k") === col(k)).reduce(_ && _),
+            "left_anti")
+          .withColumn("__mrg_ins", firstClause(notMatched.map(_.condition)))
+          .filter(col("__mrg_ins").isNotNull)
+        notMatched.zipWithIndex.map { case (MergeInsertClause(_, values), i) =>
+          val valMap = values.toMap
+          unmatched.filter(col("__mrg_ins") === i)
+            .select(tableCols.map(c => valMap.get(c)
+              .map(_.cast(colType(c)).as(c))
+              .getOrElse(lit(null).cast(colType(c)).as(c))): _*)
+        }
+      }
+    val appended = (updateFrames ++ insertFrames).reduceOption(_ unionByName _)
+    if (nActioned == 0L && appended.isEmpty) return (v, 0L)
+    val spec = partitionSpecAt(root, v).map(_.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val (newEntries, schemaJson, partJson) = appended match {
+      case Some(df) => stageBatch(df, root, batch, spec, recordStats = true)
+      case None => (Seq.empty[FileEntry], schemaAt(root, v).map(_.json),
+        partitionSpecAt(root, v).map(_.json))
+    }
+    lazy val (keyLb, keySb) = keyEnvelope(
+      source.select(keyCols.map(col): _*).distinct(), keyCols)
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      abortOnIntervening("mergeInto", root, v, pv,
+        provablyUnmatched = entryProvablyUnmatched(_, keyLb, keySb))
+      val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
+      if (!touched.subsetOf(cur))
+        throw new java.util.ConcurrentModificationException(
+          s"mergeInto on $root: a concurrent replace/compaction rewrote " +
+            "files the merge's matched positions reference — retry against " +
+            "the new snapshot")
+      if (tryCommitEntries(root, pv + 1,
+            adds = newEntries.distinct.sortBy(_.path), removes = Seq.empty,
+            dvAdds = if (nActioned == 0L) Seq.empty else dvAdds,
+            schemaJson = schemaJson, partJson = partJson))
+        return (pv + 1, nActioned)
+      attempt += 1
+    }
+    sys.error(s"mergeInto on $root lost 100 consecutive CAS races")
   }
 
   /** Row-level UPDATE on read (the DV twin of [[mergeOnRead]]): live

@@ -1516,7 +1516,8 @@ object SourceQueries extends QueryPack {
         // byte-reused, and the change feed derives it as retractions +
         // inserts), and the canonical upsert MERGE (ON key equality,
         // UPDATE SET *, INSERT *) routes to the same mergeOnRead the
-        // Scala API uses; a non-upsert MERGE shape refuses loudly.
+        // Scala API uses; a WHEN NOT MATCHED BY SOURCE clause refuses
+        // loudly (src28 covers the conditioned matched-action matrix).
         import graft.sources.{GraftCatalog, SnapshotCatalog}
         val wh = src25Warehouse
         spark.conf.set("spark.sql.catalog.graft_src25",
@@ -1552,12 +1553,15 @@ object SourceQueries extends QueryPack {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         val mrgAudit = SnapshotCatalog.history(root).last._2 == "merge"
-        // a partial MERGE shape refuses loudly (no silent wrong merge)
+        // a NOT-MATCHED-BY-SOURCE clause refuses loudly (it acts on the
+        // whole table's unmatched side — an O(table) rewrite this
+        // engine expresses as updateWhere/deleteWhere instead)
         val refused =
           try { spark.sql(
             s"""MERGE INTO graft_src25.db.$tbl t USING src27_src s
                |ON t.event_id = s.event_id
-               |WHEN MATCHED AND s.value > 5 THEN DELETE""".stripMargin)
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
             false }
           catch { case _: Exception => true }
         spark.sql(
@@ -1565,7 +1569,7 @@ object SourceQueries extends QueryPack {
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  $updAudit AS update_one_commit_no_rewrite,
              |  $mrgAudit AS merge_landed_as_merge_commit,
-             |  $refused AS partial_merge_refused
+             |  $refused AS unsupported_merge_refused
              |FROM graft_src25.db.$tbl
              |GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
@@ -1588,7 +1592,183 @@ object SourceQueries extends QueryPack {
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              |  TRUE AS update_one_commit_no_rewrite,
              |  TRUE AS merge_landed_as_merge_commit,
-             |  TRUE AS partial_merge_refused
+             |  TRUE AS unsupported_merge_refused
              |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: SQL UPDATE (one merge-on-read commit, CDC-derivable) + upsert MERGE INTO routed to mergeOnRead; partial shapes refuse"))
+      "S-catalog: SQL UPDATE (one merge-on-read commit, CDC-derivable) + upsert MERGE INTO routed to mergeOnRead; NOT MATCHED BY SOURCE refuses"),
+
+    GraftQuery(
+      "src28_sql_merge_matrix",
+      (spark, dir) => {
+        // THE FULL MERGE MATCHED-ACTION MATRIX — the Delta-user shapes
+        // past the star upsert: `WHEN MATCHED AND cond THEN DELETE`,
+        // conditioned PARTIAL `UPDATE SET` (RHS mixing both sides,
+        // evaluated against the PRE-merge row), and conditioned
+        // `INSERT (cols) VALUES (...)` — all landing as ONE
+        // merge-on-read commit ([[SnapshotCatalog.mergeInto]]): every
+        // actioned target position DV-deleted, the update copies and
+        // insert rows appended together, untouched files byte-reused
+        // (audited by manifest identity — at 100 TB the commit costs
+        // O(matched + inserted rows), never a rewrite). Clause-order
+        // semantics: a matched row takes the FIRST clause whose
+        // condition holds. A source with duplicate merge keys REFUSES
+        // loudly (non-deterministic matched action) and commits
+        // nothing.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "mrgx_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), root, "b0")
+        val v1 = SnapshotCatalog.latestVersion(root)
+        val filesBefore = SnapshotCatalog.manifestFiles(root, v1)
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val spark2 = spark
+        import spark2.implicits._
+        // source: takedowns (%37), restatements (%40), 5 new rows to
+        // insert (op='new') and 3 the insert condition must skip
+        spark.sql(
+          s"""SELECT event_id, value + 100 AS nv,
+             |  CASE WHEN event_id % 37 = 0 THEN 'del' ELSE 'upd' END AS op
+             |FROM graft_src25.db.$tbl
+             |WHERE event_id % 37 = 0 OR event_id % 40 = 0""".stripMargin)
+          .unionByName(
+            ((1L to 5L).map(i => (maxId + i, 5.0, "new")) ++
+              (6L to 8L).map(i => (maxId + i, 5.0, "skip")))
+              .toDF("event_id", "nv", "op"))
+          .createOrReplaceTempView("src28_src")
+        spark.sql(
+          s"""MERGE INTO graft_src25.db.$tbl t USING src28_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED AND s.op = 'del' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET value = s.nv
+             |WHEN NOT MATCHED AND s.op = 'new'
+             |  THEN INSERT (event_id, event_type, value) VALUES (s.event_id, 'merged', s.nv)""".stripMargin)
+        val v2 = SnapshotCatalog.latestVersion(root)
+        val oneCommitNoRewrite = v2 == v1 + 1 &&
+          SnapshotCatalog.history(root).last._2 == "merge" &&
+          filesBefore.forall(SnapshotCatalog.manifestFiles(root, v2).contains)
+        // duplicate merge keys → non-deterministic matched action:
+        // refuse loudly, commit nothing
+        Seq((40L, 1.0), (40L, 2.0)).toDF("event_id", "nv")
+          .createOrReplaceTempView("src28_dup")
+        val dupRefused =
+          try { spark.sql(
+            s"""MERGE INTO graft_src25.db.$tbl t USING src28_dup s
+               |ON t.event_id = s.event_id
+               |WHEN MATCHED THEN UPDATE SET value = s.nv""".stripMargin)
+            false }
+          catch { case _: Exception =>
+            SnapshotCatalog.latestVersion(root) == v2 }
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $oneCommitNoRewrite AS one_merge_commit_no_rewrite,
+             |  $dupRefused AS multi_match_refused_nothing_committed
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH final AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 40 = 0 THEN value + 100 ELSE value END AS value
+             |  FROM events WHERE event_id % 37 <> 0
+             |  UNION ALL
+             |  SELECT (SELECT max(event_id) FROM events) + i, 'merged', 5.0
+             |  FROM range(1, 6) t(i))
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS one_merge_commit_no_rewrite,
+             |  TRUE AS multi_match_refused_nothing_committed
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: the MERGE matched-action matrix — conditioned DELETE + partial UPDATE + conditioned INSERT as one merge-on-read commit; multi-match refuses"),
+
+    GraftQuery(
+      "src29_sql_maintenance",
+      (spark, dir) => {
+        // SQL MAINTENANCE VERBS — a migrating Delta user types
+        // `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` before anything
+        // else; the [[GraftSqlParser]] extension gives them a grammar
+        // (no Spark statement exists) resolving through the registered
+        // catalog. The audits pin the 100 TB contracts: DESCRIBE
+        // HISTORY is O(surviving commits) metadata; OPTIMIZE fires the
+        // INCREMENTAL pass — the clean large file survives BYTE-
+        // IDENTICAL (md5-audited: a user running OPTIMIZE after every
+        // load pays O(new litter), never O(table)), DVs apply and
+        // clear, litter bin-packs; VACUUM expires history while the
+        // live snapshot stays intact and time-travelable at its own
+        // version.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "maint_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val cut = maxId / 2
+        // one large clean batch + 5 small-file litter appends
+        SnapshotCatalog.append(ev.filter(col("event_id") <= cut).coalesce(1),
+          root, "big")
+        val w = (maxId - cut + 4) / 5
+        (0L until 5L).foreach { b =>
+          SnapshotCatalog.append(ev.filter(
+            col("event_id") > cut + b * w &&
+              col("event_id") <= (cut + (b + 1) * w)).coalesce(1),
+            root, s"lit$b")
+        }
+        // the delete's positions land only in the litter files — the
+        // big file stays CLEAN, so OPTIMIZE must not touch it
+        spark.sql(s"DELETE FROM graft_src25.db.$tbl " +
+          s"WHERE event_id > $cut AND event_type = 'click'")
+        val bigFile = SnapshotCatalog.manifestFiles(root, 1).head
+        def md5(p: String): String = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+          java.util.Base64.getEncoder.encodeToString(d.digest(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(p).toUri.getPath))))
+        }
+        val bigMd5 = md5(bigFile)
+        val hist = spark.sql(s"DESCRIBE HISTORY graft_src25.db.$tbl")
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+        val histOk = hist.length == 7 && hist.head._2 == "delete" &&
+          hist.map(_._1).toSeq == (7 to 1 by -1) &&
+          hist.tail.forall(_._2 == "append")
+        val filesBefore = SnapshotCatalog
+          .manifestFiles(root, SnapshotCatalog.latestVersion(root)).size
+        val fired = spark.sql(s"OPTIMIZE graft_src25.db.$tbl")
+          .collect().head.getBoolean(0)
+        val vOpt = SnapshotCatalog.latestVersion(root)
+        val optIncremental = fired &&
+          SnapshotCatalog.manifestFiles(root, vOpt).contains(bigFile) &&
+          md5(bigFile) == bigMd5 &&
+          SnapshotCatalog.dvFiles(root, vOpt).isEmpty &&
+          SnapshotCatalog.manifestFiles(root, vOpt).size < filesBefore
+        val vac = spark.sql(s"VACUUM graft_src25.db.$tbl RETAIN 0 HOURS")
+          .collect().head
+        val vacuumed = vac.getInt(0) > 0 &&
+          SnapshotCatalog.versions(root) == Seq(vOpt)
+        spark.sql(
+          s"""SELECT count(*) AS n_live,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS live_cents,
+             |  $histOk AS describe_history_complete,
+             |  $optIncremental AS optimize_incremental_big_file_untouched,
+             |  $vacuumed AS vacuum_expired_history_kept_live
+             |FROM graft_src25.db.$tbl""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_live,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS live_cents,
+             |  TRUE AS describe_history_complete,
+             |  TRUE AS optimize_incremental_big_file_untouched,
+             |  TRUE AS vacuum_expired_history_kept_live
+             |FROM events
+             |WHERE NOT (event_id > (SELECT max(event_id) // 2 FROM events)
+             |           AND event_type = 'click')""".stripMargin),
+      "S-catalog: SQL maintenance verbs — DESCRIBE HISTORY metadata rows, OPTIMIZE firing the incremental pass (clean large file md5-identical), VACUUM expiry with live content intact"))
 }

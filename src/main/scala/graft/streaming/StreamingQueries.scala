@@ -2591,7 +2591,139 @@ object StreamingQueries extends QueryPack {
              |  TRUE AS rewrite_failed_stream_without_double_count,
              |  TRUE AS rebaseline_equals_snapshot
              |FROM events""".stripMargin),
-      "North star/T: the catalog change feed as a readStream source — version-ranged O(delta) micro-batches, rewrite refusal as stream failure, fresh-checkpoint re-baseline"))
+      "North star/T: the catalog change feed as a readStream source — version-ranged O(delta) micro-batches, rewrite refusal as stream failure, fresh-checkpoint re-baseline"),
+
+    GraftQuery(
+      "st44_feed_cdc_readstream_ivm",
+      (spark, dir) => {
+        // ROW-LEVEL CDC THROUGH `readStream` — st41 polled
+        // [[SnapshotCatalog.changeFeedRows]] by hand; the production
+        // shape is `.format("graft-feed").option("readChangeFeed",
+        // "true")` (the Delta CDF streaming-source pattern): each
+        // micro-batch carries `_change_type`-annotated rows —
+        // retractions included — for exactly its version range, so the
+        // IVM tier consumes the catalog's own changelog with offsets,
+        // rate limiting, and replay riding the normal streaming
+        // checkpoint. The DELETE and the MERGE land WHILE the stream
+        // runs (true mid-stream retractions, not staged history), the
+        // fold is audited ≡ a full recompute, a compaction then FAILS
+        // the resumed stream (row-level deltas are not derivable from
+        // a rewrite), and the fresh-checkpoint restart re-baselines
+        // from the CDF bootstrap (initial snapshot as inserts) to the
+        // same answer. At 100 TB each batch reads O(changed rows) —
+        // an append's files, a delete's referenced positions — never
+        // the table.
+        import graft.sources.{GraftFeedSourceProvider, SnapshotCatalog}
+        import graft.operators.PipelineQueries.{ivmDelta, ivmMerge}
+        val root = Streams.dataDir("graft_st44_")
+        val spark2 = spark
+        import spark2.implicits._
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("user_id"), col("value"))
+        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+        val split = maxId / 2
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") <= split).coalesce(1), root, "b0")
+        SnapshotCatalog.append(
+          ev.filter(col("event_id") > split).coalesce(1), root, "b1")
+        var stored = Seq.empty[(Long, Long, Long)]
+          .toDF("user_id", "n", "sum_cents")
+        val lock = new Object
+        def fold(b: org.apache.spark.sql.DataFrame): Unit = lock.synchronized {
+          val log = b.select(col("user_id"),
+            Canon.cents(col("value")).as("cents"),
+            when(col("_change_type") === "insert", 1L)
+              .otherwise(-1L).as("sgn"))
+          stored = ivmMerge(stored, ivmDelta(log))
+            .withColumnRenamed("n_events", "n")
+            .withColumnRenamed("sum_value_cents", "sum_cents")
+            .localCheckpoint(true)
+        }
+        def startFeed(cp: String, startingVersion: Option[String]) = {
+          val r0 = spark.readStream
+            .format(classOf[GraftFeedSourceProvider].getName)
+            .option("root", root)
+            .option("readChangeFeed", "true")
+            .option("maxVersionsPerTrigger", "1")
+          startingVersion.fold(r0)(r0.option("startingVersion", _)).load()
+            .writeStream.option("checkpointLocation", cp)
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              fold(b) }
+            .start()
+        }
+        def recompute(v: Option[Int]): org.apache.spark.sql.DataFrame =
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root, v)
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n"),
+              sum(Canon.cents(col("value"))).as("sum_cents"))
+        val cp1 = Streams.scratchDir("graft_cp_st44_")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = startFeed(cp1, startingVersion = Some("1"))
+          try {
+            q.processAllAvailable()
+            // the retractions land WHILE the stream runs: a row-level
+            // DELETE, then a MERGE (delete + insert in one version) —
+            // a wrong refusal here would fail the whole query loudly
+            SnapshotCatalog.deleteWhere(spark, root,
+              col("event_id") % 13 === 5)
+            q.processAllAvailable()
+            SnapshotCatalog.mergeOnRead(spark, root,
+              SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+                .filter(col("event_id") % 100 === 0)
+                .withColumn("value", col("value") * 2).coalesce(1),
+              Seq("event_id"), "u0")
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+        val v4 = SnapshotCatalog.latestVersion(root)
+        val pre = recompute(Some(v4))
+        val foldEq =
+          stored.except(pre).isEmpty && pre.except(stored).isEmpty
+        // a compaction rewrites the table while the consumer is down;
+        // resuming on the SAME checkpoint must fail loudly
+        SnapshotCatalog.replace(
+          SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+            .repartition(2), root, "c0")
+        var refused = false
+        Streams.withStreamShufflePartitions(spark) {
+          val q = startFeed(cp1, startingVersion = Some("1"))
+          try { q.processAllAvailable() } catch {
+            case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+              var c: Throwable = e
+              while (c != null && !refused) {
+                refused = c.isInstanceOf[IllegalStateException]
+                c = c.getCause
+              }
+          } finally q.stop()
+        }
+        // fresh checkpoint: the CDF bootstrap serves the initial
+        // snapshot as inserts — folding from zero re-baselines
+        stored = Seq.empty[(Long, Long, Long)].toDF("user_id", "n", "sum_cents")
+        Streams.withStreamShufflePartitions(spark) {
+          val q = startFeed(Streams.scratchDir("graft_cp_st44b_"), None)
+          try { q.processAllAvailable() } finally q.stop()
+        }
+        val post = recompute(None)
+        val rebaseEq =
+          stored.except(post).isEmpty && post.except(stored).isEmpty
+        stored.select(col("user_id"), col("n").as("n_events"),
+            col("sum_cents").as("sum_value_cents"),
+            lit(foldEq).as("cdc_fold_equals_recompute"),
+            lit(refused && rebaseEq).as("replace_refused_then_rebaselined"))
+          .orderBy("user_id")
+      },
+      Some("""WITH live AS (
+             |  SELECT user_id,
+             |    CASE WHEN event_id % 100 = 0
+             |         THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT)
+             |         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+             |  FROM events WHERE event_id % 13 <> 5)
+             |SELECT user_id, count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS cdc_fold_equals_recompute,
+             |  TRUE AS replace_refused_then_rebaselined
+             |FROM live GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "North star/T: the row-level change feed as a readStream source — readChangeFeed CDF batches with retractions, IVM fold ≡ recompute, rewrite refusal + CDF-bootstrap re-baseline"))
 
   /** Fold the LWW store to one row per key and commit the compacted
     * generation as a new catalog snapshot. The fold is the shared

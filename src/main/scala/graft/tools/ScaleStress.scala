@@ -59,7 +59,8 @@ object ScaleStress {
     "src18_merge_on_read", "src20_lakehouse_lifecycle",
     "src21_table_history", "src22_planned_skipping",
     "src23_partitioned_catalog", "src24_partition_overwrite",
-    "src25_sql_catalog", "src26_sql_dml", "src27_sql_update_merge")
+    "src25_sql_catalog", "src26_sql_dml", "src27_sql_update_merge",
+    "src28_sql_merge_matrix", "src29_sql_maintenance")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -80,7 +81,7 @@ object ScaleStress {
         "st37_session_timers", "st38_catalog_change_feed",
         "st39_feed_compaction_fallback", "st40_stream_with_maintenance",
         "st41_catalog_cdc_ivm", "st42_stream_partitioned_ingest",
-        "st43_catalog_feed_source")
+        "st43_catalog_feed_source", "st44_feed_cdc_readstream_ivm")
 
   /** Pseudo-name selecting the profile-tier section (round-11 verdict
     * item 3) in SPARK_GRAFT_STRESS_ONLY. */

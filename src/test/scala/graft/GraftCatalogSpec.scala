@@ -161,7 +161,7 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(SnapshotCatalog.latestVersion(root) == v2)
   }
 
-  test("SQL MERGE INTO (upsert shape) routes to mergeOnRead; non-upsert shapes refuse loudly") {
+  test("SQL MERGE INTO (upsert shape) routes to the mergeOnRead fast path") {
     val wh = warehouse
     val spark2 = spark
     import spark2.implicits._
@@ -181,13 +181,61 @@ class GraftCatalogSpec extends SparkTestBase {
       (i, if (i == 5L) 999L else i * 10L)) :+ (11L, 111L)),
       s"merge result wrong: $got")
     assert(got.map(_._1).distinct.length == got.length, "merge duplicated a key")
-    // a non-upsert shape (conditional matched action) refuses loudly
+  }
+
+  test("MERGE matched-action breadth: conditioned partial UPDATE + matched DELETE + conditioned INSERT in one commit; multi-match refuses") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/mrg2"
+    SnapshotCatalog.append(
+      (1L to 10L).map(i => (i, i * 10L, s"s$i")).toDF("id", "v", "s")
+        .coalesce(1), root, "b0")
+    val vBefore = SnapshotCatalog.latestVersion(root)
+    val filesBefore = SnapshotCatalog.manifestFiles(root, vBefore)
+    Seq((2L, 999L), (3L, 5L), (5L, 777L), (11L, 111L), (12L, 3L))
+      .toDF("id", "nv").createOrReplaceTempView("mrg2_src")
+    // clause-order semantics: id=2,5 → conditioned UPDATE (nv > 100,
+    // partial SET touching v only, RHS mixing both sides); id=3 →
+    // matched DELETE; id=11 → conditioned INSERT (nv > 100); id=12 →
+    // matched by no clause on the not-matched side (nv <= 100) → dropped
+    spark.sql(
+      """MERGE INTO graft.db.mrg2 t USING mrg2_src s ON t.id = s.id
+        |WHEN MATCHED AND s.nv > 100 THEN UPDATE SET v = s.nv + t.v
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.nv > 100 THEN INSERT (id, v) VALUES (s.id, s.nv)""".stripMargin)
+    // ONE commit, merge-shaped, no data file rewritten
+    assert(SnapshotCatalog.latestVersion(root) == vBefore + 1)
+    assert(SnapshotCatalog.history(root).last._2 == "merge")
+    assert(filesBefore.forall(
+      SnapshotCatalog.manifestFiles(root, vBefore + 1).contains),
+      "generalized MERGE rewrote an untouched data file")
+    val got = spark.sql("SELECT id, v, s FROM graft.db.mrg2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq
+    val expected = (1L to 10L).flatMap {
+      case 3L => None                                   // matched DELETE
+      case 2L => Some((2L, 999L + 20L, Some("s2")))     // conditioned UPDATE
+      case 5L => Some((5L, 777L + 50L, Some("s5")))
+      case i => Some((i, i * 10L, Some(s"s$i")))
+    } :+ ((11L, 111L, None))                            // INSERT, s NULL
+    assert(got == expected, s"generalized MERGE drifted:\n got $got\n exp $expected")
+    // a source with duplicate keys makes the matched action
+    // non-deterministic: refuse loudly, nothing commits
+    Seq((7L, 1000L), (7L, 2000L)).toDF("id", "nv")
+      .createOrReplaceTempView("mrg2_dup")
     val e = intercept[Exception] {
       spark.sql(
-        """MERGE INTO graft.db.mrg1 t USING mrg1_src s ON t.id = s.id
-          |WHEN MATCHED AND s.v > 500 THEN DELETE""".stripMargin)
+        """MERGE INTO graft.db.mrg2 t USING mrg2_dup s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
     }
-    assert(e.getMessage.toLowerCase.contains("upsert"), e.getMessage)
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("multiple source rows"))),
+      s"multi-match did not refuse: $e")
+    assert(SnapshotCatalog.latestVersion(root) == vBefore + 1,
+      "the refused MERGE committed something")
   }
 
   test("ALTER TABLE ADD COLUMNS: one metadata-only commit; old rows null-fill; drops/re-types refuse") {
@@ -272,6 +320,107 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.contains("pinned"), e.getMessage)
     assert(SnapshotCatalog.readSnapshot(spark, root).count() == 6L,
       "the guarded TRUNCATE mutated the table")
+  }
+
+  test("SQL maintenance verbs: DESCRIBE HISTORY rows, OPTIMIZE fires incrementally (clean large file untouched), VACUUM expires") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/maintsql"
+    // one large-ish clean batch + small litter + a DV-landing delete
+    SnapshotCatalog.append(
+      (1L to 400L).map(i => (i, i * 2L)).toDF("id", "v").coalesce(1), root, "big")
+    (0 until 5).foreach { b =>
+      SnapshotCatalog.append(
+        (401L + b * 10L to 410L + b * 10L).map(i => (i, i * 2L)).toDF("id", "v")
+          .coalesce(1), root, s"small$b")
+    }
+    SnapshotCatalog.deleteWhere(spark, root, col("id") > 440L)
+    val bigFile = SnapshotCatalog.manifestFiles(root, 1).head
+    def md5(p: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(d.digest(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(p).toUri.getPath))))
+    }
+    val bigMd5 = md5(bigFile)
+    // DESCRIBE HISTORY: one row per commit, newest first
+    val hist = spark.sql("DESCRIBE HISTORY graft.db.maintsql").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(hist.head._2 == "delete" && hist.length == 7 &&
+      hist.last == ((1, "append")), s"history drifted: ${hist.toSeq}")
+    // OPTIMIZE: fires (DVs + litter), INCREMENTAL — the clean large
+    // file survives byte-identical, DVs clear, litter bin-packs
+    val opt = spark.sql("OPTIMIZE graft.db.maintsql").collect().head
+    assert(opt.getBoolean(0), "OPTIMIZE did not fire")
+    val vNow = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.manifestFiles(root, vNow).contains(bigFile) &&
+      md5(bigFile) == bigMd5, "OPTIMIZE rewrote the clean large file")
+    assert(SnapshotCatalog.dvFiles(root, vNow).isEmpty,
+      "OPTIMIZE left deletion vectors in effect")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.maintsql")
+      .head().getLong(0) == 440L, "OPTIMIZE changed content")
+    // VACUUM RETAIN 0 HOURS: everything but the latest version expires
+    val vac = spark.sql("VACUUM graft.db.maintsql RETAIN 0 HOURS")
+      .collect().head
+    assert(vac.getInt(0) > 0, "VACUUM expired nothing")
+    assert(SnapshotCatalog.versions(root) == Seq(vNow),
+      s"VACUUM left versions: ${SnapshotCatalog.versions(root)}")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.maintsql")
+      .head().getLong(0) == 440L, "VACUUM damaged live content")
+    // a non-graft name refuses; ordinary SQL still parses (delegation)
+    val e = intercept[Exception] { spark.sql("OPTIMIZE not_a_graft_table") }
+    assert(e.getMessage.contains("graft"), e.getMessage)
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
+  test("atomic CTAS: one version-1 commit; a failed CTAS leaves NO table; RTAS is one replace commit keeping history") {
+    val wh = warehouse
+    // CTAS through the staging catalog: schema + spec + data land as
+    // ONE commit — no create-then-write window with an empty half-table
+    spark.sql("CREATE TABLE graft.db.ctas1 AS " +
+      "SELECT id, id * 2 AS v FROM range(10)")
+    val root = s"$wh/db/ctas1"
+    assert(SnapshotCatalog.versions(root) == Seq(1),
+      s"CTAS was not one commit: ${SnapshotCatalog.versions(root)}")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.db.ctas1")
+      .head().getLong(0) == (0L until 10L).map(_ * 2).sum)
+    // a CTAS whose query FAILS mid-write leaves no table behind
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.ctas_fail AS " +
+        "SELECT raise_error('boom') AS x FROM range(10)")
+    }
+    assert(!SnapshotCatalog.isTable(s"$wh/db/ctas_fail"),
+      "a failed CTAS left a committed half-table")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.db.ctas_fail").collect()
+    }
+    // partitioned CTAS records the spec in the same single commit
+    spark.sql("CREATE TABLE graft.db.ctas2 PARTITIONED BY (p) AS " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p FROM range(8)")
+    assert(SnapshotCatalog.partitionSpecAt(s"$wh/db/ctas2", 1)
+      .exists(_.fieldNames.sameElements(Array("p"))),
+      "partitioned CTAS lost the spec")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.ctas2 WHERE p = 'a'")
+      .head().getLong(0) == 4L)
+    // RTAS: ONE replace-shaped commit on the SAME log — prior versions
+    // still time-travel (the non-staging fallback drops the table and
+    // its history)
+    spark.sql("REPLACE TABLE graft.db.ctas1 AS " +
+      "SELECT id AS nid FROM range(3)")
+    assert(SnapshotCatalog.versions(root) == Seq(1, 2) &&
+      SnapshotCatalog.history(root).last._2 == "replace",
+      "RTAS was not one replace commit on the existing log")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.ctas1")
+      .head().getLong(0) == 3L)
+    assert(spark.sql(
+      "SELECT sum(v) AS s FROM graft.db.ctas1 VERSION AS OF 1")
+      .head().getLong(0) == (0L until 10L).map(_ * 2).sum,
+      "RTAS destroyed time travel to the pre-replace content")
+    // CREATE OR REPLACE on a missing table creates
+    spark.sql("CREATE OR REPLACE TABLE graft.db.ctas3 AS SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM graft.db.ctas3").head().getInt(0) == 1)
   }
 
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
