@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringTyp
   * and delegates EVERYTHING else to Spark's parser:
   *
   * {{{
-  *   OPTIMIZE graft.db.t                  -- incremental compaction
-  *   VACUUM graft.db.t [RETAIN n HOURS]   -- snapshot expiry + GC
-  *   DESCRIBE HISTORY graft.db.t          -- one row per commit
+  *   OPTIMIZE graft.db.t [ZORDER BY (a, b)]  -- incremental compaction
+  *   VACUUM graft.db.t [RETAIN n HOURS]      -- snapshot expiry + GC
+  *   DESCRIBE HISTORY graft.db.t             -- one row per commit
+  *   RESTORE TABLE graft.db.t TO VERSION AS OF 3
   * }}}
   *
   * The Scala spellings are [[SnapshotCatalog.maintainIfNeeded]] /
@@ -61,16 +62,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   private def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(name) =>
-      Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name)))
+    case RestoreRe(name, v) =>
+      Some(GraftRestoreCommand(delegate.parseMultipartIdentifier(name), v.toInt))
+    case OptimizeRe(name, zorder) =>
+      Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name),
+        Option(zorder).map(_.split(",").toSeq.map(c =>
+          delegate.parseMultipartIdentifier(c.trim).last)).getOrElse(Seq.empty)))
     case HistoryRe(name) =>
       Some(GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(name)))
     case VacuumRe(name, hours) =>
@@ -104,13 +111,16 @@ object GraftSqlParser {
   }
 }
 
-/** `OPTIMIZE <table>` — one incremental compaction pass: every
-  * threshold forced so the pass fires whenever anything QUALIFIES
-  * (in-effect DVs, or more than one live file whose small-file tier
-  * accepts a merge), while the ACTION keeps the size-tiered O(log)
-  * write-amplification rule — large clean files survive byte-identical.
-  * Returns one row: (fired, version). */
-case class GraftOptimizeCommand(nameParts: Seq[String])
+/** `OPTIMIZE <table> [ZORDER BY (cols)]` — one incremental compaction
+  * pass: every threshold forced so the pass fires whenever anything
+  * QUALIFIES (in-effect DVs, or more than one live file whose
+  * small-file tier accepts a merge), while the ACTION keeps the
+  * size-tiered O(log) write-amplification rule — large clean files
+  * survive byte-identical. `ZORDER BY` makes the selected rewrite a
+  * clustering one (range-partition + sort → tight per-file stats for
+  * the planning-time index). Returns one row: (fired, version). */
+case class GraftOptimizeCommand(nameParts: Seq[String],
+                                zorderBy: Seq[String] = Seq.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("fired", BooleanType, nullable = false)(),
@@ -119,8 +129,25 @@ case class GraftOptimizeCommand(nameParts: Seq[String])
     val root = GraftSqlParser.rootOf(spark, nameParts)
     val v = SnapshotCatalog.maintainIfNeeded(spark, root,
       "sqopt" + java.util.UUID.randomUUID().toString.take(12),
-      maxDvBytes = 0L, maxDeletedFrac = 0.0, maxLiveFiles = 1)
+      maxDvBytes = 0L, maxDeletedFrac = 0.0, maxLiveFiles = 1,
+      clusterBy = zorderBy)
     Seq(org.apache.spark.sql.Row(v.isDefined, v.orNull))
+  }
+}
+
+/** `RESTORE TABLE <table> TO VERSION AS OF <n>` — one metadata-only
+  * commit re-referencing version n's files, DVs, schema, and spec
+  * ([[SnapshotCatalog.restore]]); the undone versions still
+  * time-travel. Returns (restored_to, new_version). */
+case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val nv = SnapshotCatalog.restore(root, toVersion)
+    Seq(org.apache.spark.sql.Row(toVersion, nv))
   }
 }
 

@@ -1218,6 +1218,42 @@ object SnapshotCatalog {
     sys.error(s"replacePartitions on $root lost 100 consecutive CAS races")
   }
 
+  /** RESTORE the table to an earlier surviving version (the Delta
+    * `RESTORE TABLE ... TO VERSION AS OF` verb): ONE metadata-only
+    * commit whose delta makes the LIVE content identical to version
+    * `toVersion`'s — its data files re-referenced (they still exist:
+    * expiry only GCs files no surviving version references), its
+    * deletion vectors re-landed after a reset, its schema and
+    * partition spec re-declared. History is preserved — the restore is
+    * a NEW version (the botched versions in between still time-travel,
+    * exactly Delta's semantics), and the change feed refuses across it
+    * like any rewrite (removes + DV reset). O(live files) manifest
+    * lines, zero data IO. Returns the restoring commit's version. */
+  def restore(root: String, toVersion: Int): Int = {
+    if (!versions(root).contains(toVersion))
+      sys.error(s"restore on $root: version $toVersion is not a " +
+        s"surviving version (surviving: ${versions(root).mkString(", ")})")
+    val target = manifestEntries(root, toVersion)
+    val targetPaths = target.map(_.path).toSet
+    val targetDvs = dvEntries(root, toVersion)
+    val schemaJson = schemaAt(root, toVersion).map(_.json)
+    val partJson = partitionSpecAt(root, toVersion).map(_.json)
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      if (pv == toVersion) return pv
+      val cur = manifestFiles(root, pv)
+      if (tryCommitEntries(root, pv + 1,
+            adds = target.filterNot(e => cur.contains(e.path)),
+            removes = cur.filterNot(targetPaths).sorted,
+            dvAdds = targetDvs, dvReset = true,
+            schemaJson = schemaJson, partJson = partJson))
+        return pv + 1
+      attempt += 1
+    }
+    sys.error(s"restore on $root lost 100 consecutive CAS races")
+  }
+
   /** Snapshot expiry / GC — the maintenance job every table format
     * ships separately. Keeps the newest `keepLast` versions AND every
     * version younger than `minAgeMs` (the vacuum-retention window: an

@@ -374,6 +374,51 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("RESTORE TABLE TO VERSION AS OF: one metadata-only commit, DVs re-landed, undone versions still time-travel; OPTIMIZE ZORDER clusters") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/restoresql"
+    SnapshotCatalog.append(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(1), root, "b0")
+    SnapshotCatalog.deleteWhere(spark, root, col("id") > 15L)   // v2: DVs
+    val vTarget = SnapshotCatalog.latestVersion(root)           // 2
+    SnapshotCatalog.append((21L to 30L).toDF("id")
+      .withColumn("v", col("id") * 10L).coalesce(1), root, "bad")
+    spark.sql("UPDATE graft.db.restoresql SET v = 0 WHERE id <= 5")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.restoresql")
+      .head().getLong(0) == 25L)
+    val r = spark.sql(
+      s"RESTORE TABLE graft.db.restoresql TO VERSION AS OF $vTarget")
+      .collect().head
+    assert(r.getInt(0) == vTarget && r.getInt(1) == vTarget + 3)
+    // live content == version 2's (the DV-delete applied, the botched
+    // append and update gone), with DVs re-landed
+    val got = spark.sql("SELECT id, v FROM graft.db.restoresql ORDER BY id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == (1L to 15L).map(i => (i, i * 10L)),
+      s"restore drifted: $got")
+    // the undone versions still time-travel (history preserved)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.db.restoresql VERSION AS OF ${vTarget + 1}")
+      .head().getLong(0) == 25L,
+      "restore destroyed the in-between versions")
+    // restoring to a non-surviving version refuses
+    val e = intercept[Exception] {
+      spark.sql("RESTORE TABLE graft.db.restoresql TO VERSION AS OF 99")
+    }
+    assert(e.getMessage.contains("surviving"), e.getMessage)
+    // OPTIMIZE ZORDER BY: the fired rewrite is a clustering one — the
+    // restored DV-bearing file compacts sorted, stats come out tight
+    val opt = spark.sql(
+      "OPTIMIZE graft.db.restoresql ZORDER BY (id)").collect().head
+    assert(opt.getBoolean(0), "OPTIMIZE ZORDER did not fire")
+    assert(SnapshotCatalog.dvFiles(root,
+      SnapshotCatalog.latestVersion(root)).isEmpty)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.restoresql")
+      .head().getLong(0) == 15L)
+  }
+
   test("atomic CTAS: one version-1 commit; a failed CTAS leaves NO table; RTAS is one replace commit keeping history") {
     val wh = warehouse
     // CTAS through the staging catalog: schema + spec + data land as

@@ -177,6 +177,9 @@ class GraftFeedSourceSpec extends SparkTestBase {
       val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
       val q = spark.readStream
         .format(classOf[GraftFeedSourceProvider].getName)
+        // rate-limited: the bootstrap must still land at latest in one
+        // batch (the cap applies only to later incremental ranges)
+        .option("maxVersionsPerTrigger", "1")
         .option("root", root).load()
         .writeStream
         .option("checkpointLocation", cp)
