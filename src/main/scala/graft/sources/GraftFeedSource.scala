@@ -40,8 +40,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * With `.option("readChangeFeed", "true")` the source serves the
   * ROW-LEVEL change feed (the Delta CDF streaming shape) instead of
-  * added rows: each batch carries `_change_type` (`insert`/`delete`)
-  * and `_commit_version` columns — an append's added rows as inserts,
+  * added rows: each batch carries `_change_type` (`insert`/`delete`),
+  * `_commit_version`, and `_commit_timestamp` columns — an append's
+  * added rows as inserts,
   * a DV-delete's superseded rows as deletes, a merge's both — so a
   * downstream IVM fold consumes retractions without polling
   * [[SnapshotCatalog.changeFeedRows]] by hand. The bootstrap is the
@@ -123,10 +124,13 @@ class GraftFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
 }
 
 object GraftFeedSource {
-  /** The CDF annotation columns (`readChangeFeed` mode). */
+  /** The CDF annotation columns (`readChangeFeed` mode) — the Delta CDF
+    * triple: change type, commit version, commit wall-clock. */
   val cdcFields: Array[StructField] = Array(
     StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false))
+    StructField("_commit_version", LongType, nullable = false),
+    StructField("_commit_timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false))
 }
 
 class GraftFeedSource(spark: SparkSession, root: String,
@@ -338,6 +342,8 @@ class GraftFeedSource(spark: SparkSession, root: String,
               SnapshotCatalog.dvFiles(root, to.toInt))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(to))
+            .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(
+              SnapshotCatalog.commitTimeMs(root, to.toInt))))
             .select(ordered: _*))
       case Some(f) =>
         val frames = SnapshotCatalog.changeCommits(root, f.toInt, to.toInt)
@@ -370,8 +376,11 @@ class GraftFeedSource(spark: SparkSession, root: String,
                   .drop("__dv_file", "__dv_pos")
                   .withColumn("_change_type", lit("delete")))
               }
+            val ts = new java.sql.Timestamp(
+              SnapshotCatalog.commitTimeMs(root, v))
             (inserts.toSeq ++ deletes.toSeq)
               .map(_.withColumn("_commit_version", lit(v.toLong))
+                .withColumn("_commit_timestamp", lit(ts))
                 .select(ordered: _*))
           }
         if (frames.isEmpty) None else Some(frames.reduce(_ unionByName _))

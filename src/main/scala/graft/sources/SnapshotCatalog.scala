@@ -1820,6 +1820,14 @@ object SnapshotCatalog {
       fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
     }.lastOption
 
+  /** Version `v`'s commit wall-clock (ms) — commit files are immutable
+    * after publish, so the modification time IS the commit time (the
+    * same source `versionAsOf`/`history` read). */
+  def commitTimeMs(root: String, v: Int): Long = {
+    val p = commitPath(root, v)
+    fsFor(p).getFileStatus(p).getModificationTime
+  }
+
   /** One history row per surviving version — `DESCRIBE HISTORY`:
     * (version, kind, data files added, data files removed, DV files
     * added, commit time ms). Kind derives from the commit's own delta:

@@ -221,6 +221,53 @@ class CatalogHardeningSpec extends SparkTestBase {
     assert(served.filter(col("id") === 2000L).count() == 1L)
   }
 
+  test("mergeInto proceeds past a provably key-disjoint concurrent append; aborts on overlap") {
+    import graft.sources.SnapshotCatalog.{MergeDeleteClause, MergeInsertClause, MergeUpdateClause}
+    val root = graft.streaming.Streams.dataDir("graft_ginarrow_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append(
+      (1L to 20L).map(i => (i, i)).toDF("id", "v").coalesce(1), root, "b0")
+    val matched = Seq(
+      MergeDeleteClause(Some(col("__src_op") === "del")),
+      MergeUpdateClause(None, Seq("v" -> col("__src_nv"))))
+    val notMatched = Seq(MergeInsertClause(None,
+      Seq("id" -> col("__src_id"), "v" -> col("__src_nv"))))
+    // source keys {4, 6} → envelope [4, 6]; the racer appends id 3000 —
+    // provably disjoint from the log stats, the generalized merge
+    // proceeds without losing its CAS (the mergeOnRead narrowing rule)
+    val injector = new RaceInjector(root,
+      () => SnapshotCatalog.append(
+        Seq((3000L, 1L)).toDF("id", "v").coalesce(1), root, "race"),
+      armFor = "commit-v2.txt")
+    SnapshotCatalog.withPublisher(injector) {
+      val (_, nA) = SnapshotCatalog.mergeInto(spark, root,
+        Seq((4L, 40L, "upd"), (6L, 0L, "del")).toDF("id", "nv", "op"),
+        Seq("id"), matched, notMatched, "g0")
+      assert(nA == 2L, s"mergeInto actioned $nA")
+    }
+    val served = SnapshotCatalog.readSnapshotWithDeletes(spark, root)
+    assert(served.count() == 20L, "delete+racer accounting drifted")
+    assert(served.filter(col("id") === 4L).head().getLong(1) == 40L)
+    assert(served.filter(col("id") === 6L).count() == 0L)
+    assert(served.filter(col("id") === 3000L).count() == 1L,
+      "the disjoint append's row must survive")
+    // an OVERLAPPING concurrent append (id 5 inside the next merge's
+    // envelope) still aborts — matched positions are stale
+    val injector2 = new RaceInjector(root,
+      () => SnapshotCatalog.append(
+        Seq((5L, 1L)).toDF("id", "v").coalesce(1), root, "race2"),
+      armFor = "commit-v4.txt")
+    SnapshotCatalog.withPublisher(injector2) {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        SnapshotCatalog.mergeInto(spark, root,
+          Seq((5L, 50L, "upd")).toDF("id", "nv", "op"),
+          Seq("id"), matched, notMatched, "g1")
+      }
+      assert(e.getMessage.contains("stale"), e.getMessage)
+    }
+  }
+
   // -- DV orphan GC ------------------------------------------------------
 
   test("a zero-match merge leaves no DV batch behind; sweepOrphans GCs uncommitted DV litter past the grace window") {

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Model-based fuzz of the WHOLE snapshot-catalog seam: random
   * interleavings of append / replace / DV-delete / merge-on-read /
-  * expire are replayed against an in-memory reference model, and after
+  * generalized mergeInto / restore / expire are replayed against an
+  * in-memory reference model, and after
   * EVERY operation the catalog's resolved content — at every surviving
   * version, through the full read path (delta-log resolution +
   * checkpoints + deletion vectors) — must equal the model's snapshot
@@ -30,10 +31,10 @@ class CatalogModelSpec extends SparkTestBase {
       def df(m: Map[Long, Long]) =
         m.toSeq.sortBy(_._1).toDF("id", "v").coalesce(1)
 
-      (0 until 14).foreach { op =>
+      (0 until 16).foreach { op =>
         val kind =
           if (versions.isEmpty) 0 // first op must create the table
-          else rnd.nextInt(5)
+          else rnd.nextInt(7)
         kind match {
           case 0 => // append fresh rows
             val fresh = (0 until 1 + rnd.nextInt(4))
@@ -68,6 +69,36 @@ class CatalogModelSpec extends SparkTestBase {
             val keep = 1 + rnd.nextInt(3)
             SnapshotCatalog.expire(root, keepLast = keep)
             versions.keys.toSeq.dropRight(keep).foreach(versions.remove)
+          case 5 => // generalized mergeInto: delete-clause-first +
+            // unconditioned update + conditioned insert, one commit
+            import graft.sources.SnapshotCatalog.{MergeDeleteClause, MergeInsertClause, MergeUpdateClause}
+            val updKeys = live.keySet.filter(_ => rnd.nextBoolean())
+            val delKeys = (live.keySet -- updKeys).filter(_ => rnd.nextInt(3) == 0)
+            nextId += 1
+            val insId = nextId
+            val src = (updKeys.toSeq.map(k => (k, live(k) * 2L + 1L, "upd")) ++
+              delKeys.toSeq.map(k => (k, 0L, "del")) :+ ((insId, insId * 7L, "new")))
+              .sortBy(_._1).toDF("id", "nv", "op").coalesce(1)
+            val (v, nA) = SnapshotCatalog.mergeInto(spark, root, src, Seq("id"),
+              matched = Seq(
+                MergeDeleteClause(Some(col("__src_op") === "del")),
+                MergeUpdateClause(None, Seq("v" -> col("__src_nv")))),
+              notMatched = Seq(MergeInsertClause(
+                Some(col("__src_op") === "new"),
+                Seq("id" -> col("__src_id"), "v" -> col("__src_nv")))),
+              batch = s"gi$op")
+            assert(nA == (updKeys.size + delKeys.size).toLong,
+              s"trial $trial op $op: mergeInto actioned $nA, model says " +
+                s"${updKeys.size + delKeys.size}")
+            live = (live -- delKeys) ++
+              updKeys.map(k => k -> (live(k) * 2L + 1L)) + (insId -> insId * 7L)
+            versions(v) = live
+          case 6 => // restore to a random surviving version
+            val vs = versions.keys.toVector
+            val target = vs(rnd.nextInt(vs.size))
+            val nv = SnapshotCatalog.restore(root, target)
+            live = versions(target)
+            versions(nv) = live
         }
         // THE INVARIANT: every surviving version reads back as the
         // model snapshotted it, through the full path (log resolution,

@@ -289,6 +289,7 @@ class GraftFeedSourceSpec extends SparkTestBase {
     SnapshotCatalog.mergeOnRead(spark, root,
       Seq((5L, 999L)).toDF("id", "v").coalesce(1), Seq("id"), "m0")
     val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+    val tsOk = new java.util.concurrent.atomic.AtomicBoolean(true)
     def drainCdc(cp: String, sv: Option[String]): Unit = {
       val r0 = spark.readStream
         .format(classOf[GraftFeedSourceProvider].getName)
@@ -296,10 +297,15 @@ class GraftFeedSourceSpec extends SparkTestBase {
       val q = sv.fold(r0)(r0.option("startingVersion", _)).load()
         .writeStream.option("checkpointLocation", cp)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.collect().foreach(r => got.add((
-            r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("v")),
-            r.getString(r.fieldIndex("_change_type")),
-            r.getLong(r.fieldIndex("_commit_version")))))
+          b.collect().foreach { r =>
+            // the Delta CDF triple: every row also carries the commit's
+            // wall clock
+            if (r.isNullAt(r.fieldIndex("_commit_timestamp"))) tsOk.set(false)
+            got.add((
+              r.getLong(r.fieldIndex("id")), r.getLong(r.fieldIndex("v")),
+              r.getString(r.fieldIndex("_change_type")),
+              r.getLong(r.fieldIndex("_commit_version"))))
+          }
           ()
         }
         .start()
@@ -314,6 +320,7 @@ class GraftFeedSourceSpec extends SparkTestBase {
         (1L to 3L).map(i => (i, i * 10L, "delete", 2L)).toSet ++
         Set((5L, 50L, "delete", 3L), (5L, 999L, "insert", 3L))
     assert(rows == expected, s"CDF rows drifted:\n got $rows\n exp $expected")
+    assert(tsOk.get(), "_commit_timestamp was null on a CDF row")
     // signed fold over the feed ≡ the live snapshot
     val folded = rows.groupBy(r => (r._1, r._2)).collect {
       case ((id, v), rs)
