@@ -688,14 +688,48 @@ case class GraftCatalogResolution(spark: SparkSession)
         GraftMergeIntoCommand(t.root, t.fullName, apply(m.sourceTable),
           keys, matched, notMatched)
       }
+    case d: DeleteFromTable if d.resolved && graftTableIn(d.table).isDefined &&
+        !d.condition.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
+      // DELETE with ANY deterministic predicate — not just the
+      // pushed-filter subset SupportsDelete can express: route into
+      // the same deletion-vector tier through deleteWhere (one
+      // O(matched rows) commit, no data file rewritten). Subquery
+      // predicates stay on the refusing path below — the command
+      // re-evaluates its condition over its own fresh snapshot read,
+      // where a correlated subquery's bindings are not defined.
+      val t = graftTableIn(d.table).get
+      if (t.pinnedVersion.isDefined)
+        sys.error(s"cannot DELETE from ${t.fullName} at a pinned version")
+      if (!d.condition.deterministic)
+        sys.error(s"graft DELETE needs a deterministic predicate, " +
+          s"got ${d.condition.sql}")
+      GraftDeleteCommand(t.root, t.fullName, byNameColumn(d.condition))
     case d @ (_: DeleteFromTable | _: UpdateTable | _: MergeIntoTable) =>
       // row-level commands keep their v2 relation until resolved
-      // (DELETE plans through SupportsDelete; UPDATE/MERGE convert
-      // above once their assignments resolve) — only condition
-      // subqueries get the read rewrite here
+      // (subquery DELETEs plan through SupportsDelete and refuse at
+      // analysis; UPDATE/MERGE convert above once their assignments
+      // resolve) — only condition subqueries get the read rewrite here
       d.transformExpressionsUp {
         case se: SubqueryExpression => se.withNewPlan(apply(se.plan))
       }
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+        if s.table.isInstanceOf[GraftTable] =>
+      // `spark.readStream.table("graft.db.t")` — rewrite the v2
+      // streaming relation into the V1 graft-feed source (the Delta
+      // pattern: DeltaAnalysis swaps in its own source), carrying the
+      // reader's options through (maxVersionsPerTrigger,
+      // startingVersion, readChangeFeed — the CDF columns then come
+      // from the SOURCE's schema, which is why the node is replaced
+      // outright: downstream references resolve against the new
+      // output in the same fixed point)
+      val t = s.table.asInstanceOf[GraftTable]
+      if (t.pinnedVersion.isDefined)
+        sys.error(s"cannot stream ${t.fullName} at a pinned version — " +
+          "streaming reads serve the LIVE table (use startingVersion)")
+      import scala.jdk.CollectionConverters._
+      Bridge.streamingRelation(spark,
+        classOf[GraftFeedSourceProvider].getName,
+        s.extraOptions.asScala.toMap + ("root" -> t.root))
     case rel: DataSourceV2Relation if rel.table.isInstanceOf[GraftTable] =>
       val t = rel.table.asInstanceOf[GraftTable]
       val v1 = SnapshotFileIndex
@@ -737,6 +771,20 @@ case class GraftUpdateCommand(root: String, tableName: String,
   * UPDATE SET * WHEN NOT MATCHED INSERT *` as ONE
   * [[SnapshotCatalog.mergeOnRead]] commit: matched target rows
   * DV-deleted, the whole source landing as the update batch. */
+/** `DELETE FROM graft.db.t WHERE <any deterministic predicate>` as one
+  * deletion-vector commit ([[SnapshotCatalog.deleteWhere]]) — the
+  * full-predicate tier above SupportsDelete's pushed-filter subset
+  * (arithmetic, functions, CASE all work; O(matched rows), no data
+  * file rewritten, CDC-derivable retractions). */
+case class GraftDeleteCommand(root: String, tableName: String,
+                              condition: org.apache.spark.sql.Column)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    SnapshotCatalog.deleteWhere(spark, root, condition)
+    Seq.empty
+  }
+}
+
 /** Generalized `MERGE INTO` (conditioned/partial UPDATE, matched
   * DELETE, conditioned INSERT) as ONE [[SnapshotCatalog.mergeInto]]
   * merge-on-read commit: actioned target positions DV-deleted, the

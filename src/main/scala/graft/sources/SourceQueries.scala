@@ -1472,9 +1472,20 @@ object SourceQueries extends QueryPack {
           .find(_._1 == v2).exists(_._2 == "delete")
         val filesUntouched =
           SnapshotCatalog.manifestFiles(root, v2) == filesBefore
-        // an inexpressible predicate refuses at analysis, loudly
+        // a predicate BEYOND the pushed-filter subset (arithmetic):
+        // the full-predicate tier routes through deleteWhere — same
+        // one-DV-commit, no-rewrite shape
+        spark.sql(s"DELETE FROM graft_src25.db.$tbl WHERE event_id % 97 = 0")
+        val v3 = SnapshotCatalog.latestVersion(root)
+        val arithmeticDv = SnapshotCatalog.history(root)
+          .find(_._1 == v3).exists(_._2 == "delete") &&
+          SnapshotCatalog.manifestFiles(root, v3) == filesBefore
+        // a SUBQUERY predicate refuses at analysis, loudly — never a
+        // wrong delete
         val refused =
-          try { spark.sql(s"DELETE FROM graft_src25.db.$tbl WHERE event_id % 2 = 0")
+          try { spark.sql(s"DELETE FROM graft_src25.db.$tbl WHERE " +
+                  s"event_id IN (SELECT event_id FROM graft_src25.db.$tbl " +
+                  "WHERE value > 99)")
                 false }
           catch { case _: Exception => true }
         val after = spark.sql(
@@ -1493,18 +1504,21 @@ object SourceQueries extends QueryPack {
           lit(after.getLong(1)).as("cents_after_delete"),
           lit(dvDelete && filesUntouched)
             .as("delete_landed_as_dv_no_rewrite"),
-          lit(refused).as("inexpressible_predicate_refused"),
+          lit(arithmeticDv).as("arithmetic_predicate_dv_delete"),
+          lit(refused).as("subquery_delete_refused"),
           lit(preDelete == total).as("time_travel_served_predelete"),
           lit(postTrunc == 0L).as("truncate_emptied_live"))
       },
       Some("""SELECT count(*) AS n_after_delete,
              |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_after_delete,
              |  TRUE AS delete_landed_as_dv_no_rewrite,
-             |  TRUE AS inexpressible_predicate_refused,
+             |  TRUE AS arithmetic_predicate_dv_delete,
+             |  TRUE AS subquery_delete_refused,
              |  TRUE AS time_travel_served_predelete,
              |  TRUE AS truncate_emptied_live
-             |FROM events WHERE NOT (event_type = 'click' OR value < 1.0)""".stripMargin),
-      "S-catalog: SQL row-level DML — DELETE FROM lands as one deletion-vector commit (no rewrite), inexpressible predicates refuse, TRUNCATE keeps time travel"),
+             |FROM events WHERE NOT (event_type = 'click' OR value < 1.0)
+             |  AND event_id % 97 <> 0""".stripMargin),
+      "S-catalog: SQL row-level DML — DELETE FROM lands as one deletion-vector commit (no rewrite) for ANY deterministic predicate, subqueries refuse, TRUNCATE keeps time travel"),
 
     GraftQuery(
       "src27_sql_update_merge",

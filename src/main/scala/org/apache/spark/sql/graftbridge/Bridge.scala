@@ -24,6 +24,19 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A V1 `StreamingRelation` for `format` with `options` — the seam
+    * that lets an analysis rule rewrite `spark.readStream.table(...)`
+    * over a catalog table into the V1 streaming source
+    * (`DataSource` and `StreamingRelation` are `private[sql]`). */
+  def streamingRelation(spark: org.apache.spark.sql.SparkSession,
+                        format: String,
+                        options: Map[String, String])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(
+      org.apache.spark.sql.execution.datasources.DataSource(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        className = format, options = options))
+
   /** An empty STREAMING DataFrame of `schema` — a V1 streaming Source
     * must return `isStreaming = true` frames from `getBatch`, and the
     * only constructor (`internalCreateDataFrame`) went `private[sql]`

@@ -93,7 +93,7 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(n == 40L)
   }
 
-  test("SQL DELETE routes into the deletion-vector tier: one O(matched) commit, no data file rewritten; inexpressible predicates refuse") {
+  test("SQL DELETE routes into the deletion-vector tier: ANY deterministic predicate, one O(matched) commit, no rewrite; subqueries refuse") {
     val wh = warehouse
     val spark2 = spark
     import spark2.implicits._
@@ -111,14 +111,27 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 29L)
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.db.del1 VERSION AS OF 1")
       .head().getLong(0) == 40L, "time travel lost the pre-delete rows")
-    // a predicate NOT expressible as pushed filters must refuse at
-    // analysis — never silently delete the wrong rows
+    // a predicate BEYOND the pushed-filter subset (arithmetic) works —
+    // the full-predicate tier routes through deleteWhere's column
+    // evaluation, same one-DV-commit shape
+    spark.sql("DELETE FROM graft.db.del1 WHERE id % 2 = 0 AND id > 20")
+    val v3 = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.history(root).last._2 == "delete" &&
+      SnapshotCatalog.manifestFiles(root, v3) == filesBefore,
+      "the arithmetic-predicate DELETE did not land as one DV commit")
+    // survivors: 11..40 minus k15 (29 rows) minus the 10 even ids > 20
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 19L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.db.del1 WHERE id % 2 = 0 AND id > 20")
+      .head().getLong(0) == 0L)
+    // a SUBQUERY predicate refuses loudly — never a wrong delete
     val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft.db.del1 WHERE id % 2 = 0")
+      spark.sql("DELETE FROM graft.db.del1 WHERE id IN " +
+        "(SELECT id FROM graft.db.del1 WHERE id > 35)")
     }
-    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|filter|condition).*"),
+    assert(e.getMessage.toLowerCase.matches("(?s).*(delete|filter|condition|subquer).*"),
       e.getMessage)
-    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 29L,
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.del1").head().getLong(0) == 19L,
       "the refused DELETE changed the table")
     // TRUNCATE: one replace commit to empty; the old version survives
     spark.sql("TRUNCATE TABLE graft.db.del1")

@@ -338,6 +338,61 @@ class GraftFeedSourceSpec extends SparkTestBase {
       s"CDF bootstrap drifted: $boot")
   }
 
+  test("spark.readStream.table streams a NAMED catalog table through the feed source; readChangeFeed works by name") {
+    val spark2 = spark
+    import spark2.implicits._
+    val wh = graft.streaming.Streams.dataDir("graft_feedtbl_wh_")
+    spark.conf.set("spark.sql.catalog.graftst",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftst.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftst.db")
+    val root = s"$wh/db/t1"
+    SnapshotCatalog.append((1L to 10L).toDF("id").coalesce(1), root, "b0")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.table("graftst.db.t1")
+      .writeStream
+      .option("checkpointLocation",
+        graft.streaming.Streams.scratchDir("graft_feedtblcp_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(r.getLong(0))); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == (1L to 10L).toSet,
+        s"named streaming read lost rows: ${got.asScala}")
+      // live commits flow through the named stream
+      SnapshotCatalog.append((11L to 13L).toDF("id").coalesce(1), root, "b1")
+      q.processAllAvailable()
+      assert(got.asScala.toSet == (1L to 13L).toSet)
+    } finally q.stop()
+    // CDF by name: the readChangeFeed option rides through the rewrite
+    // and the stream serves the SOURCE's annotated schema
+    SnapshotCatalog.deleteWhere(spark, root, col("id") <= 2L)
+    val cdf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .table("graftst.db.t1")
+      .writeStream
+      .option("checkpointLocation",
+        graft.streaming.Streams.scratchDir("graft_feedtblcp2_"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => cdf.add(
+          r.getLong(r.fieldIndex("id")) ->
+            r.getString(r.fieldIndex("_change_type"))))
+        ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(cdf.asScala.toSet ==
+        ((11L to 13L).map(_ -> "insert") ++ Seq(1L -> "delete", 2L -> "delete")).toSet,
+        s"named CDF stream drifted: ${cdf.asScala.toSet}")
+    } finally q2.stop()
+  }
+
   test("startingVersion validates at source construction: '0' and non-numeric refuse with a clear message") {
     val root = graft.streaming.Streams.dataDir("graft_feedval_")
     val spark2 = spark
