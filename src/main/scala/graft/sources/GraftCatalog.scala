@@ -586,15 +586,26 @@ case class GraftCatalogResolution(spark: SparkSession)
 
   /** The `ON t.k = s.k [AND ...]` equality key columns of an upsert
     * MERGE — every conjunct must equate same-named columns of the two
-    * sides. None = not the upsert shape. */
+    * sides. The analyzer wraps a narrower side in a Cast
+    * (`t.id = CAST(s.id AS BIGINT)` when the source carries INT ids —
+    * the common migration shape), so casts are looked through; the
+    * command aligns the source to the table's types before it lands.
+    * None = not the upsert shape. */
   private def upsertKeys(cond: Expression): Option[Seq[String]] = {
     def split(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+      case x => x
+    }
     val keys = split(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name == b.name => Some(a.name)
+      case EqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if a.name == b.name => Some(a.name)
+        case _ => None
+      }
       case _ => None
     }
     if (keys.forall(_.isDefined)) Some(keys.flatten.distinct) else None
@@ -816,12 +827,16 @@ case class GraftMergeCommand(root: String, tableName: String,
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
     val updates0 = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, source)
-    // align the source to the table's column set and order (the star
-    // expansion guaranteed same-named coverage)
+    // align the source to the table's column set, ORDER, and TYPES (a
+    // narrower source — INT ids against a BIGINT table — must not land
+    // files whose schema conflicts with the log's; the star expansion
+    // guaranteed same-named coverage)
     val v = SnapshotCatalog.latestVersion(root)
     val (data, part) = SnapshotFileIndex.servedSchemas(spark, root, v)
-    val tableCols = (data.fields ++ part.fields).map(_.name).toSeq
-    val updates = updates0.select(tableCols.map(col): _*)
+    val fields = data.fields ++ part.fields
+    val tableCols = fields.map(_.name).toSeq
+    val updates = updates0.select(fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     SnapshotCatalog.mergeOnRead(spark, root, updates, keyCols,
       "sqmrg" + java.util.UUID.randomUUID().toString.take(12))
     Seq.empty

@@ -2240,8 +2240,12 @@ object SnapshotCatalog {
     val updateFrames = matched.zipWithIndex.collect {
       case (MergeUpdateClause(_, set), i) if nActioned > 0L =>
         val setMap = set.toMap
+        // cast each column to the TABLE's type: a set expression of a
+        // narrower type must not land files conflicting with the log
+        // schema (the Delta storeAssignmentPolicy cast)
         actioned.filter(col("__mrg_action") === i)
-          .select(tableCols.map(c => setMap.getOrElse(c, col(c)).as(c)): _*)
+          .select(tableCols.map(c =>
+            setMap.getOrElse(c, col(c)).cast(colType(c)).as(c)): _*)
     }
     val insertFrames =
       if (notMatched.isEmpty) Seq.empty

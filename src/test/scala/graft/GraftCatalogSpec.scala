@@ -233,8 +233,27 @@ class GraftCatalogSpec extends SparkTestBase {
       case i => Some((i, i * 10L, Some(s"s$i")))
     } :+ ((11L, 111L, None))                            // INSERT, s NULL
     assert(got == expected, s"generalized MERGE drifted:\n got $got\n exp $expected")
+    // a NARROWER-typed source (INT keys/values against the BIGINT
+    // table — the common migration shape: the analyzer wraps the key
+    // in a cast, and the landed batch must carry the TABLE's types) +
+    // a scalar subquery in the matched condition
+    spark.sql(
+      """MERGE INTO graft.db.mrg2 t
+        |USING (SELECT CAST(4 AS INT) AS id, CAST(7 AS INT) AS nv) s
+        |ON t.id = s.id
+        |WHEN MATCHED AND t.v < (SELECT max(v) FROM graft.db.mrg2)
+        |  THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft.db.mrg2 WHERE id = 4")
+      .head().getLong(0) == 7L, "cast-keyed conditioned MERGE failed")
+    // UPDATE with an uncorrelated subquery predicate works (the
+    // condition re-resolves over the command's own snapshot read)
+    spark.sql("UPDATE graft.db.mrg2 SET v = v + 1 WHERE id IN " +
+      "(SELECT id FROM graft.db.mrg2 WHERE v >= 900)")
+    assert(spark.sql("SELECT v FROM graft.db.mrg2 WHERE id = 2")
+      .head().getLong(0) == 1020L, "subquery UPDATE failed")
     // a source with duplicate keys makes the matched action
     // non-deterministic: refuse loudly, nothing commits
+    val vBeforeDup = SnapshotCatalog.latestVersion(root)
     Seq((7L, 1000L), (7L, 2000L)).toDF("id", "nv")
       .createOrReplaceTempView("mrg2_dup")
     val e = intercept[Exception] {
@@ -247,7 +266,7 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(causes(e).exists(c =>
       Option(c.getMessage).exists(_.contains("multiple source rows"))),
       s"multi-match did not refuse: $e")
-    assert(SnapshotCatalog.latestVersion(root) == vBefore + 1,
+    assert(SnapshotCatalog.latestVersion(root) == vBeforeDup,
       "the refused MERGE committed something")
   }
 
