@@ -4,10 +4,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** `spark.readStream` SOURCE over a snapshot-catalog table's change
@@ -66,10 +67,53 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * from the file paths (the same values the serve path casts).
   * Replayed batches are exactly-once per the normal micro-batch
   * contract: the (start, end] version range rides the checkpoint, and
-  * a recovered batch re-reads exactly the same immutable files. */
-class GraftFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  * a recovered batch re-reads exactly the same immutable files.
+  *
+  * The same format is a streaming SINK
+  * (`df.writeStream.format("graft-feed").option("root", ...)`): each
+  * micro-batch lands as one replay-idempotent catalog commit — see
+  * [[GraftFeedSourceProvider.createSink]]. */
+class GraftFeedSourceProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-feed"
+
+  /** `df.writeStream.format("graft-feed").option("root", ...)` — the
+    * catalog as a streaming SINK: every micro-batch lands as ONE
+    * commit (append in Append/Update mode, replace in Complete mode),
+    * laid out per `.option("partitionBy", "a,b")` when set. The batch
+    * name carries the micro-batch id, so a recovered batch REPLAYS as
+    * a no-op (the append/replace replay guard) — exactly-once into the
+    * table without foreachBatch boilerplate (st42's shape, one line).
+    * Inline maintenance stays the operator's choice:
+    * `maintainIfNeeded` composes via foreachBatch when needed. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = rootOf(parameters)
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy").toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    val complete = outputMode == OutputMode.Complete()
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // re-incarnate the engine's batch frame over its own executed
+        // plan (the Delta DeltaSink pattern) — a plain re-use of `data`
+        // could re-trigger streaming-source checks downstream
+        val batchDf = org.apache.spark.sql.graftbridge.Bridge.asBatch(data)
+        if (complete)
+          SnapshotCatalog.replace(batchDf, root, s"stream-$batchId",
+            partitionBy = partCols)
+        else
+          SnapshotCatalog.append(batchDf, root, s"stream-$batchId",
+            partitionBy = partCols)
+        ()
+      }
+      override def toString: String = s"GraftCatalogSink[$root]"
+    }
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("root",

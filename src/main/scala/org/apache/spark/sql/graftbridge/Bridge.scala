@@ -37,6 +37,18 @@ object Bridge {
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
         className = format, options = options))
 
+  /** Re-incarnate a micro-batch DataFrame handed to a V1 `Sink` as a
+    * plain BATCH frame over the already-planned rows (the DeltaSink
+    * pattern): the sink can then drive ordinary batch writes without
+    * tripping streaming-plan checks. */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** An empty STREAMING DataFrame of `schema` — a V1 streaming Source
     * must return `isStreaming = true` frames from `getBatch`, and the
     * only constructor (`internalCreateDataFrame`) went `private[sql]`

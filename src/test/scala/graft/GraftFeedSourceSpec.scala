@@ -393,6 +393,58 @@ class GraftFeedSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("writeStream.format(graft-feed) sinks micro-batches as partitioned catalog commits; a replayed batch is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = graft.streaming.Streams.dataDir("graft_feedsink_")
+    graft.streaming.Streams.withStreamShufflePartitions(spark) {
+      val q = graft.streaming.Streams
+        .eventsStream(spark, sfDir, maxFilesPerTrigger = 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .format(classOf[GraftFeedSourceProvider].getName)
+        .option("root", root)
+        .option("partitionBy", "event_type")
+        .option("checkpointLocation",
+          graft.streaming.Streams.scratchDir("graft_feedsinkcp_"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // every micro-batch landed as ONE append commit, hive-partitioned
+    assert(SnapshotCatalog.history(root).forall(_._2 == "append"))
+    assert(SnapshotCatalog.partitionSpecAt(root,
+      SnapshotCatalog.latestVersion(root))
+      .exists(_.fieldNames.sameElements(Array("event_type"))),
+      "the sink lost the partition layout")
+    val got = SnapshotCatalog.readSnapshot(spark, root)
+    val src = graft.core.Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    assert(got.count() == src.count(), "the sink lost rows")
+    assert(got.select("event_id").except(src.select("event_id")).isEmpty &&
+      src.select("event_id").except(got.select("event_id")).isEmpty)
+    // a partition-filtered read cuts files at planning time (the whole
+    // point of the partitioned sink layout)
+    val cut = graft.sources.SnapshotFileIndex.snapshotDF(spark, root)
+      .filter(col("event_type") === "signup")
+    cut.collect()
+    assert(graft.sources.SnapshotFileIndex.scannedFiles(cut) <
+      SnapshotCatalog.manifestFiles(root,
+        SnapshotCatalog.latestVersion(root)).size)
+    // REPLAY: re-delivering an already-committed batch id is a no-op
+    // (the append replay guard keyed on the batch name)
+    val p = new GraftFeedSourceProvider
+    val sink = p.createSink(spark.sqlContext,
+      Map("root" -> root, "partitionBy" -> "event_type"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    val vBefore = SnapshotCatalog.latestVersion(root)
+    sink.addBatch(0L,
+      Seq((-1L, "signup", 1.0)).toDF("event_id", "event_type", "value"))
+    assert(SnapshotCatalog.latestVersion(root) == vBefore,
+      "a replayed micro-batch id committed a second time")
+    assert(SnapshotCatalog.readSnapshot(spark, root)
+      .filter(col("event_id") === -1L).count() == 0L)
+  }
+
   test("startingVersion validates at source construction: '0' and non-numeric refuse with a clear message") {
     val root = graft.streaming.Streams.dataDir("graft_feedval_")
     val spark2 = spark
