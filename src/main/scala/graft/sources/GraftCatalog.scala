@@ -43,6 +43,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * one [[SnapshotCatalog.append]] commit (laid out per the table's
   * partition spec), an INSERT OVERWRITE as one [[SnapshotCatalog.replace]].
   */
+object GraftCatalog {
+  /** Engine-managed keys Spark threads through `createTable` — not user
+    * TBLPROPERTIES, so they never land in the log's `K` line. */
+  private val reservedProps = Set(
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  private[sources] def userProperties(
+      properties: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      reservedProps.contains(k) || k.startsWith("option.") }
+  }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog {
 
@@ -123,11 +139,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partJson =
       if (partCols.isEmpty) None
       else Some(StructType(partCols.map(schema(_)).toArray).json)
-    // the creation commit is metadata-only: the schema (S) and partition
-    // spec (P) land in the log; the first INSERT is an ordinary append
+    // the creation commit is metadata-only: the schema (S), partition
+    // spec (P), and user TBLPROPERTIES (K — Spark's engine-managed keys
+    // filtered out) land in the log; the first INSERT is an ordinary
+    // append
+    val userProps = GraftCatalog.userProperties(properties)
     if (!SnapshotCatalog.tryCommitEntries(root, 1, adds = Seq.empty,
           removes = Seq.empty, schemaJson = Some(schema.json),
-          partJson = partJson))
+          partJson = partJson,
+          props = if (userProps.isEmpty) None else Some(userProps)))
       throw new TableAlreadyExistsException(ident)
     GraftTable(root, ident.toString, None)
   }
@@ -139,38 +159,107 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema.fields.map(f => V2Column.create(f.name, f.dataType, f.nullable)),
       partitions, properties)
 
-  /** `ALTER TABLE ... ADD COLUMNS` — schema accretion as ONE
-    * metadata-only commit (an `S` line unioning the new columns; no
-    * data touched): existing rows null-fill the accreted columns on
-    * read, exactly like an append-side evolution (src08/src16). Other
-    * changes refuse — dropping or re-typing a column would need a
-    * rewrite, which this engine expresses as an explicit replace. */
+  /** `ALTER TABLE ...` — schema and properties evolution as ONE
+    * metadata-only commit each:
+    *   - ADD COLUMNS: an `S` line unioning the new columns (no data
+    *     touched); existing rows null-fill on read (src08/src16);
+    *   - DROP COLUMN: an `S` line REPLACING the served schema (the
+    *     `schemaset` marker, so later union folds don't resurrect it)
+    *     plus a `graft.dropped.<name>` tombstone — old files keep the
+    *     physical column, reads project past it, and the tombstone
+    *     refuses any later append/ADD of the same name: without
+    *     column-mapping physical ids, a re-added name would resurrect
+    *     the dropped data from pre-drop files (a full REPLACE clears
+    *     the tombstone — the rewrite physically removed the column);
+    *   - SET/UNSET TBLPROPERTIES: a `K` line replacing the map;
+    *   - RENAME COLUMN refuses with the rewrite pointer (renames need
+    *     per-file physical-name mapping — Delta refuses identically
+    *     without columnMapping mode). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!SnapshotCatalog.isTable(root)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    val adds = changes.collect {
       case a: TableChange.AddColumn =>
         if (a.fieldNames.length != 1)
           sys.error("graft ALTER TABLE supports top-level ADD COLUMNS only")
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, a.isNullable)
+    }
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1)
+          sys.error("graft ALTER TABLE supports top-level DROP COLUMN only")
+        d.fieldNames.head
+    }
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value }
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+           _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case r: TableChange.RenameColumn =>
+        sys.error(s"graft catalog: RENAME COLUMN needs per-file physical-" +
+          s"name mapping — rewrite instead (REPLACE TABLE ... AS SELECT " +
+          s"${r.fieldNames.mkString(".")} AS ${r.newName}, ...)")
       case other =>
-        sys.error(s"graft catalog: ALTER TABLE supports ADD COLUMNS only " +
-          s"(got $other) — drops/re-types need an explicit rewrite")
+        sys.error(s"graft catalog: unsupported ALTER TABLE change $other " +
+          "— re-types need an explicit rewrite")
     }
     var attempt = 0
     while (attempt < 100) {
       val v = SnapshotCatalog.latestVersion(root)
       val cur = SnapshotCatalog.schemaAt(root, v).getOrElse(
         sys.error(s"$ident: schema not log-carried; ALTER needs an S-lined table"))
+      val props = SnapshotCatalog.propertiesAt(root, v)
       adds.filter(f => cur.fieldNames.contains(f.name)) match {
         case Seq() => ()
         case dup => sys.error(s"$ident: column(s) ${dup.map(_.name)} already exist")
       }
-      val next = StructType(cur.fields ++ adds)
+      adds.filter(f => props.contains(s"graft.dropped.${f.name}")) match {
+        case Seq() => ()
+        case tomb => sys.error(s"$ident: column(s) ${tomb.map(_.name)} were " +
+          "DROPPED — re-adding the name would resurrect the dropped data " +
+          "from pre-drop files; REPLACE TABLE ... AS SELECT to rewrite first")
+      }
+      drops.filterNot(cur.fieldNames.contains) match {
+        case Seq() => ()
+        case miss => sys.error(s"$ident: cannot DROP missing column(s) " +
+          miss.mkString(", "))
+      }
+      val spec = SnapshotCatalog.partitionSpecAt(root, v)
+      drops.filter(d => spec.exists(_.fieldNames.contains(d))) match {
+        case Seq() => ()
+        case part => sys.error(s"$ident: cannot DROP partition column(s) " +
+          s"${part.mkString(", ")} — the directory layout depends on them")
+      }
+      if (drops.nonEmpty && cur.fields.length - drops.length + adds.length <= 0)
+        sys.error(s"$ident: cannot DROP every column")
+      // a column a CHECK constraint references cannot be dropped (the
+      // Delta rule) — parse each constraint's expression session-free
+      SnapshotCatalog.constraintsOf(props).foreach { case (cname, cond) =>
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(cond).collect {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              u.name }
+        drops.filter(refs.contains) match {
+          case Seq() => ()
+          case used => sys.error(s"$ident: column(s) ${used.mkString(", ")} " +
+            s"are referenced by CHECK constraint $cname ($cond) — drop the " +
+            "constraint first")
+        }
+      }
+      val next = StructType(
+        cur.fields.filterNot(f => drops.contains(f.name)) ++ adds)
+      val nextProps = props ++ setProps --
+        unsetProps ++ drops.map(d => s"graft.dropped.$d" -> "true")
       if (SnapshotCatalog.tryCommitEntries(root, v + 1, adds = Seq.empty,
-            removes = Seq.empty, schemaJson = Some(next.json),
-            partJson = SnapshotCatalog.partitionSpecAt(root, v).map(_.json)))
+            removes = Seq.empty,
+            schemaJson = if (adds.nonEmpty || drops.nonEmpty)
+              Some(next.json) else None,
+            partJson = spec.map(_.json),
+            props = if (nextProps != props) Some(nextProps) else None,
+            schemaSet = drops.nonEmpty))
         return GraftTable(root, ident.toString, None)
       attempt += 1
     }
@@ -349,6 +438,13 @@ case class GraftTable(root: String, fullName: String, pinnedVersion: Option[Int]
 
   override def name(): String = fullName
 
+  /** Log-carried TBLPROPERTIES (at the pinned version for time-travel
+    * loads) — `SHOW TBLPROPERTIES` serves straight from this. */
+  override def properties(): java.util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    SnapshotCatalog.propertiesAt(root, resolvedVersion).asJava
+  }
+
   /** The pinned version, or the latest at load time for writes. */
   private def resolvedVersion: Int =
     pinnedVersion.getOrElse(SnapshotCatalog.latestVersion(root))
@@ -526,9 +622,18 @@ case class GraftStagedTable(root: String, fullName: String,
         if (pv == 0 && !orCreate)
           sys.error(s"REPLACE TABLE $fullName: the table vanished under " +
             "the staged replace")
+        // the rewrite physically removed any dropped column from the
+        // live files — clear tombstones the new schema re-introduces
+        // (same rule as SnapshotCatalog.replace)
+        val props0 = if (pv == 0) Map.empty[String, String]
+          else SnapshotCatalog.propertiesAt(root, pv)
+        val cleared = props0.filterNot { case (k, _) =>
+          k.startsWith("graft.dropped.") && declaredSchema.fieldNames
+            .contains(k.stripPrefix("graft.dropped.")) }
         done = SnapshotCatalog.tryCommitEntries(root, pv + 1, adds = adds,
           removes = prev, dvReset = true,
-          schemaJson = schemaJson, partJson = partJson)
+          schemaJson = schemaJson, partJson = partJson,
+          props = if (cleared != props0) Some(cleared) else None)
         attempt += 1
       }
       if (!done)
@@ -641,19 +746,17 @@ case class GraftCatalogResolution(spark: SparkSession)
       // unconditioned star upsert takes the fast path (broadcast key
       // set, whole source appended); every other matched/not-matched
       // shape — conditioned or partial UPDATE, matched DELETE,
-      // conditioned INSERT — converts to one generalized
-      // SnapshotCatalog.mergeInto commit. WHEN NOT MATCHED BY SOURCE
-      // refuses (it acts on the UNMATCHED side of the whole table — an
-      // O(table) rewrite this engine expresses as updateWhere/
-      // deleteWhere instead).
+      // conditioned INSERT, and NOT MATCHED BY SOURCE UPDATE/DELETE
+      // (the unmatched target side, still one O(actioned) merge-on-
+      // read commit: positions DV-deleted, transformed copies
+      // appended, no file rewritten) — converts to one generalized
+      // SnapshotCatalog.mergeInto commit.
       val t = graftTableIn(m.targetTable).get
       val keys = upsertKeys(m.mergeCondition).getOrElse(
         sys.error("graft MERGE needs an equality join on same-named " +
           s"columns, got: ${m.mergeCondition.sql}"))
-      if (m.notMatchedBySourceActions.nonEmpty)
-        sys.error("graft MERGE does not support WHEN NOT MATCHED BY " +
-          "SOURCE — use UPDATE/DELETE for whole-table row-level ops")
       val starShape =
+        m.notMatchedBySourceActions.isEmpty &&
         (m.matchedActions match {
           case Seq(UpdateAction(None, as, _)) => isStarAssignment(as)
           case _ => false
@@ -696,8 +799,21 @@ case class GraftCatalogResolution(spark: SparkSession)
           case other => sys.error(
             s"graft MERGE: unsupported not-matched action $other")
         }
+        // by-source clauses evaluate over unmatched TARGET rows — no
+        // source row exists; the analyzer already scopes their
+        // conditions/assignments to the target, so sideCol's source
+        // mapping is vacuous here
+        val bySource = m.notMatchedBySourceActions.map {
+          case UpdateAction(cond, as, _) =>
+            SnapshotCatalog.MergeUpdateClause(cond.map(sideCol),
+              assigns(as, "assignments"))
+          case DeleteAction(cond) =>
+            SnapshotCatalog.MergeDeleteClause(cond.map(sideCol))
+          case other => sys.error(
+            s"graft MERGE: unsupported not-matched-by-source action $other")
+        }
         GraftMergeIntoCommand(t.root, t.fullName, apply(m.sourceTable),
-          keys, matched, notMatched)
+          keys, matched, notMatched, bySource)
       }
     case d: DeleteFromTable if d.resolved && graftTableIn(d.table).isDefined &&
         !d.condition.exists(_.exists(_.isInstanceOf[SubqueryExpression])) =>
@@ -797,23 +913,25 @@ case class GraftDeleteCommand(root: String, tableName: String,
 }
 
 /** Generalized `MERGE INTO` (conditioned/partial UPDATE, matched
-  * DELETE, conditioned INSERT) as ONE [[SnapshotCatalog.mergeInto]]
-  * merge-on-read commit: actioned target positions DV-deleted, the
-  * update clauses' transformed copies plus the insert clauses' rows
-  * appended together; clause-order semantics; non-deterministic
-  * multi-match refuses loudly. */
+  * DELETE, conditioned INSERT, NOT MATCHED BY SOURCE UPDATE/DELETE)
+  * as ONE [[SnapshotCatalog.mergeInto]] merge-on-read commit:
+  * actioned target positions DV-deleted, the update clauses'
+  * transformed copies plus the insert clauses' rows appended
+  * together; clause-order semantics; non-deterministic multi-match
+  * refuses loudly. */
 case class GraftMergeIntoCommand(root: String, tableName: String,
                                  source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
                                  keyCols: Seq[String],
                                  matched: Seq[SnapshotCatalog.MergeMatchedClause],
-                                 notMatched: Seq[SnapshotCatalog.MergeInsertClause])
+                                 notMatched: Seq[SnapshotCatalog.MergeInsertClause],
+                                 bySource: Seq[SnapshotCatalog.MergeMatchedClause] = Seq.empty)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
     Seq(source)
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val src = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, source)
     SnapshotCatalog.mergeInto(spark, root, src, keyCols, matched, notMatched,
-      "sqmi" + java.util.UUID.randomUUID().toString.take(12))
+      "sqmi" + java.util.UUID.randomUUID().toString.take(12), bySource)
     Seq.empty
   }
 }

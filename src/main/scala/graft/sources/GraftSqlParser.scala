@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringTyp
   *   OPTIMIZE graft.db.t [ZORDER BY (a, b)]  -- incremental compaction
   *   VACUUM graft.db.t [RETAIN n HOURS]      -- snapshot expiry + GC
   *   DESCRIBE HISTORY graft.db.t             -- one row per commit
+  *   DESCRIBE DETAIL graft.db.t              -- live-table facts, log-only
   *   RESTORE TABLE graft.db.t TO VERSION AS OF 3
+  *   CONVERT TO GRAFT parquet.`/path` [PARTITIONED BY (a)]
+  *   ALTER TABLE graft.db.t ADD CONSTRAINT c CHECK (expr)
+  *   ALTER TABLE graft.db.t DROP CONSTRAINT c
   * }}}
   *
   * The Scala spellings are [[SnapshotCatalog.maintainIfNeeded]] /
@@ -69,11 +73,33 @@ object GraftSqlParser {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+  private val AddConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""".r
+  private val DropConstraintRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
 
   private def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = sqlText match {
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(delegate.parseMultipartIdentifier(name), v.toInt))
+    case ConvertRe(path, parts) =>
+      Some(GraftConvertCommand(path,
+        Option(parts).map(_.split(",").toSeq.map(c =>
+          delegate.parseMultipartIdentifier(c.trim).last))))
+    case AddConstraintRe(name, cname, cond) =>
+      // parse eagerly so a malformed condition fails AT the statement
+      delegate.parseExpression(cond)
+      Some(GraftAddConstraintCommand(
+        delegate.parseMultipartIdentifier(name), cname, cond.trim))
+    case DropConstraintRe(name, cname) =>
+      Some(GraftDropConstraintCommand(
+        delegate.parseMultipartIdentifier(name), cname))
+    case DetailRe(name) =>
+      Some(GraftDescribeDetailCommand(delegate.parseMultipartIdentifier(name)))
     case OptimizeRe(name, zorder) =>
       Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name),
         Option(zorder).map(_.split(",").toSeq.map(c =>
@@ -135,6 +161,58 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
   }
 }
 
+/** `CONVERT TO GRAFT parquet.`<path>` [PARTITIONED BY (cols)]` — turn
+  * a plain parquet directory into a catalog table IN PLACE
+  * ([[SnapshotCatalog.convertInPlace]]): files renamed under the
+  * catalog layout (O(files) namespace ops, no byte copied), one footer
+  * pass for the planning record, one atomic version-1 commit. A path
+  * inside a registered graft catalog's warehouse becomes addressable
+  * by name immediately. Returns (converted_files, version). */
+case class GraftConvertCommand(path: String,
+                               declaredPartitions: Option[Seq[String]])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("converted_files", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val (n, v) = SnapshotCatalog.convertInPlace(spark, path,
+      declaredPartitions)
+    Seq(org.apache.spark.sql.Row(n, v))
+  }
+}
+
+/** `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<cond>)` — existing
+  * rows validated in one pass (violations refuse, nothing commits),
+  * then one metadata-only properties commit; every later write
+  * enforces the constraint inside its own write pass (a
+  * `cond OR raise_error` filter — no second scan). SQL CHECK
+  * semantics: NULL passes, only FALSE violates. */
+case class GraftAddConstraintCommand(nameParts: Seq[String],
+                                     constraintName: String, cond: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v = SnapshotCatalog.addConstraint(spark, root, constraintName, cond)
+    Seq(org.apache.spark.sql.Row(v))
+  }
+}
+
+/** `ALTER TABLE <t> DROP CONSTRAINT <name>` — one metadata-only
+  * properties commit; unknown names refuse loudly. */
+case class GraftDropConstraintCommand(nameParts: Seq[String],
+                                      constraintName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v = SnapshotCatalog.dropConstraint(root, constraintName)
+    Seq(org.apache.spark.sql.Row(v))
+  }
+}
+
 /** `RESTORE TABLE <table> TO VERSION AS OF <n>` — one metadata-only
   * commit re-referencing version n's files, DVs, schema, and spec
   * ([[SnapshotCatalog.restore]]); the undone versions still
@@ -166,6 +244,41 @@ case class GraftVacuumCommand(nameParts: Seq[String], retainHours: Long)
     val (nv, nf) = SnapshotCatalog.expire(root, keepLast = 1,
       minAgeMs = retainHours * 3600L * 1000L)
     Seq(org.apache.spark.sql.Row(nv, nf))
+  }
+}
+
+/** `DESCRIBE DETAIL <table>` — the Delta shape: one row of live-table
+  * facts resolved from the LOG ALONE (no data scan, no per-file RPCs):
+  * location, current version, file/byte/row counts from the log-
+  * carried entries, in-effect DV file count, partition columns, and
+  * constraint count. */
+case class GraftDescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.LongType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("num_dv_files", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v = SnapshotCatalog.latestVersion(root)
+    val entries = SnapshotCatalog.manifestEntries(root, v)
+    val rows =
+      if (entries.exists(_.rows < 0)) null // legacy path-only entries
+      else java.lang.Long.valueOf(entries.map(_.rows).sum)
+    Seq(org.apache.spark.sql.Row("graft", root, v,
+      entries.size.toLong, SnapshotCatalog.liveDataBytes(root), rows,
+      SnapshotCatalog.dvFiles(root, v).size.toLong,
+      SnapshotCatalog.partitionSpecAt(root, v)
+        .map(_.fieldNames.mkString(",")).getOrElse(""),
+      SnapshotCatalog.constraintsOf(
+        SnapshotCatalog.propertiesAt(root, v)).size))
   }
 }
 

@@ -476,7 +476,9 @@ object SnapshotCatalog {
                                  dvAdds: Seq[FileEntry], dvReset: Boolean,
                                  schemaJson: Option[String],
                                  partJson: Option[String],
-                                 dvRemoves: Seq[String] = Seq.empty)
+                                 dvRemoves: Seq[String] = Seq.empty,
+                                 propsEnc: Option[String] = None,
+                                 schemaSet: Boolean = false)
 
   /** Memo for parsed commit deltas and checkpoints — sound because BOTH
     * are immutable once published (the publish seam is exclusive-create;
@@ -527,8 +529,10 @@ object SnapshotCatalog {
     val dvAdds = Seq.newBuilder[FileEntry]
     val dvRemoves = Seq.newBuilder[String]
     var dvReset = false
+    var schemaSet = false
     var schemaJson: Option[String] = None
     var partJson: Option[String] = None
+    var propsEnc: Option[String] = None
     readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("A\t")) adds += decodeEntry(l.substring(2))
       else if (l.startsWith("R\t")) removes += l.substring(2)
@@ -536,11 +540,13 @@ object SnapshotCatalog {
       else if (l.startsWith("W\t")) dvRemoves += l.substring(2)
       else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
+      else if (l.startsWith("K\t")) propsEnc = Some(l.substring(2))
       else if (l == "X\tdvreset") dvReset = true
+      else if (l == "X\tschemaset") schemaSet = true
       else sys.error(s"malformed commit line in $p: $l")
     }
     CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset,
-      schemaJson, partJson, dvRemoves.result())
+      schemaJson, partJson, dvRemoves.result(), propsEnc, schemaSet)
   }
 
   /** The (data add paths, data remove paths) a commit recorded. */
@@ -560,7 +566,8 @@ object SnapshotCatalog {
   private case class CheckpointState(entries: Seq[FileEntry],
                                      dvEntries: Seq[FileEntry],
                                      schemaJson: Option[String],
-                                     partJson: Option[String])
+                                     partJson: Option[String],
+                                     propsEnc: Option[String] = None)
 
   private def readCheckpoint(root: String, c: Int): CheckpointState = {
     val k = (root, c)
@@ -577,13 +584,16 @@ object SnapshotCatalog {
     val dvs = Seq.newBuilder[FileEntry]
     var schemaJson: Option[String] = None
     var partJson: Option[String] = None
+    var propsEnc: Option[String] = None
     readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("V\t")) dvs += decodeEntry(l.substring(2))
       else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
+      else if (l.startsWith("K\t")) propsEnc = Some(l.substring(2))
       else entries += decodeEntry(l)
     }
-    CheckpointState(entries.result(), dvs.result(), schemaJson, partJson)
+    CheckpointState(entries.result(), dvs.result(), schemaJson, partJson,
+      propsEnc)
   }
 
   /** Resolve version `v`'s complete file list WITH the log-carried
@@ -775,16 +785,20 @@ object SnapshotCatalog {
       dvAdds: Seq[FileEntry] = Seq.empty, dvReset: Boolean = false,
       schemaJson: Option[String] = None,
       partJson: Option[String] = None,
-      dvRemoves: Seq[String] = Seq.empty): Boolean = {
+      dvRemoves: Seq[String] = Seq.empty,
+      props: Option[Map[String, String]] = None,
+      schemaSet: Boolean = false): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val body = ((if (dvReset) Seq("X\tdvreset") else Seq.empty) ++
+      (if (schemaSet) Seq("X\tschemaset") else Seq.empty) ++
       removes.map("R\t" + _) ++ adds.map(e => "A\t" + encodeEntry(e)) ++
       dvRemoves.map("W\t" + _) ++
       dvAdds.map(e => "V\t" + encodeEntry(e)) ++
       schemaJson.map(j => "S\t" + b64(j)).toSeq ++
-      partJson.map(j => "P\t" + b64(j)).toSeq)
+      partJson.map(j => "P\t" + b64(j)).toSeq ++
+      props.map(m => "K\t" + encodeProps(m)).toSeq)
       .mkString("\n") + "\n"
     val won = publishUtf8(fs, commitPath(root, v), body)
     if (won && v == 1) {
@@ -813,10 +827,12 @@ object SnapshotCatalog {
     val dest = checkpointPath(root, v)
     val fs = fsFor(dest)
     if (!fs.exists(dest)) {
+      val props = propertiesAt(root, v)
       val lines = manifestEntries(root, v).map(encodeEntry) ++
         dvEntries(root, v).map(e => "V\t" + encodeEntry(e)) ++
         schemaAt(root, v).map(s => "S\t" + b64(s.json)).toSeq ++
-        partitionSpecAt(root, v).map(s => "P\t" + b64(s.json)).toSeq
+        partitionSpecAt(root, v).map(s => "P\t" + b64(s.json)).toSeq ++
+        (if (props.isEmpty) Seq.empty else Seq("K\t" + encodeProps(props)))
       publishUtf8(fs, dest, lines.mkString("\n") + "\n")
       logHints.merge(root, LogHint(v, Vector(v)), (a, b) =>
         LogHint(math.max(a.latest, b.latest),
@@ -878,7 +894,7 @@ object SnapshotCatalog {
         val d = commitDeltaFull(root, cv)
         d.schemaJson.flatMap(parseSchema) match {
           case Some(s) =>
-            if (d.removes.nonEmpty || d.dvReset) schema = Some(s)
+            if (d.removes.nonEmpty || d.dvReset || d.schemaSet) schema = Some(s)
             else schema match {
               case None => schema = Some(s)
               case Some(prev) => unionByName(prev, s) match {
@@ -922,6 +938,142 @@ object SnapshotCatalog {
       }
     }
     spec
+  }
+
+  // ---- log-carried table properties -----------------------------------
+
+  /** Properties map as a tab-free line: `;`-joined `b64(k):b64(v)`
+    * cells (same alphabet discipline as [[encodeEntry]]'s stats). */
+  private def encodeProps(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${b64(k)}:${b64(v)}" }
+      .mkString(";")
+
+  private def decodeProps(enc: String): Map[String, String] =
+    if (enc.isEmpty) Map.empty
+    else enc.split(";").iterator.filter(_.nonEmpty).map { cell =>
+      val Array(k, v) = cell.split(":", 2)
+      unb64(k) -> unb64(v)
+    }.toMap
+
+  /** The table properties at version `v` (the Delta TBLPROPERTIES
+    * shape): a commit's `K` line REPLACES the whole map; commits
+    * without one — including replaces — carry it forward (Delta keeps
+    * properties across rewrites). Constraints live here under
+    * `graft.constraints.<name>` (Delta's encoding), dropped-column
+    * tombstones under `graft.dropped.<name>`. */
+  def propertiesAt(root: String, v: Int): Map[String, String] = {
+    val cp = checkpointAtOrBelow(root, v)
+    var props: Map[String, String] =
+      cp.flatMap(c => readCheckpoint(root, c).propsEnc)
+        .map(decodeProps).getOrElse(Map.empty)
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (commitExists(root, cv))
+        commitDeltaFull(root, cv).propsEnc.foreach(e => props = decodeProps(e))
+    }
+    props
+  }
+
+  /** The LIVE table's properties (empty for a non-table root). */
+  def properties(root: String): Map[String, String] =
+    latestVersionOption(root).map(propertiesAt(root, _)).getOrElse(Map.empty)
+
+  /** Publish a new FULL properties map as one metadata-only commit
+    * (CAS-retried; the caller composes read-modify-write on top —
+    * concurrent writers both land, last `K` line wins). Returns the
+    * committed version. */
+  def setProperties(root: String, props: Map[String, String]): Int = {
+    var attempt = 0
+    while (attempt < 100) {
+      val v = latestVersion(root)
+      if (tryCommitEntries(root, v + 1, adds = Seq.empty,
+            removes = Seq.empty, props = Some(props)))
+        return v + 1
+      attempt += 1
+    }
+    sys.error(s"setProperties on $root lost 100 consecutive CAS races")
+  }
+
+  /** The CHECK constraints in force: name → SQL expression text
+    * (properties under the `graft.constraints.` namespace). */
+  def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith("graft.constraints.") =>
+      k.stripPrefix("graft.constraints.") -> v }
+
+  /** Wrap `df` so every row is validated against the table's CHECK
+    * constraints IN THE SAME PASS that writes it (the Delta invariant-
+    * checker shape, expressed Spark-first): each constraint becomes a
+    * `Filter(cond OR raise_error(...))` — short-circuit `OR` means a
+    * passing row never evaluates the error side, a failing row aborts
+    * the write with the constraint name and the row's values, and the
+    * filter is not prunable (it changes semantics), so codegen keeps
+    * it fused into the write stage. O(0) extra passes at any scale. */
+  private def withConstraintChecks(df: DataFrame, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, expr, lit, raise_error, struct}
+    val cons = latestVersionOption(root)
+      .map(v => constraintsOf(propertiesAt(root, v)))
+      .getOrElse(Map.empty)
+    cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, cond)) =>
+      // SQL CHECK semantics: a row violates only when the condition is
+      // FALSE — UNKNOWN (null) passes, hence the coalesce(…, true)
+      d.filter(coalesce(expr(cond), lit(true)).or(
+        raise_error(concat_ws("", lit(s"CHECK constraint $name ($cond) " +
+          "violated by row: "), struct(d.columns.map(d.col): _*).cast("string")))
+          .cast("boolean")))
+    }
+  }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (cond)` — the Delta
+    * shape: existing rows are validated in ONE pass over the live
+    * snapshot (a violation refuses and commits nothing), then the
+    * constraint lands as one metadata-only properties commit. The
+    * validate-then-commit pair is CAS-exact: a concurrent commit
+    * between the scan and the publish re-validates (its rows were not
+    * scanned). Every later write enforces the constraint in its own
+    * write pass ([[withConstraintChecks]]). */
+  def addConstraint(spark: SparkSession, root: String,
+                    name: String, cond: String): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    val key = s"graft.constraints.$name"
+    var attempt = 0
+    while (attempt < 100) {
+      val v = latestVersion(root)
+      val props = propertiesAt(root, v)
+      if (props.contains(key))
+        sys.error(s"constraint $name already exists on $root " +
+          s"(${props(key)}); DROP CONSTRAINT first")
+      val violations = SnapshotFileIndex
+        .snapshotDF(spark, root, Some(v), subtractDeletes = true)
+        .filter(not(coalesce(expr(cond), lit(true))))
+        .limit(1).count()
+      if (violations > 0)
+        sys.error(s"cannot ADD CONSTRAINT $name CHECK ($cond) on $root: " +
+          "existing rows violate it")
+      if (tryCommitEntries(root, v + 1, adds = Seq.empty,
+            removes = Seq.empty, props = Some(props + (key -> cond))))
+        return v + 1
+      attempt += 1
+    }
+    sys.error(s"addConstraint on $root lost 100 consecutive CAS races")
+  }
+
+  /** Drop a CHECK constraint (metadata-only properties commit);
+    * unknown names refuse loudly (the Delta behavior). */
+  def dropConstraint(root: String, name: String): Int = {
+    val key = s"graft.constraints.$name"
+    var attempt = 0
+    while (attempt < 100) {
+      val v = latestVersion(root)
+      val props = propertiesAt(root, v)
+      if (!props.contains(key))
+        sys.error(s"no constraint named $name on $root")
+      if (tryCommitEntries(root, v + 1, adds = Seq.empty,
+            removes = Seq.empty, props = Some(props - key)))
+        return v + 1
+      attempt += 1
+    }
+    sys.error(s"dropConstraint on $root lost 100 consecutive CAS races")
   }
 
   /** Commit `files` as the complete next snapshot, CAS-retrying past
@@ -1010,9 +1162,13 @@ object SnapshotCatalog {
     * `partitionBy` is set (hive-style `col=value` layout). Everything
     * planning needs lands IN the commit — a reader never probes the
     * staged files again. */
-  private[sources] def stageBatch(df: DataFrame, root: String, batch: String,
+  private[sources] def stageBatch(df0: DataFrame, root: String, batch: String,
                                   partitionBy: Seq[String], recordStats: Boolean)
       : (Seq[FileEntry], Option[String], Option[String]) = {
+    // CHECK constraints ride the write pass itself (one filter with a
+    // raise_error arm — no second scan); every DML path that lands data
+    // funnels through here, so enforcement is a single seam
+    val df = withConstraintChecks(df0, root)
     val path = s"$root/data/$batch"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -1046,6 +1202,18 @@ object SnapshotCatalog {
              partitionBy: Seq[String] = Seq.empty): Int = {
     if (isBatchCommitted(root, batch)) latestVersion(root)
     else {
+      // dropped-column tombstones: an append re-introducing a dropped
+      // name would union it back into the served schema and RESURRECT
+      // the dropped data from pre-drop files (no column-mapping
+      // physical ids) — refuse; a full replace() clears the tombstone
+      val tombProps = properties(root)
+      df.columns.filter(c => tombProps.contains(s"graft.dropped.$c")) match {
+        case Array() => ()
+        case tomb => sys.error(s"append on $root: column(s) " +
+          s"${tomb.mkString(", ")} were DROPPED from the table — " +
+          "appending the name would resurrect dropped data; REPLACE the " +
+          "table to rewrite first")
+      }
       // FULL-SHAPE spec check (names AND types): a same-named partition
       // column at a different type would corrupt the directory-value
       // casting downstream even though the layout looks consistent
@@ -1093,10 +1261,18 @@ object SnapshotCatalog {
         val prev = if (pv == 0) Seq.empty else manifestFiles(root, pv)
         val next = entries.distinct.sortBy(_.path)
         val nextPaths = next.map(_.path).toSet
+        // a full rewrite physically removed any dropped column from the
+        // live files — clear the tombstones its new schema re-introduces
+        val props0 = if (pv == 0) Map.empty[String, String]
+          else propertiesAt(root, pv)
+        val cleared = props0.filterNot { case (k, _) =>
+          k.startsWith("graft.dropped.") &&
+            df.columns.contains(k.stripPrefix("graft.dropped.")) }
         if (tryCommitEntries(root, pv + 1,
               adds = next.filterNot(e => prev.contains(e.path)),
               removes = prev.filterNot(nextPaths), dvReset = true,
-              schemaJson = schemaJson, partJson = partJson))
+              schemaJson = schemaJson, partJson = partJson,
+              props = if (cleared != props0) Some(cleared) else None))
           return pv + 1
         attempt += 1
       }
@@ -1808,6 +1984,117 @@ object SnapshotCatalog {
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
 
+  /** CONVERT a plain parquet directory (flat or hive-partitioned) into
+    * a catalog table IN PLACE — the Delta `CONVERT TO DELTA` shape: no
+    * data byte is read or copied. Each discovered file is RENAMED
+    * under `<dir>/data/convert-v1/` (its hive `col=value` subpath
+    * preserved, so the partition-value anchor every serving path uses
+    * holds), one footer pass records sizes/rowcounts/typed stats — the
+    * same planning record [[stageBatch]] lands — and ONE version-1
+    * commit publishes the table. At 100 TB that is O(files) namespace
+    * ops + O(files) footer RPCs, never O(bytes).
+    *
+    * Idempotent across crashes: renames that already happened are
+    * skipped (dest-exists check), and the commit is the single atomic
+    * publish — a re-run after any interruption converges to the same
+    * table. Partition columns and their types are inferred from the
+    * final layout exactly the way Spark serves hive dirs;
+    * `declaredPartitions`, when given, must match the inferred names
+    * (the Delta contract: a mis-declared spec corrupts pruning).
+    * Returns (files converted, committed version). */
+  def convertInPlace(spark: SparkSession, dir: String,
+                     declaredPartitions: Option[Seq[String]] = None)
+      : (Int, Int) = {
+    val rootPath = new Path(dir)
+    val fs = fsFor(rootPath)
+    if (isTable(dir))
+      sys.error(s"convert: $dir is already a graft table (version " +
+        s"${latestVersion(dir)})")
+    if (!fs.exists(rootPath) || !fs.getFileStatus(rootPath).isDirectory)
+      sys.error(s"convert: $dir is not a directory")
+    val batchDir = new Path(s"$dir/data/convert-v1")
+    // every parquet file OUTSIDE the catalog dirs, with its partition
+    // subpath relative to the root
+    def walk(p: Path, rel: String): Seq[(Path, String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Seq.empty
+        else if (st.isDirectory) {
+          if (rel.isEmpty && (name == "data" || name == "manifests")) Seq.empty
+          else walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        }
+        else if (st.isFile && name.endsWith(".parquet"))
+          Seq((st.getPath, rel, st.getLen))
+        else Seq.empty
+      }
+    val pending = walk(rootPath, "")
+    pending.foreach { case (src, rel, _) =>
+      val destDir = if (rel.isEmpty) batchDir else new Path(batchDir, rel)
+      if (!fs.exists(destDir)) fs.mkdirs(destDir)
+      // normalize to the catalog's part- naming (the GC walker's
+      // contract); keep the original name for uniqueness within its dir
+      val base = src.getName
+      val dest = new Path(destDir,
+        if (base.startsWith("part-")) base else s"part-c-$base")
+      if (fs.exists(dest)) {
+        // a crashed previous convert already moved this name: renames
+        // are the unit of idempotence, never overwrite
+        if (fs.exists(src)) sys.error(s"convert: both $src and $dest " +
+          "exist — a file was copied into the directory after a crashed " +
+          "convert; remove one and re-run")
+      } else if (!fs.rename(src, dest))
+        sys.error(s"convert: rename $src -> $dest failed")
+    }
+    // best-effort: drop the now-empty partition shells at the root
+    pending.map(_._2).filter(_.nonEmpty).map(_.split("/").head).distinct
+      .foreach { top =>
+        val p = new Path(rootPath, top)
+        try { if (fs.exists(p) && listDataEntries(p.toString).isEmpty)
+          fs.delete(p, true) } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    if (!fs.exists(batchDir))
+      sys.error(s"convert: no parquet files under $dir")
+    // infer the served schema (partition types included) from the FINAL
+    // layout — the exact read Spark performs over the committed table
+    val inferred = spark.read.parquet(batchDir.toString)
+    val sized = listDataEntries(batchDir.toString)
+    if (sized.isEmpty) sys.error(s"convert: no parquet files under $dir")
+    val partNames: Seq[String] = {
+      val relDirs = sized.map { case (f, _) =>
+        new Path(f).getParent.toString
+          .stripPrefix(batchDir.toString).stripPrefix("/")
+      }.distinct
+      val vecs = relDirs.map(_.split("/").toSeq.filter(_.contains("="))
+        .map(_.split("=", 2).head))
+      vecs.distinct match {
+        case Seq(one) => one
+        case Seq() => Seq.empty
+        case many => sys.error(s"convert: inconsistent partition layouts " +
+          s"under $dir: ${many.mkString(" vs ")}")
+      }
+    }
+    declaredPartitions.foreach { d =>
+      if (d != partNames) sys.error(s"convert: PARTITIONED BY " +
+        s"(${d.mkString(", ")}) does not match the directory layout " +
+        s"(${partNames.mkString(", ")})")
+    }
+    val spec =
+      if (partNames.isEmpty) None
+      else Some(StructType(partNames.map(n => inferred.schema(n)).toArray))
+    val meta = footerStats(sized.map(_._1))
+      .map { case (f, n, st) => f -> (n, st) }.toMap
+    val entries = sized.map { case (f, sz) =>
+      val (n, st) = meta.getOrElse(f,
+        (-1L, Map.empty[String, (String, String, String)]))
+      FileEntry(f, sz, n, st)
+    }
+    if (!tryCommitEntries(dir, 1, adds = entries.sortBy(_.path),
+          removes = Seq.empty, schemaJson = Some(inferred.schema.json),
+          partJson = spec.map(_.json)))
+      sys.error(s"convert: a concurrent commit landed version 1 at $dir")
+    (entries.size, 1)
+  }
+
   /** Time travel by WALL CLOCK (`TIMESTAMP AS OF`): the newest
     * surviving version whose commit published at-or-before `tsMillis`
     * (commit files are immutable after publish, so their modification
@@ -2145,27 +2432,34 @@ object SnapshotCatalog {
   /** GENERALIZED MERGE on read — the full Delta-user matched-action
     * matrix ([[mergeOnRead]] is the unconditioned star-upsert fast
     * path): conditioned and partial `WHEN MATCHED ... UPDATE`,
-    * `WHEN MATCHED ... DELETE`, and conditioned `WHEN NOT MATCHED ...
-    * INSERT`, all landing as ONE atomic merge-on-read commit — every
-    * ACTIONED target row's position DV-deleted, the update clauses'
-    * transformed copies plus the insert clauses' new rows appended
-    * together. Clause-order semantics (the SQL standard / Delta rule):
-    * a matched row is acted on by the FIRST matched clause whose
-    * condition holds, or left untouched; an unmatched source row
-    * inserts per the first not-matched clause whose condition holds.
-    * A target row matching MULTIPLE source rows (among actioned rows)
-    * REFUSES loudly — the update/delete would be non-deterministic
-    * (Delta raises the same error). Update expressions evaluate
-    * against the PRE-merge row ([[updateWhere]]'s one-projection
-    * rule). Cost is O(matched + inserted rows): no target file is
-    * rewritten. Same narrowed concurrent-commit abort as
-    * [[mergeOnRead]], keyed on the source keys' envelope. Returns
-    * (version, actioned matched-row count). */
+    * `WHEN MATCHED ... DELETE`, conditioned `WHEN NOT MATCHED ...
+    * INSERT`, and `WHEN NOT MATCHED BY SOURCE ... UPDATE/DELETE`
+    * (target rows matching NO source row — their clause expressions
+    * reference target columns only), all landing as ONE atomic
+    * merge-on-read commit — every ACTIONED target row's position
+    * DV-deleted, the update clauses' transformed copies plus the
+    * insert clauses' new rows appended together. Clause-order
+    * semantics (the SQL standard / Delta rule): a matched row is
+    * acted on by the FIRST matched clause whose condition holds, or
+    * left untouched; an unmatched source row inserts per the first
+    * not-matched clause whose condition holds; a target row unmatched
+    * by the source takes the first by-source clause whose condition
+    * holds. A target row matching MULTIPLE source rows (among
+    * actioned rows) REFUSES loudly — the update/delete would be
+    * non-deterministic (Delta raises the same error). Update
+    * expressions evaluate against the PRE-merge row ([[updateWhere]]'s
+    * one-projection rule). Cost is O(actioned + inserted rows): no
+    * target file is rewritten (the by-source clauses SCAN the whole
+    * table to find unmatched rows — inherent to their semantics — but
+    * still write only the actioned positions/copies). Same narrowed
+    * concurrent-commit abort as [[mergeOnRead]], keyed on the source
+    * keys' envelope. Returns (version, actioned target-row count). */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
                 keyCols: Seq[String],
                 matched: Seq[MergeMatchedClause],
                 notMatched: Seq[MergeInsertClause],
-                batch: String): (Int, Long) = {
+                batch: String,
+                bySource: Seq[MergeMatchedClause] = Seq.empty): (Int, Long) = {
     import org.apache.spark.sql.functions.{col, lit, when}
     import org.apache.spark.sql.types.IntegerType
     if (isBatchCommitted(root, batch)) return (latestVersion(root), 0L)
@@ -2181,7 +2475,8 @@ object SnapshotCatalog {
         Seq("__dv_file", "__dv_pos"), "left_anti")
     val tableCols = base.columns.filterNot(Set("__dv_file", "__dv_pos")).toSeq
     val colType = base.schema.fields.map(f => f.name -> f.dataType).toMap
-    matched.collect { case MergeUpdateClause(_, set) => set.map(_._1) }
+    (matched ++ bySource).collect {
+      case MergeUpdateClause(_, set) => set.map(_._1) }
       .flatten.filterNot(tableCols.contains) match {
       case Seq() => ()
       case bad => sys.error(s"mergeInto on $root: UPDATE SET targets " +
@@ -2210,8 +2505,21 @@ object SnapshotCatalog {
     val actioned = live.join(src, joinCond, "inner")
       .withColumn("__mrg_action", firstClause(matched.map(_.condition)))
       .filter(col("__mrg_action").isNotNull)
+    // target rows matching NO source row, first-applicable by-source
+    // clause — an anti join on the broadcast-friendly key set; the
+    // positions of both sides union into ONE DV batch (disjoint by
+    // construction: matched vs unmatched partition the target)
+    val bySrcActioned = bySource.headOption.map { _ =>
+      live.join(src.select(keyCols.map(k => col(s"__src_$k")): _*),
+          joinCond, "left_anti")
+        .withColumn("__mrg_action", firstClause(bySource.map(_.condition)))
+        .filter(col("__mrg_action").isNotNull)
+    }
     val dvDir = s"$root/dv/g${java.util.UUID.randomUUID().toString.take(8)}"
-    actioned.select(col("__dv_file"), col("__dv_pos"))
+    bySrcActioned.map(b =>
+        actioned.select(col("__dv_file"), col("__dv_pos"))
+          .unionByName(b.select(col("__dv_file"), col("__dv_pos"))))
+      .getOrElse(actioned.select(col("__dv_file"), col("__dv_pos")))
       .coalesce(1).write.mode("overwrite").parquet(dvDir)
     val sizedDv = listDataEntries(dvDir)
     val dvBack = spark.read.parquet(sizedDv.map(_._1): _*)
@@ -2246,6 +2554,12 @@ object SnapshotCatalog {
         actioned.filter(col("__mrg_action") === i)
           .select(tableCols.map(c =>
             setMap.getOrElse(c, col(c)).cast(colType(c)).as(c)): _*)
+    } ++ bySource.zipWithIndex.collect {
+      case (MergeUpdateClause(_, set), i) if nActioned > 0L =>
+        val setMap = set.toMap
+        bySrcActioned.get.filter(col("__mrg_action") === i)
+          .select(tableCols.map(c =>
+            setMap.getOrElse(c, col(c)).cast(colType(c)).as(c)): _*)
     }
     val insertFrames =
       if (notMatched.isEmpty) Seq.empty
@@ -2277,8 +2591,14 @@ object SnapshotCatalog {
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
+      // the disjoint-keys narrowing is UNSOUND under by-source clauses:
+      // a concurrent append disjoint from the source keys is exactly
+      // what NOT MATCHED BY SOURCE acts on — those merges abort on any
+      // intervening commit
       abortOnIntervening("mergeInto", root, v, pv,
-        provablyUnmatched = entryProvablyUnmatched(_, keyLb, keySb))
+        provablyUnmatched =
+          if (bySource.isEmpty) entryProvablyUnmatched(_, keyLb, keySb)
+          else _ => false)
       val cur = manifestFiles(root, pv).map(f => new Path(f).toUri.getPath).toSet
       if (!touched.subsetOf(cur))
         throw new java.util.ConcurrentModificationException(

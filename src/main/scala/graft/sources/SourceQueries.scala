@@ -1567,15 +1567,15 @@ object SourceQueries extends QueryPack {
              |WHEN MATCHED THEN UPDATE SET *
              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         val mrgAudit = SnapshotCatalog.history(root).last._2 == "merge"
-        // a NOT-MATCHED-BY-SOURCE clause refuses loudly (it acts on the
-        // whole table's unmatched side — an O(table) rewrite this
-        // engine expresses as updateWhere/deleteWhere instead)
+        // a non-equality ON condition refuses loudly — the merge-on-
+        // read tier keys on same-named equi columns (a theta merge
+        // would multi-match by construction); NOT MATCHED BY SOURCE
+        // now routes through mergeInto (src30 covers it)
         val refused =
           try { spark.sql(
             s"""MERGE INTO graft_src25.db.$tbl t USING src27_src s
-               |ON t.event_id = s.event_id
-               |WHEN MATCHED THEN UPDATE SET *
-               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+               |ON t.event_id < s.event_id
+               |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
             false }
           catch { case _: Exception => true }
         spark.sql(
@@ -1608,7 +1608,7 @@ object SourceQueries extends QueryPack {
              |  TRUE AS merge_landed_as_merge_commit,
              |  TRUE AS unsupported_merge_refused
              |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: SQL UPDATE (one merge-on-read commit, CDC-derivable) + upsert MERGE INTO routed to mergeOnRead; NOT MATCHED BY SOURCE refuses"),
+      "S-catalog: SQL UPDATE (one merge-on-read commit, CDC-derivable) + upsert MERGE INTO routed to mergeOnRead; non-equi ON refuses"),
 
     GraftQuery(
       "src28_sql_merge_matrix",
@@ -1784,5 +1784,161 @@ object SourceQueries extends QueryPack {
              |FROM events
              |WHERE NOT (event_id > (SELECT max(event_id) // 2 FROM events)
              |           AND event_type = 'click')""".stripMargin),
-      "S-catalog: SQL maintenance verbs — DESCRIBE HISTORY metadata rows, OPTIMIZE firing the incremental pass (clean large file md5-identical), VACUUM expiry with live content intact"))
+      "S-catalog: SQL maintenance verbs — DESCRIBE HISTORY metadata rows, OPTIMIZE firing the incremental pass (clean large file md5-identical), VACUUM expiry with live content intact"),
+
+    GraftQuery(
+      "src30_merge_by_source",
+      (spark, dir) => {
+        // `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` — the last
+        // MERGE shape in the Delta-user matrix: target rows matching
+        // NO source row take the first by-source clause whose
+        // condition holds (clause order exercised: conditioned DELETE
+        // before an unconditioned UPDATE). Still ONE merge-on-read
+        // commit: every actioned position — matched AND unmatched —
+        // DV-deleted together, transformed copies appended, untouched
+        // files byte-reused (manifest-audited: at 100 TB the by-source
+        // side scans the table — inherent to its semantics — but
+        // WRITES only O(actioned rows), never a rewrite). The narrowed
+        // concurrent-abort is disabled for these merges: a concurrent
+        // append disjoint from the source keys is exactly what the
+        // by-source clause acts on.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "mrgbys_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), root, "b0")
+        val v1 = SnapshotCatalog.latestVersion(root)
+        val filesBefore = SnapshotCatalog.manifestFiles(root, v1)
+        // source: restatements for every 10th row; everything else is
+        // unmatched-by-source and falls to the by-source clauses
+        spark.sql(
+          s"""SELECT event_id, value + 100 AS nv
+             |FROM graft_src25.db.$tbl WHERE event_id % 10 = 0""".stripMargin)
+          .createOrReplaceTempView("src30_src")
+        spark.sql(
+          s"""MERGE INTO graft_src25.db.$tbl t USING src30_src s
+             |ON t.event_id = s.event_id
+             |WHEN MATCHED THEN UPDATE SET value = s.nv
+             |WHEN NOT MATCHED BY SOURCE AND t.event_type = 'click' THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = t.value + 1""".stripMargin)
+        val v2 = SnapshotCatalog.latestVersion(root)
+        val oneCommitNoRewrite = v2 == v1 + 1 &&
+          SnapshotCatalog.history(root).last._2 == "merge" &&
+          filesBefore.forall(SnapshotCatalog.manifestFiles(root, v2).contains)
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $oneCommitNoRewrite AS one_merge_commit_no_rewrite
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH final AS (
+             |  SELECT event_id, event_type,
+             |    CASE WHEN event_id % 10 = 0 THEN value + 100
+             |         ELSE value + 1 END AS value
+             |  FROM events
+             |  WHERE event_id % 10 = 0
+             |     OR event_type <> 'click')
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS one_merge_commit_no_rewrite
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: MERGE WHEN NOT MATCHED BY SOURCE (conditioned DELETE + UPDATE, clause order) as the same single merge-on-read commit — matched and unmatched positions DV-deleted together, no rewrite"),
+
+    GraftQuery(
+      "src31_sql_constraints_evolution",
+      (spark, dir) => {
+        // CHECK CONSTRAINTS + TBLPROPERTIES + DROP COLUMN — the write-
+        // quality tier a migrating Delta user reaches for next:
+        // `ADD CONSTRAINT` validates existing rows in ONE pass then
+        // lands metadata-only; every later INSERT/UPDATE/MERGE enforces
+        // it INSIDE its own write pass (a cond-OR-raise_error filter —
+        // zero extra scans at any scale) and a violating write commits
+        // NOTHING; TBLPROPERTIES are log-carried (one `K` line per
+        // change, survive rewrites); DROP COLUMN is metadata-only with
+        // a resurrection tombstone (re-adding the name would serve the
+        // dropped data from pre-drop files — refused until a rewrite).
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "cons_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), root, "b0")
+        // constraint lands metadata-only after a one-pass validation
+        val vBefore = SnapshotCatalog.latestVersion(root)
+        spark.sql(s"ALTER TABLE graft_src25.db.$tbl " +
+          "ADD CONSTRAINT value_nonneg CHECK (value >= 0)")
+        val consMetadataOnly =
+          SnapshotCatalog.latestVersion(root) == vBefore + 1 &&
+          SnapshotCatalog.manifestFiles(root, vBefore + 1) ==
+            SnapshotCatalog.manifestFiles(root, vBefore)
+        // a violating INSERT fails the WRITE and commits nothing
+        val vC = SnapshotCatalog.latestVersion(root)
+        val violationRefused =
+          try { spark.sql(s"INSERT INTO graft_src25.db.$tbl " +
+            "VALUES (100001, 'bad', -1.0)"); false }
+          catch { case _: Exception =>
+            SnapshotCatalog.latestVersion(root) == vC }
+        spark.sql(s"INSERT INTO graft_src25.db.$tbl " +
+          "VALUES (100001, 'synthetic', 1.0)")
+        // TBLPROPERTIES round-trip through the log
+        spark.sql(s"ALTER TABLE graft_src25.db.$tbl " +
+          "SET TBLPROPERTIES ('pipeline' = 'graft-r17')")
+        val propsOk = spark.sql(s"SHOW TBLPROPERTIES graft_src25.db.$tbl")
+          .collect().exists(r =>
+            r.getString(0) == "pipeline" && r.getString(1) == "graft-r17")
+        // DROP COLUMN: accrete a note column, write through it, drop it
+        // metadata-only; the name refuses to come back (tombstone)
+        spark.sql(s"ALTER TABLE graft_src25.db.$tbl ADD COLUMNS (note STRING)")
+        spark.sql(s"INSERT INTO graft_src25.db.$tbl " +
+          "VALUES (100002, 'synthetic', 1.0, 'temp')")
+        val filesPreDrop = SnapshotCatalog
+          .manifestFiles(root, SnapshotCatalog.latestVersion(root))
+        spark.sql(s"ALTER TABLE graft_src25.db.$tbl DROP COLUMN note")
+        val vDrop = SnapshotCatalog.latestVersion(root)
+        val dropMetadataOnly =
+          SnapshotCatalog.manifestFiles(root, vDrop) == filesPreDrop &&
+          spark.sql(s"SELECT * FROM graft_src25.db.$tbl").columns.toSeq ==
+            Seq("event_id", "event_type", "value")
+        val resurrectionRefused =
+          try { spark.sql(s"ALTER TABLE graft_src25.db.$tbl " +
+            "ADD COLUMNS (note STRING)"); false }
+          catch { case _: Exception => true }
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $consMetadataOnly AS constraint_metadata_only,
+             |  $violationRefused AS violation_refused_nothing_committed,
+             |  $propsOk AS tblproperties_log_carried,
+             |  $dropMetadataOnly AS drop_column_metadata_only,
+             |  $resurrectionRefused AS tombstone_refused_resurrection
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH final AS (
+             |  SELECT event_id, event_type, value FROM events
+             |  UNION ALL
+             |  SELECT 100001, 'synthetic', 1.0
+             |  UNION ALL
+             |  SELECT 100002, 'synthetic', 1.0)
+             |SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS constraint_metadata_only,
+             |  TRUE AS violation_refused_nothing_committed,
+             |  TRUE AS tblproperties_log_carried,
+             |  TRUE AS drop_column_metadata_only,
+             |  TRUE AS tombstone_refused_resurrection
+             |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: CHECK constraints (one-pass ADD validation, in-write-pass enforcement, violating writes commit nothing) + log-carried TBLPROPERTIES + metadata-only DROP COLUMN with resurrection tombstone"))
 }

@@ -270,6 +270,297 @@ class GraftCatalogSpec extends SparkTestBase {
       "the refused MERGE committed something")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: clause-ordered UPDATE/DELETE on the unmatched target side, one commit, no rewrite, CDC-derivable") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/mrg3"
+    SnapshotCatalog.append(
+      (1L to 10L).map(i => (i, i * 10L, if (i % 2 == 0) "even" else "odd"))
+        .toDF("id", "v", "s").coalesce(1), root, "b0")
+    val vBefore = SnapshotCatalog.latestVersion(root)
+    val filesBefore = SnapshotCatalog.manifestFiles(root, vBefore)
+    Seq((2L, 999L), (3L, 888L)).toDF("id", "nv")
+      .createOrReplaceTempView("mrg3_src")
+    // matched (2,3) → UPDATE from source; unmatched-by-source odd rows
+    // → conditioned DELETE; remaining unmatched (even) → UPDATE against
+    // the target row only (clause order: DELETE wins for odd)
+    spark.sql(
+      """MERGE INTO graft.db.mrg3 t USING mrg3_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED BY SOURCE AND t.s = 'odd' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1""".stripMargin)
+    assert(SnapshotCatalog.latestVersion(root) == vBefore + 1,
+      "by-source MERGE was not one commit")
+    assert(SnapshotCatalog.history(root).last._2 == "merge")
+    assert(filesBefore.forall(
+      SnapshotCatalog.manifestFiles(root, vBefore + 1).contains),
+      "by-source MERGE rewrote an untouched data file")
+    val got = spark.sql("SELECT id, v FROM graft.db.mrg3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = Seq(
+      (2L, 999L),          // matched UPDATE
+      (3L, 888L),          // matched UPDATE (odd, but matched side wins)
+      (4L, 41L), (6L, 61L), (8L, 81L), (10L, 101L)) // by-source UPDATE
+    assert(got == expected, s"by-source MERGE drifted:\n got $got\n exp $expected")
+    // CDC-derivable: the single version retracts every actioned row
+    // (matched and by-source alike) and inserts the transformed copies
+    val feed = SnapshotCatalog.changeFeedRows(
+      spark, root, vBefore, vBefore + 1)
+    assert(feed.filter(col("_change_type") === "delete").count() == 10L,
+      "by-source retractions missing from the change feed")
+    assert(feed.filter(col("_change_type") === "insert").count() == 6L)
+    // an empty source makes EVERY row unmatched-by-source
+    spark.sql("SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS nv " +
+      "WHERE 1 = 0").createOrReplaceTempView("mrg3_empty")
+    spark.sql(
+      """MERGE INTO graft.db.mrg3 t USING mrg3_empty s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.db.mrg3")
+      .head().getLong(0) == 4L, "empty-source by-source DELETE failed")
+  }
+
+  test("CONVERT TO GRAFT: in-place conversion of a plain hive-partitioned dir — no byte copied, named DML works after, crash re-run converges") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    // a PLAIN parquet table (hive-partitioned), written outside the
+    // catalog, at a warehouse table location
+    val root = s"$wh/db/conv1"
+    (1L to 40L).map(i => (i, i * 10L, s"p${i % 4}"))
+      .toDF("id", "v", "p").repartition(2)
+      .write.partitionBy("p").parquet(root)
+    def bytes(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(p, true)
+      var s = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) s += f.getLen
+      }
+      s
+    }
+    val bytesBefore = bytes(root)
+    // simulate a CRASHED earlier convert: pre-move one file by hand
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val one = SnapshotCatalog.listDataEntries(s"$root/p=p1").head._1
+    val preDest = new org.apache.hadoop.fs.Path(
+      s"$root/data/convert-v1/p=p1/${new org.apache.hadoop.fs.Path(one).getName}")
+    fs.mkdirs(preDest.getParent)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(one), preDest))
+    val row = spark.sql(s"CONVERT TO GRAFT parquet.`$root` PARTITIONED BY (p)")
+      .collect().head
+    assert(row.getInt(1) == 1, "convert did not commit version 1")
+    assert(SnapshotCatalog.isTable(root))
+    // no byte copied: the converted table's data is the SAME bytes
+    assert(bytes(root) == bytesBefore,
+      s"convert copied data: $bytesBefore -> ${bytes(root)}")
+    // named reads serve everything, partition values reconstructed
+    val got = spark.sql(
+      "SELECT p, count(*) AS n, sum(v) AS s FROM graft.db.conv1 GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = (1L to 40L).groupBy(i => s"p${i % 4}").toSeq.sortBy(_._1)
+      .map { case (p, is) => (p, is.size.toLong, is.map(_ * 10L).sum) }
+    assert(got == exp, s"converted read drifted:\n got $got\n exp $exp")
+    // partition pruning holds on the converted layout: the named read
+    // scans only p=p2's files
+    val all = SnapshotCatalog.manifestFiles(root, 1)
+    val pq = spark.sql("SELECT count(*) AS n FROM graft.db.conv1 WHERE p = 'p2'")
+    pq.collect()
+    val scanned = SnapshotFileIndex.scannedFiles(pq)
+    assert(scanned > 0L && scanned < all.size,
+      s"converted table did not prune: $scanned of ${all.size}")
+    // the table is fully DML-capable after conversion
+    spark.sql("DELETE FROM graft.db.conv1 WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM graft.db.conv1")
+      .head().getLong(0) == 20L)
+    // converting an already-converted table refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$root`")
+    }
+    assert(e.getMessage.contains("already a graft table"))
+    // a FLAT (unpartitioned) dir converts through the Scala API
+    val flat = s"$wh/db/conv2"
+    (1L to 10L).map(i => (i, s"k$i")).toDF("id", "k").coalesce(2)
+      .write.parquet(flat)
+    val (nf, v) = SnapshotCatalog.convertInPlace(spark, flat)
+    assert(nf == 2 && v == 1)
+    assert(spark.sql("SELECT sum(id) FROM graft.db.conv2")
+      .head().getLong(0) == 55L)
+    // a mis-declared spec refuses loudly
+    val flat2 = s"$wh/db/conv3"
+    (1L to 4L).map(i => (i, s"k$i")).toDF("id", "k")
+      .write.parquet(flat2)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CONVERT TO GRAFT parquet.`$flat2` PARTITIONED BY (k)")
+    }
+    assert(e2.getMessage.contains("does not match the directory layout"))
+  }
+
+  test("TBLPROPERTIES: log-carried, SHOW/SET/UNSET, survive rewrites, time travel serves each version's map") {
+    val wh = warehouse
+    spark.sql("CREATE TABLE graft.db.props1 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('team' = 'data', 'tier' = 'gold')")
+    val root = s"$wh/db/props1"
+    def showProps(extra: String = ""): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES graft.db.props1$extra")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(showProps().get("team").contains("data") &&
+      showProps().get("tier").contains("gold"),
+      s"CREATE TBLPROPERTIES lost: ${showProps()}")
+    spark.sql("INSERT INTO graft.db.props1 VALUES (1, 10)")
+    spark.sql("ALTER TABLE graft.db.props1 SET TBLPROPERTIES " +
+      "('tier' = 'silver', 'retention' = '7d')")
+    spark.sql("ALTER TABLE graft.db.props1 UNSET TBLPROPERTIES ('team')")
+    val now = showProps()
+    assert(now.get("tier").contains("silver") &&
+      now.get("retention").contains("7d") && !now.contains("team"),
+      s"SET/UNSET drifted: $now")
+    // properties survive a rewrite (Delta keeps them across OPTIMIZE/
+    // REPLACE) and time travel serves the version's own map
+    spark.sql("INSERT OVERWRITE graft.db.props1 VALUES (2, 20)")
+    assert(showProps().get("tier").contains("silver"),
+      "properties lost across a replace commit")
+    val vOld = 1 // the creation commit carried team=data
+    assert(SnapshotCatalog.propertiesAt(root, vOld)
+      .get("team").contains("data"),
+      "time travel lost the old properties map")
+    // DESCRIBE DETAIL: live-table facts from the log alone
+    val det = spark.sql("DESCRIBE DETAIL graft.db.props1").collect().head
+    assert(det.getString(0) == "graft" && det.getString(1) == root &&
+      det.getLong(3) >= 1L && det.getLong(4) > 0L && det.getLong(5) == 1L,
+      s"DESCRIBE DETAIL drifted: $det")
+  }
+
+  test("CHECK constraints: ADD validates existing rows, writes enforce in-pass (INSERT/UPDATE/MERGE), NULL passes, DROP lifts") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/chk1"
+    SnapshotCatalog.append(
+      Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Option.empty[Long]))
+        .toDF("id", "v").coalesce(1), root, "b0")
+    // adding a constraint existing rows VIOLATE refuses, commits nothing
+    val v0 = SnapshotCatalog.latestVersion(root)
+    val eBad = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.chk1 ADD CONSTRAINT vbig CHECK (v > 15)")
+    }
+    assert(eBad.getMessage.contains("existing rows violate"))
+    assert(SnapshotCatalog.latestVersion(root) == v0,
+      "refused ADD CONSTRAINT committed something")
+    // a satisfiable constraint lands as one metadata-only commit; the
+    // NULL row passes (SQL CHECK: only FALSE violates)
+    spark.sql("ALTER TABLE graft.db.chk1 ADD CONSTRAINT vpos CHECK (v > 0)")
+    assert(SnapshotCatalog.latestVersion(root) == v0 + 1)
+    assert(SnapshotCatalog.manifestFiles(root, v0 + 1) ==
+      SnapshotCatalog.manifestFiles(root, v0), "ADD CONSTRAINT touched data")
+    // INSERT enforcing: a violating row fails the write, nothing commits
+    val vC = SnapshotCatalog.latestVersion(root)
+    val eIns = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.chk1 VALUES (4, -5)")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(eIns).exists(c => Option(c.getMessage)
+      .exists(_.contains("CHECK constraint vpos"))),
+      s"INSERT violation not attributed: $eIns")
+    assert(SnapshotCatalog.latestVersion(root) == vC,
+      "violating INSERT committed")
+    // a passing INSERT (including NULL) lands
+    spark.sql("INSERT INTO graft.db.chk1 VALUES (4, 40), (5, NULL)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.chk1")
+      .head().getLong(0) == 5L)
+    // UPDATE and MERGE route their appended copies through the same
+    // enforcement seam
+    val eUpd = intercept[Exception] {
+      spark.sql("UPDATE graft.db.chk1 SET v = -1 WHERE id = 1")
+    }
+    assert(causes(eUpd).exists(c => Option(c.getMessage)
+      .exists(_.contains("CHECK constraint vpos"))), s"UPDATE bypassed: $eUpd")
+    Seq((2L, -7L)).toDF("id", "nv").createOrReplaceTempView("chk1_src")
+    val eMrg = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.db.chk1 t USING chk1_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    assert(causes(eMrg).exists(c => Option(c.getMessage)
+      .exists(_.contains("CHECK constraint vpos"))), s"MERGE bypassed: $eMrg")
+    // DROP CONSTRAINT lifts enforcement; unknown names refuse
+    spark.sql("ALTER TABLE graft.db.chk1 DROP CONSTRAINT vpos")
+    spark.sql("UPDATE graft.db.chk1 SET v = -1 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM graft.db.chk1 WHERE id = 1")
+      .head().getLong(0) == -1L)
+    val eNo = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.chk1 DROP CONSTRAINT nope")
+    }
+    assert(eNo.getMessage.contains("no constraint named"))
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, reads project past old files, tombstone refuses resurrection, REPLACE clears it") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/dropc1"
+    SnapshotCatalog.append(
+      (1L to 6L).map(i => (i, i * 10L, s"s$i")).toDF("id", "v", "s")
+        .coalesce(1), root, "b0")
+    val v1 = SnapshotCatalog.latestVersion(root)
+    val filesBefore = SnapshotCatalog.manifestFiles(root, v1)
+    spark.sql("ALTER TABLE graft.db.dropc1 DROP COLUMN s")
+    val v2 = SnapshotCatalog.latestVersion(root)
+    // metadata-only: same files, new served schema
+    assert(v2 == v1 + 1 &&
+      SnapshotCatalog.manifestFiles(root, v2) == filesBefore,
+      "DROP COLUMN touched data files")
+    assert(spark.sql("SELECT * FROM graft.db.dropc1").columns.toSeq ==
+      Seq("id", "v"), "dropped column still served")
+    // time travel serves the pre-drop schema WITH the column
+    assert(spark.sql(s"SELECT * FROM graft.db.dropc1 VERSION AS OF $v1")
+      .columns.toSeq == Seq("id", "v", "s"),
+      "time travel lost the pre-drop column")
+    // appends keep working (old files' physical column is projected past)
+    spark.sql("INSERT INTO graft.db.dropc1 VALUES (7, 70)")
+    assert(spark.sql("SELECT count(*), sum(v) FROM graft.db.dropc1")
+      .collect().head match { case r => r.getLong(0) == 7L && r.getLong(1) == 280L },
+      "post-drop append drifted")
+    // resurrection refuses: appending the dropped name (or re-ADDing it)
+    // would serve the OLD files' physical data under the new name
+    val eApp = intercept[Exception] {
+      SnapshotCatalog.append(Seq((8L, 80L, "ghost")).toDF("id", "v", "s")
+        .coalesce(1), root, "b1")
+    }
+    assert(eApp.getMessage.contains("resurrect"), s"append guard missing: $eApp")
+    val eAdd = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.dropc1 ADD COLUMNS (s STRING)")
+    }
+    assert(eAdd.getMessage.contains("DROPPED"), s"re-ADD guard missing: $eAdd")
+    // partition columns and constraint-referenced columns refuse to drop
+    spark.sql("ALTER TABLE graft.db.dropc1 ADD CONSTRAINT vpos CHECK (v > 0)")
+    val eCons = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.dropc1 DROP COLUMN v")
+    }
+    assert(eCons.getMessage.contains("CHECK constraint"),
+      s"constraint-reference guard missing: $eCons")
+    // a FULL REPLACE physically rewrites — the tombstone clears and the
+    // name is usable again
+    spark.sql("REPLACE TABLE graft.db.dropc1 AS " +
+      "SELECT id, v, CAST('fresh' AS STRING) AS s FROM graft.db.dropc1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dropc1 WHERE s = 'fresh'")
+      .head().getLong(0) == 7L, "post-replace re-added column wrong")
+    spark.sql("INSERT INTO graft.db.dropc1 VALUES (9, 90, 'ok')")
+    assert(spark.sql("SELECT count(*) FROM graft.db.dropc1")
+      .head().getLong(0) == 8L, "tombstone did not clear after replace")
+    // RENAME refuses with the rewrite pointer
+    val eRen = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.dropc1 RENAME COLUMN v TO val")
+    }
+    assert(eRen.getMessage.contains("physical-name mapping"),
+      s"rename refusal drifted: $eRen")
+  }
+
   test("ALTER TABLE ADD COLUMNS: one metadata-only commit; old rows null-fill; drops/re-types refuse") {
     val wh = warehouse
     val spark2 = spark
@@ -293,11 +584,14 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!spark.sql(s"SELECT * FROM graft.db.alt1 VERSION AS OF 1")
       .columns.contains("extra"),
       "time travel leaked the accreted column into the old version")
-    // drops / re-types refuse — they need a rewrite
+    // re-types refuse — Spark's analyzer rejects the narrowing change
+    // before it reaches the catalog (DROP COLUMN has its own
+    // metadata-only path, covered by its dedicated test)
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.db.alt1 DROP COLUMN k")
+      spark.sql("ALTER TABLE graft.db.alt1 ALTER COLUMN k TYPE BIGINT")
     }
-    assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("rewrite"), e.getMessage)
   }
 
   test("SQL UPDATE evaluates every SET RHS against the PRE-update row: SET a = b, b = a swaps") {
