@@ -73,6 +73,8 @@ object GraftSqlParser {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`(?:\s+PARTITIONED\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val AddConstraintRe =
@@ -81,11 +83,18 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*$""".r
   private val DetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
+  private val ShowPartsRe =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
+  private val CloneRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
 
   private def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = sqlText match {
     case RestoreRe(name, v) =>
       Some(GraftRestoreCommand(delegate.parseMultipartIdentifier(name), v.toInt))
+    case RestoreTsRe(name, ts) =>
+      Some(GraftRestoreTimestampCommand(
+        delegate.parseMultipartIdentifier(name), ts))
     case ConvertRe(path, parts) =>
       Some(GraftConvertCommand(path,
         Option(parts).map(_.split(",").toSeq.map(c =>
@@ -100,6 +109,15 @@ object GraftSqlParser {
         delegate.parseMultipartIdentifier(name), cname))
     case DetailRe(name) =>
       Some(GraftDescribeDetailCommand(delegate.parseMultipartIdentifier(name)))
+    case CloneRe(dest, src, v) =>
+      Some(GraftCloneCommand(delegate.parseMultipartIdentifier(dest),
+        delegate.parseMultipartIdentifier(src),
+        Option(v).map(_.toInt)))
+    case ShowPartsRe(name)
+        // only intercept names that LOOK catalog-qualified or plain —
+        // never a quoted path form Spark's grammar owns
+        if !name.contains("`") =>
+      Some(GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(name)))
     case OptimizeRe(name, zorder) =>
       Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name),
         Option(zorder).map(_.split(",").toSeq.map(c =>
@@ -113,9 +131,11 @@ object GraftSqlParser {
   }
 
   /** Resolve a (possibly catalog-qualified) table name to its delta-log
-    * root through the registered [[GraftCatalog]] plugins. */
-  private[sources] def rootOf(spark: SparkSession,
-                              nameParts: Seq[String]): String = {
+    * root through the registered [[GraftCatalog]] plugins. With
+    * `mustExist = false` the root may not hold a table yet (a CLONE's
+    * destination). */
+  private[sources] def rootOf(spark: SparkSession, nameParts: Seq[String],
+                              mustExist: Boolean = true): String = {
     val cm = spark.sessionState.catalogManager
     val (catName, rest) =
       if (nameParts.length >= 2 && cm.isCatalogRegistered(nameParts.head))
@@ -125,7 +145,7 @@ object GraftSqlParser {
       case g: GraftCatalog if rest.nonEmpty =>
         val root = g.tableRoot(
           Identifier.of(rest.dropRight(1).toArray, rest.last))
-        if (!SnapshotCatalog.isTable(root))
+        if (mustExist && !SnapshotCatalog.isTable(root))
           sys.error(s"${nameParts.mkString(".")} is not a graft table " +
             s"(no committed manifest at $root)")
         root
@@ -229,6 +249,30 @@ case class GraftRestoreCommand(nameParts: Seq[String], toVersion: Int)
   }
 }
 
+/** `RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>'` — resolves the
+  * newest version committed at-or-before the wall-clock instant
+  * (session-timezone parse, the `versionAsOf` seam `TIMESTAMP AS OF`
+  * reads already use) and restores to it. */
+case class GraftRestoreTimestampCommand(nameParts: Seq[String], ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", IntegerType, nullable = false)(),
+    AttributeReference("new_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val millis = spark.sql(s"SELECT CAST('$ts' AS TIMESTAMP)")
+      .head().getTimestamp(0) match {
+        case null => sys.error(s"RESTORE: cannot parse timestamp '$ts'")
+        case t => t.getTime
+      }
+    val v = SnapshotCatalog.versionAsOf(root, millis).getOrElse(
+      sys.error(s"${nameParts.mkString(".")} has no version at or " +
+        s"before '$ts'"))
+    val nv = SnapshotCatalog.restore(root, v)
+    Seq(org.apache.spark.sql.Row(v, nv))
+  }
+}
+
 /** `VACUUM <table> [RETAIN n HOURS]` — [[SnapshotCatalog.expire]] with
   * the retention window (default 168 h, the Delta default): keeps the
   * latest version plus every version younger than the window, deletes
@@ -279,6 +323,49 @@ case class GraftDescribeDetailCommand(nameParts: Seq[String])
         .map(_.fieldNames.mkString(",")).getOrElse(""),
       SnapshotCatalog.constraintsOf(
         SnapshotCatalog.propertiesAt(root, v)).size))
+  }
+}
+
+/** `CREATE TABLE <dest> SHALLOW CLONE <source> [VERSION AS OF n]` —
+  * [[SnapshotCatalog.shallowClone]]: a zero-copy sandbox whose v1
+  * commit references the source's files/DVs/schema/spec/properties;
+  * independently writable, GC-independent, valid inside the source's
+  * retention window (the Delta caveat). */
+case class GraftCloneCommand(destParts: Seq[String], srcParts: Seq[String],
+                             version: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_from_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val src = GraftSqlParser.rootOf(spark, srcParts)
+    val dest = GraftSqlParser.rootOf(spark, destParts, mustExist = false)
+    val v = SnapshotCatalog.shallowClone(src, dest, version)
+    Seq(org.apache.spark.sql.Row(v))
+  }
+}
+
+/** `SHOW PARTITIONS <table>` — one row per live partition directory
+  * (`col=value[/col2=value2]`, the Spark output shape), resolved from
+  * the LOG's file paths alone: O(live files) metadata, no data scan,
+  * no filesystem listing. Unpartitioned tables refuse (Spark's own
+  * behavior). */
+case class GraftShowPartitionsCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v = SnapshotCatalog.latestVersion(root)
+    val spec = SnapshotCatalog.partitionSpecAt(root, v).getOrElse(
+      sys.error(s"SHOW PARTITIONS: ${nameParts.mkString(".")} is not " +
+        "a partitioned table"))
+    val names = spec.fieldNames.toSet
+    SnapshotCatalog.manifestFiles(root, v).flatMap { f =>
+      val segs = f.split("/").dropRight(1).reverse
+        .takeWhile(s => s.contains("=") &&
+          names.contains(s.split("=", 2).head)).reverse
+      if (segs.length == names.size) Some(segs.mkString("/")) else None
+    }.distinct.sorted.map(org.apache.spark.sql.Row(_))
   }
 }
 

@@ -1984,6 +1984,35 @@ object SnapshotCatalog {
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
 
+  /** SHALLOW CLONE (the Delta shape): publish `destRoot` as a NEW table
+    * whose version-1 commit REFERENCES the source's data files and
+    * in-effect deletion vectors at `version` (default: latest) — zero
+    * bytes copied, O(live files) metadata. The clone is independently
+    * writable: its own appends/deletes/rewrites land under its own
+    * root and never touch the source; its vacuum GCs only its own
+    * staged files (referenced source files are outside its data dir).
+    * The Delta caveat carries over verbatim: VACUUM on the SOURCE can
+    * delete files a clone still references — clones are sandboxes
+    * inside the source's retention window, not backups. Returns the
+    * cloned-from version. */
+  def shallowClone(sourceRoot: String, destRoot: String,
+                   version: Option[Int] = None): Int = {
+    if (isTable(destRoot))
+      sys.error(s"clone: $destRoot is already a table")
+    val v = version.getOrElse(latestVersion(sourceRoot))
+    if (!commitExists(sourceRoot, v))
+      sys.error(s"clone: version $v of $sourceRoot is not surviving")
+    val entries = manifestEntries(sourceRoot, v)
+    val dvs = dvEntries(sourceRoot, v)
+    if (!tryCommitEntries(destRoot, 1, adds = entries.sortBy(_.path),
+          removes = Seq.empty, dvAdds = dvs.sortBy(_.path),
+          schemaJson = schemaAt(sourceRoot, v).map(_.json),
+          partJson = partitionSpecAt(sourceRoot, v).map(_.json),
+          props = Some(propertiesAt(sourceRoot, v))))
+      sys.error(s"clone: a concurrent commit landed version 1 at $destRoot")
+    v
+  }
+
   /** CONVERT a plain parquet directory (flat or hive-partitioned) into
     * a catalog table IN PLACE — the Delta `CONVERT TO DELTA` shape: no
     * data byte is read or copied. Each discovered file is RENAMED
@@ -2045,12 +2074,16 @@ object SnapshotCatalog {
       } else if (!fs.rename(src, dest))
         sys.error(s"convert: rename $src -> $dest failed")
     }
-    // best-effort: drop the now-empty partition shells at the root
+    // best-effort: drop the now-empty partition shells at the root —
+    // only a subtree containing NO files at all (a shell with any
+    // stray non-parquet file is left untouched)
     pending.map(_._2).filter(_.nonEmpty).map(_.split("/").head).distinct
       .foreach { top =>
         val p = new Path(rootPath, top)
-        try { if (fs.exists(p) && listDataEntries(p.toString).isEmpty)
-          fs.delete(p, true) } catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          if (fs.exists(p) && !fs.listFiles(p, true).hasNext)
+            fs.delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     if (!fs.exists(batchDir))
       sys.error(s"convert: no parquet files under $dir")

@@ -1940,5 +1940,61 @@ object SourceQueries extends QueryPack {
              |  TRUE AS drop_column_metadata_only,
              |  TRUE AS tombstone_refused_resurrection
              |FROM final GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: CHECK constraints (one-pass ADD validation, in-write-pass enforcement, violating writes commit nothing) + log-carried TBLPROPERTIES + metadata-only DROP COLUMN with resurrection tombstone"))
+      "S-catalog: CHECK constraints (one-pass ADD validation, in-write-pass enforcement, violating writes commit nothing) + log-carried TBLPROPERTIES + metadata-only DROP COLUMN with resurrection tombstone"),
+
+    GraftQuery(
+      "src32_shallow_clone",
+      (spark, dir) => {
+        // SHALLOW CLONE — the zero-copy sandbox (Delta's CLONE shape):
+        // one v1 commit REFERENCING the source's files + in-effect DVs
+        // + schema/spec/properties (O(live files) metadata; at 100 TB a
+        // clone costs a manifest write, never a copy — audited here by
+        // the clone's data dir holding ZERO files). Clone and source
+        // then diverge independently: the clone's DELETE lands its own
+        // DV commit, the source's later append never shows in the
+        // clone, and the clone's vacuum GCs only its own staged files.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val n = src25Runs.incrementAndGet()
+        val (srcT, cloneT) = (s"clsrc_$n", s"clone_$n")
+        val (srcRoot, cloneRoot) = (s"$wh/db/$srcT", s"$wh/db/$cloneT")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        SnapshotCatalog.append(ev.coalesce(2), srcRoot, "b0")
+        // a source-side DV delete the clone must inherit in effect
+        spark.sql(s"DELETE FROM graft_src25.db.$srcT WHERE event_id % 11 = 0")
+        spark.sql(s"CREATE TABLE graft_src25.db.$cloneT " +
+          s"SHALLOW CLONE graft_src25.db.$srcT")
+        val zeroCopy =
+          SnapshotCatalog.listDataEntries(s"$cloneRoot/data").isEmpty
+        // divergence both ways
+        spark.sql(s"DELETE FROM graft_src25.db.$cloneT WHERE event_id % 7 = 0")
+        spark.sql(s"INSERT INTO graft_src25.db.$srcT " +
+          "VALUES (200001, 'synthetic', 1.0)")
+        val srcIndependent =
+          spark.sql(s"SELECT count(*) FROM graft_src25.db.$srcT " +
+            "WHERE event_id % 7 = 0 AND event_id % 11 <> 0")
+            .head().getLong(0) > 0L &&
+          spark.sql(s"SELECT count(*) FROM graft_src25.db.$cloneT " +
+            "WHERE event_id = 200001").head().getLong(0) == 0L
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $zeroCopy AS clone_zero_copy,
+             |  $srcIndependent AS clone_source_independent
+             |FROM graft_src25.db.$cloneT
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS clone_zero_copy,
+             |  TRUE AS clone_source_independent
+             |FROM events
+             |WHERE event_id % 11 <> 0 AND event_id % 7 <> 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: SHALLOW CLONE — zero-copy v1 commit referencing the source's files + in-effect DVs; clone and source diverge independently (clone DELETE, source append)"))
 }

@@ -60,7 +60,9 @@ object ScaleStress {
     "src21_table_history", "src22_planned_skipping",
     "src23_partitioned_catalog", "src24_partition_overwrite",
     "src25_sql_catalog", "src26_sql_dml", "src27_sql_update_merge",
-    "src28_sql_merge_matrix", "src29_sql_maintenance")
+    "src28_sql_merge_matrix", "src29_sql_maintenance",
+    "src30_merge_by_source", "src31_sql_constraints_evolution",
+    "src32_shallow_clone")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the
@@ -111,6 +113,20 @@ object ScaleStress {
     * with per-file filesystem RPCs (CatalogPlanningSpec pins the RPC
     * count itself with a counting filesystem). */
   val planningName = "planning_time"
+
+  /** Pseudo-name selecting the in-place CONVERT cost section (round-17):
+    * the SAME bytes laid out as x1/x10/x100 FILE COUNTS, converted in
+    * place — the claim is the wall scales with files (namespace renames
+    * + footer RPCs), never with bytes (zero data copied, audited by
+    * byte identity in GraftCatalogSpec). */
+  val convertName = "convert_tier"
+
+  /** Pseudo-name selecting the CHECK-constraint write-overhead section
+    * (round-17): the same append timed on an unconstrained vs a
+    * 2-constraint table — enforcement is a filter fused into the write
+    * pass, so the claim is ~zero extra wall at every scale (a second
+    * validation scan would read as a ~2x ratio). */
+  val constraintName = "constraint_tier"
 
   /** Pseudo-name selecting the incremental-OPTIMIZE cost section
     * (round-16 verdict item 1): an ingest of B batches with inline
@@ -282,7 +298,7 @@ object ScaleStress {
       .filterNot(n => queryNames.contains(n) || streamingQueryNames.contains(n) ||
         n == profileTierName || n == catalogCommitName ||
         n == st37SplitName || n == planningName || n == optimizeName ||
-        n == st42SplitName)
+        n == st42SplitName || n == convertName || n == constraintName)
     require(unknown.isEmpty,
       s"SPARK_GRAFT_STRESS_ONLY names not in ScaleStress.queryNames: " +
         unknown.mkString(", "))
@@ -662,6 +678,77 @@ object ScaleStress {
       println("| ingest only | " + rows.map(r => f"${r._2}%.2f").mkString(" | ") +
         f" | ${exponent(rows.map(r => (r._1, r._2)))}%.2f |")
       println("| with inline maintenance | " + rows.map(r => f"${r._3}%.2f").mkString(" | ") +
+        f" | ${exponent(rows.map(r => (r._1, r._3)))}%.2f |")
+    }
+    // In-place CONVERT cost (round-17): constant BYTES (the x1 events),
+    // file count scaled x16/x160/x1600 — wall must track the file count
+    // (per-file rename + footer RPC), with zero data copied (the byte
+    // identity itself is spec-pinned; here the observable is the wall's
+    // exponent in FILES at fixed bytes).
+    if (selectedQueries.contains(convertName)) {
+      import graft.sources.SnapshotCatalog
+      val ev = Tables(spark, dirs.head._2).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      val fileCounts = scales.map(_ * 16)
+      val rows = fileCounts.map { nf =>
+        val plain = graft.streaming.Streams.dataDir(f"graft_conv_x$nf%04d_")
+        // a fresh plain hive-partitioned dir with ~nf files (5 types x
+        // nf/5-ish parts); written OUTSIDE the catalog
+        ev.repartition(math.max(1, nf / 5))
+          .write.partitionBy("event_type").mode("overwrite").parquet(plain)
+        val actual = SnapshotCatalog.listDataEntries(plain).size
+        val t0 = System.nanoTime()
+        val (converted, v) = SnapshotCatalog.convertInPlace(spark, plain)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(v == 1 && converted == actual,
+          s"convert drift: $converted of $actual files")
+        println(f"[scalestress] convert_tier files=$actual: $sec%.2f s " +
+          f"(${actual / sec}%.0f files/s, constant bytes)")
+        (actual, sec)
+      }
+      println("| files | " + rows.map(_._1.toString).mkString(" | ") + " |")
+      println("| convert wall (s) | " +
+        rows.map(r => f"${r._2}%.2f").mkString(" | ") + " |")
+      println(f"[scalestress] convert_tier wall-vs-files exponent: " +
+        f"${exponent(rows)}%.2f (bytes constant — linear-in-files = the " +
+        "namespace+footer term, never O(bytes))")
+    }
+    // CHECK-constraint write overhead (round-17): the same scaled append
+    // timed onto an unconstrained vs a 2-constraint table — enforcement
+    // rides the write pass (cond OR raise_error filter), so the ratio
+    // must stay ~1 at every scale.
+    if (selectedQueries.contains(constraintName)) {
+      import graft.sources.SnapshotCatalog
+      val rows = dirs.map { case (kk, d) =>
+        val ev = Tables(spark, d).events
+          .select(col("event_id"), col("event_type"), col("value"))
+          .localCheckpoint()
+        def appendTo(constrained: Boolean): Double = {
+          val root = graft.streaming.Streams.dataDir("graft_constr_")
+          SnapshotCatalog.append(ev.limit(10).coalesce(1), root, "seed")
+          if (constrained) {
+            SnapshotCatalog.addConstraint(spark, root, "vpos", "value >= 0")
+            SnapshotCatalog.addConstraint(spark, root, "idnn",
+              "event_id IS NOT NULL")
+          }
+          val t0 = System.nanoTime()
+          SnapshotCatalog.append(ev.repartition(8), root, "big")
+          (System.nanoTime() - t0) / 1e9
+        }
+        appendTo(constrained = false) // warm
+        val off = appendTo(constrained = false)
+        val on = appendTo(constrained = true)
+        println(f"[scalestress] constraint_tier x$kk: unconstrained " +
+          f"$off%.2f s, 2 constraints $on%.2f s (ratio ${on / off}%.2f)")
+        (kk, off, on)
+      }
+      println("| mode | " + scales.map(s => s"x$s (s)").mkString(" | ") + " | exponent |")
+      println("|---|" + scales.map(_ => "---|").mkString + "---|")
+      println("| append, no constraints | " +
+        rows.map(r => f"${r._2}%.2f").mkString(" | ") +
+        f" | ${exponent(rows.map(r => (r._1, r._2)))}%.2f |")
+      println("| append, 2 CHECK constraints | " +
+        rows.map(r => f"${r._3}%.2f").mkString(" | ") +
         f" | ${exponent(rows.map(r => (r._1, r._3)))}%.2f |")
     }
     // st37 cost split (round-13 verdict item 6): memory sink (registry

@@ -91,6 +91,14 @@ class GraftCatalogSpec extends SparkTestBase {
       "SELECT count(*) AS n FROM graft.db.part1 TIMESTAMP AS OF current_timestamp()")
       .head().getLong(0)
     assert(n == 40L)
+    // SHOW PARTITIONS: live partition dirs from the log alone
+    val parts = spark.sql("SHOW PARTITIONS graft.db.part1")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("p=a", "p=b"), s"SHOW PARTITIONS drifted: $parts")
+    val eUnpart = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS graft.db.t1")
+    }
+    assert(eUnpart.getMessage.contains("not a partitioned table"))
   }
 
   test("SQL DELETE routes into the deletion-vector tier: ANY deterministic predicate, one O(matched) commit, no rewrite; subqueries refuse") {
@@ -561,6 +569,54 @@ class GraftCatalogSpec extends SparkTestBase {
       s"rename refusal drifted: $eRen")
   }
 
+  test("SHALLOW CLONE: zero-copy sandbox referencing the source's files/DVs; clones and source diverge independently") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val srcRoot = s"$wh/db/clsrc"
+    SnapshotCatalog.append(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "v").coalesce(2),
+      srcRoot, "b0")
+    // a DV delete on the source — the clone must inherit it in effect
+    SnapshotCatalog.deleteWhere(spark, srcRoot, col("id") > 15L)
+    val vSrc = SnapshotCatalog.latestVersion(srcRoot)
+    val row = spark.sql(
+      "CREATE TABLE graft.db.clone1 SHALLOW CLONE graft.db.clsrc")
+      .collect().head
+    assert(row.getInt(0) == vSrc)
+    val cloneRoot = s"$wh/db/clone1"
+    // zero copy: the clone's data dir holds NOTHING; reads ≡ source
+    assert(SnapshotCatalog.listDataEntries(s"$cloneRoot/data").isEmpty,
+      "shallow clone copied data")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.clone1").head().getLong(0) ==
+      (1L to 15L).map(_ * 10L).sum, "clone read drifted from source")
+    // divergence: DML on the clone never touches the source...
+    spark.sql("DELETE FROM graft.db.clone1 WHERE id <= 5")
+    assert(spark.sql("SELECT count(*) FROM graft.db.clone1")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.clsrc")
+      .head().getLong(0) == 15L, "clone DELETE leaked into the source")
+    // ...and source appends never show in the clone
+    spark.sql("INSERT INTO graft.db.clsrc VALUES (99, 990)")
+    assert(spark.sql("SELECT count(*) FROM graft.db.clone1")
+      .head().getLong(0) == 10L, "source append leaked into the clone")
+    // the clone's own vacuum GCs only its own staged files — the
+    // referenced source files survive
+    SnapshotCatalog.expire(cloneRoot, keepLast = 1, minAgeMs = 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.clsrc WHERE id <= 20")
+      .head().getLong(0) == 15L, "clone vacuum deleted source files")
+    // VERSION AS OF clones the historical snapshot (pre-delete v1)
+    spark.sql("CREATE TABLE graft.db.clone2 SHALLOW CLONE graft.db.clsrc " +
+      "VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM graft.db.clone2")
+      .head().getLong(0) == 20L, "versioned clone drifted")
+    // cloning onto an existing table refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.clone1 SHALLOW CLONE graft.db.clsrc")
+    }
+    assert(e.getMessage.contains("already a table"))
+  }
+
   test("ALTER TABLE ADD COLUMNS: one metadata-only commit; old rows null-fill; drops/re-types refuse") {
     val wh = warehouse
     val spark2 = spark
@@ -743,6 +799,16 @@ class GraftCatalogSpec extends SparkTestBase {
       SnapshotCatalog.latestVersion(root)).isEmpty)
     assert(spark.sql("SELECT count(*) AS n FROM graft.db.restoresql")
       .head().getLong(0) == 15L)
+    // RESTORE TO TIMESTAMP AS OF: resolves the newest version at-or-
+    // before the instant (here: now → the current latest), one commit
+    val rts = spark.sql("RESTORE TABLE graft.db.restoresql TO TIMESTAMP " +
+      s"AS OF '${new java.sql.Timestamp(System.currentTimeMillis() + 1000)}'")
+      .collect().head
+    assert(rts.getInt(1) == rts.getInt(0) + 1 ||
+      rts.getInt(1) == SnapshotCatalog.latestVersion(root),
+      s"timestamp restore drifted: $rts")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.restoresql")
+      .head().getLong(0) == 15L, "timestamp restore changed content")
   }
 
   test("atomic CTAS: one version-1 commit; a failed CTAS leaves NO table; RTAS is one replace commit keeping history") {
