@@ -66,7 +66,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
 
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
   private val HistoryRe =
@@ -118,16 +118,42 @@ object GraftSqlParser {
         // never a quoted path form Spark's grammar owns
         if !name.contains("`") =>
       Some(GraftShowPartitionsCommand(delegate.parseMultipartIdentifier(name)))
-    case OptimizeRe(name, zorder) =>
+    case OptimizeRe(name, where, zorder) =>
       Some(GraftOptimizeCommand(delegate.parseMultipartIdentifier(name),
         Option(zorder).map(_.split(",").toSeq.map(c =>
-          delegate.parseMultipartIdentifier(c.trim).last)).getOrElse(Seq.empty)))
+          delegate.parseMultipartIdentifier(c.trim).last)).getOrElse(Seq.empty),
+        Option(where).map(w => partitionEqualities(w, delegate))
+          .getOrElse(Map.empty)))
     case HistoryRe(name) =>
       Some(GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(name)))
     case VacuumRe(name, hours) =>
       Some(GraftVacuumCommand(delegate.parseMultipartIdentifier(name),
         Option(hours).map(_.toLong).getOrElse(168L)))
     case _ => None
+  }
+
+  /** `OPTIMIZE ... WHERE` scope: AND-ed equalities on partition columns
+    * (`p = 'a' AND q = 1` — Delta accepts exactly this shape); anything
+    * else refuses loudly. Values keep their literal text — the hive
+    * directory spelling the scope matches against. */
+  private def partitionEqualities(where: String,
+                                  delegate: ParserInterface)
+      : Map[String, String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Literal}
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    split(delegate.parseExpression(where)).map {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        a.name -> String.valueOf(l.value)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        a.name -> String.valueOf(l.value)
+      case other => sys.error("OPTIMIZE ... WHERE supports AND-ed " +
+        s"partition-column equalities only, got: ${other.sql}")
+    }.toMap
   }
 
   /** Resolve a (possibly catalog-qualified) table name to its delta-log
@@ -166,7 +192,8 @@ object GraftSqlParser {
   * clustering one (range-partition + sort → tight per-file stats for
   * the planning-time index). Returns one row: (fired, version). */
 case class GraftOptimizeCommand(nameParts: Seq[String],
-                                zorderBy: Seq[String] = Seq.empty)
+                                zorderBy: Seq[String] = Seq.empty,
+                                partitionScope: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("fired", BooleanType, nullable = false)(),
@@ -176,7 +203,7 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
     val v = SnapshotCatalog.maintainIfNeeded(spark, root,
       "sqopt" + java.util.UUID.randomUUID().toString.take(12),
       maxDvBytes = 0L, maxDeletedFrac = 0.0, maxLiveFiles = 1,
-      clusterBy = zorderBy)
+      clusterBy = zorderBy, partitionScope = partitionScope)
     Seq(org.apache.spark.sql.Row(v.isDefined, v.orNull))
   }
 }

@@ -1821,7 +1821,8 @@ object SnapshotCatalog {
                        clusterBy: Seq[String] = Seq.empty,
                        minFileBytes: Long = optimizeMinFileBytes,
                        targetFileBytes: Long = optimizeTargetFileBytes,
-                       minMergeFanout: Int = 4)
+                       minMergeFanout: Int = 4,
+                       partitionScope: Map[String, String] = Map.empty)
       : Option[Int] = {
     import org.apache.spark.sql.functions.col
     val vOpt = latestVersionOption(root)
@@ -1829,6 +1830,22 @@ object SnapshotCatalog {
     val v = vOpt.get
     val entries = manifestEntries(root, v)
     val dvs = dvEntries(root, v)
+    // `OPTIMIZE ... WHERE p = 'a'` (Delta's partition-scoped OPTIMIZE):
+    // only files in matching partitions are candidates; DV positions
+    // into OUT-of-scope files are re-landed, not reset
+    if (partitionScope.nonEmpty) {
+      val specNames = partitionSpecAt(root, v)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val bad = partitionScope.keys.filterNot(specNames.contains)
+      if (bad.nonEmpty) sys.error(s"OPTIMIZE on $root: WHERE references " +
+        s"non-partition column(s) ${bad.mkString(", ")} — the scope must " +
+        "be a partition predicate")
+    }
+    def inScope(path: String): Boolean =
+      partitionScope.isEmpty || {
+        val vec = partitionVecOf(path)
+        partitionScope.forall { case (c, vl) => vec.contains(s"$c=$vl") }
+      }
     val dvBytes = dvs.map(e =>
       if (e.size >= 0) e.size
       else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }).sum
@@ -1847,12 +1864,14 @@ object SnapshotCatalog {
 
     // files bearing live DV positions (O(deleted rows) metadata read —
     // the only data IO the selection itself costs)
-    val bearingUris: Set[String] =
-      if (dvs.isEmpty) Set.empty
+    val bearingRaw: Seq[String] =
+      if (dvs.isEmpty) Seq.empty
       else spark.read.parquet(dvs.map(_.path): _*)
         .select("__dv_file").distinct()
-        .collect().map(r => uriOf(r.getString(0))).toSet
-    val liveBearing = entries.filter(e => bearingUris.contains(uriOf(e.path)))
+        .collect().map(_.getString(0)).toSeq
+    val bearingUris: Set[String] = bearingRaw.map(uriOf).toSet
+    val liveBearing = entries.filter(e =>
+      bearingUris.contains(uriOf(e.path)) && inScope(e.path))
     // size-tiered small-file selection among the CLEAN files, SCOPED
     // PER PARTITION: a merged generation of a partitioned table is
     // split across its partitions' files, so a TABLE-WIDE doubling
@@ -1864,7 +1883,7 @@ object SnapshotCatalog {
     // partitioned and flat tables alike.
     val smallSel = entries
       .filterNot(e => bearingUris.contains(uriOf(e.path)))
-      .filter(e => sizeOf(e) < minFileBytes)
+      .filter(e => sizeOf(e) < minFileBytes && inScope(e.path))
       .groupBy(e => partitionVecOf(e.path)).values.flatMap { group =>
         val asc = group.sortBy(sizeOf)
         var n = asc.length
@@ -1881,7 +1900,32 @@ object SnapshotCatalog {
       }.toSeq
     val selection = liveBearing ++ smallSel
 
+    // a scoped pass with nothing qualifying IN SCOPE is a no-op — it
+    // must not fall into the metadata-only DV reset below, which would
+    // clear out-of-scope partitions' deletes
+    if (partitionScope.nonEmpty && selection.isEmpty) return None
     if (selection.isEmpty && dvs.isEmpty) return None
+    // DV positions referencing files the rewrite does NOT claim (out-
+    // of-scope partitions under a scoped pass) must stay in effect:
+    // withdraw every entry and re-land the surviving positions (the
+    // replacePartitions restructuring); the unscoped pass claims every
+    // bearing file, so surviving is empty and the plain reset applies
+    val selUrisForDv = selection.map(e => uriOf(e.path)).toSet
+    val survivingRaw = bearingRaw.filterNot(f =>
+      selUrisForDv.contains(uriOf(f)))
+    val (dvWithdraws, dvSurviveAdds) =
+      if (dvs.isEmpty || survivingRaw.isEmpty)
+        (Seq.empty[String], Seq.empty[FileEntry])
+      else {
+        val dv0 = spark.read.parquet(dvs.map(_.path): _*)
+        val keep = dv0.filter(col("__dv_file").isin(survivingRaw: _*))
+        val dvDir = s"$root/dv/w${java.util.UUID.randomUUID().toString.take(8)}"
+        keep.coalesce(1).write.mode("overwrite").parquet(dvDir)
+        val sized = listDataEntries(dvDir)
+        val nKeep = spark.read.parquet(sized.map(_._1): _*).count()
+        (dvs.map(_.path), sized.map { case (f, sz) =>
+          FileEntry(f, sz, if (sized.size == 1) nKeep else -1L) })
+      }
     val spec = partitionSpecAt(root, v)
     val specCols = spec.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
     val fullSchema = schemaAt(root, v)
@@ -1951,7 +1995,8 @@ object SnapshotCatalog {
       if (tryCommitEntries(root, pv + 1,
             adds = newEntries.distinct.sortBy(_.path),
             removes = selPaths.toSeq.sorted,
-            dvReset = dvs.nonEmpty,
+            dvReset = dvs.nonEmpty && survivingRaw.isEmpty,
+            dvAdds = dvSurviveAdds, dvRemoves = dvWithdraws,
             schemaJson = schemaJson,
             partJson = spec.map(_.json)))
         return Some(pv + 1)

@@ -1996,5 +1996,62 @@ object SourceQueries extends QueryPack {
              |FROM events
              |WHERE event_id % 11 <> 0 AND event_id % 7 <> 0
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: SHALLOW CLONE — zero-copy v1 commit referencing the source's files + in-effect DVs; clone and source diverge independently (clone DELETE, source append)"))
+      "S-catalog: SHALLOW CLONE — zero-copy v1 commit referencing the source's files + in-effect DVs; clone and source diverge independently (clone DELETE, source append)"),
+
+    GraftQuery(
+      "src33_scoped_optimize",
+      (spark, dir) => {
+        // `OPTIMIZE t WHERE p = '...'` — Delta's partition-scoped pass:
+        // only matching partitions' litter compacts and only their DV
+        // positions apply; OUT-of-scope partitions keep their VERY
+        // files (manifest-identity audited) and their deletes stay in
+        // effect (the DV set is restructured — withdrawn and re-landed
+        // for surviving positions — never reset). At 100 TB this is
+        // the maintenance shape a partitioned ingest runs after each
+        // load: O(touched partition's litter), never a table pass.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val tbl = "optw_" + src25Runs.incrementAndGet()
+        val root = s"$wh/db/$tbl"
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        // 3 litter appends per partition layout
+        (0 until 3).foreach { b =>
+          SnapshotCatalog.append(ev.filter(col("event_id") % 3 === b)
+            .coalesce(1), root, s"b$b", partitionBy = Seq("event_type"))
+        }
+        // deletes landing DV positions in EVERY partition
+        spark.sql(s"DELETE FROM graft_src25.db.$tbl WHERE event_id % 17 = 0")
+        val vPre = SnapshotCatalog.latestVersion(root)
+        val outPre = SnapshotCatalog.manifestFiles(root, vPre)
+          .filterNot(_.contains("event_type=click"))
+        spark.sql(s"OPTIMIZE graft_src25.db.$tbl WHERE event_type = 'click'")
+        val vPost = SnapshotCatalog.latestVersion(root)
+        val postFiles = SnapshotCatalog.manifestFiles(root, vPost)
+        val scopedIncremental =
+          // out-of-scope partitions: the very same files
+          outPre.forall(postFiles.contains) &&
+          // in-scope partition compacted below its litter count
+          postFiles.count(_.contains("event_type=click")) <
+            SnapshotCatalog.manifestFiles(root, vPre)
+              .count(_.contains("event_type=click")) &&
+          // out-of-scope deletes still in effect via re-landed DVs
+          SnapshotCatalog.dvFiles(root, vPost).nonEmpty
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $scopedIncremental AS scoped_optimize_incremental
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS scoped_optimize_incremental
+             |FROM events WHERE event_id % 17 <> 0
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: partition-scoped OPTIMIZE WHERE — in-scope litter compacts with deletes applied, out-of-scope partitions keep their very files and their deletion vectors re-land intact"))
 }

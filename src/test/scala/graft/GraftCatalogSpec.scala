@@ -569,6 +569,60 @@ class GraftCatalogSpec extends SparkTestBase {
       s"rename refusal drifted: $eRen")
   }
 
+  test("OPTIMIZE WHERE: partition-scoped pass touches only matching partitions; out-of-scope deletes stay in effect") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/optw1"
+    // litter in two partitions, then a delete landing DVs in BOTH
+    (0 until 3).foreach { b =>
+      SnapshotCatalog.append(
+        (1L to 10L).map(i => (b * 10L + i, i * 10L, if (i % 2 == 0) "a" else "b"))
+          .toDF("id", "v", "p").coalesce(1),
+        root, s"b$b", partitionBy = Seq("p"))
+    }
+    // i=9 -> p=b, i=10 -> p=a: DVs land in BOTH partitions
+    spark.sql("DELETE FROM graft.db.optw1 WHERE v IN (90, 100)")
+    val vPre = SnapshotCatalog.latestVersion(root)
+    val bFilesPre = SnapshotCatalog.manifestFiles(root, vPre)
+      .filter(_.contains("p=b"))
+    val preCounts = spark.sql(
+      "SELECT p, count(*) AS n FROM graft.db.optw1 GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // scoped pass: only p=a compacts; p=b's very files survive and its
+    // deletes keep applying (DV positions re-landed, not reset)
+    val fired = spark.sql("OPTIMIZE graft.db.optw1 WHERE p = 'a'")
+      .collect().head.getBoolean(0)
+    assert(fired, "scoped OPTIMIZE did not fire")
+    val vPost = SnapshotCatalog.latestVersion(root)
+    val postFiles = SnapshotCatalog.manifestFiles(root, vPost)
+    assert(bFilesPre.forall(postFiles.contains),
+      "scoped OPTIMIZE rewrote an out-of-scope partition's files")
+    assert(postFiles.count(_.contains("p=a")) <
+      SnapshotCatalog.manifestFiles(root, vPre).count(_.contains("p=a")),
+      "scoped OPTIMIZE did not compact the in-scope partition")
+    assert(SnapshotCatalog.dvFiles(root, vPost).nonEmpty,
+      "scoped OPTIMIZE reset the out-of-scope deletion vectors")
+    val postCounts = spark.sql(
+      "SELECT p, count(*) AS n FROM graft.db.optw1 GROUP BY p ORDER BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(postCounts == preCounts,
+      s"scoped OPTIMIZE changed content: $preCounts -> $postCounts")
+    // re-running the same scope is quiescent for the bearing side (p=a
+    // has no litter or DVs left; the fresh single output is clean)
+    // a non-partition column in WHERE refuses
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.db.optw1 WHERE v = 10")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // the unscoped pass then retires everything: DVs clear
+    spark.sql("OPTIMIZE graft.db.optw1")
+    assert(SnapshotCatalog.dvFiles(root,
+      SnapshotCatalog.latestVersion(root)).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.db.optw1")
+      .head().getLong(0) == preCounts.map(_._2).sum)
+  }
+
   test("SHALLOW CLONE: zero-copy sandbox referencing the source's files/DVs; clones and source diverge independently") {
     val wh = warehouse
     val spark2 = spark
