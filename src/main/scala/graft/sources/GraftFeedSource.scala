@@ -56,7 +56,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *   spark.readStream
   *     .format("graft-feed")                      // or the class name
   *     .option("root", "/data/warehouse/db/t")
-  *     .option("maxVersionsPerTrigger", "1")      // rate limit
+  *     .option("maxVersionsPerTrigger", "1")      // rate limit (versions)
+  *     .option("maxBytesPerTrigger", "1048576")   // rate limit (log-carried
+  *                                                // added bytes; >= 1
+  *                                                // version always admits)
   *     .option("startingVersion", "7")            // or "latest":
   *     .option("readChangeFeed", "true")          // CDF rows (optional)
   *     .load()                                    // incremental from v7,
@@ -143,6 +146,8 @@ class GraftFeedSourceProvider extends StreamSourceProvider
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toInt)
       .getOrElse(Int.MaxValue)
     require(maxPer >= 1, "maxVersionsPerTrigger must be >= 1")
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    require(maxBytes.forall(_ >= 1L), "maxBytesPerTrigger must be >= 1")
     val root = rootOf(parameters)
     // Delta-parity startingVersion: a FRESH checkpoint begins serving
     // INCREMENTALLY from this version (inclusive) instead of the
@@ -163,7 +168,8 @@ class GraftFeedSourceProvider extends StreamSourceProvider
         v - 1L
     }
     new GraftFeedSource(sqlContext.sparkSession, root, maxPer,
-      metadataPath, startingBase, changeFeed = cdcOf(parameters))
+      metadataPath, startingBase, changeFeed = cdcOf(parameters),
+      maxBytesPerTrigger = maxBytes)
   }
 }
 
@@ -180,7 +186,8 @@ object GraftFeedSource {
 class GraftFeedSource(spark: SparkSession, root: String,
                       maxVersionsPerTrigger: Int, metadataPath: String,
                       startingBase: Option[Long] = None,
-                      changeFeed: Boolean = false)
+                      changeFeed: Boolean = false,
+                      maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   /** Table schema pinned at stream start (data then partition columns —
@@ -268,7 +275,26 @@ class GraftFeedSource(spark: SparkSession, root: String,
       // checkpoint the operator is told to use repeats the same path.
       val capped =
         if (servedThrough == 0L && startingBase.isEmpty) l
-        else math.min(l, servedThrough + maxVersionsPerTrigger)
+        else {
+          val byVersions = math.min(l, servedThrough + maxVersionsPerTrigger)
+          // byte rate limit (Delta's maxBytesPerTrigger): extend the
+          // range version-by-version while the log-carried added bytes
+          // fit; always admit at least ONE version so the stream can't
+          // stall behind a single oversized commit
+          maxBytesPerTrigger match {
+            case None => byVersions
+            case Some(maxB) =>
+              var v = servedThrough
+              var acc = 0L
+              var stop = false
+              while (!stop && v < byVersions) {
+                val b = SnapshotCatalog.addedBytesOf(root, (v + 1).toInt)
+                if (acc + b > maxB && v > servedThrough) stop = true
+                else { acc += b; v += 1 }
+              }
+              v
+          }
+        }
       LongOffset(math.max(capped, servedThrough))
     }.filter(_.offset > 0L)
   }

@@ -87,6 +87,8 @@ object GraftSqlParser {
     """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
   private val CloneRe =
     """(?is)^\s*CREATE\s+TABLE\s+(.+?)\s+SHALLOW\s+CLONE\s+(.+?)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
+  private val CopyIntoRe =
+    """(?is)^\s*COPY\s+INTO\s+(.+?)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*$""".r
 
   private def parse(sqlText: String, delegate: ParserInterface)
       : Option[LogicalPlan] = sqlText match {
@@ -113,6 +115,9 @@ object GraftSqlParser {
       Some(GraftCloneCommand(delegate.parseMultipartIdentifier(dest),
         delegate.parseMultipartIdentifier(src),
         Option(v).map(_.toInt)))
+    case CopyIntoRe(name, path, fmt) =>
+      Some(GraftCopyIntoCommand(delegate.parseMultipartIdentifier(name),
+        path, Option(fmt).map(_.toLowerCase).getOrElse("parquet")))
     case ShowPartsRe(name)
         // only intercept names that LOOK catalog-qualified or plain —
         // never a quoted path form Spark's grammar owns
@@ -368,6 +373,24 @@ case class GraftCloneCommand(destParts: Seq[String], srcParts: Seq[String],
     val dest = GraftSqlParser.rootOf(spark, destParts, mustExist = false)
     val v = SnapshotCatalog.shallowClone(src, dest, version)
     Seq(org.apache.spark.sql.Row(v))
+  }
+}
+
+/** `COPY INTO <table> FROM '<dir>' [FILEFORMAT = PARQUET|CSV]` —
+  * idempotent external-file loading ([[SnapshotCatalog.copyInto]]):
+  * exactly once per source FILE, the loaded-file markers landing in
+  * the same atomic commit as the data; re-runs load only the
+  * remainder. Returns (files_loaded, version). */
+case class GraftCopyIntoCommand(nameParts: Seq[String], path: String,
+                                format: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", IntegerType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val (n, v) = SnapshotCatalog.copyInto(spark, root, path, format)
+    Seq(org.apache.spark.sql.Row(n, v))
   }
 }
 

@@ -478,7 +478,8 @@ object SnapshotCatalog {
                                  partJson: Option[String],
                                  dvRemoves: Seq[String] = Seq.empty,
                                  propsEnc: Option[String] = None,
-                                 schemaSet: Boolean = false)
+                                 schemaSet: Boolean = false,
+                                 loaded: Seq[String] = Seq.empty)
 
   /** Memo for parsed commit deltas and checkpoints — sound because BOTH
     * are immutable once published (the publish seam is exclusive-create;
@@ -528,6 +529,7 @@ object SnapshotCatalog {
     val removes = Seq.newBuilder[String]
     val dvAdds = Seq.newBuilder[FileEntry]
     val dvRemoves = Seq.newBuilder[String]
+    val loaded = Seq.newBuilder[String]
     var dvReset = false
     var schemaSet = false
     var schemaJson: Option[String] = None
@@ -541,12 +543,14 @@ object SnapshotCatalog {
       else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("K\t")) propsEnc = Some(l.substring(2))
+      else if (l.startsWith("L\t")) loaded += unb64(l.substring(2))
       else if (l == "X\tdvreset") dvReset = true
       else if (l == "X\tschemaset") schemaSet = true
       else sys.error(s"malformed commit line in $p: $l")
     }
     CommitDelta(adds.result(), removes.result(), dvAdds.result(), dvReset,
-      schemaJson, partJson, dvRemoves.result(), propsEnc, schemaSet)
+      schemaJson, partJson, dvRemoves.result(), propsEnc, schemaSet,
+      loaded.result())
   }
 
   /** The (data add paths, data remove paths) a commit recorded. */
@@ -567,7 +571,8 @@ object SnapshotCatalog {
                                      dvEntries: Seq[FileEntry],
                                      schemaJson: Option[String],
                                      partJson: Option[String],
-                                     propsEnc: Option[String] = None)
+                                     propsEnc: Option[String] = None,
+                                     loaded: Seq[String] = Seq.empty)
 
   private def readCheckpoint(root: String, c: Int): CheckpointState = {
     val k = (root, c)
@@ -585,15 +590,17 @@ object SnapshotCatalog {
     var schemaJson: Option[String] = None
     var partJson: Option[String] = None
     var propsEnc: Option[String] = None
+    val loaded = Seq.newBuilder[String]
     readUtf8(fsFor(p), p).linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("V\t")) dvs += decodeEntry(l.substring(2))
       else if (l.startsWith("S\t")) schemaJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("P\t")) partJson = Some(unb64(l.substring(2)))
       else if (l.startsWith("K\t")) propsEnc = Some(l.substring(2))
+      else if (l.startsWith("L\t")) loaded += unb64(l.substring(2))
       else entries += decodeEntry(l)
     }
     CheckpointState(entries.result(), dvs.result(), schemaJson, partJson,
-      propsEnc)
+      propsEnc, loaded.result())
   }
 
   /** Resolve version `v`'s complete file list WITH the log-carried
@@ -787,7 +794,8 @@ object SnapshotCatalog {
       partJson: Option[String] = None,
       dvRemoves: Seq[String] = Seq.empty,
       props: Option[Map[String, String]] = None,
-      schemaSet: Boolean = false): Boolean = {
+      schemaSet: Boolean = false,
+      loaded: Seq[String] = Seq.empty): Boolean = {
     val mdir = manifestDir(root)
     val fs = fsFor(mdir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
@@ -798,7 +806,8 @@ object SnapshotCatalog {
       dvAdds.map(e => "V\t" + encodeEntry(e)) ++
       schemaJson.map(j => "S\t" + b64(j)).toSeq ++
       partJson.map(j => "P\t" + b64(j)).toSeq ++
-      props.map(m => "K\t" + encodeProps(m)).toSeq)
+      props.map(m => "K\t" + encodeProps(m)).toSeq ++
+      loaded.map(f => "L\t" + b64(f)))
       .mkString("\n") + "\n"
     val won = publishUtf8(fs, commitPath(root, v), body)
     if (won && v == 1) {
@@ -832,7 +841,8 @@ object SnapshotCatalog {
         dvEntries(root, v).map(e => "V\t" + encodeEntry(e)) ++
         schemaAt(root, v).map(s => "S\t" + b64(s.json)).toSeq ++
         partitionSpecAt(root, v).map(s => "P\t" + b64(s.json)).toSeq ++
-        (if (props.isEmpty) Seq.empty else Seq("K\t" + encodeProps(props)))
+        (if (props.isEmpty) Seq.empty else Seq("K\t" + encodeProps(props))) ++
+        loadedFilesAt(root, v).toSeq.sorted.map(f => "L\t" + b64(f))
       publishUtf8(fs, dest, lines.mkString("\n") + "\n")
       logHints.merge(root, LogHint(v, Vector(v)), (a, b) =>
         LogHint(math.max(a.latest, b.latest),
@@ -2028,6 +2038,110 @@ object SnapshotCatalog {
     * catalog-managed index and a caller-staged plain dir. */
   def readTableOrDir(spark: SparkSession, dir: String): DataFrame =
     if (isTable(dir)) readSnapshot(spark, dir) else spark.read.parquet(dir)
+
+  /** The data bytes version `v`'s commit ADDED — log-carried sizes
+    * (a filesystem probe only for legacy path-only entries). The feed
+    * source's `maxBytesPerTrigger` reads this per candidate version:
+    * O(1) cached log metadata, no listing. */
+  def addedBytesOf(root: String, v: Int): Long =
+    commitDeltaFull(root, v).adds.map { e =>
+      if (e.size >= 0) e.size
+      else { val p = new Path(e.path); fsFor(p).getFileStatus(p).getLen }
+    }.sum
+
+  /** The source files every surviving `COPY INTO` has loaded, as of
+    * version `v` — resolved from the log's accumulative `L` lines
+    * (checkpoint carries the full set, deltas union in; carried across
+    * rewrites like properties). */
+  def loadedFilesAt(root: String, v: Int): Set[String] = {
+    val cp = checkpointAtOrBelow(root, v)
+    val base = collection.mutable.Set.empty[String]
+    cp.foreach(c => base ++= readCheckpoint(root, c).loaded)
+    ((cp.getOrElse(0) + 1) to v).foreach { cv =>
+      if (commitExists(root, cv)) base ++= commitDeltaFull(root, cv).loaded
+    }
+    base.toSet
+  }
+
+  /** `COPY INTO` (the Delta verb): load a directory of external
+    * parquet/csv files into the table EXACTLY ONCE PER FILE — the
+    * loaded-file markers land as `L` lines IN THE SAME COMMIT as the
+    * data (one atomic publish: a crash anywhere re-runs to the same
+    * state, a replayed COPY skips everything already loaded). The
+    * listing anti-joins the log's loaded set (O(source files) driver
+    * work, no data read for skipped files); new files read with the
+    * TABLE's schema, aligned BY NAME with casts (missing table columns
+    * null-fill; extra source columns refuse loudly — the Delta
+    * default), staged as ONE batch (CHECK constraints ride the write
+    * pass), committed with the markers. A concurrent COPY that loaded
+    * an overlapping file between the listing and the publish aborts
+    * the CAS loudly — the re-run skips the overlap. Returns
+    * (files loaded, version). */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+               format: String = "parquet"): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(format == "parquet" || format == "csv",
+      s"COPY INTO supports FILEFORMAT = PARQUET | CSV, got $format")
+    val v0 = latestVersion(root)
+    val srcPath = new Path(srcDir)
+    val fs = fsFor(srcPath)
+    if (!fs.exists(srcPath)) sys.error(s"COPY INTO: $srcDir does not exist")
+    val ext = "." + format
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.isFile && n.endsWith(ext)) Seq(st.getPath.toString)
+        else Seq.empty
+      }
+    val listed = walk(srcPath).sorted
+    val already = loadedFilesAt(root, v0)
+    val newFiles = listed.filterNot(already.contains)
+    if (newFiles.isEmpty) return (0, v0)
+    val tableSchema = schemaAt(root, v0).getOrElse(
+      sys.error(s"COPY INTO on $root needs a log-carried table schema"))
+    val raw =
+      if (format == "parquet") spark.read.parquet(newFiles: _*)
+      else spark.read.option("header", "true").schema(tableSchema)
+        .csv(newFiles: _*)
+    val extra = raw.columns.filterNot(tableSchema.fieldNames.contains)
+    if (extra.nonEmpty)
+      sys.error(s"COPY INTO on $root: source carries column(s) " +
+        s"${extra.mkString(", ")} not in the table's schema — drop them " +
+        "or ALTER TABLE ADD COLUMNS first")
+    val aligned = raw.select(tableSchema.fields.toSeq.map(f =>
+      (if (raw.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+    val spec = partitionSpecAt(root, v0).map(_.fieldNames.toSeq)
+      .getOrElse(Seq.empty)
+    val batch = "copy" + java.util.UUID.randomUUID().toString.take(12)
+    val (entries, schemaJson, partJson) =
+      stageBatch(aligned, root, batch, spec, recordStats = true)
+    var attempt = 0
+    while (attempt < 100) {
+      val pv = latestVersion(root)
+      // a concurrent COPY may have loaded an overlap after our listing:
+      // committing would double-load those rows — abort loudly, the
+      // re-run's fresh listing skips them
+      if (pv != v0) {
+        val nowLoaded = loadedFilesAt(root, pv)
+        val overlap = newFiles.filter(nowLoaded.contains)
+        if (overlap.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"COPY INTO on $root: a concurrent COPY already loaded " +
+              s"${overlap.head} (+${overlap.size - 1} more) — re-run to " +
+              "load only the remainder")
+      }
+      if (tryCommitEntries(root, pv + 1,
+            adds = entries.distinct.sortBy(_.path), removes = Seq.empty,
+            schemaJson = schemaJson, partJson = partJson,
+            loaded = newFiles))
+        return (newFiles.size, pv + 1)
+      attempt += 1
+    }
+    sys.error(s"COPY INTO on $root lost 100 consecutive CAS races")
+  }
 
   /** SHALLOW CLONE (the Delta shape): publish `destRoot` as a NEW table
     * whose version-1 commit REFERENCES the source's data files and

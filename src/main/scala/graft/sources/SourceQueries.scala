@@ -2053,5 +2053,57 @@ object SourceQueries extends QueryPack {
              |  TRUE AS scoped_optimize_incremental
              |FROM events WHERE event_id % 17 <> 0
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "S-catalog: partition-scoped OPTIMIZE WHERE — in-scope litter compacts with deletes applied, out-of-scope partitions keep their very files and their deletion vectors re-land intact"))
+      "S-catalog: partition-scoped OPTIMIZE WHERE — in-scope litter compacts with deletes applied, out-of-scope partitions keep their very files and their deletion vectors re-land intact"),
+
+    GraftQuery(
+      "src34_copy_into",
+      (spark, dir) => {
+        // `COPY INTO t FROM '<dir>'` — Delta's idempotent external-file
+        // loader: EXACTLY ONCE PER SOURCE FILE, because the loaded-file
+        // markers (`L` log lines, checkpointed like entries) land in
+        // the SAME atomic commit as the data — a replayed COPY loads
+        // zero files and commits nothing; an incremental COPY after new
+        // files arrive loads exactly the remainder. At 100 TB the skip
+        // path is an O(source files) driver anti-join against the
+        // log-carried set — no data read for anything already loaded.
+        import graft.sources.{GraftCatalog, SnapshotCatalog}
+        val wh = src25Warehouse
+        spark.conf.set("spark.sql.catalog.graft_src25",
+          classOf[GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graft_src25.warehouse", wh)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_src25.db")
+        val n = src25Runs.incrementAndGet()
+        val tbl = s"cpy_$n"
+        val root = s"$wh/db/$tbl"
+        spark.sql(s"CREATE TABLE graft_src25.db.$tbl " +
+          "(event_id BIGINT, event_type STRING, value DOUBLE)")
+        val ev = graft.core.Tables(spark, dir).events
+          .select(col("event_id"), col("event_type"), col("value"))
+        val staging = graft.streaming.Streams.dataDir(s"graft_cpy_src_$n")
+        ev.filter(col("event_id") % 2 === 0).coalesce(1)
+          .write.parquet(s"$staging/even")
+        val n1 = spark.sql(s"COPY INTO graft_src25.db.$tbl FROM '$staging'")
+          .collect().head.getInt(0)
+        val vAfter = SnapshotCatalog.latestVersion(root)
+        val n2 = spark.sql(s"COPY INTO graft_src25.db.$tbl FROM '$staging'")
+          .collect().head.getInt(0)
+        val replayNoop = n2 == 0 &&
+          SnapshotCatalog.latestVersion(root) == vAfter
+        ev.filter(col("event_id") % 2 === 1).coalesce(1)
+          .write.parquet(s"$staging/odd")
+        val n3 = spark.sql(s"COPY INTO graft_src25.db.$tbl FROM '$staging'")
+          .collect().head.getInt(0)
+        val exactlyOncePerFile = n1 == 1 && replayNoop && n3 == 1
+        spark.sql(
+          s"""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  $exactlyOncePerFile AS copy_exactly_once_per_file
+             |FROM graft_src25.db.$tbl
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+             |  TRUE AS copy_exactly_once_per_file
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "S-catalog: COPY INTO — idempotent external-file loading, exactly once per source file (markers atomic with the data commit), replay loads zero, incremental loads the remainder"))
 }

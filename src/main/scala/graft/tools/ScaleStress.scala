@@ -62,7 +62,7 @@ object ScaleStress {
     "src25_sql_catalog", "src26_sql_dml", "src27_sql_update_merge",
     "src28_sql_merge_matrix", "src29_sql_maintenance",
     "src30_merge_by_source", "src31_sql_constraints_evolution",
-    "src32_shallow_clone")
+    "src32_shallow_clone", "src33_scoped_optimize", "src34_copy_into")
 
   /** STATEFUL STREAMING drains (round-9 verdict item 5) — the scale
     * question for streaming is not just wall time but whether the

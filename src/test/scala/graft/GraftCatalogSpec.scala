@@ -569,6 +569,48 @@ class GraftCatalogSpec extends SparkTestBase {
       s"rename refusal drifted: $eRen")
   }
 
+  test("COPY INTO: exactly once per source file, markers atomic with the data; re-runs load only the remainder") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("CREATE TABLE graft.db.cpy1 (id BIGINT, v BIGINT)")
+    val root = s"$wh/db/cpy1"
+    val src = graft.streaming.Streams.dataDir("graft_copy_src_")
+    (1L to 5L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/a")
+    (6L to 9L).map(i => (i, i * 10L)).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/b")
+    val r1 = spark.sql(s"COPY INTO graft.db.cpy1 FROM '$src'")
+      .collect().head
+    assert(r1.getInt(0) == 2, s"first COPY loaded ${r1.getInt(0)} files")
+    assert(spark.sql("SELECT sum(v) FROM graft.db.cpy1").head().getLong(0) ==
+      (1L to 9L).map(_ * 10L).sum)
+    // replay: nothing new, no commit
+    val vAfter = SnapshotCatalog.latestVersion(root)
+    val r2 = spark.sql(s"COPY INTO graft.db.cpy1 FROM '$src'")
+      .collect().head
+    assert(r2.getInt(0) == 0 && SnapshotCatalog.latestVersion(root) == vAfter,
+      "replayed COPY re-loaded or committed")
+    // incremental: one NEW file loads alone; a missing column null-fills
+    Seq(Tuple1(100L)).toDF("id").coalesce(1).write.parquet(s"$src/c")
+    val r3 = spark.sql(s"COPY INTO graft.db.cpy1 FROM '$src'")
+      .collect().head
+    assert(r3.getInt(0) == 1, "incremental COPY missed the new file")
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db.cpy1 WHERE id = 100 AND v IS NULL")
+      .head().getLong(0) == 1L, "missing source column did not null-fill")
+    // an extra source column refuses loudly, nothing commits
+    val vB = SnapshotCatalog.latestVersion(root)
+    Seq((200L, 1L, "x")).toDF("id", "v", "extra")
+      .coalesce(1).write.parquet(s"$src/d")
+    val e = intercept[Exception] {
+      spark.sql(s"COPY INTO graft.db.cpy1 FROM '$src'")
+    }
+    assert(e.getMessage.contains("extra"), e.getMessage)
+    assert(SnapshotCatalog.latestVersion(root) == vB,
+      "refused COPY committed something")
+  }
+
   test("OPTIMIZE WHERE: partition-scoped pass touches only matching partitions; out-of-scope deletes stay in effect") {
     val wh = warehouse
     val spark2 = spark

@@ -73,6 +73,69 @@ class GraftFeedSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger rate-limits incremental ranges by log-carried added bytes; an oversized commit still admits one version") {
+    val root = graft.streaming.Streams.dataDir("graft_feedbytes_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 5L).toDF("id").coalesce(1), root, "b0")
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cp = graft.streaming.Streams.scratchDir("graft_feedbytescp_")
+    def start() = spark.readStream
+      .format(classOf[GraftFeedSourceProvider].getName)
+      .option("root", root)
+      // smaller than ANY commit's bytes: each incremental trigger must
+      // admit exactly one version (the at-least-one rule), never stall
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        sink.add(bid -> b.count()); ()
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      (1 until 4).foreach { b =>
+        val lo = b * 10L + 1L
+        SnapshotCatalog.append((lo to lo + 4L).toDF("id").coalesce(1),
+          root, s"b$b")
+      }
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val drained = sink.asScala.toVector
+      assert(drained.map(_._2).sum == 20L, s"rows drifted: $drained")
+      // bootstrap (1 batch) + 3 one-version byte-limited batches
+      assert(drained.count(_._2 > 0L) == 4,
+        s"byte rate limit did not split versions: $drained")
+    } finally q.stop()
+    // a LARGE cap admits several versions in one trigger
+    SnapshotCatalog.append((51L to 55L).toDF("id").coalesce(1), root, "b4")
+    SnapshotCatalog.append((61L to 65L).toDF("id").coalesce(1), root, "b5")
+    val sink2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cp2 = graft.streaming.Streams.scratchDir("graft_feedbytescp2_")
+    val q2 = spark.readStream
+      .format(classOf[GraftFeedSourceProvider].getName)
+      .option("root", root)
+      .option("startingVersion", "5") // incremental: versions 5 and 6
+      .option("maxBytesPerTrigger", (64L * 1024 * 1024).toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", cp2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        sink2.add(bid -> b.count()); ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val drained2 = sink2.asScala.toVector
+      assert(drained2.map(_._2).sum == 10L, s"startingVersion drifted: $drained2")
+      assert(drained2.count(_._2 > 0L) == 1,
+        s"a large byte cap should admit both versions in one trigger: $drained2")
+    } finally q2.stop()
+  }
+
   test("a compaction inside the polled range FAILS the stream; a fresh checkpoint re-baselines from the snapshot") {
     val root = graft.streaming.Streams.dataDir("graft_feedrw_")
     val spark2 = spark
