@@ -57,6 +57,30 @@ object GraftCatalog {
     properties.asScala.toMap.filterNot { case (k, _) =>
       reservedProps.contains(k) || k.startsWith("option.") }
   }
+
+  /** Partitioning transforms split into hive partition columns
+    * (identity) and clustering columns (`CLUSTER BY` — the cluster_by
+    * transform); anything else refuses. */
+  private[sources] def splitTransforms(
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Seq[String], Seq[String]) = {
+    val (clusterT, identT) = partitions.toSeq.partition(_.name == "cluster_by")
+    val partCols = identT.map { t =>
+      if (t.name != "identity")
+        sys.error(s"graft tables support identity partitioning and " +
+          s"CLUSTER BY only, got $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val clusterCols =
+      clusterT.flatMap(_.references.toSeq.map(_.fieldNames.mkString(".")))
+    (partCols ++ clusterCols).filterNot(schema.fieldNames.contains) match {
+      case Nil => ()
+      case missing =>
+        sys.error(s"partition/cluster columns $missing not in schema")
+    }
+    (partCols, clusterCols)
+  }
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
@@ -127,23 +151,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (SnapshotCatalog.isTable(root)) throw new TableAlreadyExistsException(ident)
     val schema = StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name != "identity")
-        sys.error(s"graft tables support identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
-    partCols.filterNot(c => schema.fieldNames.contains(c)) match {
-      case Nil => ()
-      case missing => sys.error(s"partition columns $missing not in schema")
-    }
+    val (partCols, clusterCols) =
+      GraftCatalog.splitTransforms(partitions, schema)
     val partJson =
       if (partCols.isEmpty) None
       else Some(StructType(partCols.map(schema(_)).toArray).json)
     // the creation commit is metadata-only: the schema (S), partition
     // spec (P), and user TBLPROPERTIES (K — Spark's engine-managed keys
-    // filtered out) land in the log; the first INSERT is an ordinary
-    // append
-    val userProps = GraftCatalog.userProperties(properties)
+    // filtered out; `CLUSTER BY` lands as the graft.clusterBy property
+    // a bare OPTIMIZE clusters by) land in the log; the first INSERT is
+    // an ordinary append
+    val userProps = GraftCatalog.userProperties(properties) ++
+      (if (clusterCols.isEmpty) Map.empty
+       else Map("graft.clusterBy" -> clusterCols.mkString(",")))
     if (!SnapshotCatalog.tryCommitEntries(root, 1, adds = Seq.empty,
           removes = Seq.empty, schemaJson = Some(schema.json),
           partJson = partJson,
@@ -269,16 +289,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- staged (atomic) CTAS / RTAS -----------------------------------
 
   private def identityPartCols(partitions: Array[Transform],
-                               schema: StructType): Seq[String] = {
-    val cols = partitions.toSeq.map { t =>
-      if (t.name != "identity")
-        sys.error(s"graft tables support identity partitioning only, got $t")
-      t.references.head.fieldNames.mkString(".")
-    }
-    cols.filterNot(schema.fieldNames.contains) match {
-      case Nil => cols
-      case missing => sys.error(s"partition columns $missing not in schema")
-    }
+                               schema: StructType): Seq[String] =
+    GraftCatalog.splitTransforms(partitions, schema)._1
+
+  private def clusterProps(partitions: Array[Transform],
+                           schema: StructType): Map[String, String] = {
+    val cols = GraftCatalog.splitTransforms(partitions, schema)._2
+    if (cols.isEmpty) Map.empty
+    else Map("graft.clusterBy" -> cols.mkString(","))
   }
 
   /** `CREATE TABLE ... AS SELECT` — the staged table buffers the
@@ -296,7 +314,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     GraftStagedTable(root, ident.toString, schema,
       identityPartCols(partitions, schema), replaceExisting = false,
-      orCreate = false)
+      orCreate = false,
+      extraProps = GraftCatalog.userProperties(properties) ++
+        clusterProps(partitions, schema))
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -319,7 +339,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     GraftStagedTable(root, ident.toString, schema,
       identityPartCols(partitions, schema), replaceExisting = true,
-      orCreate = false)
+      orCreate = false,
+      extraProps = GraftCatalog.userProperties(properties) ++
+        clusterProps(partitions, schema))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -337,7 +359,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftStagedTable(tableRoot(ident), ident.toString, schema,
       identityPartCols(partitions, schema),
       replaceExisting = SnapshotCatalog.isTable(tableRoot(ident)),
-      orCreate = true)
+      orCreate = true,
+      extraProps = GraftCatalog.userProperties(properties) ++
+        clusterProps(partitions, schema))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -568,7 +592,8 @@ case class GraftStagedTable(root: String, fullName: String,
                             declaredSchema: StructType,
                             partCols: Seq[String],
                             replaceExisting: Boolean,
-                            orCreate: Boolean)
+                            orCreate: Boolean,
+                            extraProps: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
   private val batchName =
@@ -609,7 +634,8 @@ case class GraftStagedTable(root: String, fullName: String,
     if (!replaceExisting) {
       // CREATE: the whole table IS this one version-1 commit
       if (!SnapshotCatalog.tryCommitEntries(root, 1, adds = adds,
-            removes = Seq.empty, schemaJson = schemaJson, partJson = partJson))
+            removes = Seq.empty, schemaJson = schemaJson, partJson = partJson,
+            props = if (extraProps.isEmpty) None else Some(extraProps)))
         throw new TableAlreadyExistsException(
           Identifier.of(Array.empty[String], fullName))
     } else {
@@ -629,7 +655,7 @@ case class GraftStagedTable(root: String, fullName: String,
           else SnapshotCatalog.propertiesAt(root, pv)
         val cleared = props0.filterNot { case (k, _) =>
           k.startsWith("graft.dropped.") && declaredSchema.fieldNames
-            .contains(k.stripPrefix("graft.dropped.")) }
+            .contains(k.stripPrefix("graft.dropped.")) } ++ extraProps
         done = SnapshotCatalog.tryCommitEntries(root, pv + 1, adds = adds,
           removes = prev, dvReset = true,
           schemaJson = schemaJson, partJson = partJson,

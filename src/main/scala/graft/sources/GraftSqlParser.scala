@@ -68,7 +68,9 @@ object GraftSqlParser {
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s+\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private val ClusterByRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CLUSTER\s+BY\s+(?:\(\s*([^)]+?)\s*\)|(NONE))\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
   private val RestoreRe =
@@ -131,9 +133,15 @@ object GraftSqlParser {
           .getOrElse(Map.empty)))
     case HistoryRe(name) =>
       Some(GraftDescribeHistoryCommand(delegate.parseMultipartIdentifier(name)))
-    case VacuumRe(name, hours) =>
+    case VacuumRe(name, hours, dry) =>
       Some(GraftVacuumCommand(delegate.parseMultipartIdentifier(name),
-        Option(hours).map(_.toLong).getOrElse(168L)))
+        Option(hours).map(_.toLong).getOrElse(168L),
+        dryRun = dry != null))
+    case ClusterByRe(name, cols, none) =>
+      Some(GraftClusterByCommand(delegate.parseMultipartIdentifier(name),
+        if (none != null) Seq.empty
+        else cols.split(",").toSeq.map(c =>
+          delegate.parseMultipartIdentifier(c.trim).last)))
     case _ => None
   }
 
@@ -205,10 +213,16 @@ case class GraftOptimizeCommand(nameParts: Seq[String],
     AttributeReference("version", IntegerType, nullable = true)())
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val root = GraftSqlParser.rootOf(spark, nameParts)
+    // a bare OPTIMIZE on a CLUSTER BY table clusters by the declared
+    // columns (the liquid-clustering default); explicit ZORDER BY wins
+    val cluster =
+      if (zorderBy.nonEmpty) zorderBy
+      else SnapshotCatalog.properties(root).get("graft.clusterBy")
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val v = SnapshotCatalog.maintainIfNeeded(spark, root,
       "sqopt" + java.util.UUID.randomUUID().toString.take(12),
       maxDvBytes = 0L, maxDeletedFrac = 0.0, maxLiveFiles = 1,
-      clusterBy = zorderBy, partitionScope = partitionScope)
+      clusterBy = cluster, partitionScope = partitionScope)
     Seq(org.apache.spark.sql.Row(v.isDefined, v.orNull))
   }
 }
@@ -310,7 +324,8 @@ case class GraftRestoreTimestampCommand(nameParts: Seq[String], ts: String)
   * latest version plus every version younger than the window, deletes
   * expired manifests and the data files no surviving version
   * references. Returns (expired_versions, deleted_files). */
-case class GraftVacuumCommand(nameParts: Seq[String], retainHours: Long)
+case class GraftVacuumCommand(nameParts: Seq[String], retainHours: Long,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("expired_versions", IntegerType, nullable = false)(),
@@ -318,8 +333,37 @@ case class GraftVacuumCommand(nameParts: Seq[String], retainHours: Long)
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val root = GraftSqlParser.rootOf(spark, nameParts)
     val (nv, nf) = SnapshotCatalog.expire(root, keepLast = 1,
-      minAgeMs = retainHours * 3600L * 1000L)
+      minAgeMs = retainHours * 3600L * 1000L, dryRun = dryRun)
     Seq(org.apache.spark.sql.Row(nv, nf))
+  }
+}
+
+/** `ALTER TABLE <t> CLUSTER BY (cols) | NONE` — the liquid-clustering
+  * declaration: the clustering columns land as the `graft.clusterBy`
+  * property (one metadata-only commit); every later bare `OPTIMIZE`
+  * uses them as its clustering spec, so the incremental size-tiered
+  * maintenance continuously converges the layout — no per-invocation
+  * ZORDER BY needed. */
+case class GraftClusterByCommand(nameParts: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val root = GraftSqlParser.rootOf(spark, nameParts)
+    val v0 = SnapshotCatalog.latestVersion(root)
+    val schema = SnapshotCatalog.schemaAt(root, v0).getOrElse(
+      sys.error(s"${nameParts.mkString(".")}: schema not log-carried"))
+    cols.filterNot(schema.fieldNames.contains) match {
+      case Seq() => ()
+      case bad => sys.error(s"CLUSTER BY column(s) ${bad.mkString(", ")} " +
+        "not in the table's schema")
+    }
+    val props = SnapshotCatalog.propertiesAt(root, v0)
+    val next =
+      if (cols.isEmpty) props - "graft.clusterBy"
+      else props + ("graft.clusterBy" -> cols.mkString(","))
+    val v = SnapshotCatalog.setProperties(root, next)
+    Seq(org.apache.spark.sql.Row(v))
   }
 }
 

@@ -1455,7 +1455,8 @@ object SnapshotCatalog {
     * expire (or [[sweepOrphans]]) collects them; the reverse order
     * would leave surviving versions pointing at deleted files. Returns
     * (expired version count, deleted data file count). */
-  def expire(root: String, keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
+  def expire(root: String, keepLast: Int, minAgeMs: Long = 0L,
+             dryRun: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the latest version")
     val vs = versions(root)
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1517,6 +1518,9 @@ object SnapshotCatalog {
       }
       val dead = droppedUnion -- keptLive
       val deadDv = droppedDv -- keptDv
+      // DRY RUN (the Delta VACUUM preview): report what WOULD expire —
+      // same unions, zero mutations (no floor checkpoint either)
+      if (dryRun) return (drop.size, dead.size + deadDv.size)
       // (1) the new floor must survive its deltas' deletion
       writeCheckpoint(root, vMin)
       // (2) expired manifests first — no new reader resolves them after this

@@ -569,6 +569,50 @@ class GraftCatalogSpec extends SparkTestBase {
       s"rename refusal drifted: $eRen")
   }
 
+  test("CLUSTER BY: declared clustering drives bare OPTIMIZE (liquid shape); VACUUM DRY RUN previews without mutating") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    spark.sql("CREATE TABLE graft.db.liq1 (id BIGINT, v BIGINT) CLUSTER BY (id)")
+    val root = s"$wh/db/liq1"
+    assert(SnapshotCatalog.properties(root).get("graft.clusterBy")
+      .contains("id"), "CREATE ... CLUSTER BY did not land the property")
+    // shuffled litter (>= the merge fan-out floor): every file spans
+    // the whole id range
+    (0 until 4).foreach { b =>
+      SnapshotCatalog.append(
+        (1L to 99L by 3L).map(i => (((i * 37 + b) % 99) + 1L, i))
+          .toDF("id", "v").coalesce(1), root, s"b$b")
+    }
+    // a BARE OPTIMIZE clusters by the declared columns: the rewrite is
+    // range-partitioned + sorted, so a range predicate afterwards cuts
+    // files by the refreshed stats
+    val fired = spark.sql("OPTIMIZE graft.db.liq1").collect().head.getBoolean(0)
+    assert(fired)
+    val q = spark.sql("SELECT count(*) AS n FROM graft.db.liq1 WHERE id <= 20")
+    q.collect()
+    val v = SnapshotCatalog.latestVersion(root)
+    val live = SnapshotCatalog.manifestFiles(root, v).size
+    assert(live >= 2 && SnapshotFileIndex.scannedFiles(q) < live,
+      s"bare OPTIMIZE did not cluster: scanned " +
+        s"${SnapshotFileIndex.scannedFiles(q)} of $live")
+    // CLUSTER BY NONE clears the declaration
+    spark.sql("ALTER TABLE graft.db.liq1 CLUSTER BY NONE")
+    assert(!SnapshotCatalog.properties(root).contains("graft.clusterBy"))
+    // VACUUM DRY RUN reports what WOULD expire, mutating nothing
+    val vsBefore = SnapshotCatalog.versions(root)
+    val dry = spark.sql("VACUUM graft.db.liq1 RETAIN 0 HOURS DRY RUN")
+      .collect().head
+    assert(dry.getInt(0) > 0 && dry.getInt(1) > 0,
+      s"dry run previewed nothing: $dry")
+    assert(SnapshotCatalog.versions(root) == vsBefore,
+      "VACUUM DRY RUN expired versions")
+    val wet = spark.sql("VACUUM graft.db.liq1 RETAIN 0 HOURS")
+      .collect().head
+    assert(wet.getInt(0) == dry.getInt(0) && wet.getInt(1) == dry.getInt(1),
+      s"dry-run preview drifted from the real vacuum: $dry vs $wet")
+  }
+
   test("COPY INTO: exactly once per source file, markers atomic with the data; re-runs load only the remainder") {
     val wh = warehouse
     val spark2 = spark
