@@ -188,7 +188,29 @@ class GraftFeedSource(spark: SparkSession, root: String,
                       startingBase: Option[Long] = None,
                       changeFeed: Boolean = false,
                       maxBytesPerTrigger: Option[Long] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  /** `Trigger.AvailableNow` (the Delta DeltaSource pattern — a V1
+    * Source implementing the admission-control seam): the backlog
+    * BOUND is captured once at query start, the rate limits still
+    * apply per micro-batch, and the run self-terminates when the
+    * offset reaches the bound — without this, Spark falls back to
+    * "single batch execution", which under a rate limit silently
+    * leaves part of the backlog unprocessed. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = SnapshotCatalog.latestVersionOption(root).map(_.toLong)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset =
+    nextOffset(availableNowCap).orNull
 
   /** Table schema pinned at stream start (data then partition columns —
     * the [[SnapshotFileIndex.snapshotDF]] order). */
@@ -262,8 +284,14 @@ class GraftFeedSource(spark: SparkSession, root: String,
     case other => other.json().toLong
   }
 
-  override def getOffset: Option[Offset] = {
-    val latest = SnapshotCatalog.latestVersionOption(root).map(_.toLong)
+  override def getOffset: Option[Offset] = nextOffset(None)
+
+  private def nextOffset(capLatest: Option[Long]): Option[LongOffset] = {
+    val latest = (SnapshotCatalog.latestVersionOption(root).map(_.toLong),
+        capLatest) match {
+      case (Some(l), Some(c)) => Some(math.min(l, c))
+      case (l, _) => l
+    }
     latest.map { l =>
       // a FRESH checkpoint (no watermark, no startingVersion) bootstraps
       // at the CURRENT latest version — Delta's initial-snapshot

@@ -136,6 +136,46 @@ class GraftFeedSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog (bootstrap + rate-limited increments) and self-terminates") {
+    val root = graft.streaming.Streams.dataDir("graft_feednow_")
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 3).foreach { b =>
+      val lo = b * 10L + 1L
+      SnapshotCatalog.append((lo to lo + 9L).toDF("id").coalesce(1),
+        root, s"b$b")
+    }
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cp = graft.streaming.Streams.scratchDir("graft_feednowcp_")
+    def drainNow(): Unit = {
+      val q = spark.readStream
+        .format(classOf[GraftFeedSourceProvider].getName)
+        .option("root", root)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+          sink.add(bid -> b.count()); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow drain did not self-terminate")
+    }
+    drainNow()
+    import scala.jdk.CollectionConverters._
+    assert(sink.asScala.map(_._2).sum == 30L,
+      s"AvailableNow missed rows: ${sink.asScala.toVector}")
+    // backlog lands later; a SECOND AvailableNow run on the same
+    // checkpoint drains exactly the delta, one version per trigger
+    SnapshotCatalog.append((31L to 35L).toDF("id").coalesce(1), root, "b3")
+    SnapshotCatalog.append((36L to 40L).toDF("id").coalesce(1), root, "b4")
+    drainNow()
+    assert(sink.asScala.map(_._2).sum == 40L,
+      s"second AvailableNow run drifted: ${sink.asScala.toVector}")
+  }
+
   test("a compaction inside the polled range FAILS the stream; a fresh checkpoint re-baselines from the snapshot") {
     val root = graft.streaming.Streams.dataDir("graft_feedrw_")
     val spark2 = spark
