@@ -255,6 +255,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       if (drops.nonEmpty && cur.fields.length - drops.length + adds.length <= 0)
         sys.error(s"$ident: cannot DROP every column")
+      // declared clustering columns cannot be dropped (a later bare
+      // OPTIMIZE would fail on the missing column — Delta refuses the
+      // same way); CLUSTER BY NONE first
+      val clusterCols = props.get("graft.clusterBy").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      drops.filter(clusterCols.contains) match {
+        case Seq() => ()
+        case used => sys.error(s"$ident: column(s) ${used.mkString(", ")} " +
+          "are declared CLUSTER BY columns — ALTER TABLE ... CLUSTER BY " +
+          "NONE (or re-declare) first")
+      }
       // a column a CHECK constraint references cannot be dropped (the
       // Delta rule) — parse each constraint's expression session-free
       SnapshotCatalog.constraintsOf(props).foreach { case (cname, cond) =>

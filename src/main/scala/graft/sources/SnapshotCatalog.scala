@@ -1516,8 +1516,19 @@ object SnapshotCatalog {
         }
         acc.toSet
       }
-      val dead = droppedUnion -- keptLive
-      val deadDv = droppedDv -- keptDv
+      // GC only files UNDER THIS ROOT: a shallow clone's dropped
+      // versions reference the SOURCE table's files — unreferenced
+      // here, but owned (and possibly still live) THERE. Vacuum's
+      // authority ends at the table directory (Delta's rule); foreign
+      // references simply fall out of the log with their versions.
+      val rootUri = {
+        val u = new Path(root).toUri.getPath
+        if (u.endsWith("/")) u else u + "/"
+      }
+      def owned(f: String): Boolean =
+        new Path(f).toUri.getPath.startsWith(rootUri)
+      val dead = (droppedUnion -- keptLive).filter(owned)
+      val deadDv = (droppedDv -- keptDv).filter(owned)
       // DRY RUN (the Delta VACUUM preview): report what WOULD expire —
       // same unions, zero mutations (no floor checkpoint either)
       if (dryRun) return (drop.size, dead.size + deadDv.size)

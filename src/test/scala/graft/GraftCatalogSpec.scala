@@ -596,6 +596,11 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(live >= 2 && SnapshotFileIndex.scannedFiles(q) < live,
       s"bare OPTIMIZE did not cluster: scanned " +
         s"${SnapshotFileIndex.scannedFiles(q)} of $live")
+    // a declared clustering column refuses to DROP (clear it first)
+    val eDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db.liq1 DROP COLUMN id")
+    }
+    assert(eDrop.getMessage.contains("CLUSTER BY"), eDrop.getMessage)
     // CLUSTER BY NONE clears the declaration
     spark.sql("ALTER TABLE graft.db.liq1 CLUSTER BY NONE")
     assert(!SnapshotCatalog.properties(root).contains("graft.clusterBy"))
@@ -745,6 +750,17 @@ class GraftCatalogSpec extends SparkTestBase {
     SnapshotCatalog.expire(cloneRoot, keepLast = 1, minAgeMs = 0L)
     assert(spark.sql("SELECT count(*) FROM graft.db.clsrc WHERE id <= 20")
       .head().getLong(0) == 15L, "clone vacuum deleted source files")
+    // the ownership rule under the WORST shape: the clone REWRITES its
+    // content (its old versions now reference ONLY foreign source
+    // files), then vacuums aggressively — the dropped versions' source
+    // references must fall out of the log WITHOUT touching the source
+    spark.sql("INSERT OVERWRITE graft.db.clone1 VALUES (1000, 1)")
+    SnapshotCatalog.expire(cloneRoot, keepLast = 1, minAgeMs = 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db.clsrc")
+      .head().getLong(0) == 16L,
+      "a rewritten clone's vacuum deleted the SOURCE table's files")
+    assert(spark.sql("SELECT count(*) FROM graft.db.clone1")
+      .head().getLong(0) == 1L)
     // VERSION AS OF clones the historical snapshot (pre-delete v1)
     spark.sql("CREATE TABLE graft.db.clone2 SHALLOW CLONE graft.db.clsrc " +
       "VERSION AS OF 1")
