@@ -615,6 +615,43 @@ case class GraftStagedTable(root: String, fullName: String,
       : Option[(Seq[SnapshotCatalog.FileEntry], Option[String], Option[String])] =
     None
 
+  /** Does `cond` resolve against the STAGED schema? (Every column it
+    * references must exist in `declaredSchema`, case-insensitively.)
+    * A carried-forward constraint from the replaced table whose
+    * columns the new schema dropped would otherwise fail analysis on
+    * every subsequent write until a manual DROP CONSTRAINT. */
+  private def constraintResolves(cond: String): Boolean =
+    try {
+      val parsed = SparkSession.active.sessionState.sqlParser
+        .parseExpression(cond)
+      val fields = declaredSchema.fieldNames.map(_.toLowerCase).toSet
+      parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.forall(n => fields.contains(n.toLowerCase))
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** CHECK constraints the staged write must enforce IN-PASS: the ones
+    * declared in this CTAS/RTAS's own TBLPROPERTIES, plus — for a
+    * REPLACE — the replaced table's constraints that still resolve
+    * against the new schema (REPLACE resets metadata referencing
+    * vanished columns; surviving constraints keep enforcing). Without
+    * this, `CREATE TABLE ... TBLPROPERTIES('graft.constraints.c'=...)
+    * AS SELECT` would publish version 1 carrying rows that violate its
+    * own declared constraint — enforced on every LATER write but never
+    * on the rows it landed with. */
+  private def effectiveConstraints: Map[String, String] = {
+    val declared = SnapshotCatalog.constraintsOf(extraProps)
+    val carried =
+      if (!replaceExisting) Map.empty[String, String]
+      else SnapshotCatalog.latestVersionOption(root)
+        .map(v => SnapshotCatalog.constraintsOf(
+          SnapshotCatalog.propertiesAt(root, v)))
+        .getOrElse(Map.empty)
+        .filter { case (_, cond) => constraintResolves(cond) }
+    carried ++ declared
+  }
+
   override def name(): String = fullName
   override def schema: StructType = declaredSchema
   override def partitioning(): Array[Transform] =
@@ -632,7 +669,8 @@ case class GraftStagedTable(root: String, fullName: String,
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
             staged = Some(SnapshotCatalog.stageBatch(
-              data, root, batchName, partCols, recordStats = true))
+              data, root, batchName, partCols, recordStats = true,
+              constraintsOverride = Some(effectiveConstraints)))
             ()
           }
       }
@@ -664,9 +702,14 @@ case class GraftStagedTable(root: String, fullName: String,
         // (same rule as SnapshotCatalog.replace)
         val props0 = if (pv == 0) Map.empty[String, String]
           else SnapshotCatalog.propertiesAt(root, pv)
-        val cleared = props0.filterNot { case (k, _) =>
-          k.startsWith("graft.dropped.") && declaredSchema.fieldNames
-            .contains(k.stripPrefix("graft.dropped.")) } ++ extraProps
+        val cleared = props0.filterNot { case (k, v) =>
+          (k.startsWith("graft.dropped.") && declaredSchema.fieldNames
+            .contains(k.stripPrefix("graft.dropped."))) ||
+          // REPLACE resets constraints whose columns the new schema no
+          // longer carries — keeping them would fail analysis on every
+          // subsequent write until a manual DROP CONSTRAINT
+          (k.startsWith("graft.constraints.") && !constraintResolves(v))
+        } ++ extraProps
         done = SnapshotCatalog.tryCommitEntries(root, pv + 1, adds = adds,
           removes = prev, dvReset = true,
           schemaJson = schemaJson, partJson = partJson,

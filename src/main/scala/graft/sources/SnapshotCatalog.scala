@@ -1017,11 +1017,12 @@ object SnapshotCatalog {
     * the write with the constraint name and the row's values, and the
     * filter is not prunable (it changes semantics), so codegen keeps
     * it fused into the write stage. O(0) extra passes at any scale. */
-  private def withConstraintChecks(df: DataFrame, root: String): DataFrame = {
+  private def withConstraintChecks(df: DataFrame, root: String,
+      overrideCons: Option[Map[String, String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, concat_ws, expr, lit, raise_error, struct}
-    val cons = latestVersionOption(root)
+    val cons = overrideCons.getOrElse(latestVersionOption(root)
       .map(v => constraintsOf(propertiesAt(root, v)))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty))
     cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, cond)) =>
       // SQL CHECK semantics: a row violates only when the condition is
       // FALSE — UNKNOWN (null) passes, hence the coalesce(…, true)
@@ -1173,12 +1174,17 @@ object SnapshotCatalog {
     * planning needs lands IN the commit — a reader never probes the
     * staged files again. */
   private[sources] def stageBatch(df0: DataFrame, root: String, batch: String,
-                                  partitionBy: Seq[String], recordStats: Boolean)
+                                  partitionBy: Seq[String], recordStats: Boolean,
+                                  constraintsOverride: Option[Map[String, String]] = None)
       : (Seq[FileEntry], Option[String], Option[String]) = {
     // CHECK constraints ride the write pass itself (one filter with a
     // raise_error arm — no second scan); every DML path that lands data
-    // funnels through here, so enforcement is a single seam
-    val df = withConstraintChecks(df0, root)
+    // funnels through here, so enforcement is a single seam. A staged
+    // CTAS/RTAS has no committed version carrying ITS declared
+    // constraints yet — the staging table passes them explicitly via
+    // `constraintsOverride` so version 1 cannot publish rows violating
+    // the very constraints it publishes alongside them.
+    val df = withConstraintChecks(df0, root, constraintsOverride)
     val path = s"$root/data/$batch"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -1424,6 +1430,12 @@ object SnapshotCatalog {
     val targetDvs = dvEntries(root, toVersion)
     val schemaJson = schemaAt(root, toVersion).map(_.json)
     val partJson = partitionSpecAt(root, toVersion).map(_.json)
+    // properties restore WITH the files/schema: leaving the current
+    // props in place would e.g. keep a post-`toVersion` DROP COLUMN's
+    // graft.dropped tombstone refusing appends of a column the
+    // restored schema serves, and keep constraints added after
+    // `toVersion` enforcing against pre-constraint data
+    val targetProps = propertiesAt(root, toVersion)
     var attempt = 0
     while (attempt < 100) {
       val pv = latestVersion(root)
@@ -1433,7 +1445,8 @@ object SnapshotCatalog {
             adds = target.filterNot(e => cur.contains(e.path)),
             removes = cur.filterNot(targetPaths).sorted,
             dvAdds = targetDvs, dvReset = true,
-            schemaJson = schemaJson, partJson = partJson))
+            schemaJson = schemaJson, partJson = partJson,
+            props = Some(targetProps)))
         return pv + 1
       attempt += 1
     }
@@ -1521,12 +1534,19 @@ object SnapshotCatalog {
       // here, but owned (and possibly still live) THERE. Vacuum's
       // authority ends at the table directory (Delta's rule); foreign
       // references simply fall out of the log with their versions.
-      val rootUri = {
-        val u = new Path(root).toUri.getPath
-        if (u.endsWith("/")) u else u + "/"
+      // FULLY-QUALIFIED comparison (scheme + authority + path): a bare
+      // path-component prefix test would classify s3://B/t/x as owned
+      // by a table rooted at s3://A/t — or a hdfs: file as owned by a
+      // file: root — and delete a foreign filesystem's live file
+      val rootQualified = {
+        val rp = new Path(root)
+        val q = fsFor(rp).makeQualified(rp).toString
+        if (q.endsWith("/")) q else q + "/"
       }
-      def owned(f: String): Boolean =
-        new Path(f).toUri.getPath.startsWith(rootUri)
+      def owned(f: String): Boolean = {
+        val p = new Path(f)
+        fsFor(p).makeQualified(p).toString.startsWith(rootQualified)
+      }
       val dead = (droppedUnion -- keptLive).filter(owned)
       val deadDv = (droppedDv -- keptDv).filter(owned)
       // DRY RUN (the Delta VACUUM preview): report what WOULD expire —
@@ -1866,10 +1886,19 @@ object SnapshotCatalog {
         s"non-partition column(s) ${bad.mkString(", ")} — the scope must " +
         "be a partition predicate")
     }
+    // the scope value arrives as RAW literal text; directory segments
+    // are hive-ESCAPED by the writer (spaces, ':', '%', unicode …) —
+    // encode with the same escaping before comparing, or a scoped pass
+    // over such values silently selects nothing
+    def hiveSeg(c: String, vl: String): String = {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      ExternalCatalogUtils.escapePathName(c) + "=" +
+        ExternalCatalogUtils.escapePathName(vl)
+    }
     def inScope(path: String): Boolean =
       partitionScope.isEmpty || {
         val vec = partitionVecOf(path)
-        partitionScope.forall { case (c, vl) => vec.contains(s"$c=$vl") }
+        partitionScope.forall { case (c, vl) => vec.contains(hiveSeg(c, vl)) }
       }
     val dvBytes = dvs.map(e =>
       if (e.size >= 0) e.size
@@ -1936,14 +1965,28 @@ object SnapshotCatalog {
     // replacePartitions restructuring); the unscoped pass claims every
     // bearing file, so surviving is empty and the plain reset applies
     val selUrisForDv = selection.map(e => uriOf(e.path)).toSet
+    // surviving = positions into files still LIVE in the manifest and
+    // not claimed by this rewrite; positions into already-removed files
+    // (a partition overwrite under the pre-`W` format) DANGLE — they
+    // must fall through to the plain dvReset below, or the pass would
+    // re-land them forever (one fresh commit per fire, never converging)
+    val liveUris = entries.map(e => uriOf(e.path)).toSet
     val survivingRaw = bearingRaw.filterNot(f =>
-      selUrisForDv.contains(uriOf(f)))
+      selUrisForDv.contains(uriOf(f))).filter(f =>
+      liveUris.contains(uriOf(f)))
     val (dvWithdraws, dvSurviveAdds) =
       if (dvs.isEmpty || survivingRaw.isEmpty)
         (Seq.empty[String], Seq.empty[FileEntry])
       else {
+        import org.apache.spark.sql.functions.broadcast
         val dv0 = spark.read.parquet(dvs.map(_.path): _*)
-        val keep = dv0.filter(col("__dv_file").isin(survivingRaw: _*))
+        // broadcast semi-join against a paths frame, not an isin over
+        // O(files) literals — at 100 TB the surviving set can be tens
+        // of thousands of paths and a giant In-expression in the plan
+        val keepPaths = broadcast(
+          spark.createDataset(survivingRaw)(
+            org.apache.spark.sql.Encoders.STRING).toDF("__dv_file"))
+        val keep = dv0.join(keepPaths, Seq("__dv_file"), "left_semi")
         val dvDir = s"$root/dv/w${java.util.UUID.randomUUID().toString.take(8)}"
         keep.coalesce(1).write.mode("overwrite").parquet(dvDir)
         val sized = listDataEntries(dvDir)

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.SnapshotCatalog
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
 /** The round-14 metadata-tier guarantees of the snapshot catalog:
@@ -388,4 +389,78 @@ class DeltaLogSpec extends SparkTestBase {
     assert(nC2 == 2, s"corrupt sidecar should force b0 into the read set, read $nC2")
     assert(dfC2.filter(col("ts").between(ts(11), ts(14))).count() == 10L)
   }
+
+  test("vacuum ownership is FULLY-QUALIFIED: a foreign-scheme file whose path component matches the root is never deleted") {
+    val root = graft.streaming.Streams.dataDir("graft_vacqual_")
+    val spark2 = spark
+    import spark2.implicits._
+    // a filesystem with a DIFFERENT scheme but the same local layout
+    // (stand-in for s3://B vs s3://A or hdfs: vs file:)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[MockLocalFs].getName)
+    SnapshotCatalog.append((1L to 10L).toDF("id").coalesce(1), root, "b0")
+    // a FOREIGN reference: physically under the root (so its bare path
+    // component passes a path-only prefix test) but on scheme mock:
+    val foreignDir = new Path(s"$root/data/foreign")
+    val fs = foreignDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(foreignDir)
+    val foreignFile = new Path(foreignDir, "part-00000.bin")
+    val out = fs.create(foreignFile); out.write(Array.fill(16)(7.toByte)); out.close()
+    val foreignRef = "mock:" + foreignFile.toUri.getPath
+    SnapshotCatalog.commitRetry(root)(prev => prev :+ foreignRef)
+    SnapshotCatalog.commitRetry(root)(prev => prev.filterNot(_ == foreignRef))
+    SnapshotCatalog.append((11L to 12L).toDF("id").coalesce(1), root, "b1")
+    // expire drops the foreign-bearing versions; the foreign file is
+    // referenced by NO surviving version, but vacuum's authority ends
+    // at THIS table on THIS filesystem — the mock: file must survive
+    val (dropped, deleted) = SnapshotCatalog.expire(root, keepLast = 1)
+    assert(dropped >= 2, s"expected the foreign-bearing versions to drop, got $dropped")
+    assert(fs.exists(foreignFile),
+      "vacuum deleted a foreign-filesystem file whose PATH matched the root " +
+        "— ownership must compare fully-qualified URIs")
+    // sanity: the table still serves
+    assert(SnapshotCatalog.readSnapshot(spark, root).count() == 12L)
+  }
+
+  test("dangling-only DV litter clears in ONE reset commit and converges — no re-land loop") {
+    val root = graft.streaming.Streams.dataDir("graft_dvdangle_")
+    val spark2 = spark
+    import spark2.implicits._
+    SnapshotCatalog.append((1L to 20L).toDF("id").coalesce(1), root, "b0")
+    val (_, nDel) = SnapshotCatalog.deleteWhere(spark, root, col("id") <= 5L)
+    assert(nDel == 5L)
+    // a LEGACY replace (pre-`W` format): swaps the data files via a
+    // path-only commit that does NOT restructure the DV set — every DV
+    // position now references a removed file (dangles)
+    val legacyDir = s"$root/data/leg0"
+    (100L to 110L).toDF("id").coalesce(1).write.mode("overwrite").parquet(legacyDir)
+    val legacyFiles = SnapshotCatalog.listDataFiles(legacyDir)
+    SnapshotCatalog.commitRetry(root)(_ => legacyFiles)
+    val vPre = SnapshotCatalog.latestVersion(root)
+    assert(SnapshotCatalog.dvEntries(root, vPre).nonEmpty,
+      "precondition: the legacy commit must leave the DV batch in effect")
+    // ONE maintenance fire clears the danglers METADATA-ONLY (selection
+    // empty → plain dvReset, not a re-land of the dangling positions)
+    val fired = SnapshotCatalog.maintainIfNeeded(spark, root, "c0",
+      maxDvBytes = 0L, minFileBytes = 1L)
+    assert(fired.nonEmpty, "dangling DV litter did not trigger the reset")
+    val v1 = fired.get
+    assert(SnapshotCatalog.dvEntries(root, v1).isEmpty,
+      "the reset re-landed dangling positions instead of clearing them")
+    assert(SnapshotCatalog.manifestFiles(root, v1).toSet == legacyFiles.toSet,
+      "the metadata-only reset must not touch data files")
+    // CONVERGES: the next fire has nothing to do — no commit per fire
+    assert(SnapshotCatalog.maintainIfNeeded(spark, root, "c1",
+      maxDvBytes = 0L, minFileBytes = 1L).isEmpty,
+      "dangling-DV cleanup did not converge — a fresh commit per fire")
+    assert(SnapshotCatalog.latestVersion(root) == v1)
+    assert(SnapshotCatalog.readSnapshotWithDeletes(spark, root).count() == 11L)
+  }
+}
+
+/** A second local filesystem under scheme `mock:` — the cross-
+  * filesystem stand-in [[DeltaLogSpec]]'s vacuum-ownership test uses
+  * (s3://A vs s3://B without a real object store in the environment). */
+class MockLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mock:///")
 }

@@ -1016,6 +1016,96 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT one FROM graft.db.ctas3").head().getInt(0) == 1)
   }
 
+  test("CTAS/RTAS with constraint TBLPROPERTIES enforce on the staged rows themselves") {
+    val wh = warehouse
+    val root = s"$wh/db/ctascons"
+    // a violating CTAS fails loudly and leaves NO table
+    val eBad = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.db.ctascons " +
+        "TBLPROPERTIES ('graft.constraints.xpos'='x > 0') " +
+        "AS SELECT -1 AS x")
+    }
+    assert(eBad.getMessage.contains("CHECK constraint xpos") ||
+      Option(eBad.getCause).exists(_.getMessage.contains("CHECK constraint xpos")),
+      s"violating CTAS did not fail on its own constraint: ${eBad.getMessage}")
+    assert(!SnapshotCatalog.isTable(root),
+      "violating CTAS left a (half-)committed table behind")
+    // a satisfying CTAS lands WITH the constraint in force for later writes
+    spark.sql("CREATE TABLE graft.db.ctascons " +
+      "TBLPROPERTIES ('graft.constraints.xpos'='x > 0') " +
+      "AS SELECT 5 AS x")
+    assert(spark.sql("SELECT x FROM graft.db.ctascons").head().getInt(0) == 5)
+    val eIns = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.ctascons VALUES (-2)")
+    }
+    assert(eIns.getMessage.contains("CHECK constraint xpos") ||
+      Option(eIns.getCause).exists(_.getMessage.contains("CHECK constraint xpos")),
+      s"constraint published by CTAS not enforced on the next INSERT: ${eIns.getMessage}")
+    // RTAS: a NEW constraint in the replace's properties validates the
+    // staged rows; the replaced table survives untouched on refusal
+    val vBefore = SnapshotCatalog.latestVersion(root)
+    val eRtas = intercept[Exception] {
+      spark.sql("REPLACE TABLE graft.db.ctascons " +
+        "TBLPROPERTIES ('graft.constraints.ypos'='y > 0') " +
+        "AS SELECT -7 AS y")
+    }
+    assert(eRtas.getMessage.contains("CHECK constraint ypos") ||
+      Option(eRtas.getCause).exists(_.getMessage.contains("CHECK constraint ypos")),
+      s"violating RTAS landed: ${eRtas.getMessage}")
+    assert(SnapshotCatalog.latestVersion(root) == vBefore &&
+      spark.sql("SELECT x FROM graft.db.ctascons").head().getInt(0) == 5,
+      "refused RTAS disturbed the existing table")
+    // REPLACE drops a carried constraint whose column vanished from the
+    // new schema (xpos references x; the new table only has y) — later
+    // writes must not fail analysis on a ghost column
+    spark.sql("REPLACE TABLE graft.db.ctascons " +
+      "TBLPROPERTIES ('graft.constraints.ypos'='y > 0') " +
+      "AS SELECT 7 AS y")
+    val props = SnapshotCatalog.properties(root)
+    assert(!props.contains("graft.constraints.xpos"),
+      s"REPLACE carried a constraint on a dropped column: $props")
+    assert(props.get("graft.constraints.ypos").contains("y > 0"))
+    spark.sql("INSERT INTO graft.db.ctascons VALUES (3)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.db.ctascons")
+      .head().getLong(0) == 2L)
+    val eY = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db.ctascons VALUES (-3)")
+    }
+    assert(eY.getMessage.contains("CHECK constraint ypos") ||
+      Option(eY.getCause).exists(_.getMessage.contains("CHECK constraint ypos")),
+      s"RTAS-published constraint not enforced: ${eY.getMessage}")
+  }
+
+  test("RESTORE restores PROPERTIES with files/schema: dropped-column tombstones and late constraints do not outlive the restore") {
+    val wh = warehouse
+    val spark2 = spark
+    import spark2.implicits._
+    val root = s"$wh/db/restoreprops"
+    SnapshotCatalog.append(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "k", "v").coalesce(1),
+      root, "b0")
+    val vKeep = SnapshotCatalog.latestVersion(root)
+    // post-vKeep metadata: DROP COLUMN v (tombstone) + a constraint
+    spark.sql("ALTER TABLE graft.db.restoreprops DROP COLUMN v")
+    spark.sql("ALTER TABLE graft.db.restoreprops ADD CONSTRAINT idpos CHECK (id > 0)")
+    assert(SnapshotCatalog.properties(root).contains("graft.dropped.v"))
+    // restore to the pre-drop version: schema serves v again AND the
+    // tombstone is gone, so appending v does not refuse; the late
+    // constraint no longer enforces
+    SnapshotCatalog.restore(root, vKeep)
+    val props = SnapshotCatalog.properties(root)
+    assert(!props.contains("graft.dropped.v"),
+      s"restore left the post-restore tombstone in force: $props")
+    assert(!props.contains("graft.constraints.idpos"),
+      s"restore kept a constraint added after the restored version: $props")
+    SnapshotCatalog.append(
+      Seq((3L, "c", 30L)).toDF("id", "k", "v").coalesce(1), root, "b1")
+    val got = spark.sql("SELECT id, v FROM graft.db.restoreprops ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"restored schema+append drifted: $got")
+  }
+
   test("catalog hygiene: listTables, tableExists, drop; writes to a pinned version refuse") {
     val wh = warehouse
     spark.sql("CREATE TABLE graft.db.tmp1 (id BIGINT)")
