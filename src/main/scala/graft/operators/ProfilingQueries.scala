@@ -110,7 +110,10 @@ object ProfilingQueries extends QueryPack {
   def profile(df: DataFrame, moneyCols: Set[String] = Set.empty,
               approx: Boolean = false): DataFrame = {
     val fields = df.schema.fields.toSeq
-    val aggs: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+    // Pass A: counts + extrema (+ HLL distincts on the approx tier).
+    // No grouping keys, so the plan is one linear map-side-partial pass
+    // even where min/max(string) buffers deny HashAggregate.
+    val aggsA: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
       val c = col(s"__p_in_$i")
       if (!statable(f.dataType))
         Seq(count(c).as(alias(i, "nn")),
@@ -118,17 +121,37 @@ object ProfilingQueries extends QueryPack {
             lit(null).cast(StringType).as(alias(i, "min")),
             lit(null).cast(StringType).as(alias(i, "max")))
       else {
-        val nd = if (approx) approx_count_distinct(c, 0.01) else countDistinct(c)
         // repr AFTER min/max: the extremum must be found in the column's
         // native ordering (a lexicographic min of "999" vs "1499" is
         // wrong), then rendered canonically.
-        Seq(count(c).as(alias(i, "nn")),
-            nd.as(alias(i, "nd")),
+        val base = Seq(count(c).as(alias(i, "nn")),
             repr(min(c), f.dataType, moneyCols(f.name)).as(alias(i, "min")),
             repr(max(c), f.dataType, moneyCols(f.name)).as(alias(i, "max")))
+        if (approx) approx_count_distinct(c, 0.01).as(alias(i, "nd")) +: base
+        else base
       }
     }
-    positional(df).agg(count(lit(1)).as("__p_rows"), aggs: _*)
+    // Pass B (exact tier only): the k exact count(DISTINCT col)
+    // aggregates ALONE. Isolated, the multi-distinct rewrite plans as
+    // Expand → HashAggregate on (gid, value) → per-gid counts — all-long
+    // buffers, hash end to end. Folded into pass A (the previous shape),
+    // the min/max(string) buffers denied HashAggregate and the WHOLE 7×
+    // Expand output went through a SortAggregate chain: three full sorts
+    // of k+1 copies of the corpus. Two linear scans beat one 7×-sorted
+    // scan at every scale (guide §1.2: fix the distributed algorithm —
+    // the sort — before per-task work).
+    val aggsB: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+      if (!approx && statable(f.dataType))
+        Some(countDistinct(col(s"__p_in_$i")).as(alias(i, "nd")))
+      else None
+    }
+    val in = positional(df)
+    val one = {
+      val a = in.agg(count(lit(1)).as("__p_rows"), aggsA: _*)
+      if (aggsB.isEmpty) a
+      else a.crossJoin(broadcast(in.agg(aggsB.head, aggsB.tail: _*)))
+    }
+    one
       .select(col("__p_rows"), explode(array(fields.zipWithIndex.map { case (f, i) =>
         struct(
           lit(f.name).as("col_name"),
@@ -299,13 +322,14 @@ object ProfilingQueries extends QueryPack {
 
   /** The persistable suggestion artifact: the rules, the ≤ maxDomain
     * per-column domain value lists (keyed by column position), and the
-    * native-typed train extrema as ONE materialized row
-    * (localCheckpoint'd, so a live gate re-evaluating per micro-batch
-    * never re-scans the training corpus). */
+    * native-typed train extrema (keyed by column position — O(columns)
+    * scalars held on the driver and inlined as literals at evaluation,
+    * so a live gate re-evaluating per micro-batch never re-scans the
+    * training corpus and never pays a per-batch cross-join build). */
   private[graft] case class SuggestedConstraints(
       rules: Seq[SuggestedRule],
       domVals: Map[Int, Seq[String]],
-      bounds: Option[DataFrame])
+      bounds: Map[Int, (Any, Any)])
 
   /** All rule kinds; the ROW-LOCAL subset (everything but `unique`) is
     * what a per-micro-batch gate can evaluate mergeably — per-batch
@@ -315,35 +339,51 @@ object ProfilingQueries extends QueryPack {
   private[graft] val allRuleKinds = Set("not_null", "unique", "range", "domain")
   private[graft] val rowLocalRuleKinds = allRuleKinds - "unique"
 
-  /** Derive the suggested rules from the training corpus: one q84
-    * profile pass, one grouped scan for ALL domain value lists
-    * together, one tiny extrema agg (native-typed — bounds never
-    * round-trip through a string repr). */
+  /** Derive the suggested rules from the training corpus: ONE native
+    * stats pass (q84's two-aggregate shape, but min/max kept NATIVE —
+    * bounds never round-trip through a string repr, and the extrema the
+    * profile already computed double as the range bounds, which removes
+    * the separate bounds re-scan and its localCheckpoint job the
+    * previous shape paid), plus one grouped scan for ALL domain value
+    * lists together. */
   private[graft] def suggestConstraints(train: DataFrame, maxDomain: Int = 8,
                                         kinds: Set[String] = allRuleKinds): SuggestedConstraints = {
     val fields = train.schema.fields.toSeq
     require(fields.map(_.name).distinct.size == fields.size,
       "constraint suggestion reports rules by column name — names must be unique")
-    val prof = profile(train).collect()
-      .map(r => r.getAs[String]("col_name") -> r).toMap
-    val rules: Seq[SuggestedRule] = fields.zipWithIndex.flatMap { case (f, i) =>
-      if (!statable(f.dataType)) Seq.empty
-      else {
-        val p = prof(f.name)
-        val n = p.getAs[Long]("n_rows")
-        val nNull = p.getAs[Long]("n_null")
-        val nd = p.getAs[Long]("n_distinct")
-        Seq(
-          if (nNull == 0 && n > 0) Some(SuggestedRule("not_null", i, f.name)) else None,
-          if (nd == n && n > 0) Some(SuggestedRule("unique", i, f.name)) else None,
-          if (rangeable(f.dataType) && nNull < n)
-            Some(SuggestedRule("range", i, f.name)) else None,
-          if (f.dataType == StringType && nd >= 1 && nd <= maxDomain)
-            Some(SuggestedRule("domain", i, f.name)) else None
-        ).flatten.filter(r => kinds(r.kind))
-      }
-    }
     val trainP = positional(train)
+    val statIdx = fields.zipWithIndex.filter(f => statable(f._1.dataType))
+    // counts + NATIVE extrema linearly; exact distincts in their own
+    // hash-only aggregate (profile()'s pass-A/pass-B split and for the
+    // same reason: min/max(string) buffers would drag the Expand through
+    // a SortAggregate chain)
+    val aggsA: Seq[Column] = statIdx.flatMap { case (f, i) =>
+      val c = col(s"__p_in_$i")
+      Seq(count(c).as(alias(i, "nn")),
+          min(c).as(alias(i, "lo")), max(c).as(alias(i, "hi")))
+    }
+    val aggsB: Seq[Column] = statIdx.map { case (_, i) =>
+      countDistinct(col(s"__p_in_$i")).as(alias(i, "nd"))
+    }
+    val statRow = {
+      val a = trainP.agg(count(lit(1)).as("__p_rows"), aggsA: _*)
+      (if (aggsB.isEmpty) a
+       else a.crossJoin(broadcast(trainP.agg(aggsB.head, aggsB.tail: _*))))
+        .collect().head
+    }
+    val n = statRow.getAs[Long]("__p_rows")
+    val rules: Seq[SuggestedRule] = statIdx.flatMap { case (f, i) =>
+      val nNull = n - statRow.getAs[Long](alias(i, "nn"))
+      val nd = statRow.getAs[Long](alias(i, "nd"))
+      Seq(
+        if (nNull == 0 && n > 0) Some(SuggestedRule("not_null", i, f.name)) else None,
+        if (nd == n && n > 0) Some(SuggestedRule("unique", i, f.name)) else None,
+        if (rangeable(f.dataType) && nNull < n)
+          Some(SuggestedRule("range", i, f.name)) else None,
+        if (f.dataType == StringType && nd >= 1 && nd <= maxDomain)
+          Some(SuggestedRule("domain", i, f.name)) else None
+      ).flatten.filter(r => kinds(r.kind))
+    }
     val domIdx = rules.filter(_.kind == "domain").map(_.idx)
     val domVals: Map[Int, Seq[String]] =
       if (domIdx.isEmpty) Map.empty
@@ -354,24 +394,17 @@ object ProfilingQueries extends QueryPack {
         .filter(col("v").isNotNull).distinct()
         .collect().map(r => r.getInt(0) -> r.getString(1))
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
-    val rangeRules = rules.filter(_.kind == "range")
-    val bounds =
-      if (rangeRules.isEmpty) None
-      else {
-        val aggs = rangeRules.flatMap(r =>
-          Seq(min(col(s"__p_in_${r.idx}")).as(s"__lo_${r.idx}"),
-              max(col(s"__p_in_${r.idx}")).as(s"__hi_${r.idx}")))
-        // localCheckpoint: ONE materialized row — per-batch re-use in a
-        // live gate must not re-scan the training corpus
-        Some(trainP.agg(aggs.head, aggs.tail: _*).localCheckpoint())
-      }
+    val bounds: Map[Int, (Any, Any)] = rules.filter(_.kind == "range")
+      .map(r => r.idx ->
+        (statRow.getAs[Any](alias(r.idx, "lo")),
+         statRow.getAs[Any](alias(r.idx, "hi")))).toMap
     SuggestedConstraints(rules, domVals, bounds)
   }
 
   /** Evaluate suggested rules against a batch: ONE conditional
-    * aggregate over one scan, the single-row native bounds cross-joined
-    * broadcast, domain values as literals. Empty rule sets produce an
-    * empty report (not an analysis error). */
+    * aggregate over one scan, native bounds and domain values inlined
+    * as literals. Empty rule sets produce an empty report (not an
+    * analysis error). */
   private[graft] def evaluateConstraints(eval: DataFrame,
                                          sc: SuggestedConstraints): DataFrame = {
     import org.apache.spark.sql.types.StructField
@@ -383,8 +416,7 @@ object ProfilingQueries extends QueryPack {
           StructField("n_checked", LongType, nullable = false),
           StructField("n_violations", LongType, nullable = false),
           StructField("passed", org.apache.spark.sql.types.BooleanType, nullable = false))))
-    val evalIn = sc.bounds.foldLeft(positional(eval))(
-      (e, b) => e.crossJoin(broadcast(b)))
+    val evalIn = positional(eval)
     def vAlias(r: SuggestedRule) = s"__v_${r.kind}_${r.idx}"
     val vAggs: Seq[Column] = sc.rules.map { r =>
       val c = col(s"__p_in_${r.idx}")
@@ -392,7 +424,7 @@ object ProfilingQueries extends QueryPack {
         case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
         case "unique"   => count(c) - countDistinct(c)
         case "range"    => sum(when(c.isNotNull &&
-          (c < col(s"__lo_${r.idx}") || c > col(s"__hi_${r.idx}")), 1L)
+          (c < lit(sc.bounds(r.idx)._1) || c > lit(sc.bounds(r.idx)._2)), 1L)
           .otherwise(0L))
         case "domain"   => sum(when(c.isNotNull &&
           !c.isin(sc.domVals(r.idx): _*), 1L).otherwise(0L))
@@ -586,18 +618,41 @@ object ProfilingQueries extends QueryPack {
       (spark, dir) => {
         val o = Tables(spark, dir).orders
         // The documented 100 TB form of q84, made oracle-checked instead
-        // of asserted: approx=true swaps the exact distincts for HLL++
-        // (rsd 1 %), turning the profile into a single Expand-free
-        // map-side pass. Exact stats are value-compared; the estimate is
-        // audited at ±5 % (5σ) against the exact tier, which is the
-        // pass a production profile drops.
-        val ap = profile(o, moneyCols = ordersMoney, approx = true)
-          .select(col("col_name"), col("n_distinct").as("nd_approx"))
-        profile(o, moneyCols = ordersMoney).join(ap, "col_name")
-          .select(col("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_repr"), col("max_repr"),
-            (abs(col("nd_approx") - col("n_distinct"))
-              <= col("n_distinct") * 0.05).as("approx_within_5pct"))
+        // of asserted: the HLL++ distincts (rsd 1 %) ride the SAME
+        // linear counts/extrema pass the exact tier already runs (one
+        // fixed-size sketch buffer per column per partition), so the
+        // audit costs exactly one extra aggregate — the exact-distinct
+        // hash pass — and no join. Exact stats are value-compared; the
+        // estimate is audited at ±5 % (5σ) against the exact tier,
+        // which is the pass a production profile drops.
+        val fields = o.schema.fields.toSeq
+        val aggsA: Seq[Column] = fields.zipWithIndex.flatMap { case (f, i) =>
+          val c = col(s"__p_in_$i")
+          Seq(count(c).as(alias(i, "nn")),
+              approx_count_distinct(c, 0.01).as(alias(i, "nda")),
+              repr(min(c), f.dataType, ordersMoney(f.name)).as(alias(i, "min")),
+              repr(max(c), f.dataType, ordersMoney(f.name)).as(alias(i, "max")))
+        }
+        val aggsB: Seq[Column] = fields.zipWithIndex.map { case (_, i) =>
+          countDistinct(col(s"__p_in_$i")).as(alias(i, "nd"))
+        }
+        val in = positional(o)
+        in.agg(count(lit(1)).as("__p_rows"), aggsA: _*)
+          .crossJoin(broadcast(in.agg(aggsB.head, aggsB.tail: _*)))
+          .select(col("__p_rows"), explode(array(fields.zipWithIndex.map { case (f, i) =>
+            struct(
+              lit(f.name).as("col_name"),
+              (col("__p_rows") - col(alias(i, "nn"))).as("n_null"),
+              col(alias(i, "nd")).as("n_distinct"),
+              col(alias(i, "min")).as("min_repr"),
+              col(alias(i, "max")).as("max_repr"),
+              (abs(col(alias(i, "nda")) - col(alias(i, "nd")))
+                <= col(alias(i, "nd")) * 0.05).as("approx_within_5pct"))
+          }: _*)).as("m"))
+          .select(col("m.col_name").as("col_name"), col("__p_rows").as("n_rows"),
+            col("m.n_null").as("n_null"), col("m.n_distinct").as("n_distinct"),
+            col("m.min_repr").as("min_repr"), col("m.max_repr").as("max_repr"),
+            col("m.approx_within_5pct").as("approx_within_5pct"))
           .orderBy("col_name")
       },
       Some("""SELECT col_name, n_rows, n_null, n_distinct, min_repr, max_repr,
