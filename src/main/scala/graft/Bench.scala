@@ -25,6 +25,16 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS") // INT96 writes NO stats (GraftSession)
+      // Static conf, default 100 entries: a 258-query suite evicts the
+      // whole-stage-codegen class cache between the warm-up pass and the
+      // timed pass, so heavy multi-stage queries re-pay Janino
+      // compilation INSIDE their timed region (t27 measured 23.1 s
+      // in-suite vs 7.9 s warm isolated on identical code — the delta is
+      // recompilation, not execution). Sizing the cache to hold the
+      // suite's generated classes makes the timed pass measure the
+      // steady state the warm-up pass exists to establish; production
+      // long-lived sessions running many distinct queries want the same.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.warehouse.dir", // bucketed saveAsTable scratch
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .config("spark.ui.enabled", "false")

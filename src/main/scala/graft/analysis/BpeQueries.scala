@@ -112,8 +112,16 @@ object BpeQueries extends QueryPack {
 
   /** Run the K-round training loop; returns (left, right, pairCount) in
     * merge order, plus the final encoded vocabulary (word, cnt, syms). */
-  def train(docs: DataFrame): (Seq[(String, String, Long)], DataFrame) = {
+  def train(docs: DataFrame,
+            materializeVocab: Boolean = true): (Seq[(String, String, Long)], DataFrame) = {
     var cur = charSyms(wordCounts(docs)).persist()
+    // The parent generation stays persisted until the CHILD's first
+    // action (next round's pair-count argmax) has populated the child's
+    // cache as a side effect — one job per merge round instead of the
+    // previous argmax + count() pair (the count existed only to
+    // materialize the child before releasing the parent; the argmax
+    // does that for free).
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var round = 0
     var exhausted = false
@@ -123,19 +131,26 @@ object BpeQueries extends QueryPack {
       // merges (every word collapsed to one symbol) — stop training
       // rather than crash; the t19 oracle replays K full rounds, so the
       // registry corpus must (and does) have vocab ≫ K
-      pairCounts(cur)
+      val top = pairCounts(cur)
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().headOption match {
+        .limit(1).collect().headOption
+      prev.foreach(_.unpersist()); prev = None
+      top match {
         case None => exhausted = true
         case Some(row) =>
           val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += ((a, b, c))
           val next = cur.withColumn("syms", applyMerge(a, b)).persist()
-          next.count() // materialize before releasing the parent
-          cur.unpersist()
+          prev = Some(cur)
           cur = next
       }
     }
+    // The final generation's cache is only populated once a caller runs
+    // an action over `cur`; its parent must therefore stay persisted
+    // until then (unpersisting it here would make a vocab consumer's
+    // first action recompute the full merge lineage). t19 consumes only
+    // the merge list, so it opts out and skips the materialize job.
+    prev.foreach { p => if (materializeVocab) cur.count(); p.unpersist() }
     (merges.toSeq, cur)
   }
 
@@ -173,7 +188,8 @@ object BpeQueries extends QueryPack {
         val spark2 = spark
         import spark2.implicits._
         val t = Tables(spark, dir)
-        val (merges, vocab) = train(trainingCorpus(t.documents))
+        val (merges, vocab) =
+          train(trainingCorpus(t.documents), materializeVocab = false)
         vocab.unpersist()
         merges.zipWithIndex.map { case ((a, b, c), i) =>
           (i + 1, a, b, a + b, c)
