@@ -766,9 +766,9 @@ object QualityQueries extends QueryPack {
           .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
           .filter(gopherKeep && col("doc_id") % 50 =!= 0)
         val evalSh = docs.filter(col("doc_id") % 50 === 0)
-          .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+          .select(graft.dedup.DedupQueries.shingleRows(col("text"), 4).as("sh")).distinct()
         val contaminated = kept
-          .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+          .select(col("doc_id"), graft.dedup.DedupQueries.shingleRows(col("text"), 4).as("sh"))
           .join(broadcast(evalSh), Seq("sh"), "left_semi")
           .select("doc_id").distinct()
         val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
@@ -1136,11 +1136,11 @@ object QualityQueries extends QueryPack {
         val s2 = s1.join(dropped2, Seq("doc_id"), "left_anti").persist()
 
         val evalSh = docs.filter(col("doc_id") % 50 === 0)
-          .select(explode(DedupQueries.shingles(col("text"), 4)).as("sh"))
+          .select(DedupQueries.shingleRows(col("text"), 4).as("sh"))
           .distinct()
         val contaminated = s2.filter(col("doc_id") % 50 =!= 0)
           .select(col("doc_id"),
-            explode(DedupQueries.shingles(col("text"), 4)).as("sh"))
+            DedupQueries.shingleRows(col("text"), 4).as("sh"))
           .join(broadcast(evalSh), Seq("sh"), "left_semi")
           .select("doc_id").distinct()
         val s3 = s2.filter(col("doc_id") % 50 =!= 0)

@@ -34,7 +34,12 @@ case class NGrams(child: Expression, width: Expression)
     val v = child.eval(input)
     if (v == null || n <= 0) Iterator.empty
     else {
-      val words = v.asInstanceOf[UTF8String].toString.split(" ")
+      // limit -1: keep trailing empty tokens, exactly like Spark's
+      // split(text, " ") expression — the composed shingles() form this
+      // generator must stay row-for-row identical with (Java's default
+      // split drops trailing empties; a trailing-space text would
+      // otherwise shingle differently between the two forms)
+      val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (words.length < n) Iterator.empty
       else {
         val seen = new java.util.LinkedHashSet[String]()

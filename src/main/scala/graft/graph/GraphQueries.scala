@@ -49,9 +49,12 @@ object GraphQueries extends QueryPack {
           .union(traded.select(col("s"), col("c")))
           // materialize once: 3 iterations + outdeg + nodes all reuse it
           .localCheckpoint()
+        // materialize once each: every iteration joins srcDeg and nodes,
+        // and without the checkpoint the edges⋈outdeg join and the
+        // distinct would re-run per iteration (3× and 4×)
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-        val srcDeg = edges.join(outdeg, "src") // (src, dst, od)
-        val nodes = edges.select(col("src").as("id")).distinct()
+        val srcDeg = edges.join(outdeg, "src").localCheckpoint() // (src, dst, od)
+        val nodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
         var ranks = nodes.withColumn("r", lit(1000000L))
         for (_ <- 1 to 3) {
           val contrib = srcDeg

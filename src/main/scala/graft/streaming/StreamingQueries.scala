@@ -1014,16 +1014,16 @@ object StreamingQueries extends QueryPack {
         // doc's multiple shingle hits to one verdict row. This is how a
         // 100 TB pipeline quarantines contaminated docs before they
         // land, instead of re-scanning the corpus afterwards.
-        import graft.dedup.DedupQueries.shingles
+        import graft.dedup.DedupQueries.{shingles, shingleRows}
         val docs = Tables(spark, dir).documents
         val staged = Streams.dataDir("graft_docs_decon_")
         docs.repartition(2).write.mode("overwrite").parquet(staged)
         Streams.withStreamShufflePartitions(spark) {
           val evalSh = docs.filter(col("doc_id") % 50 === 0)
-            .select(explode(shingles(col("text"), 4)).as("sh")).distinct()
+            .select(shingleRows(col("text"), 4).as("sh")).distinct()
           val flagged = Streams.streamFromStaged(spark, staged, maxFilesPerTrigger = 1)
             .filter(col("doc_id") % 50 =!= 0)
-            .select(col("doc_id"), explode(shingles(col("text"), 4)).as("sh"))
+            .select(col("doc_id"), shingleRows(col("text"), 4).as("sh"))
             .join(broadcast(evalSh), Seq("sh"), "left_semi")
             .select("doc_id")
             .dropDuplicates("doc_id")
